@@ -36,7 +36,23 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects.  Read nanos as long and truncate to micros —
+    the same truncation DuckDB applies when loading nanos into its
+    microsecond timestamps, so both engines see identical values."""
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,327 @@
+"""Aggregation queries (SURVEY.md §2.4: A4/A5/A6 + pivot R1-dynamic analog).
+
+Numeric-stability policy: any aggregate whose value depends on float addition
+order (sum/avg/stddev/corr over doubles) is computed from **exact decimal
+sums** and finished with deterministic double arithmetic — identical on Spark
+and DuckDB regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.safe_math import dec, dec_sum
+from ..io import load_table
+from ..session import pin_query_session_conf
+from .registry import register
+
+# -- A5: standard function battery -------------------------------------------
+
+_ORACLE_AGG_BASIC = """
+SELECT l_returnflag AS returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_basic_battery",
+    oracle=_ORACLE_AGG_BASIC,
+    tags=("agg",),
+    doc="count / count-distinct ×2 / min / max / exact sum / avg per group (A5).",
+)
+def agg_basic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        cnt.alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+    )
+
+
+# -- A5: stddev / variance from exact moments ---------------------------------
+
+_ORACLE_AGG_STATS = """
+SELECT l_linestatus AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_sq,
+       CASE WHEN COUNT(*) > 1 THEN
+         sqrt((CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               - CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 * CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+              / (COUNT(*) - 1))
+       ELSE 0.0 END AS stddev_disc
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register(
+    "agg_stats_moments",
+    oracle=_ORACLE_AGG_STATS,
+    tags=("agg", "stats"),
+    doc=(
+        "Sample stddev computed from exact decimal moments (A5). At scale the "
+        "two moment sums are a single map-side-combinable pass, unlike a "
+        "naive two-pass stddev."
+    ),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    s1 = F.sum(dec("l_discount")).cast("double")
+    s2 = F.sum(dec("l_discount") * dec("l_discount")).cast("double")
+    out = li.groupBy(F.col("l_linestatus").alias("linestatus")).agg(
+        n.alias("n"), s1.alias("sum_disc"), s2.alias("sum_disc_sq")
+    )
+    return out.withColumn(
+        "stddev_disc",
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(
+                (
+                    F.col("sum_disc_sq")
+                    - F.col("sum_disc") * F.col("sum_disc") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+# -- A5: approx_count_distinct (rows-only: approximate by design) -------------
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,
+    tags=("agg", "approx"),
+    doc=(
+        "HyperLogLog++ approx distinct counts (A5). No SQL oracle — the "
+        "estimate is engine-specific; correctness pinned by unit test vs "
+        "exact counts within rsd bounds."
+    ),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# -- A5: exact percentile -----------------------------------------------------
+
+_ORACLE_PCTL = """
+SELECT o_orderpriority AS priority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "agg_percentiles",
+    oracle=_ORACLE_PCTL,
+    tags=("agg", "stats"),
+    doc="Exact interpolated percentiles per group (A5), rounded to 4dp.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+# -- A5: collect_set rendered order-stable ------------------------------------
+
+_ORACLE_COLLECT = """
+SELECT n.n_name AS nation,
+       array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), ',') AS segments
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "agg_collect_set",
+    oracle=_ORACLE_COLLECT,
+    tags=("agg",),
+    doc="collect_set -> sorted CSV string (A5); order-stable across engines.",
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            )
+        )
+    )
+
+
+# -- A6: rollup / cube / grouping sets ----------------------------------------
+
+_ORACLE_ROLLUP = """
+SELECT COALESCE(r.r_name, 'ALL') AS region,
+       COALESCE(n.n_name, 'ALL') AS nation,
+       GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS gid,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle=_ORACLE_ROLLUP,
+    tags=("agg", "rollup"),
+    doc=(
+        "ROLLUP(region, nation) with grouping_id (A6) — the native replacement "
+        "for the reference's two-breakdown-scans-plus-merge pattern."
+    ),
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).join(region, nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_customers"),
+        dec_sum("c_acctbal").alias("total_bal"),
+    ).select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+        F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+        "gid",
+        "n_customers",
+        "total_bal",
+    )
+
+
+_ORACLE_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register(
+    "agg_cube_flag_status",
+    oracle=_ORACLE_CUBE,
+    tags=("agg", "cube"),
+    doc="CUBE(returnflag, linestatus) with grouping_id (A6).",
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_lines",
+        )
+    )
+
+
+_ORACLE_GSETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=_ORACLE_GSETS,
+    tags=("agg",),
+    doc="Explicit GROUPING SETS via Spark SQL (A6).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# -- R1-dynamic analog: pivot to wide columns ---------------------------------
+
+_ORACLE_PIVOT = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "pivot_status_counts",
+    oracle=_ORACLE_PIVOT,
+    tags=("pivot", "reference-parity"),
+    doc=(
+        "groupBy().pivot() to wide columns — the dynamic variant of the "
+        "reference's actions pivot (transform.py:22-39, R1)."
+    ),
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = piv.select(
+        "priority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+    return renamed

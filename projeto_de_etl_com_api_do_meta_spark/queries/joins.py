@@ -1,0 +1,310 @@
+"""Join matrix queries (SURVEY.md §2.3: J1 fan-out parity, J3 join kinds,
+J4 broadcast, J5 theta/range).
+
+Scale notes: dimension joins (`nation`, `region`, `supplier`) are explicitly
+broadcast — at 100 TB the fact side never shuffles for these.  Fact-fact
+joins shuffle on their equi-keys and rely on AQE for skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.safe_math import dec_sum, safe_div
+from ..io import load_table
+from ..session import pin_query_session_conf
+from ._shared import REVENUE_SQL, dsum_sql, revenue
+from .registry import register
+
+# -- J3/J4: inner equi-join with broadcast dims --------------------------------
+
+_ORACLE_JOIN_INNER = """
+SELECT n.n_name AS nation, COUNT(*) AS num_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name <> 'EUROPE'
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "join_inner_broadcast_dims",
+    oracle=_ORACLE_JOIN_INNER,
+    tags=("join", "broadcast"),
+    doc="Inner equi-joins through two broadcast dimension tables (J3+J4).",
+)
+def join_inner_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") != "EUROPE")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            dec_sum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# -- J3: left outer join with null side ---------------------------------------
+
+_ORACLE_JOIN_LEFT = """
+SELECT c.c_custkey, c.c_name,
+       COUNT(o.o_orderkey) AS num_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spent
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+"""
+
+
+@register(
+    "join_left_outer",
+    oracle=_ORACLE_JOIN_LEFT,
+    tags=("join",),
+    doc="Left outer join: all customers, order stats 0-filled (J3 + D3 null-fill).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("num_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), F.lit(0))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+# -- J3: semi / anti ----------------------------------------------------------
+
+_ORACLE_SEMI = """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+"""
+
+
+@register(
+    "join_left_semi",
+    oracle=_ORACLE_SEMI,
+    tags=("join",),
+    doc="Left-semi join: customers having at least one big order (J3).",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return customer.join(
+        big, big.o_custkey == customer.c_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+_ORACLE_ANTI = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register(
+    "join_left_anti",
+    oracle=_ORACLE_ANTI,
+    tags=("join",),
+    doc="Left-anti join: customers with no orders at all (J3).",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, orders.o_custkey == customer.c_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# -- J3: cross join -----------------------------------------------------------
+
+_ORACLE_CROSS = """
+SELECT r.r_name AS region_name, n.n_name AS nation_name
+FROM region r CROSS JOIN nation n
+"""
+
+
+@register(
+    "join_cross_small",
+    oracle=_ORACLE_CROSS,
+    tags=("join",),
+    doc="Cross join of two small dims (J3); BroadcastNestedLoop under the hood.",
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    )
+
+
+# -- J5: equi + range predicate join ------------------------------------------
+
+_ORACLE_RANGE = """
+SELECT p.p_brand AS brand, COUNT(*) AS qty_near_size_lines
+FROM part p
+JOIN lineitem l
+  ON l.l_partkey = p.p_partkey
+ AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+GROUP BY p.p_brand
+"""
+
+
+@register(
+    "join_range_pred",
+    oracle=_ORACLE_RANGE,
+    tags=("join", "range"),
+    doc="Equi-join with an extra range predicate (J5): quantity within ±5 of part size.",
+)
+def join_range_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_partkey == part.p_partkey) & li.l_quantity.between(
+        part.p_size - 5, part.p_size + 5
+    )
+    return (
+        part.join(li, cond)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("qty_near_size_lines"))
+    )
+
+
+# -- J5: pure inequality (theta) join -----------------------------------------
+
+_ORACLE_THETA = """
+SELECT n1.n_name AS nation_a, n2.n_name AS nation_b
+FROM nation n1 JOIN nation n2 ON n1.n_regionkey < n2.n_regionkey
+"""
+
+
+@register(
+    "join_theta_ineq",
+    oracle=_ORACLE_THETA,
+    tags=("join", "theta"),
+    doc="Pure inequality theta join on small dims (J5; BroadcastNestedLoop).",
+)
+def join_theta_ineq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    return n1.join(n2, F.col("n1.n_regionkey") < F.col("n2.n_regionkey")).select(
+        F.col("n1.n_name").alias("nation_a"), F.col("n2.n_name").alias("nation_b")
+    )
+
+
+# -- J1 parity: full-outer merge with fan-out + 0-fill -------------------------
+
+_ORACLE_FANOUT = """
+WITH demo AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority, COUNT(*) AS demo_orders
+  FROM orders GROUP BY o_custkey, o_orderpriority
+),
+geo AS (
+  SELECT DISTINCT c_custkey AS custkey, c_mktsegment AS segment
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT COALESCE(d.custkey, g.custkey) AS custkey,
+       COALESCE(d.priority, 'none') AS priority,
+       COALESCE(g.segment, 'none') AS segment,
+       COALESCE(d.demo_orders, 0) AS demo_orders
+FROM demo d FULL OUTER JOIN geo g ON d.custkey = g.custkey
+"""
+
+
+@register(
+    "join_full_outer_fanout",
+    oracle=_ORACLE_FANOUT,
+    tags=("join", "reference-parity"),
+    doc=(
+        "Reference J1 parity (transform.py:132-146): full-outer merge of a "
+        "demographic-grain aggregate with a deduped geo-grain subset; rows "
+        "fan out per matching geo row, unmatched sides null-filled."
+    ),
+)
+def join_full_outer_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    demo = orders.groupBy(
+        F.col("o_custkey").alias("custkey"), F.col("o_orderpriority").alias("priority")
+    ).agg(F.count(F.lit(1)).alias("demo_orders"))
+    geo = (
+        customer.where(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+    joined = demo.alias("d").join(
+        geo.alias("g"), F.col("d.custkey") == F.col("g.custkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("d.custkey"), F.col("g.custkey")).alias("custkey"),
+        F.coalesce(F.col("d.priority"), F.lit("none")).alias("priority"),
+        F.coalesce(F.col("g.segment"), F.lit("none")).alias("segment"),
+        F.coalesce(F.col("d.demo_orders"), F.lit(0)).alias("demo_orders"),
+    )
+
+
+# -- Multi-join pipeline (TPC-H Q5 shape) -------------------------------------
+
+_ORACLE_Q5 = f"""
+SELECT n.n_name AS nation,
+       {dsum_sql(REVENUE_SQL)} AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "q5_local_supplier_revenue",
+    oracle=_ORACLE_Q5,
+    tags=("join", "agg", "flagship"),
+    doc="TPC-H Q5-shaped 6-way join: broadcast dims + fact-fact shuffle join.",
+)
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        region.where(F.col("r_name") == "ASIA")
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+    )

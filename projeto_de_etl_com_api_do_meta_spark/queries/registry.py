@@ -61,6 +61,13 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import relational  # noqa: F401
+    from . import (  # noqa: F401
+        aggregates,
+        events_queries,
+        joins,
+        relational,
+        scalar_funcs,
+        windows_setops,
+    )
 
     _LOADED = True

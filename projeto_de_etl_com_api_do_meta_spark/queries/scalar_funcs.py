@@ -1,0 +1,231 @@
+"""Scalar function family queries (SURVEY.md §2.5 R4/R5/R6).
+
+One query per family — string, date, math, array, JSON — each exercising the
+JVM-side built-ins that replace the reference's row-wise Python lambdas
+(extract.py:144-156, transform.py:27-37).  No Python UDFs anywhere: every
+expression stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..session import pin_query_session_conf
+from .registry import register
+
+# -- R4/R6: string family -----------------------------------------------------
+
+_ORACLE_STRING = """
+SELECT c_custkey AS custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS segment_lower,
+       trim(concat('  ', c_name, '  ')) AS name_trimmed,
+       substr(c_name, 1, 8) AS name_prefix,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       replace(c_name, '#', '-') AS name_dashed,
+       string_split(c_name, '#')[1] AS name_head,
+       string_split(c_name, '#')[-1] AS name_tail,
+       CAST(contains(c_name, '00') AS BOOLEAN) AS has_double_zero,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded
+FROM customer
+"""
+
+
+@register(
+    "fn_string_family",
+    oracle=_ORACLE_STRING,
+    tags=("functions",),
+    doc=(
+        "String family (R4/R6): upper/lower/trim/concat/substr/length/replace/"
+        "split/contains/lpad — incl. the reference's prefix-strip & split "
+        "patterns (extract.py:50-51,220-221)."
+    ),
+)
+def fn_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    c = load_table(spark, sf_dir, "customer")
+    parts = F.split(F.col("c_name"), "#")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace("c_name", "#", "-").alias("name_dashed"),
+        parts.getItem(0).alias("name_head"),
+        F.element_at(parts, -1).alias("name_tail"),
+        F.col("c_name").contains("00").alias("has_double_zero"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+# -- R3/R5/R6: date family ----------------------------------------------------
+
+_ORACLE_DATE = """
+SELECT o_orderkey AS orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+         AS days_since_1995,
+       CAST(CAST(o_orderdate AS DATE) + 90 AS DATE) AS due_date,
+       strftime(o_orderdate, '%Y-%m-%d') AS date_str
+FROM orders
+"""
+
+
+@register(
+    "fn_date_family",
+    oracle=_ORACLE_DATE,
+    tags=("functions",),
+    doc=(
+        "Date family (R3/R5/R6): year/month/dayofweek/date_trunc/datediff/"
+        "date_add/date_format — incl. the reference's '%Y-%m-%d' formatting "
+        "(extract.py:45-46) and window arithmetic (extract.py:34-41)."
+    ),
+)
+def fn_date_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        d.alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_1995"),
+        F.date_add(d, 90).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+    )
+
+
+# -- R6: math family ----------------------------------------------------------
+
+_ORACLE_MATH = """
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, l_partkey AS partkey,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 1) AS DOUBLE) AS price_rounded,
+       CAST(abs(CAST(l_discount AS DECIMAL(18,4)) - 0.05) AS DOUBLE) AS disc_dist,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       sqrt(l_extendedprice) AS price_sqrt,
+       CAST(l_partkey % 7 AS BIGINT) AS partkey_mod7,
+       round(ln(l_extendedprice + 1), 6) AS price_ln,
+       CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS qty_sq
+FROM lineitem
+WHERE l_linenumber = 1 AND l_orderkey % 10 = 0
+"""
+
+
+@register(
+    "fn_math_family",
+    oracle=_ORACLE_MATH,
+    tags=("functions",),
+    doc=(
+        "Math family (R6): decimal-exact round/abs, ceil/floor, IEEE-exact "
+        "sqrt, mod, ln (6dp-rounded: libm may differ by 1 ulp across engines)."
+    ),
+)
+def fn_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    decp = F.col("l_extendedprice").cast("decimal(18,4)")
+    decd = F.col("l_discount").cast("decimal(18,4)")
+    return li.where((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 10 == 0)).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_partkey").alias("partkey"),
+        F.round(decp, 1).cast("double").alias("price_rounded"),
+        F.abs(decd - F.lit(0.05).cast("decimal(18,4)")).cast("double").alias("disc_dist"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.col("l_partkey") % 7).alias("partkey_mod7"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        (F.col("l_quantity").cast("double") * F.col("l_quantity").cast("double")).alias(
+            "qty_sq"
+        ),
+    )
+
+
+# -- R6: array family (on embeddings) -----------------------------------------
+
+_ORACLE_ARRAY = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_component,
+       round(list_sum(list_transform(embedding,
+                                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+         AS norm_sq,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+FROM embeddings
+"""
+
+
+@register(
+    "fn_array_family",
+    oracle=_ORACLE_ARRAY,
+    tags=("functions", "array"),
+    doc=(
+        "Array family (R6): size / element_at / higher-order aggregate "
+        "(norm) / filter — all JVM-side, no UDF (SURVEY §2.9)."
+    ),
+)
+def fn_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("norm_sq"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+# -- R6: JSON family (events.props — analog of reference field_data JSONB) ----
+
+_ORACLE_JSON = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+       CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       CAST(json_extract(props, '$.missing') AS VARCHAR) IS NOT NULL AS has_missing
+FROM events
+"""
+
+
+@register(
+    "fn_json_family",
+    oracle=_ORACLE_JSON,
+    tags=("functions", "json"),
+    doc=(
+        "JSON family (R6/S7): get_json_object over the semi-structured props "
+        "column — the engine-side analog of the reference's field_data JSONB "
+        "handling (load.py:77-91)."
+    ),
+)
+def fn_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k_value"),
+        (k % 10).alias("k_bucket"),
+        F.get_json_object("props", "$.missing").isNotNull().alias("has_missing"),
+    )

@@ -1,0 +1,389 @@
+"""Window functions, dedup variants, sorts/limits, set operations
+(SURVEY.md §2.7 W1/W2/O1/O2/U1/U2 + §2.4 A1/A2/A3 deterministic parity).
+
+Every window has a total order (unique-key tie-break) so results are
+deterministic and hash-comparable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.safe_math import dec
+from ..io import load_table
+from ..session import pin_query_session_conf
+from .registry import register
+
+# -- W1: ranking + top-k per group --------------------------------------------
+
+_ORACLE_TOPK = """
+SELECT * FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+         CAST(o_totalprice AS DOUBLE) AS totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         RANK() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+         DENSE_RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS drk
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@register(
+    "window_topk_per_group",
+    oracle=_ORACLE_TOPK,
+    tags=("window",),
+    doc="row_number/rank/dense_rank + top-3-per-customer filter (W1, O2).",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+# -- W2: running sum + lag/lead -----------------------------------------------
+
+_ORACLE_RUNNING = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       CAST(LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+         AS prev_price,
+       CAST(LEAD(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+         AS next_price
+FROM orders
+"""
+
+
+@register(
+    "window_running_lag_lead",
+    oracle=_ORACLE_RUNNING,
+    tags=("window",),
+    doc="Running decimal-exact sum + lag/lead over an explicit frame (W2).",
+)
+def window_running_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(dec("o_totalprice")).over(wf).cast("double").alias("running_spend"),
+        F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+        F.lead("o_totalprice").over(w).cast("double").alias("next_price"),
+    )
+
+
+# -- W2: range frame (moving window by value distance) ------------------------
+
+_ORACLE_RANGE_FRAME = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_no,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT d, n_orders,
+       CAST(SUM(n_orders) OVER (ORDER BY day_no
+                                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_orders_7d
+FROM daily
+"""
+
+
+@register(
+    "window_range_frame_7d",
+    oracle=_ORACLE_RANGE_FRAME,
+    tags=("window",),
+    doc="RANGE frame: trailing-7-day order count over a daily series (W2).",
+)
+def window_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")).alias(
+            "day_no"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("day_no").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "d", "n_orders", F.sum("n_orders").over(w).cast("long").alias("n_orders_7d")
+    )
+
+
+# -- A2 parity: deterministic keep-last dedup ---------------------------------
+
+_ORACLE_KEEP_LAST = """
+SELECT l_orderkey AS orderkey, l_linenumber AS last_linenumber,
+       CAST(l_quantity AS DOUBLE) AS last_qty
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_keep_last",
+    oracle=_ORACLE_KEEP_LAST,
+    tags=("dedup", "reference-parity"),
+    doc=(
+        "Deterministic keep-last dedup (reference A2, transform.py:97): "
+        "drop_duplicates(keep='last') re-expressed as row_number over an "
+        "explicit arrival order — the only distributed-correct form."
+    ),
+)
+def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the fixtures — the ordering
+    # must cover every output column to stay deterministic.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").desc(), F.col("l_quantity").desc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("last_linenumber"),
+            F.col("l_quantity").cast("double").alias("last_qty"),
+        )
+    )
+
+
+# -- A1 parity: group-by first-non-null per column ----------------------------
+
+_ORACLE_FIRST_NONNULL = """
+WITH src AS (
+  SELECT o_custkey,
+         NULLIF(o_orderpriority, '1-URGENT') AS prio_nullable,
+         o_orderdate, o_orderkey
+  FROM orders
+)
+SELECT DISTINCT o_custkey AS custkey,
+       FIRST_VALUE(prio_nullable IGNORE NULLS)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS first_priority
+FROM src
+"""
+
+
+@register(
+    "groupby_first_nonnull",
+    oracle=_ORACLE_FIRST_NONNULL,
+    tags=("agg", "reference-parity"),
+    doc=(
+        "Reference A1 parity (transform.py:105-106): pandas groupby().first() "
+        "takes the first NON-NULL value per column per group; distributed-"
+        "deterministic form = first(ignorenulls) over an explicit total order."
+    ),
+)
+def groupby_first_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_custkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio_nullable"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        src.select(
+            F.col("o_custkey").alias("custkey"),
+            F.first("prio_nullable", ignorenulls=True).over(w).alias("first_priority"),
+        )
+        .distinct()
+    )
+
+
+# -- A3: full-row distinct ----------------------------------------------------
+
+_ORACLE_DISTINCT = """
+SELECT DISTINCT l_returnflag AS returnflag, l_linestatus AS linestatus FROM lineitem
+"""
+
+
+@register(
+    "dedup_distinct_pairs",
+    oracle=_ORACLE_DISTINCT,
+    tags=("dedup",),
+    doc="Full-row distinct on a projection (reference A3, transform.py:137).",
+)
+def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).distinct()
+
+
+# -- O1/O2: global sort + limit (deterministic total order) -------------------
+
+_ORACLE_TOPN = """
+SELECT o_orderkey AS orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "sort_limit_topn",
+    oracle=_ORACLE_TOPN,
+    tags=("sort",),
+    doc="Global ORDER BY + LIMIT with unique tie-break (O1/O2; TakeOrdered).",
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .limit(10)
+    )
+
+
+# -- U1: ragged union-by-name -------------------------------------------------
+
+_ORACLE_UNION_NAME = """
+SELECT c_custkey AS entity_key, c_name AS entity_name, c_acctbal AS acctbal,
+       'customer' AS src
+FROM customer
+UNION ALL
+SELECT s_suppkey AS entity_key, s_name AS entity_name, NULL AS acctbal, 'supplier' AS src
+FROM supplier
+"""
+
+
+@register(
+    "union_by_name_ragged",
+    oracle=_ORACLE_UNION_NAME,
+    tags=("setop", "reference-parity"),
+    doc=(
+        "unionByName(allowMissingColumns=True) over ragged schemas — the "
+        "reference's cross-page/cross-form concat (U1, extract.py:90-93)."
+    ),
+)
+def union_by_name_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("src"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("src"),
+    )
+    return customer.unionByName(supplier, allowMissingColumns=True)
+
+
+# -- U2: intersect / except ---------------------------------------------------
+
+_ORACLE_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@register(
+    "setop_intersect",
+    oracle=_ORACLE_INTERSECT,
+    tags=("setop",),
+    doc="INTERSECT: nations having both customers and suppliers (U2).",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+_ORACLE_EXCEPT = """
+SELECT CAST(o_orderdate AS DATE) AS order_date FROM orders
+WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT CAST(o_orderdate AS DATE) AS order_date FROM orders
+WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 6
+"""
+
+
+@register(
+    "setop_except",
+    oracle=_ORACLE_EXCEPT,
+    tags=("setop",),
+    doc="EXCEPT (set semantics, df.subtract): 1995-H2 order dates (U2).",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(F.col("o_orderdate").cast("date").alias("order_date"))
+    y1995 = d.where(F.year("order_date") == 1995)
+    h1 = d.where((F.year("order_date") == 1995) & (F.month("order_date") <= 6))
+    return y1995.subtract(h1)
+
+
+# -- Correlated subquery via Spark SQL ----------------------------------------
+
+_SUBQ_SQL = """
+SELECT c.c_custkey AS custkey, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+FROM customer c
+WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * (SELECT COUNT(*) FROM customer c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+@register(
+    "subquery_correlated",
+    oracle=_SUBQ_SQL,
+    tags=("sql", "subquery"),
+    doc="Correlated scalar subquery (decorrelated by Catalyst into a join).",
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SUBQ_SQL)
