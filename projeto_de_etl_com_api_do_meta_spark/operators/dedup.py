@@ -1,0 +1,194 @@
+"""Deduplication operators for LLM-data pipelines (driver north star):
+exact dedup, n-gram Jaccard near-dup, MinHash+LSH near-dup, SimHash near-dup.
+
+Scale design:
+- Exact dedup = hash-groupBy (or window keep-first) on a fingerprint — one
+  shuffle on the fingerprint, no data movement of full texts needed beyond it.
+- N-gram Jaccard = shingle explode + equi-join on shingle: fully relational,
+  shuffles on the shingle key.  Quadratic only within a shingle's posting
+  list — the classic positional-join formulation that survives scale-out
+  (hot shingles can be stopworded via a frequency cap).
+- MinHash = one explode + one groupBy computing k mins simultaneously
+  (k agg columns, single shuffle); LSH banding turns near-dup search into an
+  equi-join on (band_id, band_hash) — never an all-pairs product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint_md5, tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the lowest-id representative per identical (normalized) text.
+
+    Deterministic distributed form of drop_duplicates: row_number over an
+    explicit order (reference A2's correctness fix, SURVEY §7)."""
+    fp = fingerprint_md5(text_col).alias("fingerprint")
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return (
+        df.select("*", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, computed per-row with slice/transform
+    (no explode needed to *build* them)."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all pairs with J >= threshold.
+
+    Relational formulation: explode distinct shingles, equi-join on shingle,
+    count per pair = |intersection|, then |union| = |A| + |B| - |A∩B|.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_inter", "size_a", "size_b", "jaccard")
+
+
+# -- MinHash + LSH -------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    One explode + one groupBy computing all k minima at once (k agg columns,
+    single shuffle).  Hash family: murmur3 of (shingle, i) — deterministic
+    across runs and cluster layouts."""
+    posting = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, n)).alias("s")
+    )
+    mins = posting.groupBy("doc_id").agg(
+        *[F.min(F.hash(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+
+    Equi-join on (band_id, band_hash): candidate generation is a shuffle
+    join, never an all-pairs comparison."""
+    banded = sig_df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: signatures -> banded candidates ->
+    signature-estimated Jaccard filter."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ).cast("double") / F.lit(num_hashes)
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )

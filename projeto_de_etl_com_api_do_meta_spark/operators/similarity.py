@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (driver north star):
+brute-force cosine top-k (exact baseline) and random-hyperplane LSH ANN
+(the scale path).
+
+Scale design:
+- Brute force is a broadcast nested-loop of (small query set) × (corpus) —
+  correct baseline, O(|Q|·|C|).  The dot product is a per-row ``zip_with``
+  fold: JVM-side, no UDF, no Python.
+- LSH buckets the corpus by sign-pattern of hyperplane projections; top-k
+  search becomes an equi-join on the bucket key.  Hyperplanes are derived
+  from murmur3 hashes, so signatures are deterministic with no fit step and
+  no driver-side state — any executor can recompute them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two float arrays (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus.
+
+    Rank on (rounded cosine desc, neighbor id) — a total order, so results
+    are deterministic and engine-comparable."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplane(plane_id: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane from murmur3 hashes, in [-1,1)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.hash(F.lit(plane_id), i).cast("double") / F.lit(2147483648.0),
+    )
+
+
+def lsh_bucket(
+    vec: Column, dim: int, num_planes: int = 12, plane_offset: int = 0
+) -> Column:
+    """Sign-pattern bucket id of a vector under ``num_planes`` hyperplanes
+    (plane ids offset so multiple tables use disjoint plane families)."""
+    bits = [
+        F.when(dot(vec, _hyperplane(plane_offset + p, dim)) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for p in range(num_planes)
+    ]
+    acc = F.lit(0)
+    for bit in bits:
+        acc = acc * 2 + bit
+    return acc
+
+
+def _lsh_postings(
+    df: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_tables: int,
+    planes_per_table: int,
+) -> DataFrame:
+    """(id, vec, table_id, bucket) posting list across all hash tables."""
+    buckets = F.array(
+        *[
+            lsh_bucket(
+                F.col(vec_col), dim, planes_per_table, plane_offset=t * planes_per_table
+            )
+            for t in range(num_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.posexplode(buckets).alias("table_id", "bucket"),
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_tables: int = 16,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking over candidates that collide
+    with the query in ANY of ``num_tables`` hash tables (standard multi-table
+    LSH: per-table match prob p^planes, overall 1-(1-p^planes)^tables).
+
+    Scale shape: corpus postings are replicated ``num_tables``× and the
+    candidate search is an equi-join on (table_id, bucket) + distinct — never
+    an all-pairs product.  Recall/cost tunes with (tables, planes)."""
+    q = _lsh_postings(
+        queries, "query_id", "qv", id_col, vec_col, dim, num_tables, planes_per_table
+    )
+    c = _lsh_postings(
+        corpus, "neighbor_id", "cv", id_col, vec_col, dim, num_tables, planes_per_table
+    )
+    cands = (
+        F.broadcast(q)
+        .join(c, ["table_id", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def centroids_per_label(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid as (label, pos, avg) rows — decimal-exact mean so
+    results are engine-comparable; posexplode + partial-aggregating groupBy."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "component"),
+    )
+    # Exact fixed-point aggregation: floor(x * 2^40) is an exact integer for
+    # float32 inputs of ordinary magnitude, so the sum is order-independent
+    # (no float-addition reordering, no decimal rounding ties).
+    scale = 1099511627776.0  # 2^40
+    scaled = F.floor(F.col("component").cast("double") * F.lit(scale)).cast("long")
+    return exploded.groupBy("label", "pos").agg(
+        (F.sum(scaled).cast("double") / F.count(F.lit(1)) / F.lit(scale)).alias(
+            "avg_component"
+        ),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -1,0 +1,155 @@
+"""Text-analysis operators for LLM-data pipelines (driver north star):
+tokenization, quality stats, language-ID heuristic, fingerprinting, SimHash.
+
+Everything is built from JVM-side expressions (split / transform / aggregate /
+getbit) — no Python UDFs — so the hot path stays inside WholeStageCodegen and
+scales linearly with document count.  SimHash in particular is computed
+per-row with higher-order array functions: zero shuffles, zero explodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword language-ID
+#: heuristic.  Deliberately simple — the operator contract is deterministic
+#: scoring, not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "los", "de"),
+    "fr": ("le", "la", "les", "des"),
+    "zh": ("de", "le", "shi", "bu"),
+}
+
+#: Stopword set for quality scoring.
+STOPWORDS: tuple[str, ...] = ("the", "a", "an", "and", "or", "of", "to", "in")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: runs of letters, runs of digits, or any other
+    non-space symbol each count as one token."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring stats per document: lengths, token counts, type-token
+    ratio, stopword ratio, punctuation ratio, and a composite quality score."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_char = F.length(text_col)
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    ttr = n_distinct.cast("double") / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    punct_ratio = n_punct.cast("double") / n_char
+    return df.select(
+        "*",
+        n_char.alias("char_count"),
+        n_tok.alias("token_count"),
+        bpe_ish_token_count(text_col).alias("bpe_token_count"),
+        n_distinct.alias("distinct_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        # Composite quality: favors mid-length docs with lexical diversity.
+        F.round(
+            ttr * F.least(n_tok.cast("double") / 100.0, F.lit(1.0)), 6
+        ).alias("quality_score"),
+    )
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text (exact-dedup key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def lang_scores(text_col: str = "text") -> list[Column]:
+    """Per-language marker-hit counts (deterministic language-ID scores)."""
+    toks = tokens(text_col)
+    return [
+        F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+
+
+def predict_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax language prediction with deterministic alphabetical tie-break."""
+    scored = df.select("*", *lang_scores(text_col))
+    langs = sorted(LANG_MARKERS)  # alphabetical => deterministic tie-break
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    # Build reverse so the FIRST alphabetical language wins ties.
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+# -- SimHash ------------------------------------------------------------------
+
+
+def _token_bit_vec(tok: Column) -> Column:
+    """±1 vector of the 64 hash bits of a token (two 32-bit murmur halves)."""
+    h1 = F.hash(tok)
+    h2 = F.hash(tok, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.when(
+            F.when(b < 32, F.getbit(h1.cast("long"), b))
+            .otherwise(F.getbit(h2.cast("long"), b - 32))
+            == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash of a document as a hex string.
+
+    Per-row, shuffle-free: fold the token list into a 64-long ±1 accumulator
+    with ``aggregate`` + ``zip_with``, then pack sign bits into a long.
+    """
+    toks = tokens(text)
+    acc = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda a, t: F.zip_with(a, _token_bit_vec(t), lambda x, y: x + y),
+    )
+    # Pack sign bits into a hex string via a binary-digit string (MSB first);
+    # avoids 64-bit shift arithmetic limits in the expression DSL.
+    bit_str = F.array_join(
+        F.reverse(
+            F.transform(acc, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")))
+        ),
+        "",
+    )
+    return F.conv(bit_str, 2, 16)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two hex-string SimHashes.
+
+    Parsed as two 32-bit halves: a full 64-bit unsigned hex can overflow a
+    signed-long cast (-> null), so the high bit must never hit the sign."""
+
+    def _halves(h: Column) -> tuple[Column, Column]:
+        padded = F.lpad(h, 16, "0")
+        return (
+            F.conv(F.substring(padded, 1, 8), 16, 10).cast("long"),
+            F.conv(F.substring(padded, 9, 8), 16, 10).cast("long"),
+        )
+
+    a_hi, a_lo = _halves(a)
+    b_hi, b_lo = _halves(b)
+    return F.bit_count(a_hi.bitwiseXOR(b_hi)) + F.bit_count(a_lo.bitwiseXOR(b_lo))

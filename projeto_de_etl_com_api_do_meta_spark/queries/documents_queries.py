@@ -1,0 +1,219 @@
+"""Document-table queries: text analysis + dedup family (driver north star).
+
+SQL-expressible ops carry a DuckDB oracle replicating the exact shingling /
+scoring; hash-based ops (MinHash, SimHash) are rows-only with unit tests
+pinning their semantics against exact Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_near_dup
+from ..operators.text import doc_stats, fingerprint_md5, predict_lang, simhash64
+from ..session import pin_query_session_conf
+from .registry import register
+
+_ORACLE_DOC_STATS = r"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(length(text) AS INTEGER) AS char_count,
+       CAST(len(toks) AS INTEGER) AS token_count,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS INTEGER) AS bpe_token_count,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS distinct_tokens,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+         AS type_token_ratio,
+       round(CAST(len(list_filter(toks,
+               t2 -> t2 IN ('the','a','an','and','or','of','to','in')))
+             AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+       round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio,
+       round((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0), 6) AS quality_score,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM t
+"""
+
+
+@register(
+    "text_doc_stats",
+    oracle=_ORACLE_DOC_STATS,
+    tags=("text", "north-star"),
+    doc=(
+        "Text quality scoring: char/token/BPE-ish counts, type-token ratio, "
+        "stopword+punct ratios, composite quality score, md5 fingerprint."
+    ),
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return doc_stats(docs).withColumn(
+        "fingerprint", fingerprint_md5("text")
+    ).drop("text")
+
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+_MARKER_SQL = {
+    "en": "('the','a','and','of')",
+    "de": "('der','die','und','das')",
+    "es": "('el','la','los','de')",
+    "fr": "('le','la','les','des')",
+    "zh": "('de','le','shi','bu')",
+}
+_ORACLE_LANG_ID = (
+    r"""
+WITH t AS (
+  SELECT doc_id, lang AS true_lang,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, true_lang,
+"""
+    + ",\n".join(
+        f"         CAST(len(list_filter(toks, t2 -> t2 IN {_MARKER_SQL[lang]})) AS INTEGER)"
+        f" AS score_{lang}"
+        for lang in _LANGS
+    )
+    + """
+  FROM t
+)
+SELECT doc_id, true_lang, score_de, score_en, score_es, score_fr, score_zh,
+       CASE """
+    + " ".join(
+        f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr, score_zh)"
+        f" THEN '{lang}'"
+        for lang in _LANGS
+    )
+    + """ END AS pred_lang
+FROM scored
+"""
+)
+
+
+@register(
+    "text_lang_id",
+    oracle=_ORACLE_LANG_ID,
+    tags=("text", "north-star"),
+    doc=(
+        "Language-ID heuristic: per-language marker-token scores, argmax "
+        "prediction with alphabetical tie-break."
+    ),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang"), "text"
+    )
+    return predict_lang(docs).drop("text")
+
+
+_ORACLE_EXACT_DEDUP = r"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, lang, fingerprint
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM fp)
+WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=_ORACLE_EXACT_DEDUP,
+    tags=("dedup", "north-star"),
+    doc="Exact dedup on normalized-text fingerprint, lowest-id representative kept.",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return exact_dedup(docs).select("doc_id", "lang", "fingerprint")
+
+
+_ORACLE_JACCARD = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingles
+  FROM t
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM posting a JOIN posting b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       CAST(sa.n_shingles AS INTEGER) AS size_a,
+       CAST(sb.n_shingles AS INTEGER) AS size_b,
+       round(CAST(i.n_inter AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.n_inter AS DOUBLE)
+            / (sa.n_shingles + sb.n_shingles - i.n_inter), 6) >= 0.12
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_ORACLE_JACCARD,
+    tags=("dedup", "north-star"),
+    doc=(
+        "Exact word-3-gram Jaccard similarity join (J >= 0.12): shingle "
+        "posting-list equi-join — the relational formulation that scales out."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return jaccard_pairs(docs, threshold=0.12)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,
+    tags=("dedup", "north-star", "approx"),
+    doc=(
+        "MinHash(64)+LSH(16 bands) near-dup pairs with estimated Jaccard >= "
+        "0.3. Rows-only: hash-family specific; semantics pinned by unit test "
+        "against exact Jaccard."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_near_dup(docs, threshold=0.3)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,
+    tags=("dedup", "north-star", "approx"),
+    doc=(
+        "64-bit SimHash fingerprint per document (hex), shuffle-free "
+        "expression-level fold. Rows-only: murmur3-specific."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", simhash64("text").alias("simhash"))

@@ -1,0 +1,90 @@
+"""Embedding-table queries: similarity search family (driver north star)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.similarity import brute_force_topk, centroids_per_label, lsh_topk
+from ..session import pin_query_session_conf
+from .registry import register
+
+_ORACLE_KNN = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "embed_knn_bruteforce",
+    oracle=_ORACLE_KNN,
+    tags=("similarity", "north-star"),
+    doc=(
+        "Exact cosine top-5 neighbors for query vectors (vec_id < 10): "
+        "broadcast nested-loop + zip_with dot product + window rank."
+    ),
+)
+def embed_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(queries, emb, k=5)
+
+
+@register(
+    "embed_ann_lsh",
+    oracle=None,
+    tags=("similarity", "north-star", "approx"),
+    doc=(
+        "Approximate top-5 via random-hyperplane LSH buckets (8 planes): "
+        "candidate generation is an equi-join on the bucket key — the scale "
+        "path. Rows-only; recall vs brute force pinned by unit test."
+    ),
+)
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return lsh_topk(queries, emb, k=5)
+
+
+_ORACLE_CENTROIDS = """
+SELECT label,
+       CAST(i - 1 AS INTEGER) AS pos,
+       CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1099511627776.0) AS BIGINT))
+            AS DOUBLE) / COUNT(*) / 1099511627776.0 AS avg_component,
+       COUNT(*) AS n_vectors
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, i
+"""
+
+
+@register(
+    "embed_centroid_per_label",
+    oracle=_ORACLE_CENTROIDS,
+    tags=("similarity", "agg", "north-star"),
+    doc=(
+        "Per-label centroid components (posexplode + decimal-exact mean) — "
+        "the aggregation backbone of IVF-style partitioned ANN."
+    ),
+)
+def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroids_per_label(emb)

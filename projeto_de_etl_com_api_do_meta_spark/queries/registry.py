@@ -63,6 +63,8 @@ def _load_all() -> None:
         return
     from . import (  # noqa: F401
         aggregates,
+        documents_queries,
+        embeddings_queries,
         events_queries,
         joins,
         relational,

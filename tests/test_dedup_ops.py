@@ -1,0 +1,81 @@
+"""Dedup operator semantics: exact dedup, n-gram Jaccard, MinHash+LSH."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projeto_de_etl_com_api_do_meta_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_near_dup,
+    minhash_signatures,
+    word_shingles,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = _docs(
+        spark,
+        [(3, "Same Text"), (1, "same   text"), (2, "other text")],
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 2]  # doc 3 is a normalized dup of doc 1
+
+
+def test_word_shingles(spark):
+    df = _docs(spark, [(1, "a b c d")])
+    sh = df.select(word_shingles("text", 3).alias("s")).first().s
+    assert sorted(sh) == ["a b c", "b c d"]
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = _docs(spark, [(1, "a b")])
+    assert df.select(word_shingles("text", 3).alias("s")).first().s == []
+
+
+def test_jaccard_pairs_hand_computed(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> J = 1/3
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
+    rows = jaccard_pairs(df, threshold=0.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.n_inter) == (1, 2, 1)
+    assert abs(r.jaccard - 1 / 3) < 1e-6
+
+
+def test_minhash_estimates_jaccard(spark):
+    base = "w%d " * 50
+    a = base % tuple(range(50))
+    b = base % tuple(list(range(45)) + [990, 991, 992, 993, 994])  # ~45/55 overlap
+    df = _docs(spark, [(1, a.strip()), (2, b.strip())])
+    exact = jaccard_pairs(df, threshold=0.0).first().jaccard
+    sigs = minhash_signatures(df, num_hashes=128)
+    sa, sb = [r.sig for r in sigs.orderBy("doc_id").collect()]
+    est = sum(1 for x, y in zip(sa, sb) if x == y) / 128
+    assert abs(est - exact) < 0.15  # 128 hashes -> stderr ~ 0.044
+
+
+def test_lsh_candidates_catch_near_dups(spark):
+    words = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " z0"
+    far = " ".join(f"x{i}" for i in range(60))
+    df = _docs(spark, [(1, words), (2, near), (3, far)])
+    sigs = minhash_signatures(df)
+    cands = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_minhash_near_dup_end_to_end(spark):
+    words = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " z0"
+    far = " ".join(f"x{i}" for i in range(60))
+    df = _docs(spark, [(1, words), (2, near), (3, far)])
+    out = minhash_near_dup(df, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
+    assert out[0].est_jaccard > 0.8

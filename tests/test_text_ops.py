@@ -1,0 +1,75 @@
+"""Text operator semantics: tokenization, stats, fingerprint, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projeto_de_etl_com_api_do_meta_spark.operators.text import (
+    bpe_ish_token_count,
+    doc_stats,
+    fingerprint_md5,
+    hamming64,
+    predict_lang,
+    simhash64,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_doc_stats_counts(spark):
+    df = _docs(spark, ["the cat sat on the mat"])
+    row = doc_stats(df).first()
+    assert row.token_count == 6
+    assert row.char_count == 22
+    assert row.distinct_tokens == 5  # 'the' repeats
+    assert abs(row.stopword_ratio - 2 / 6) < 1e-6  # 6dp-rounded; 'the' x2
+    assert row.punct_ratio == 0.0
+
+
+def test_bpe_ish_token_count(spark):
+    df = _docs(spark, ["hello world42 a-b!"])
+    n = df.select(bpe_ish_token_count("text").alias("n")).first().n
+    # hello | world | 42 | a | - | b | !
+    assert n == 7
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    df = _docs(spark, ["Hello   World", "hello world", "different text"])
+    fps = [r.fp for r in df.select(fingerprint_md5("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_simhash_identical_texts_equal(spark):
+    df = _docs(spark, ["spark join filter window", "spark join filter window"])
+    hs = [r.h for r in df.select(simhash64("text").alias("h")).collect()]
+    assert hs[0] == hs[1]
+
+
+def test_simhash_near_dup_closer_than_unrelated(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely unrelated words about databases and query planners " * 5
+    df = _docs(spark, [base, near, far])
+    hdf = df.select("doc_id", simhash64("text").alias("h"))
+    a, b, c = [r.h for r in hdf.orderBy("doc_id").collect()]
+    pairs = spark.createDataFrame([(a, b), (a, c)], "x string, y string")
+    d_near, d_far = [
+        r.d for r in pairs.select(hamming64(F.col("x"), F.col("y")).alias("d")).collect()
+    ]
+    assert d_near < d_far
+
+
+def test_predict_lang_deterministic_tiebreak(spark):
+    # No markers at all -> every score 0 -> alphabetically first language.
+    df = _docs(spark, ["xyzzy plugh"])
+    assert predict_lang(df).first().pred_lang == "de"
+
+
+def test_predict_lang_picks_marker_language(spark):
+    df = _docs(spark, ["der hund und die katze und das haus"])
+    assert predict_lang(df).first().pred_lang == "de"
