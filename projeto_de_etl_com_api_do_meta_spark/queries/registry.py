@@ -67,6 +67,7 @@ def _load_all() -> None:
         embeddings_queries,
         events_queries,
         joins,
+        pipelines_queries,
         relational,
         scalar_funcs,
         windows_setops,

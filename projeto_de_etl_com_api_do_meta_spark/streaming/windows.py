@@ -1,0 +1,153 @@
+"""Structured Streaming surface (SURVEY §2.8).
+
+The reference's incremental model — daily cron re-scan of a sliding window +
+idempotent upsert merge (README.md:115-127, extract.py:34-47,
+load.py:94-116) — is exactly Structured Streaming's contract:
+
+- ``Trigger.AvailableNow``            <- the cron re-run
+- tumbling window agg                  <- time_increment=1 daily buckets
+- watermark + late-data tolerance      <- re-delivered rows absorbed by merge
+- ``dropDuplicatesWithinWatermark``    <- key-based ON CONFLICT dedup
+- ``foreachBatch`` -> upsert sink      <- staging + merge per batch
+
+File-source streaming over the driver fixtures; every query is also runnable
+as a plain batch plan (stream/batch parity pinned by the oracle-checked
+``stream_tumbling_daily`` registry query).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.safe_math import dec_sum
+from ..io import table_path
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source needs a *directory*; expose the single events
+    parquet file through a stable symlinked dir (fixtures are read-only)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (nanos ts handled as in
+    batch io: read as long, truncate to micros)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = spark.readStream.schema(batch_schema).parquet(_stream_dir(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def tumbling_daily(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Daily tumbling-window aggregation with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_hourly(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """1-hour windows sliding every 15 minutes (SURVEY §2.8 sliding row)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows keyed by user with an inactivity gap."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Stateful dedup on event_id within the watermark horizon — the
+    streaming analog of the key-based ON CONFLICT (load.py:49-63)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    streaming_df: DataFrame, checkpoint_dir: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan to completion over all available input (the
+    cron-run analog) and return the result as a batch DataFrame."""
+    name = f"avail_now_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return streaming_df.sparkSession.table(name)
+
+
+def foreach_batch_upsert(
+    streaming_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """Streaming sink: per micro-batch key-merge into a parquet target —
+    the reference's staging+merge load as a foreachBatch (SURVEY §2.8)."""
+    from ..sinks.upsert import parquet_upsert
+
+    spark = streaming_df.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parquet_upsert(spark, batch_df, target_path, keys)
+
+    return (
+        streaming_df.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", f"{checkpoint_dir}/upsert")
+        .trigger(availableNow=True)
+        .start()
+    )

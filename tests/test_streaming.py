@@ -1,0 +1,77 @@
+"""Streaming surface: stream/batch parity, session windows, stateful dedup,
+foreachBatch upsert sink."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from projeto_de_etl_com_api_do_meta_spark.io import load_table
+from projeto_de_etl_com_api_do_meta_spark.streaming.windows import (
+    dedup_within_watermark,
+    foreach_batch_upsert,
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    sliding_hourly,
+    tumbling_daily,
+)
+
+
+def test_tumbling_daily_matches_batch(spark, sf_dir, tmp_path):
+    got = run_available_now(
+        tumbling_daily(read_events_stream(spark, sf_dir)), str(tmp_path)
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    s = {(str(r.day), r.event_type): r.n_events for r in got.collect()}
+    b = {(str(r.day), r.event_type): r.n_events for r in batch.collect()}
+    assert s == b
+
+
+def test_sliding_windows_run(spark, sf_dir, tmp_path):
+    got = run_available_now(
+        sliding_hourly(read_events_stream(spark, sf_dir)), str(tmp_path)
+    )
+    rows = got.collect()
+    assert rows
+    # every event lands in 4 sliding windows (1h window / 15m slide)
+    total = sum(r.n_events for r in rows)
+    assert total == 4 * load_table(spark, sf_dir, "events").count()
+
+
+def test_session_windows_run(spark, sf_dir, tmp_path):
+    got = run_available_now(
+        session_windows(read_events_stream(spark, sf_dir)), str(tmp_path)
+    )
+    rows = got.collect()
+    assert rows
+    assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_dedup_within_watermark(spark, sf_dir, tmp_path):
+    stream = dedup_within_watermark(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, str(tmp_path), output_mode="append")
+    n = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got.count() == n
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
+    target = os.path.join(str(tmp_path), "daily")
+    stream = tumbling_daily(read_events_stream(spark, sf_dir))
+    q = foreach_batch_upsert(
+        stream, target, keys=["day", "event_type"], checkpoint_dir=str(tmp_path)
+    )
+    q.awaitTermination()
+    merged = spark.read.parquet(target)
+    batch_groups = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").cast("date").alias("day"), "event_type")
+        .distinct()
+        .count()
+    )
+    assert merged.count() == batch_groups

@@ -1,0 +1,63 @@
+"""Upsert sink semantics (reference load.py:42-133 parity): merge SQL
+generation, parquet-merge insert/update/idempotency."""
+
+from __future__ import annotations
+
+import os
+
+from projeto_de_etl_com_api_do_meta_spark.sinks.upsert import (
+    merge_sql,
+    parquet_upsert,
+)
+
+
+def test_merge_sql_shape():
+    merge, drop, drop_safe = merge_sql(
+        "ads_campaign_performance",
+        ["date_start", "ad_id", "total_spend"],
+    )
+    assert merge.startswith('INSERT INTO ads_campaign_performance ("date_start", "ad_id", "total_spend")')
+    assert 'ON CONFLICT ("date_start", "ad_id") DO UPDATE SET' in merge
+    assert '"total_spend" = EXCLUDED."total_spend"' in merge
+    assert '"ad_id" = EXCLUDED' not in merge  # keys never updated
+    assert drop == "DROP TABLE temp_ads_campaign_performance"
+    assert drop_safe.endswith("IF EXISTS temp_ads_campaign_performance")
+
+
+def test_merge_sql_jsonb_casts():
+    merge, _, _ = merge_sql(
+        "ads_raw_leads", ["lead_id", "field_data"], staging_table="t"
+    )
+    assert 'SELECT "lead_id", "field_data"::JSONB FROM t' in merge
+    assert '"field_data" = EXCLUDED."field_data"::JSONB' in merge
+
+
+def _read(spark, path):
+    return {
+        (r.k,): (r.v, r.ts) for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_parquet_upsert_insert_update_idempotent(spark, tmp_path):
+    target = os.path.join(str(tmp_path), "t")
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, v string, ts int")
+    parquet_upsert(spark, b1, target, keys=["k"])
+    assert _read(spark, target) == {(1,): ("a", 1), (2,): ("b", 1)}
+
+    # update 2, insert 3
+    b2 = spark.createDataFrame([(2, "B", 2), (3, "c", 2)], "k int, v string, ts int")
+    parquet_upsert(spark, b2, target, keys=["k"])
+    assert _read(spark, target) == {(1,): ("a", 1), (2,): ("B", 2), (3,): ("c", 2)}
+
+    # idempotency: merge(merge(T, d), d) == merge(T, d)
+    parquet_upsert(spark, b2, target, keys=["k"])
+    assert _read(spark, target) == {(1,): ("a", 1), (2,): ("B", 2), (3,): ("c", 2)}
+
+
+def test_parquet_upsert_batch_dedup_keep_last(spark, tmp_path):
+    target = os.path.join(str(tmp_path), "t2")
+    batch = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2)], "k int, v string, ts int"
+    )
+    parquet_upsert(spark, batch, target, keys=["k"], order_col="ts")
+    assert _read(spark, target) == {(1,): ("new", 2)}
