@@ -29,6 +29,16 @@ from projeto_de_etl_com_api_do_meta_spark.session import get_spark  # noqa: E402
 HEADLINE: tuple[str, ...] = (
     "q1_pricing_summary",
     "perf_daily_fact",
+    "q5_local_supplier_revenue",
+    "join_full_outer_fanout",
+    "agg_rollup_region_nation",
+    "window_topk_per_group",
+    "events_sessionize_30m",
+    "text_doc_stats",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "embed_knn_bruteforce",
+    "stream_tumbling_daily",
 )
 
 

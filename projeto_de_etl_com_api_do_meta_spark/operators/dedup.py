@@ -21,6 +21,16 @@ from pyspark.sql import functions as F
 from .text import fingerprint_md5, tokens
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition before per-row-heavy compute.
+
+    Fixture tables arrive as a single parquet file = one input partition, so
+    expression-heavy operators (shingling, hashing) would otherwise run on
+    one core.  At cluster scale the same repartition is the standard
+    load-balancing step before CPU-bound per-doc work."""
+    return df.repartition(*[F.col(c) for c in cols])
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -33,7 +43,7 @@ def exact_dedup(
     fp = fingerprint_md5(text_col).alias("fingerprint")
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     return (
-        df.select("*", fp)
+        spread(df, id_col).select("*", fp)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
@@ -68,7 +78,7 @@ def jaccard_pairs(
     Relational formulation: explode distinct shingles, equi-join on shingle,
     count per pair = |intersection|, then |union| = |A| + |B| - |A∩B|.
     """
-    sh = df.select(
+    sh = spread(df, id_col).select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
@@ -122,7 +132,7 @@ def minhash_signatures(
     One explode + one groupBy computing all k minima at once (k agg columns,
     single shuffle).  Hash family: murmur3 of (shingle, i) — deterministic
     across runs and cluster layouts."""
-    posting = df.select(
+    posting = spread(df, id_col).select(
         F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, n)).alias("s")
     )
     mins = posting.groupBy("doc_id").agg(
@@ -175,7 +185,10 @@ def minhash_near_dup(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: signatures -> banded candidates ->
     signature-estimated Jaccard filter."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # Signatures feed candidate generation AND both sides of the verify
+    # join — persist once instead of recomputing the shingle explode 4x.
+    # (At cluster scale this is a small table: |docs| x k ints.)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))

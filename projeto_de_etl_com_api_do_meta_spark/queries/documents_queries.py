@@ -54,6 +54,7 @@ FROM t
 def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = docs.repartition(F.col("doc_id"))  # single-file input -> all cores
     return doc_stats(docs).withColumn(
         "fingerprint", fingerprint_md5("text")
     ).drop("text")
@@ -216,4 +217,5 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(F.col("doc_id"))  # single-file input -> all cores
     return docs.select("doc_id", simhash64("text").alias("simhash"))
