@@ -41,6 +41,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit_vectors(
+    df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str
+) -> DataFrame:
+    """Project to (id, vec/|vec|) so every downstream pair comparison is a
+    single dot product instead of dot + two norms — at N query × M corpus
+    pairs this cuts the per-pair work (and the codegen'd expression tree) 3×.
+    The norm is computed once per row in its own projection step."""
+    tmp = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias("_raw"),
+        norm(F.col(vec_col)).alias("_nrm"),
+    )
+    return tmp.select(
+        id_alias,
+        F.transform("_raw", lambda x: x.cast("double") / F.col("_nrm")).alias(
+            vec_alias
+        ),
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -53,19 +73,15 @@ def brute_force_topk(
 
     Rank on (rounded cosine desc, neighbor id) — a total order, so results
     are deterministic and engine-comparable."""
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = F.broadcast(unit_vectors(queries, id_col, vec_col, "query_id", "qv"))
+    c = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "cv")
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+            F.round(dot(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -146,11 +162,15 @@ def lsh_topk(
     Scale shape: corpus postings are replicated ``num_tables``× and the
     candidate search is an equi-join on (table_id, bucket) + distinct — never
     an all-pairs product.  Recall/cost tunes with (tables, planes)."""
+    # Normalize before bucketing: hyperplane sign-buckets are invariant to
+    # positive scaling, and downstream scoring becomes a single dot product.
     q = _lsh_postings(
-        queries, "query_id", "qv", id_col, vec_col, dim, num_tables, planes_per_table
+        unit_vectors(queries, id_col, vec_col, "query_id", "qv"),
+        "query_id", "qv", "query_id", "qv", dim, num_tables, planes_per_table,
     )
     c = _lsh_postings(
-        corpus, "neighbor_id", "cv", id_col, vec_col, dim, num_tables, planes_per_table
+        unit_vectors(corpus, id_col, vec_col, "neighbor_id", "cv"),
+        "neighbor_id", "cv", "neighbor_id", "cv", dim, num_tables, planes_per_table,
     )
     cands = (
         F.broadcast(q)
@@ -162,7 +182,7 @@ def lsh_topk(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -171,6 +191,35 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a < b) pairs whose
+    cosine similarity (rounded, so engine-comparable) reaches ``threshold``.
+
+    Both sides are pre-normalized (one pass each), so each pair costs a
+    single dot product.  This exact all-pairs form is the correctness oracle;
+    at 100 TB the same verify step runs over LSH-blocked candidates instead
+    (``lsh_topk``'s (table_id, bucket) equi-join) — candidate generation must
+    never be an all-pairs product at scale."""
+    a = unit_vectors(df, id_col, vec_col, "vec_a", "ua")
+    b = unit_vectors(df, id_col, vec_col, "vec_b", "ub")
+    return (
+        F.broadcast(a)
+        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot(F.col("ua"), F.col("ub")), round_digits).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
     )
 
 

@@ -96,6 +96,77 @@ def predict_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("pred_lang", pred)
 
 
+# -- Rolling-hash fingerprinting (winnowing) ----------------------------------
+
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+
+
+def char_poly_hash(s: Column) -> Column:
+    """Polynomial rolling hash of a string's characters:
+    ``h = (h * 31 + ascii(c)) mod 1e9+7`` — engine-portable (same fold in
+    ANSI SQL / DuckDB), bounded so the accumulator never overflows a long."""
+    return F.aggregate(
+        F.transform(F.split(s, ""), F.ascii),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_BASE + c) % POLY_MOD,
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 scheme):
+    rolling char-polynomial hash of each word ``k``-gram, then keep the
+    minimum hash of every sliding window of ``window`` consecutive k-gram
+    hashes; the distinct selected minima are the document's fingerprint set.
+
+    Entirely per-row higher-order-function compute — zero shuffles, embarrass-
+    ingly parallel over documents, so it scales linearly with the corpus."""
+    toks = tokens(text_col)
+    nk = F.size(toks) - (k - 1)
+    # ORDERED k-grams (winnowing needs the positional sequence — no distinct).
+    grams = F.when(
+        nk > 0,
+        F.transform(
+            F.sequence(F.lit(1), nk),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    h = F.transform(grams, char_poly_hash)
+    df_h = df.select(
+        F.col(id_col).alias("doc_id"),
+        char_poly_hash(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        ).alias("poly_fp"),
+        h.alias("h"),
+    )
+    nh = F.size("h")
+    wins = F.when(
+        nh > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nh - (window - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice("h", i, window)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return df_h.select(
+        "doc_id",
+        "poly_fp",
+        nh.alias("n_kgrams"),
+        F.array_sort(F.array_distinct(wins)).alias("fps"),
+    ).select(
+        "doc_id",
+        "poly_fp",
+        "n_kgrams",
+        F.size("fps").alias("n_fps"),
+        F.element_at("fps", 1).alias("min_fp"),
+    )
+
+
 # -- SimHash ------------------------------------------------------------------
 
 

@@ -12,7 +12,13 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_near_dup
-from ..operators.text import doc_stats, fingerprint_md5, predict_lang, simhash64
+from ..operators.text import (
+    doc_stats,
+    fingerprint_md5,
+    predict_lang,
+    simhash64,
+    winnow_fingerprints,
+)
 from ..session import pin_query_session_conf
 from .registry import register
 
@@ -187,6 +193,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return jaccard_pairs(docs, threshold=0.12)
+
+
+_ORACLE_WINNOW = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, nt,
+         CASE WHEN len(toks) >= 4
+              THEN [array_to_string(toks[i:i+3], ' ')
+                    for i in range(1, len(toks) - 2)]
+              ELSE [] END AS grams
+  FROM t
+),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(nt, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS poly_fp,
+         list_transform(grams, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+  FROM g
+),
+w AS (
+  SELECT doc_id, poly_fp, len(hs) AS n_kgrams,
+         CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+              ELSE list_sort(list_distinct(
+                     [list_min(hs[i:i+3])
+                      for i in range(1, greatest(len(hs) - 3, 1) + 1)]))
+         END AS fps
+  FROM h
+)
+SELECT doc_id, poly_fp, CAST(n_kgrams AS INTEGER) AS n_kgrams,
+       CAST(len(fps) AS INTEGER) AS n_fps, fps[1] AS min_fp
+FROM w
+"""
+
+
+@register(
+    "text_fingerprint_winnow",
+    oracle=_ORACLE_WINNOW,
+    tags=("text", "dedup", "north-star"),
+    doc=(
+        "Rolling-hash document fingerprinting (winnowing): char-polynomial "
+        "hash of each word 4-gram, min per sliding window of 4 hashes, "
+        "distinct minima = fingerprint set. Zero-shuffle per-row compute."
+    ),
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(F.col("doc_id"))  # single-file input -> all cores
+    return winnow_fingerprints(docs)
 
 
 @register(

@@ -6,7 +6,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.similarity import brute_force_topk, centroids_per_label, lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    centroids_per_label,
+    embedding_near_dup,
+    lsh_topk,
+)
 from ..session import pin_query_session_conf
 from .registry import register
 
@@ -62,6 +67,34 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return lsh_topk(queries, emb, k=5)
+
+
+_ORACLE_NEAR_DUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.u, b.u), 6) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.u, b.u), 6) >= 0.4
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_ORACLE_NEAR_DUP,
+    tags=("dedup", "similarity", "north-star"),
+    doc=(
+        "Embedding-cosine near-duplicate pairs (exact, cosine >= 0.4): both "
+        "sides normalized once, each pair is a single dot product. Scale "
+        "path swaps the all-pairs product for LSH-bucketed candidates."
+    ),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.4)
 
 
 _ORACLE_CENTROIDS = """

@@ -60,3 +60,30 @@ def test_centroids_exact(spark):
     assert got[(0, 1)] == (3.0, 2)
     assert got[(1, 0)] == (10.0, 1)
     assert got[(1, 1)] == (20.0, 1)
+
+
+def test_embedding_near_dup_exact_pairs(spark):
+    import math
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),     # same direction as 0 -> cos 1.0
+        (2, [0.0, 1.0]),     # orthogonal to 0/1 -> cos 0.0
+        (3, [1.0, 1.0]),     # cos 1/sqrt(2) with 0/1 and 2
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in embedding_near_dup(df, threshold=0.5).collect()
+    }
+    inv_sqrt2 = round(1 / math.sqrt(2), 6)
+    assert got == {
+        (0, 1): 1.0,
+        (0, 3): inv_sqrt2,
+        (1, 3): inv_sqrt2,
+        (2, 3): inv_sqrt2,
+    }

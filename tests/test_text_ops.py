@@ -73,3 +73,45 @@ def test_predict_lang_deterministic_tiebreak(spark):
 def test_predict_lang_picks_marker_language(spark):
     df = _docs(spark, ["der hund und die katze und das haus"])
     assert predict_lang(df).first().pred_lang == "de"
+
+
+def _poly(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % 1_000_000_007
+    return h
+
+
+def test_char_poly_hash_matches_python(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.text import char_poly_hash
+
+    df = _docs(spark, ["the quick brown fox"])
+    got = df.select(char_poly_hash(F.col("text")).alias("h")).first().h
+    assert got == _poly("the quick brown fox")
+
+
+def test_winnow_fingerprints_semantics(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    words = [f"w{i}" for i in range(10)]
+    text = " ".join(words)
+    df = _docs(spark, [text, "too few tokens"])
+    rows = {r.doc_id: r for r in winnow_fingerprints(df, k=4, window=4).collect()}
+
+    # Doc 0: 10 tokens -> 7 ordered 4-grams; windows of 4 -> 4 minima.
+    grams = [" ".join(words[i : i + 4]) for i in range(7)]
+    hs = [_poly(g) for g in grams]
+    wins = sorted({min(hs[i : i + 4]) for i in range(4)})
+    r0 = rows[0]
+    assert r0.n_kgrams == 7
+    assert r0.poly_fp == _poly(text)
+    assert r0.n_fps == len(wins)
+    assert r0.min_fp == wins[0]
+
+    # Doc 1: 3 tokens < k -> no k-grams, empty fingerprint set.
+    r1 = rows[1]
+    assert r1.n_kgrams == 0
+    assert r1.n_fps == 0
+    assert r1.min_fp is None
