@@ -1,0 +1,112 @@
+"""Pandas-interop escape hatches (SURVEY §2.9 / §2.4 A7).
+
+The reference's custom logic is row-wise Python (``iterrows()``,
+``.apply(lambda ...)`` — transform.py:27-37, extract.py:146-156); the engine
+replaces the hot path with native expressions but still exposes the standard
+vectorized escape hatches:
+
+- ``pandas_udf`` GROUPED_AGG  — a UDAF over Arrow batches (A7),
+- ``applyInPandas``           — grouped-map (UDTF-shaped) per-group kernels.
+
+Both queries use exact integer arithmetic so the DuckDB oracle hash-matches
+bit-for-bit (no float summation order to worry about).  Scale note: the
+grouped-map shuffle keys on the grouping columns — at 100 TB pick keys with
+enough cardinality (or salt) so single groups fit an executor's memory.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..session import pin_query_session_conf
+from .registry import register
+
+_ORACLE_UDAF = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT) * l_linenumber) AS weighted_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "agg_udaf_pandas",
+    oracle=_ORACLE_UDAF,
+    tags=("agg", "udaf", "pandas"),
+    doc=(
+        "UDAF via pandas_udf GROUPED_AGG (A7): Arrow-batched integer-exact "
+        "weighted sum per (returnflag, linestatus) — the vectorized escape "
+        "hatch that replaces row-at-a-time Python aggregation."
+    ),
+)
+def agg_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+
+    @F.pandas_udf("long")
+    def weighted_qty(qty: pd.Series, line: pd.Series) -> int:
+        return int((qty * line).sum())
+
+    # Pandas group-aggs can't mix with JVM aggs in one agg() — count is a
+    # second pandas UDAF so the whole aggregation runs on the Arrow path.
+    @F.pandas_udf("long")
+    def n_rows(qty: pd.Series) -> int:
+        return len(qty)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_linenumber").cast("long").alias("line"),
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        weighted_qty("qty", "line").alias("weighted_qty"),
+        n_rows("qty").alias("n_rows"),
+    )
+
+
+_ORACLE_GROUPED_MAP = """
+WITH sub AS (SELECT * FROM lineitem WHERE l_orderkey % 97 = 0)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_quantity DESC, l_orderkey, l_linenumber
+       ) AS BIGINT) AS qty_rank
+FROM sub
+"""
+
+
+@register(
+    "udtf_applyinpandas",
+    oracle=_ORACLE_GROUPED_MAP,
+    tags=("udtf", "pandas"),
+    doc=(
+        "Grouped-map applyInPandas (UDTF-shaped, §2.9): per-returnflag pandas "
+        "kernel ranking rows by quantity — deterministic total order, so the "
+        "SQL window oracle matches exactly."
+    ),
+)
+def udtf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+
+    def rank_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["l_quantity", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        pdf["qty_rank"] = range(1, len(pdf) + 1)
+        return pdf[["l_orderkey", "l_linenumber", "l_returnflag", "qty_rank"]]
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 97 == 0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        rank_kernel,
+        schema="l_orderkey long, l_linenumber int, l_returnflag string, qty_rank long",
+    )

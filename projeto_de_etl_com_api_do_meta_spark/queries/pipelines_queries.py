@@ -24,7 +24,14 @@ from ..plans.pipelines import (
 )
 from ..session import pin_query_session_conf
 from ..sources.meta_rest import MetaRestSource
-from ..streaming.windows import read_events_stream, run_available_now, tumbling_daily
+from ..streaming.windows import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    sliding_hourly,
+    tumbling_daily,
+)
 from .registry import register
 
 
@@ -96,6 +103,101 @@ def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = tumbling_daily(read_events_stream(spark, sf_dir))
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         return run_available_now(stream, ckpt)
+
+
+_ORACLE_STREAM_SLIDING = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - s * INTERVAL '15 minutes' AS window_start,
+         event_type
+  FROM events, unnest([0, 1, 2, 3]) AS t(s)
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM expanded
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "stream_sliding_hourly",
+    oracle=_ORACLE_STREAM_SLIDING,
+    tags=("streaming",),
+    doc=(
+        "Structured Streaming 1-hour window sliding every 15 min (each event "
+        "lands in 4 windows) via Trigger.AvailableNow — oracle: batch SQL "
+        "expanding each event to its 4 epoch-aligned windows."
+    ),
+)
+def stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    stream = sliding_hourly(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        return run_available_now(stream, ckpt)
+
+
+# Spark session_window range is [start, last_ts + gap): an event at EXACTLY
+# last_ts + gap starts a NEW session, hence >= in the new-session predicate.
+_ORACLE_STREAM_SESSION = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts)
+                  >= 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "stream_session_window",
+    oracle=_ORACLE_STREAM_SESSION,
+    tags=("streaming",),
+    doc=(
+        "Structured Streaming F.session_window (30-min inactivity gap) per "
+        "user — oracle: gaps-and-islands batch SQL with identical boundary "
+        "semantics (streaming twin of events_sessionize_30m)."
+    ),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    stream = session_windows(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        return run_available_now(stream, ckpt)
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT event_id FROM events",
+    tags=("streaming",),
+    doc=(
+        "dropDuplicatesWithinWatermark on event_id — the streaming analog of "
+        "the reference's key-based ON CONFLICT dedup (load.py:49-63)."
+    ),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    stream = dedup_within_watermark(read_events_stream(spark, sf_dir)).select(
+        "event_id"
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        return run_available_now(stream, ckpt, output_mode="append")
 
 
 @register(

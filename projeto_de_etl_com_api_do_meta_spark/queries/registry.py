@@ -67,6 +67,7 @@ def _load_all() -> None:
         embeddings_queries,
         events_queries,
         joins,
+        pandas_interop,
         pipelines_queries,
         relational,
         scalar_funcs,

@@ -229,3 +229,49 @@ def fn_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10).alias("k_bucket"),
         F.get_json_object("props", "$.missing").isNotNull().alias("has_missing"),
     )
+
+
+# -- R6: map family (MapType — SURVEY §1.3 supported-type floor) --------------
+
+_ORACLE_MAP = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+       1 AS n_keys,
+       'k' AS first_key,
+       TRUE AS has_k,
+       2 AS n_after_concat,
+       concat('k=', CAST(json_extract(props, '$.k') AS INTEGER)) AS kv_pair
+FROM events
+"""
+
+
+@register(
+    "fn_map_family",
+    oracle=_ORACLE_MAP,
+    tags=("functions", "map"),
+    doc=(
+        "Map family (R6): from_json to MapType, map_keys/map_values/"
+        "element_at/map_contains_key/map_concat/map_entries + entry "
+        "stringification — the MapType floor SURVEY §1.3 requires for the "
+        "actions pivot."
+    ),
+)
+def fn_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    ext = F.map_concat(m, F.create_map(F.lit("uid"), F.col("user_id").cast("int")))
+    entries = F.map_entries(m)
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_sort(F.map_keys(m)).getItem(0).alias("first_key"),
+        F.map_contains_key(m, "k").alias("has_k"),
+        F.size(F.map_keys(ext)).alias("n_after_concat"),
+        F.concat(
+            entries.getItem(0).getField("key"),
+            F.lit("="),
+            entries.getItem(0).getField("value").cast("string"),
+        ).alias("kv_pair"),
+    )
