@@ -35,9 +35,13 @@ HEADLINE: tuple[str, ...] = (
     "window_topk_per_group",
     "events_sessionize_30m",
     "text_doc_stats",
+    "text_fingerprint_winnow",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "embed_knn_bruteforce",
+    "embed_ann_ivf",
+    "agg_udaf_pandas",
     "stream_tumbling_daily",
 )
 

@@ -174,6 +174,55 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into 4 16-bit blocks;
+    any pair within Hamming 3 must agree on at least one block, so candidate
+    generation is an equi-join on (block_id, block_value) — never all-pairs.
+    Exact for max_hamming <= 3 (4 blocks); use more blocks for larger radii.
+    """
+    from .text import hamming64, simhash64
+
+    sigs = spread(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.lpad(simhash64(text_col), 16, "0").alias("sh"),
+    )
+    blocks = sigs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[F.substring("sh", 1 + 4 * i, 4) for i in range(4)])
+        ).alias("block_id", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def minhash_near_dup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -283,3 +283,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(F.col("doc_id"))  # single-file input -> all cores
     return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,
+    tags=("dedup", "north-star", "approx"),
+    doc=(
+        "SimHash near-dup pairs (Hamming <= 3) via pigeonhole 16-bit-block "
+        "equi-join — exact for radius 3, never all-pairs. Rows-only: "
+        "murmur3-specific; blocking recall pinned by unit test."
+    ),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_dup
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_dup(docs)

@@ -121,3 +121,22 @@ def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return centroids_per_label(emb)
+
+
+@register(
+    "embed_ann_ivf",
+    oracle=None,
+    tags=("similarity", "north-star", "approx"),
+    doc=(
+        "IVF ANN top-5: spherical k-means inverted lists (nlist=8, 2 Lloyd "
+        "rounds, deterministic), probe the 2 closest lists per query, exact "
+        "cosine within. Rows-only; nprobe=nlist==brute-force pinned by test."
+    ),
+)
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, k=5, nlist=8, nprobe=2)

@@ -308,3 +308,27 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(revenue()).cast("double").alias("revenue"))
     )
+
+
+# -- J3: right outer -----------------------------------------------------------
+
+_ORACLE_RIGHT = """
+SELECT o.o_orderkey, o.o_orderstatus, c.c_name
+FROM customer c RIGHT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 13 = 0
+"""
+
+
+@register(
+    "join_right_outer",
+    oracle=_ORACLE_RIGHT,
+    tags=("join",),
+    doc="Right outer equi-join (J3): orders kept even without a customer match.",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 13 == 0)
+    return customer.join(
+        orders, orders.o_custkey == customer.c_custkey, "right"
+    ).select("o_orderkey", "o_orderstatus", "c_name")

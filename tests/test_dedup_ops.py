@@ -79,3 +79,20 @@ def test_minhash_near_dup_end_to_end(spark):
     out = minhash_near_dup(df, threshold=0.5).collect()
     assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
     assert out[0].est_jaccard > 0.8
+
+
+def test_simhash_near_dup_finds_close_pairs_only(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.dedup import (
+        simhash_near_dup,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "tok30x")  # tiny perturbation
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dup(df).collect()}
+    assert got[(0, 1)] == 0          # identical -> hamming 0
+    assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got

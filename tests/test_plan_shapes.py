@@ -1,0 +1,68 @@
+"""Physical-plan shape assertions (SURVEY §4): the optimizations the engine
+relies on at 100 TB must actually appear in the plans — predicate pushdown
+and column pruning at the parquet scan, broadcast joins for dim tables,
+partial (map-side) aggregation, and whole-stage codegen on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projeto_de_etl_com_api_do_meta_spark.io import load_table
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_pushed_to_parquet_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+    # Column pruning: the scan reads ONLY the two referenced columns.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_dim_join_broadcasts_small_side(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    df = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _formatted_plan(df)
+    # Partial (map-side) + final hash aggregate around one shuffle.
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_hot_path_stays_in_wholestage_codegen(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = (
+        li.where(F.col("l_shipdate").isNotNull())
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # AQE finalizes (and codegen-compiles) only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen spans; the whole
+    # filter->project->partial-agg pipeline must sit inside one.
+    assert "*(1) HashAggregate" in plan
+    assert "*(1) Filter" in plan
+
+
+def test_date_filter_prunes_at_scan(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.where(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+    plan = _formatted_plan(df)
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1].split("]")[0]

@@ -87,3 +87,40 @@ def test_embedding_near_dup_exact_pairs(spark):
         (1, 3): inv_sqrt2,
         (2, 3): inv_sqrt2,
     }
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(queries, emb, k=3).collect()
+    # Probing every inverted list degenerates IVF to exact brute force.
+    full = ivf_topk(queries, emb, k=3, nlist=4, nprobe=4, iters=1).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, exact), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, full), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_ivf_partial_probe_is_subset_with_full_k(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    rows = ivf_topk(queries, emb, k=3, nlist=4, nprobe=2, iters=1).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for ranks in per_q.values():
+        assert sorted(ranks) == [1, 2, 3]
