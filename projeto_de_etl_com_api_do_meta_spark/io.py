@@ -59,3 +59,42 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql queries)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# -- Generic file sources/sinks (SURVEY §2.1 S9) ------------------------------
+
+_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Format-generic sink.  CSV gets headers by default; date-partitioned
+    layouts (``partition_by``) enable static+dynamic partition pruning on
+    re-read — the at-rest analog of the reference's time_range pushdown."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {_FORMATS}")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options) -> DataFrame:
+    """Format-generic source.  Schema-on-read inference stays at this edge
+    only (SURVEY §1.2); pass an explicit schema for typed CSV/JSON reads."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {_FORMATS}")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    reader = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

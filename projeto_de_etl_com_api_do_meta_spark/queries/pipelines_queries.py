@@ -214,3 +214,37 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return extract_image_features(attach_fake_image(docs))
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=None,
+    tags=("multimodal", "north-star"),
+    doc=(
+        "Audio binary-column plumbing: Arrow-batched mapInPandas duration/"
+        "RMS/zero-crossing extraction (decode kernel stubbed; plumbing real)."
+    ),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import attach_fake_audio, extract_audio_features
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_audio_features(attach_fake_audio(docs))
+
+
+@register(
+    "multimodal_video_frames",
+    oracle=None,
+    tags=("multimodal", "north-star"),
+    doc=(
+        "Video frame sampling: row-expanding mapInPandas (one row per "
+        "sampled frame) over the opaque video container column."
+    ),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import attach_fake_video, sample_video_frames
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sample_video_frames(attach_fake_video(docs))
