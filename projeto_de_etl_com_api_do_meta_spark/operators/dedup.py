@@ -15,7 +15,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint_md5, tokens
@@ -38,15 +38,23 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the lowest-id representative per identical (normalized) text.
 
-    Deterministic distributed form of drop_duplicates: row_number over an
-    explicit order (reference A2's correctness fix, SURVEY §7)."""
+    Deterministic distributed form of drop_duplicates (reference A2's
+    correctness fix, SURVEY §7) as ``min(struct(id, ...))`` aggregation:
+    unlike the window-sort formulation, this gets a map-side partial
+    aggregate, so at 100 TB only one candidate row per (fingerprint,
+    partition) reaches the shuffle — duplicates collapse before they move.
+    Struct min compares fields in order; the unique id leads, so the
+    comparison never falls through to later fields."""
+    cols = df.columns
     fp = fingerprint_md5(text_col).alias("fingerprint")
-    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    rest = [c for c in cols if c != id_col]
+    keeper = F.min(F.struct(id_col, *rest)).alias("s")
     return (
-        spread(df, id_col).select("*", fp)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        spread(df, id_col)
+        .select("*", fp)
+        .groupBy("fingerprint")
+        .agg(keeper)
+        .select(*[F.col(f"s.{c}").alias(c) for c in cols], "fingerprint")
     )
 
 

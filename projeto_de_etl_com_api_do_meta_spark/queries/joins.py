@@ -332,3 +332,46 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(
         orders, orders.o_custkey == customer.c_custkey, "right"
     ).select("o_orderkey", "o_orderstatus", "c_name")
+
+
+# -- J5+: as-of (point-in-time) join ------------------------------------------
+
+_ORACLE_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, event_id AS view_id, value AS view_value
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id, c.ts, c.value, v.view_id, v.view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+@register(
+    "join_asof_events",
+    oracle=_ORACLE_ASOF,
+    tags=("join", "asof", "timeseries"),
+    doc=(
+        "As-of join: each click joined to the user's most recent prior view "
+        "via the union+carry-forward window (one shuffle, no range product) "
+        "— oracle: DuckDB's native ASOF LEFT JOIN."
+    ),
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(clicks, views, key="user_id", ts="ts", payload_cols=["view_id", "view_value"])

@@ -71,6 +71,7 @@ def _load_all() -> None:
         pipelines_queries,
         relational,
         scalar_funcs,
+        skew_queries,
         windows_setops,
     )
 

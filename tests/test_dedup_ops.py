@@ -96,3 +96,18 @@ def test_simhash_near_dup_finds_close_pairs_only(spark):
     got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dup(df).collect()}
     assert got[(0, 1)] == 0          # identical -> hamming 0
     assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plain = orders.join(customer, "c_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, customer, "c_custkey", num_salts=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
