@@ -197,9 +197,15 @@ def simhash_near_dup(
     """
     from .text import hamming64, simhash64
 
-    sigs = spread(df, id_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.lpad(simhash64(text_col), 16, "0").alias("sh"),
+    # Persist: without it, projection collapse recomputes the (large) simhash
+    # expression once per exploded block row on BOTH join sides (8x per doc).
+    sigs = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.lpad(simhash64(text_col), 16, "0").alias("sh"),
+        )
+        .persist()
     )
     blocks = sigs.select(
         "doc_id",

@@ -301,7 +301,7 @@ def ivf_index(
         "cluster", (F.col(id_col) % nlist).cast("int")
     )
     cents = None
-    for _ in range(iters):
+    for it in range(iters):
         scaled = F.floor(F.col("comp") * F.lit(_IVF_SCALE)).cast("long")
         cents = (
             assign.select("cluster", F.posexplode(vec_col).alias("pos", "comp"))
@@ -328,7 +328,11 @@ def ivf_index(
             .where(F.col("rn") == 1)
             .drop("rn", "cvec")
         )
-    return assign, cents
+        # Truncate the iterative lineage: without this each Lloyd round's
+        # plan re-embeds (and re-executes) every previous round on each of
+        # its several downstream references.
+        assign = assign.persist()
+    return assign, cents.persist()
 
 
 def ivf_topk(

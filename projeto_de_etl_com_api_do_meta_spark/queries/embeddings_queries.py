@@ -128,8 +128,8 @@ def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     tags=("similarity", "north-star", "approx"),
     doc=(
-        "IVF ANN top-5: spherical k-means inverted lists (nlist=8, 2 Lloyd "
-        "rounds, deterministic), probe the 2 closest lists per query, exact "
+        "IVF ANN top-5: spherical k-means inverted lists (nlist=8, 1 Lloyd "
+        "round, deterministic), probe the 2 closest lists per query, exact "
         "cosine within. Rows-only; nprobe=nlist==brute-force pinned by test."
     ),
 )
@@ -139,4 +139,4 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return ivf_topk(queries, emb, k=5, nlist=8, nprobe=2)
+    return ivf_topk(queries, emb, k=5, nlist=8, nprobe=2, iters=1)
