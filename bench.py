@@ -28,6 +28,9 @@ from projeto_de_etl_com_api_do_meta_spark.session import get_spark  # noqa: E402
 #: the heaviest representatives of each operator family).
 HEADLINE: tuple[str, ...] = (
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "perf_daily_fact",
     "q5_local_supplier_revenue",
     "join_full_outer_fanout",

@@ -119,3 +119,148 @@ def perf_daily_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.withColumn(
         "revenue_per_unit", safe_div(F.col("total_revenue"), F.col("total_qty"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped breadth: Q3 (shipping priority), Q6 (forecast revenue),
+# Q10 (returned items) — multi-join + agg + top-k, pure-filter agg, and
+# join-heavy group-by respectively.
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=_Q3_ORACLE,
+    tags=("join", "agg", "flagship"),
+    doc=(
+        "TPC-H Q3-shaped shipping priority: 3-way join + grouped exact "
+        "revenue + deterministic top-10."
+    ),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,4)")
+    revenue = F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=_Q6_ORACLE,
+    tags=("agg", "flagship"),
+    doc=(
+        "TPC-H Q6-shaped forecast revenue: pure pushed-down filter + single "
+        "exact aggregate — the all-pushdown plan."
+    ),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1995-10-01'
+  AND o.o_orderdate < DATE '1996-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register(
+    "q10_returned_items",
+    oracle=_Q10_ORACLE,
+    tags=("join", "agg", "flagship"),
+    doc=(
+        "TPC-H Q10-shaped returned-item report: 4-way join (nation "
+        "broadcast) + grouped exact revenue + deterministic top-20."
+    ),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    one = F.lit(1).cast("decimal(18,4)")
+    revenue = F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
