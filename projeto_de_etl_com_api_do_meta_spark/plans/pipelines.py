@@ -179,3 +179,19 @@ def run_lead_insights(source: MetaRestSource) -> DataFrame:
         + [c for c in ALLOWED_ACTION_COLUMNS if c in final.columns],
     )
     return coerce_dates(final, ["date_start"])
+
+
+def run_raw_leads(source: MetaRestSource) -> DataFrame:
+    """ads_raw_leads — the reference's latent 4th path (extract.py:60-100 ->
+    load.py:58-100, wired but never called from main.py:17-31): correlated
+    per-form lead fetch (S3, executor-parallel mapInPandas), id rename,
+    created_time day coercion (load.py:37-40), JSON field_data carried as a
+    string for the sink's ::JSONB cast (S7), keep-first dedup per lead_id."""
+    raw = source.read_leads()
+    dated = coerce_dates(raw, ["created_time"])
+    w = Window.partitionBy("lead_id").orderBy(F.col("created_time").asc_nulls_last(), "form_id")
+    return (
+        dated.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -248,3 +248,46 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return sample_video_frames(attach_fake_video(docs))
+
+
+@register(
+    "meta_raw_leads_pipeline",
+    oracle=None,
+    tags=("reference-parity", "pipeline"),
+    doc=(
+        "Latent ads_raw_leads path (reference extract.py:60-100, never wired "
+        "into main.py): per-form correlated lead fetch via executor-parallel "
+        "mapInPandas, day-coerced created_time, JSONB-ready field_data, "
+        "keep-first dedup per lead_id."
+    ),
+)
+def meta_raw_leads_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.pipelines import run_raw_leads
+
+    pin_query_session_conf(spark)
+    return run_raw_leads(MetaRestSource(spark))
+
+
+@register(
+    "stream_upsert_foreachbatch",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tags=("streaming", "sink"),
+    doc=(
+        "End-to-end incremental pattern (the reference's Jenkins-cron + "
+        "ON CONFLICT merge, README.md:115-127 + load.py:94-116): events "
+        "stream -> foreachBatch key-merge into a parquet target -> read "
+        "back. Idempotent by key, so the merged table equals the input."
+    ),
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import foreach_batch_upsert
+
+    pin_query_session_conf(spark)
+    stream = read_events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stream_upsert_")
+    target = f"{tmp}/events_merged.parquet"
+    q = foreach_batch_upsert(stream, target, keys=["event_id"], checkpoint_dir=f"{tmp}/ckpt")
+    q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
