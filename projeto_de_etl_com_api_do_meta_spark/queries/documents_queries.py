@@ -301,3 +301,71 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_near_dup(docs)
+
+
+_ORACLE_TFIDF = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df
+  FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=_ORACLE_TFIDF,
+    tags=("text", "north-star"),
+    doc=(
+        "TF-IDF top-3 terms per document: token explode -> per-doc TF + "
+        "corpus DF aggregations -> idf join -> windowed top-k with "
+        "deterministic tie-break. All shuffles key on term/doc — the "
+        "classic scale-out formulation."
+    ),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(F.col("doc_id"))  # single-file input -> all cores
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )

@@ -387,3 +387,41 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_SUBQ_SQL)
+
+
+# -- R1 inverse: unpivot (wide metrics -> long) --------------------------------
+
+_ORACLE_UNPIVOT = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS quantity,
+         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+         CAST(l_discount AS DOUBLE) AS discount
+  FROM lineitem WHERE l_orderkey % 101 = 0
+)
+SELECT l_orderkey, l_linenumber, metric, value FROM base
+UNPIVOT (value FOR metric IN (quantity, extendedprice, discount))
+"""
+
+
+@register(
+    "restructure_unpivot",
+    oracle=_ORACLE_UNPIVOT,
+    tags=("restructure",),
+    doc=(
+        "Unpivot (inverse of the actions pivot R1): wide metric columns -> "
+        "(metric, value) long form via stack — per-row expression, no shuffle."
+    ),
+)
+def restructure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 101 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', CAST(l_quantity AS DOUBLE), "
+            "'extendedprice', CAST(l_extendedprice AS DOUBLE), "
+            "'discount', CAST(l_discount AS DOUBLE)) AS (metric, value)"
+        ),
+    )
