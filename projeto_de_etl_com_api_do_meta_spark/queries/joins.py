@@ -375,3 +375,41 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("view_value"),
     )
     return asof_join(clicks, views, key="user_id", ts="ts", payload_cols=["view_id", "view_value"])
+
+
+# -- J5: pure range (interval) join, binned ------------------------------------
+
+_ORACLE_RANGE_BINNED = """
+SELECT e1.event_id AS click_id, e2.event_id AS purchase_id
+FROM events e1 JOIN events e2
+  ON e2.ts >= e1.ts AND e2.ts < e1.ts + INTERVAL '5 minutes'
+WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+"""
+
+
+@register(
+    "join_range_binned",
+    oracle=_ORACLE_RANGE_BINNED,
+    tags=("join", "range", "scale"),
+    doc=(
+        "Pure interval join (purchases within 5 min after each click) via "
+        "bin replication: equi-join on a 5-min time bin (right side "
+        "replicated 2x) + exact refine — O(matches), not the O(|L|x|R|) "
+        "nested loop a bare range predicate plans. Oracle: the naive "
+        "inequality join."
+    ),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import binned_interval_join
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "ts"
+    )
+    return binned_interval_join(clicks, purchases, window_us=300_000_000).select(
+        "click_id", "purchase_id"
+    )

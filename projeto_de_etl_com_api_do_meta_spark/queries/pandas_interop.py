@@ -110,3 +110,39 @@ def udtf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_kernel,
         schema="l_orderkey long, l_linenumber int, l_returnflag string, qty_rank long",
     )
+
+
+_ORACLE_SCALAR_UDF = """
+SELECT c_custkey,
+       lower(replace(c_name, '#', '-')) AS slug,
+       CAST(list_sum(list_transform(string_split(c_name, ''),
+                                    c -> ascii(c))) % 997 AS BIGINT) AS checksum
+FROM customer
+"""
+
+
+@register(
+    "fn_scalar_udfs",
+    oracle=_ORACLE_SCALAR_UDF,
+    tags=("udf", "pandas"),
+    doc=(
+        "Scalar UDF escape hatches (§2.9): classic row-wise F.udf (checksum) "
+        "and Arrow-vectorized scalar pandas_udf (slug) side by side — both "
+        "oracle-verified; the hot path elsewhere never uses them."
+    ),
+)
+def fn_scalar_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+
+    @F.udf("long")
+    def checksum(s: str) -> int:
+        return sum(ord(c) for c in s) % 997
+
+    @F.pandas_udf("string")
+    def slug(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.replace("#", "-", regex=False)
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", slug("c_name").alias("slug"), checksum("c_name").alias("checksum")
+    )
