@@ -39,12 +39,12 @@ HEADLINE: tuple[str, ...] = (
     "events_sessionize_30m",
     "text_doc_stats",
     "text_fingerprint_winnow",
+    "agg_udaf_pandas",  # first pandas-exec query: absorbs Python worker spin-up
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "embed_knn_bruteforce",
     "embed_ann_ivf",
-    "agg_udaf_pandas",
     "stream_tumbling_daily",
 )
 

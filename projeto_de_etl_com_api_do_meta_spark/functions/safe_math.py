@@ -42,6 +42,21 @@ def dec(c: Column | str, typ: str = DEC) -> Column:
     return _col(c).cast(typ)
 
 
-def dec_sum(c: Column | str, typ: str = DEC) -> Column:
-    """Exact decimal sum, returned as double (bit-stable across engines)."""
-    return F.sum(dec(c, typ)).cast("double")
+def dec2d(sum_col: Column, digits: int = 2) -> Column:
+    """Decimal aggregate -> double, bit-identical across engines.
+
+    Direct decimal->double casts are correctly rounded on the JVM
+    (BigDecimal.doubleValue) but NOT in every engine — DuckDB 1.0 is off by
+    one ulp at ~1e9 magnitudes, which broke a q1 oracle at sf0.1.  Portable
+    path: round the exact decimal to ``digits``, scale to an integer (exact
+    while |value|·10^digits < 2^53), convert — int64->double is a correctly
+    rounded hardware op everywhere — and divide once (single IEEE rounding).
+    """
+    scale = 10**digits
+    return (F.round(sum_col, digits) * scale).cast("long").cast("double") / scale
+
+
+def dec_sum(c: Column | str, typ: str = DEC, digits: int = 2) -> Column:
+    """Exact decimal sum, returned as a cent-precision double (bit-stable
+    across engines — see :func:`dec2d`)."""
+    return dec2d(F.sum(dec(c, typ)), digits)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.safe_math import dec, dec_sum
+from ..functions.safe_math import dec, dec2d, dec_sum
 from ..io import load_table
 from ..session import pin_query_session_conf
 from .registry import register
@@ -25,8 +25,8 @@ SELECT l_returnflag AS returnflag,
        COUNT(DISTINCT l_partkey) AS n_parts,
        CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
        CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+       (CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) AS sum_qty,
+       (CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) / COUNT(*) AS avg_qty
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -49,7 +49,7 @@ def agg_basic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").cast("double").alias("min_qty"),
         F.max("l_quantity").cast("double").alias("max_qty"),
         dec_sum("l_quantity").alias("sum_qty"),
-        (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+        (dec2d(F.sum(dec("l_quantity"))) / cnt).alias("avg_qty"),
     )
 
 
@@ -58,12 +58,12 @@ def agg_basic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_AGG_STATS = """
 SELECT l_linestatus AS linestatus,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_sq,
+       (CAST(CAST(round(SUM(CAST(l_discount AS DECIMAL(18,4))), 4) * 10000 AS BIGINT) AS DOUBLE) / 10000) AS sum_disc,
+       (CAST(CAST(round(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 4) * 10000 AS BIGINT) AS DOUBLE) / 10000) AS sum_disc_sq,
        CASE WHEN COUNT(*) > 1 THEN
-         sqrt((CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
-               - CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
-                 * CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+         sqrt(((CAST(CAST(round(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 4) * 10000 AS BIGINT) AS DOUBLE) / 10000)
+               - (CAST(CAST(round(SUM(CAST(l_discount AS DECIMAL(18,4))), 4) * 10000 AS BIGINT) AS DOUBLE) / 10000)
+                 * (CAST(CAST(round(SUM(CAST(l_discount AS DECIMAL(18,4))), 4) * 10000 AS BIGINT) AS DOUBLE) / 10000) / COUNT(*))
               / (COUNT(*) - 1))
        ELSE 0.0 END AS stddev_disc
 FROM lineitem
@@ -85,8 +85,8 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
-    s1 = F.sum(dec("l_discount")).cast("double")
-    s2 = F.sum(dec("l_discount") * dec("l_discount")).cast("double")
+    s1 = dec2d(F.sum(dec("l_discount")), 4)
+    s2 = dec2d(F.sum(dec("l_discount") * dec("l_discount")), 4)
     out = li.groupBy(F.col("l_linestatus").alias("linestatus")).agg(
         n.alias("n"), s1.alias("sum_disc"), s2.alias("sum_disc_sq")
     )
@@ -191,7 +191,7 @@ SELECT COALESCE(r.r_name, 'ALL') AS region,
        COALESCE(n.n_name, 'ALL') AS nation,
        GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS gid,
        COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+       (CAST(CAST(round(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) AS total_bal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.safe_math import dec_sum, safe_div
+from ..functions.safe_math import dec2d, dec_sum, safe_div
 from ..io import load_table
 from ..session import pin_query_session_conf
 from ._shared import REVENUE_SQL, dsum_sql, revenue
@@ -21,7 +21,7 @@ from .registry import register
 
 _ORACLE_JOIN_INNER = """
 SELECT n.n_name AS nation, COUNT(*) AS num_customers,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+       (CAST(CAST(round(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) AS total_acctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -58,7 +58,8 @@ def join_inner_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_JOIN_LEFT = """
 SELECT c.c_custkey, c.c_name,
        COUNT(o.o_orderkey) AS num_orders,
-       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spent
+       (CAST(CAST(round(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0), 2)
+             * 100 AS BIGINT) AS DOUBLE) / 100) AS total_spent
 FROM customer c
 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_name
@@ -80,9 +81,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("num_orders"),
-            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), F.lit(0))
-            .cast("double")
-            .alias("total_spent"),
+            dec2d(F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), F.lit(0))).alias("total_spent"),
         )
     )
 
@@ -306,7 +305,7 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (supplier.s_nationkey == customer.c_nationkey),
         )
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+        .agg(dec2d(F.sum(revenue())).alias("revenue"))
     )
 
 

@@ -82,7 +82,7 @@ _ORACLE_STREAM_DAILY = """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       (CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) AS total_value
 FROM events
 GROUP BY 1, 2
 """

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.safe_math import dec, dec_sum, safe_div
+from ..functions.safe_math import dec, dec2d, dec_sum, safe_div
 from ..io import load_table
 from ..session import pin_query_session_conf
 from .registry import register
@@ -24,12 +24,12 @@ _Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  (CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) AS sum_qty,
+  (CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) AS sum_base_price,
+  (CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) AS sum_disc_price,
+  (CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) / COUNT(*) AS avg_qty,
+  (CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) / COUNT(*) AS avg_price,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -56,9 +56,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dec_sum("l_quantity").alias("sum_qty"),
             dec_sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            dec2d(F.sum(disc_price)).alias("sum_disc_price"),
+            (dec2d(F.sum(dec("l_quantity"))) / cnt).alias("avg_qty"),
+            (dec2d(F.sum(dec("l_extendedprice"))) / cnt).alias("avg_price"),
             cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -74,14 +74,14 @@ _PERF_ORACLE = """
 SELECT
   CAST(o.o_orderdate AS DATE) AS order_date,
   o.o_orderpriority AS priority,
-  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-           * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue,
-  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+  (CAST(CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) AS total_revenue,
+  (CAST(CAST(round(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) AS total_qty,
   COUNT(*) AS total_lines,
   COALESCE(CASE WHEN SUM(CAST(l.l_quantity AS DECIMAL(18,4))) <> 0 THEN
-    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-    / CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+    (CAST(CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) * 100 AS BIGINT) AS DOUBLE) / 100)
+    / (CAST(CAST(round(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS DOUBLE) / 100)
   END, 0.0) AS revenue_per_unit
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -111,7 +111,7 @@ def perf_daily_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(
-            F.sum(revenue).cast("double").alias("total_revenue"),
+            dec2d(F.sum(revenue)).alias("total_revenue"),
             dec_sum("l_quantity").alias("total_qty"),
             F.count(F.lit(1)).alias("total_lines"),
         )
@@ -129,8 +129,8 @@ def perf_daily_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_ORACLE = """
 SELECT l.l_orderkey,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       (CAST(CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -170,7 +170,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(revenue.cast("double").alias("revenue"))
+        .agg(dec2d(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -178,8 +178,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q6_ORACLE = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-               * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+SELECT (CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(l_discount AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
@@ -209,17 +209,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec("l_extendedprice") * dec("l_discount"))
-            .cast("double")
-            .alias("revenue")
+            dec2d(F.sum(dec("l_extendedprice") * dec("l_discount"))).alias("revenue")
         )
     )
 
 
 _Q10_ORACLE = """
 SELECT c.c_custkey, c.c_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       (CAST(CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) * 100 AS BIGINT) AS DOUBLE) / 100) AS revenue,
        n.n_name
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -259,7 +257,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(revenue.cast("double").alias("revenue"))
+        .agg(dec2d(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")

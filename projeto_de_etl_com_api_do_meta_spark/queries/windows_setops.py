@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.safe_math import dec
+from ..functions.safe_math import dec, dec2d
 from ..io import load_table
 from ..session import pin_query_session_conf
 from .registry import register
@@ -61,10 +61,11 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_RUNNING = """
 SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+       (CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
             OVER (PARTITION BY o_custkey
                   ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) * 100
+            AS BIGINT) AS DOUBLE) / 100)
          AS running_spend,
        CAST(LAG(o_totalprice) OVER (PARTITION BY o_custkey
                                     ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
@@ -90,7 +91,7 @@ def window_running_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
-        F.sum(dec("o_totalprice")).over(wf).cast("double").alias("running_spend"),
+        dec2d(F.sum(dec("o_totalprice")).over(wf)).alias("running_spend"),
         F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
         F.lead("o_totalprice").over(w).cast("double").alias("next_price"),
     )
