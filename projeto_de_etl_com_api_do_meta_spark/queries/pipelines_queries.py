@@ -291,3 +291,43 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+_ORACLE_STATEFUL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+         AS total_value_cents,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "stream_stateful_counters",
+    oracle=_ORACLE_STATEFUL,
+    tags=("streaming", "stateful"),
+    doc=(
+        "Custom stateful streaming operator via applyInPandasWithState: "
+        "per-user running counters in explicit group state. Update-mode "
+        "emissions reduced to the final state per user (counters are "
+        "monotone), so the batch-SQL oracle applies."
+    ),
+)
+def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import stateful_user_counters
+
+    pin_query_session_conf(spark)
+    stream = stateful_user_counters(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        out = run_available_now(stream, ckpt, output_mode="update")
+    # Update mode re-emits a user's row each micro-batch it appears in; the
+    # counters are monotone, so the final state is the per-user max.
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value_cents").alias("total_value_cents"),
+        F.max("last_ts").alias("last_ts"),
+    )

@@ -151,3 +151,42 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_user_counters(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY §2.8):
+    per-user running counters (event count, value sum in cents, last-seen ts)
+    carried in explicit group state across micro-batches — the escape hatch
+    for aggregations Spark's built-in stateful operators can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, total_value_cents long, last_ts timestamp"
+    )
+    state_schema = "n long, cents long, last_us long"
+
+    def update(key, pdfs, state: GroupState):
+        n, cents, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(pdf["value"].astype("float64").sum() * 100))
+            mx = pdf["ts"].max()
+            last_us = max(last_us, int(mx.value // 1000))
+        state.update((n, cents, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_cents": [cents],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -75,3 +75,38 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
         .count()
     )
     assert merged.count() == batch_groups
+
+
+def test_stateful_counters_carry_state_across_batches(spark, tmp_path):
+    import datetime as dt
+
+    from projeto_de_etl_com_api_do_meta_spark.streaming.windows import (
+        run_available_now,
+        stateful_user_counters,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def batch(path, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(path))
+
+    batch(src / "b1.parquet", [(1, t0, 7, 1.25), (2, t0, 7, 2.50)])
+    batch(src / "b2.parquet", [(3, t0 + dt.timedelta(hours=1), 7, 0.25)])
+
+    schema = spark.read.parquet(str(src / "b1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(str(src) + "/*.parquet")
+    )
+    out = run_available_now(
+        stateful_user_counters(stream), str(tmp_path / "ckpt"), output_mode="update"
+    )
+    rows = sorted(out.collect(), key=lambda r: r.n_events)
+    # One emission per micro-batch containing user 7; state accumulates.
+    assert [r.n_events for r in rows] == [2, 3]
+    assert rows[-1].total_value_cents == 400  # 1.25+2.50+0.25 in cents
