@@ -268,3 +268,59 @@ def minhash_near_dup(
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: label every node with the
+    minimum id reachable from it (= canonical representative of its dedup
+    cluster).  Iterative min-label propagation — each round is one
+    edge-join + min-aggregate, the standard large-graph formulation (label
+    propagation a la Pregel/GraphX, no driver-side graph).
+
+    Converges in O(diameter) rounds; near-dup clusters are shallow, so a few
+    rounds suffice.  Each round persists its labels and checks convergence
+    with a count — an iterative algorithm, NOT expressible as one SQL query
+    (the oracle uses a recursive CTE)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .unionByName(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # Min label among each node's neighbors (one shuffle on dst).
+        neighbor_min = (
+            edges.join(labels, edges.s == labels.node)
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -369,3 +369,63 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+_ORACLE_COMPONENTS = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingles
+  FROM t
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(CAST(i.n_inter AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - i.n_inter), 6) >= 0.12
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+)
+SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=_ORACLE_COMPONENTS,
+    tags=("dedup", "graph", "north-star"),
+    doc=(
+        "Near-dup clustering: connected components over the Jaccard>=0.12 "
+        "pair graph via iterative min-label propagation (Pregel-style edge "
+        "join + min-agg per round, converges in O(diameter)). The dedup "
+        "final step: every doc labeled with its cluster's canonical min id. "
+        "Oracle: DuckDB recursive CTE."
+    ),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = jaccard_pairs(docs, threshold=0.12).select("doc_a", "doc_b")
+    return connected_components(pairs)

@@ -111,3 +111,17 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         "o_orderkey", "c_name"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_connected_components_chain_and_islands(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # Chain 1-2-3-4 (diameter 3, needs multiple rounds), pair {10,11},
+    # and pair {20,21} sharing nothing with the chain.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
