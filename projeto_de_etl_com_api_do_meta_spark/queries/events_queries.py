@@ -92,3 +92,82 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# -- Funnel analysis (sequential pattern over the event stream) ----------------
+
+_ORACLE_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT u.user_id, v.v_ts, c.c_ts, p.p_ts,
+       CASE WHEN p.p_ts IS NOT NULL THEN 3
+            WHEN c.c_ts IS NOT NULL THEN 2
+            WHEN v.v_ts IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+@register(
+    "events_funnel_stages",
+    oracle=_ORACLE_FUNNEL,
+    tags=("events", "funnel"),
+    doc=(
+        "Ordered funnel (first view -> first later click -> first later "
+        "purchase) per user: three conditional min-aggregations chained by "
+        "joins — each stage a map-side-combinable agg, no per-user "
+        "sequence materialization."
+    ),
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    users = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("p_ts").isNotNull(), 3)
+        .when(F.col("c_ts").isNotNull(), 2)
+        .when(F.col("v_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "v_ts", "c_ts", "p_ts", stage.alias("funnel_stage"))
+    )
