@@ -69,6 +69,7 @@ def _load_all() -> None:
         joins,
         pandas_interop,
         pipelines_queries,
+        quality_queries,
         relational,
         scalar_funcs,
         skew_queries,

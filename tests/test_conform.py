@@ -50,3 +50,15 @@ def test_coerce_dates(spark):
     )
     vals = [r.d for r in coerce_dates(df, ["d"]).collect()]
     assert str(vals[0]) == "2024-03-01" and vals[1] is None and vals[2] is None
+
+
+def test_uniqueness_violations_finds_dups(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.quality import (
+        uniqueness_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    got = uniqueness_violations(df, ["k"]).collect()
+    assert [(r.k, r.n_rows) for r in got] == [(1, 2)]
