@@ -319,14 +319,20 @@ def ivf_index(
                 ).alias("cvec")
             )
         )
-        scored = assign.drop("cluster").crossJoin(F.broadcast(cents))
+        # Materialize the dot BEFORE the window: an interpreted HOF fold in
+        # a sort key is re-evaluated per comparison (O(n log n) folds).
+        scored = (
+            assign.drop("cluster")
+            .crossJoin(F.broadcast(cents))
+            .withColumn("_dot", dot(F.col(vec_col), F.col("cvec")))
+        )
         w = Window.partitionBy(id_col).orderBy(
-            dot(F.col(vec_col), F.col("cvec")).desc(), F.col("cluster")
+            F.col("_dot").desc(), F.col("cluster")
         )
         assign = (
             scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .drop("rn", "cvec")
+            .drop("rn", "cvec", "_dot")
         )
         # Truncate the iterative lineage: without this each Lloyd round's
         # plan re-embeds (and re-executes) every previous round on each of
@@ -356,10 +362,11 @@ def ivf_topk(
     assign, cents = ivf_index(uc, "neighbor_id", "cv", nlist, iters)
     uq = unit_vectors(queries, id_col, vec_col, "query_id", "qv")
     wq = Window.partitionBy("query_id").orderBy(
-        dot(F.col("qv"), F.col("cvec")).desc(), F.col("cluster")
+        F.col("_dot").desc(), F.col("cluster")
     )
     probes = (
         uq.crossJoin(F.broadcast(cents))
+        .withColumn("_dot", dot(F.col("qv"), F.col("cvec")))
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
         .select("query_id", "qv", "cluster")
