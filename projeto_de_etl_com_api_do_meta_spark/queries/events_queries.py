@@ -171,3 +171,62 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "v_ts", "c_ts", "p_ts", stage.alias("funnel_stage"))
     )
+
+
+# -- Gap filling: dense daily spine per event type -----------------------------
+
+_ORACLE_GAP_FILL = """
+WITH bounds AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1
+  FROM events
+),
+spine AS (
+  SELECT t.day, e.event_type
+  FROM (SELECT unnest(generate_series(d0, d1, INTERVAL '1 day'))::DATE AS day
+        FROM bounds) t
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) e
+),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT s.day, s.event_type, COALESCE(d.n_events, 0) AS n_events,
+       CASE WHEN d.n_events IS NULL THEN TRUE ELSE FALSE END AS gap_filled
+FROM spine s LEFT JOIN daily d ON s.day = d.day AND s.event_type = d.event_type
+"""
+
+
+@register(
+    "events_gap_fill_daily",
+    oracle=_ORACLE_GAP_FILL,
+    tags=("events", "timeseries"),
+    doc=(
+        "Time-series gap filling: dense (day x event_type) spine generated "
+        "with sequence+explode, left-joined to the daily counts, gaps "
+        "0-filled and flagged — the dense-calendar prerequisite of every "
+        "window/rolling metric downstream."
+    ),
+)
+def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = ev.agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"),
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    spine = days.crossJoin(ev.select("event_type").distinct())
+    return spine.join(daily, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("gap_filled"),
+    )
