@@ -426,3 +426,35 @@ def restructure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'discount', CAST(l_discount AS DOUBLE)) AS (metric, value)"
         ),
     )
+
+
+# -- W1/W2: distribution window functions --------------------------------------
+
+_ORACLE_DISTRIBUTION = """
+SELECT c_custkey AS custkey,
+       CAST(c_acctbal AS DOUBLE) AS acctbal,
+       NTILE(4) OVER w AS quartile,
+       round(CUME_DIST() OVER w, 6) AS cume,
+       round(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register(
+    "window_distribution_funcs",
+    oracle=_ORACLE_DISTRIBUTION,
+    tags=("window",),
+    doc="ntile/cume_dist/percent_rank over a total order (W1 family).",
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
