@@ -262,3 +262,37 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end: the same engine through spark.sql over registered views.
+# ---------------------------------------------------------------------------
+
+_SQL_TEXT = """
+SELECT n.n_name AS nation,
+       COUNT(DISTINCT c.c_custkey) AS n_customers,
+       COUNT(o.o_orderkey) AS n_orders
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql_interface_demo",
+    oracle=_SQL_TEXT,
+    tags=("sql", "interface"),
+    doc=(
+        "SQL front-end: identical ANSI text executed by spark.sql over "
+        "registered temp views AND by the DuckDB oracle — same string, two "
+        "engines, same result (Catalyst parses/optimizes it like any "
+        "DataFrame plan)."
+    ),
+)
+def sql_interface_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import register_all
+
+    pin_query_session_conf(spark)
+    register_all(spark, sf_dir)
+    return spark.sql(_SQL_TEXT)

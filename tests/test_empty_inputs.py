@@ -1,0 +1,75 @@
+"""Operator robustness on EMPTY inputs — every operator must return an empty
+result with the right schema, never raise."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def _empty_vecs(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<double>")
+
+
+def test_dedup_ops_on_empty(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        jaccard_pairs,
+        minhash_near_dup,
+        simhash_near_dup,
+    )
+
+    docs = _empty_docs(spark)
+    assert exact_dedup(docs).count() == 0
+    assert jaccard_pairs(docs).count() == 0
+    assert minhash_near_dup(docs).count() == 0
+    assert simhash_near_dup(docs).count() == 0
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_similarity_ops_on_empty(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_near_dup,
+        lsh_topk,
+    )
+
+    vecs = _empty_vecs(spark)
+    assert brute_force_topk(vecs, vecs).count() == 0
+    assert lsh_topk(vecs, vecs).count() == 0
+    assert embedding_near_dup(vecs).count() == 0
+
+
+def test_text_ops_on_empty(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.text import (
+        doc_stats,
+        predict_lang,
+        winnow_fingerprints,
+    )
+
+    docs = _empty_docs(spark)
+    assert doc_stats(docs).count() == 0
+    assert predict_lang(docs).count() == 0
+    assert winnow_fingerprints(docs).count() == 0
+
+
+def test_asof_and_quality_on_empty(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.asof import asof_join
+    from projeto_de_etl_com_api_do_meta_spark.operators.quality import (
+        null_rate_report,
+        uniqueness_violations,
+    )
+
+    left = spark.createDataFrame([], "id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([], "rid long, user_id long, ts timestamp")
+    assert asof_join(left, right, key="user_id", ts="ts", payload_cols=["rid"]).count() == 0
+    empty = spark.createDataFrame([], "k long, v string")
+    report = null_rate_report(empty, ["k", "v"]).collect()
+    assert {r.column for r in report} == {"k", "v"}
+    assert all(r.n_rows == 0 for r in report)
+    assert uniqueness_violations(empty, ["k"]).count() == 0
