@@ -75,3 +75,49 @@ def test_union_by_name_column_order_invariance(spark, rows):
     u1 = a.unionByName(b).collect()
     u2 = b.unionByName(a).select("k", "s").collect()
     assert sorted(map(tuple, u1)) == sorted(map(tuple, u2))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 9),
+            st.lists(
+                st.tuples(st.sampled_from(["lead", "link_click", "comment"]),
+                          st.integers(0, 999)),
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SLOW
+def test_pivot_unpivot_round_trip(spark, rows):
+    from projeto_de_etl_com_api_do_meta_spark.operators.actions_pivot import (
+        normalize_actions_fixed,
+    )
+
+    whitelist = ("lead", "link_click", "comment")
+    data = [
+        (rid, [{"action_type": t, "value": str(v)} for t, v in dict(acts).items()])
+        for rid, (rid2, acts) in enumerate((r[0], r[1]) for r in rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "row_id long, actions array<struct<action_type:string,value:string>>",
+    )
+    wide = normalize_actions_fixed(df, whitelist=whitelist)
+    # Unpivot the widened metrics back to long form and compare with the
+    # original (0-filled) action map — pivot must lose nothing whitelisted.
+    stack_args = ", ".join(f"'{c}', {c}" for c in whitelist)
+    long = wide.select(
+        "row_id",
+        F.expr(f"stack({len(whitelist)}, {stack_args}) AS (action_type, value)"),
+    )
+    got = {
+        (r.row_id, r.action_type): r.value for r in long.collect()
+    }
+    for rid, (_, acts) in enumerate((r[0], r[1]) for r in rows):
+        m = dict(acts)
+        for t in whitelist:
+            assert got[(rid, t)] == m.get(t, 0)
