@@ -14,6 +14,8 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -276,9 +278,6 @@ def embedding_near_dup(
 
 # -- IVF (inverted-file) ANN --------------------------------------------------
 
-_IVF_SCALE = 1099511627776.0  # 2^40: decimal-exact fixed-point mean (see below)
-
-
 def ivf_index(
     corpus_unit: DataFrame,
     id_col: str,
@@ -289,35 +288,32 @@ def ivf_index(
     """Spherical k-means IVF index over unit vectors: deterministic init
     (``id % nlist``), ``iters`` Lloyd rounds, assignment by max dot product.
 
-    Fully deterministic: centroid means use exact fixed-point summation
-    (floor(x * 2^40) longs — order-independent), ties broken by cluster id.
-    Scale shape: each round is one posexplode+groupBy (centroid update, tiny
-    result: nlist × dim) and one broadcast-join argmax (assignment) — the
-    corpus is never shuffled on anything but its own partitioning.
+    Fully deterministic: the centroid mean is an Arrow-batched grouped
+    aggregate that sorts each cluster's members by id before summing (fixed
+    float-addition order), ties broken by cluster id.  Scale shape: each
+    round is one grouped aggregate (tiny result: nlist rows) and one
+    broadcast-join argmax (assignment) — the corpus is never shuffled on
+    anything but its own partitioning.
 
     Returns (assignment df [id, vec, cluster], centroid df [cluster, cvec]).
     """
+    @F.pandas_udf("array<double>")
+    def _mean_vec(ids: pd.Series, vecs: pd.Series) -> list:
+        # Sort by id before summing: float addition order is then fixed, so
+        # the centroid is deterministic regardless of shuffle arrival order.
+        order = np.argsort(ids.to_numpy())
+        mat = np.stack(vecs.to_numpy())[order].astype("float64")
+        return list(mat.mean(axis=0))
+
     assign = corpus_unit.withColumn(
         "cluster", (F.col(id_col) % nlist).cast("int")
     )
     cents = None
     for it in range(iters):
-        scaled = F.floor(F.col("comp") * F.lit(_IVF_SCALE)).cast("long")
-        cents = (
-            assign.select("cluster", F.posexplode(vec_col).alias("pos", "comp"))
-            .groupBy("cluster", "pos")
-            .agg(
-                (
-                    F.sum(scaled).cast("double") / F.count(F.lit(1)) / _IVF_SCALE
-                ).alias("c")
-            )
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda s: s.getField("c"),
-                ).alias("cvec")
-            )
+        # One Arrow-batched grouped aggregate (nlist rows out) — far smaller
+        # plan than the posexplode + per-component groupBy formulation.
+        cents = assign.groupBy("cluster").agg(
+            _mean_vec(id_col, vec_col).alias("cvec")
         )
         # Materialize the dot BEFORE the window: an interpreted HOF fold in
         # a sort key is re-evaluated per comparison (O(n log n) folds).
