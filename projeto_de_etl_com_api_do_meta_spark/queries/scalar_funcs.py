@@ -275,3 +275,54 @@ def fn_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             entries.getItem(0).getField("value").cast("string"),
         ).alias("kv_pair"),
     )
+
+
+# -- R6: conditional / null-handling family -----------------------------------
+
+_ORACLE_COND = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+            THEN TRUE ELSE FALSE END AS is_urgent,
+       greatest(CAST(o_totalprice AS DOUBLE), 150000.0) AS floored_price,
+       IF(o_custkey % 2 = 0, 'even', 'odd') AS custkey_parity
+FROM orders
+"""
+
+
+@register(
+    "fn_conditional_family",
+    oracle=_ORACLE_COND,
+    tags=("functions", "conditional"),
+    doc=(
+        "Conditional family (R6): CASE/WHEN bands, NULLIF+COALESCE "
+        "re-labeling, LIKE predicates, greatest, IF — the expression "
+        "vocabulary of the reference's backfill/cleanup steps."
+    ),
+)
+def fn_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        (
+            F.col("o_orderpriority").like("1-%")
+            | F.col("o_orderpriority").like("2-%")
+        ).alias("is_urgent"),
+        F.greatest(F.col("o_totalprice").cast("double"), F.lit(150000.0)).alias(
+            "floored_price"
+        ),
+        F.when(F.col("o_custkey") % 2 == 0, "even").otherwise("odd").alias(
+            "custkey_parity"
+        ),
+    )
