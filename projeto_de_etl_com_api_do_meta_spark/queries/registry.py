@@ -73,6 +73,7 @@ def _load_all() -> None:
         relational,
         scalar_funcs,
         skew_queries,
+        tpch_extra,
         windows_setops,
     )
 
