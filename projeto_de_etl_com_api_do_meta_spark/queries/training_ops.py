@@ -1,0 +1,252 @@
+"""Training-data pipeline operators (driver north star, beyond SURVEY §2).
+
+Operations a large-scale LLM-data pipeline needs that the earlier modules do
+not cover: deterministic hash-based dataset splits, document chunking with
+overlap, corpus n-gram statistics, mergeable cardinality sketches, and a
+stream-stream event join.
+
+All are expressed in native Catalyst operators (no Python UDFs): at 100 TB
+the split is a stateless per-row expression (no shuffle), chunking is a
+per-row array expansion (no shuffle before the explode), bigram counting is
+one partial+final hash aggregate, and HLL sketches merge associatively so
+per-partition sketches combine without re-scanning.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..session import pin_query_session_conf
+from ..streaming.windows import (
+    clicks_purchases_join,
+    read_events_stream,
+    run_available_now,
+)
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split: stable train/validation/test assignment.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register(
+    "sample_hash_split",
+    oracle=_ORACLE_SPLIT,
+    tags=("training", "north-star"),
+    doc=(
+        "Deterministic train/validation/test split (80/10/10) from the md5 "
+        "of the document key: reproducible across runs, engines, and "
+        "partitionings — unlike rng-based df.sample, a document never "
+        "migrates between splits when the corpus grows. Pure per-row "
+        "expression: no shuffle, no state, safe at any scale."
+    ),
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking with overlap (context-window preparation).
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 200, 150
+
+_ORACLE_CHUNKS = f"""
+SELECT d.doc_id,
+       CAST(u.i AS INT) AS chunk_id,
+       substr(d.text, CAST(u.i AS INT) * {_STRIDE} + 1, {_CHUNK}) AS chunk_text,
+       length(substr(d.text, CAST(u.i AS INT) * {_STRIDE} + 1, {_CHUNK}))
+         AS chunk_len
+FROM documents d,
+     unnest(range(0, (length(d.text) - 1) // {_STRIDE} + 1)) AS u(i)
+WHERE length(d.text) > 0
+"""
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=_ORACLE_CHUNKS,
+    tags=("text", "training", "north-star"),
+    doc=(
+        f"Document chunking: {_CHUNK}-char windows every {_STRIDE} chars "
+        f"({_CHUNK - _STRIDE}-char overlap), the context-window prep step of "
+        "an LLM data pipeline. Array-expression + posexplode (lateral-view "
+        "shape): chunk generation is per-row with no shuffle; downstream "
+        "ops see one row per chunk."
+    ),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    starts = F.sequence(
+        F.lit(0), F.floor((F.length("text") - 1) / _STRIDE).cast("int")
+    )
+    chunks = F.transform(
+        starts, lambda i: F.col("text").substr(i * _STRIDE + 1, F.lit(_CHUNK))
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    ).withColumn("chunk_len", F.length("chunk_text"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics: global top bigrams.
+# ---------------------------------------------------------------------------
+
+_ORACLE_BIGRAMS = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE length(trim(text)) > 0
+),
+big AS (
+  SELECT t[CAST(u.i AS INT)] || ' ' || t[CAST(u.i AS INT) + 1] AS bigram
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+)
+SELECT bigram, COUNT(*) AS n
+FROM big
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
+@register(
+    "corpus_top_bigrams",
+    oracle=_ORACLE_BIGRAMS,
+    tags=("text", "training", "north-star"),
+    doc=(
+        "Corpus-level n-gram statistics: top-20 bigrams across all "
+        "documents — per-row tokenize + zip_with bigram build (no UDF), "
+        "explode, one partial+final hash aggregate, deterministic top-k."
+    ),
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return (
+        docs.select(toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable cardinality sketches (HLL): per-group + union rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hll_sketch_users",
+    oracle=None,  # estimate is engine-specific; bounds pinned by unit test
+    tags=("agg", "sketch", "training"),
+    doc=(
+        "Distinct-user cardinality via Apache DataSketches HLL: one sketch "
+        "per event_type plus an 'ALL' row from hll_union_agg over the "
+        "per-type sketches — demonstrating the associative merge that lets "
+        "per-partition sketches combine at 100 TB without re-scanning. "
+        "Rows-only check (estimates are engine-specific); the unit test "
+        "pins estimates within 5% of exact counts."
+    ),
+)
+def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    events = load_table(spark, sf_dir, "events")
+    sketches = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_type = sketches.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    overall = sketches.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return per_type.unionByName(overall).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join (clicks x purchases attribution).
+# ---------------------------------------------------------------------------
+
+_ORACLE_STREAM_JOIN = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click'
+  AND p.event_type = 'purchase'
+  AND p.ts >= c.ts
+  AND p.ts <= c.ts + INTERVAL '30 minutes'
+"""
+
+
+@register(
+    "stream_stream_join_clicks",
+    oracle=_ORACLE_STREAM_JOIN,
+    tags=("streaming", "join"),
+    doc=(
+        "Stream-stream inner join with an event-time range condition "
+        "(clicks attributed to same-user purchases within 30 min), "
+        "watermarks bounding the join state on both sides — run to "
+        "completion via Trigger.AvailableNow and oracle-checked against "
+        "the equivalent batch range join (stream/batch parity)."
+    ),
+)
+def stream_stream_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    events = read_events_stream(spark, sf_dir)
+    joined = clicks_purchases_join(events)
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        return run_available_now(joined, ckpt, output_mode="append")

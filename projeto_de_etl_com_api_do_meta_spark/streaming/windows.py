@@ -153,6 +153,49 @@ def foreach_batch_upsert(
     )
 
 
+def clicks_purchases_join(events: DataFrame, horizon: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    click matched to the same user's purchases within ``horizon`` after it.
+
+    Both sides carry watermarks so the join state is bounded (Spark drops
+    buffered rows once the other side's watermark passes the range bound) —
+    the property that makes this run indefinitely at scale.  Inner-join
+    matches are emitted as soon as they are found, so append mode returns
+    every match under Trigger.AvailableNow.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+
+
 def stateful_user_counters(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` (SURVEY §2.8):
     per-user running counters (event count, value sum in cents, last-seen ts)

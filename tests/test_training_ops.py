@@ -1,0 +1,89 @@
+"""Training-data pipeline operators: hash split, chunking, bigrams, HLL."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projeto_de_etl_com_api_do_meta_spark.io import load_table
+from projeto_de_etl_com_api_do_meta_spark.queries.registry import QUERIES, _load_all
+
+_load_all()
+
+
+def test_hash_split_deterministic_and_proportioned(spark, sf_dir):
+    fn = QUERIES["sample_hash_split"].fn
+    a = {r.doc_id: (r.bucket, r.split) for r in fn(spark, sf_dir).collect()}
+    b = {r.doc_id: (r.bucket, r.split) for r in fn(spark, sf_dir).collect()}
+    assert a == b  # same assignment on every run / partitioning
+    n = len(a)
+    train = sum(1 for _, s in a.values() if s == "train")
+    # 80% +- generous tolerance on a small fixture
+    assert 0.6 * n <= train <= 0.95 * n
+    assert {s for _, s in a.values()} <= {"train", "validation", "test"}
+    assert all(0 <= bkt < 100 for bkt, _ in a.values())
+
+
+def test_chunk_overlap_reconstructs_text(spark, sf_dir):
+    chunks = QUERIES["text_chunk_overlap"].fn(spark, sf_dir)
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    rows = chunks.orderBy("doc_id", "chunk_id").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if len(t) > 0}
+    stride, size = 150, 200
+    for doc_id, rs in by_doc.items():
+        text = docs[doc_id]
+        # chunk_ids are dense from 0 and cover the text
+        assert [r.chunk_id for r in rs] == list(range(len(rs)))
+        assert (len(rs) - 1) * stride < len(text) <= (len(rs) - 1) * stride + size or (
+            len(rs) == 1 and len(text) <= size
+        )
+        # stride-prefix of each chunk reassembles the document exactly
+        rebuilt = "".join(r.chunk_text[:stride] for r in rs[:-1]) + rs[-1].chunk_text
+        assert rebuilt == text
+        # consecutive chunks overlap by size - stride chars
+        for prev, nxt in zip(rs, rs[1:]):
+            overlap = size - stride
+            assert prev.chunk_text[stride : stride + overlap] == nxt.chunk_text[
+                : len(prev.chunk_text) - stride
+            ]
+
+
+def test_hll_estimates_close_to_exact(spark, sf_dir):
+    est = {
+        r.event_type: r.approx_users
+        for r in QUERIES["agg_hll_sketch_users"].fn(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = events.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(0.05 * e, 2), (k, est[k], e)
+
+
+def test_hll_union_matches_single_sketch_estimate(spark, sf_dir):
+    """Merging per-type sketches must estimate the same set as one global
+    sketch — the associativity that makes HLL safe to combine per-partition."""
+    events = load_table(spark, sf_dir, "events")
+    merged = (
+        events.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .collect()[0]
+        .e
+    )
+    single = (
+        events.agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert merged == single
