@@ -33,12 +33,16 @@ HEADLINE: tuple[str, ...] = (
     "q10_returned_items",
     "perf_daily_fact",
     "q5_local_supplier_revenue",
+    "q8_market_share",
+    "q18_large_volume_customers",
     "join_full_outer_fanout",
     "agg_rollup_region_nation",
     "window_topk_per_group",
     "events_sessionize_30m",
     "text_doc_stats",
     "text_fingerprint_winnow",
+    "corpus_top_bigrams",
+    "sample_hash_split",
     "agg_udaf_pandas",  # first pandas-exec query: absorbs Python worker spin-up
     "dedup_exact_docs",
     "dedup_minhash_lsh",
@@ -46,6 +50,7 @@ HEADLINE: tuple[str, ...] = (
     "embed_knn_bruteforce",
     "embed_ann_ivf",
     "stream_tumbling_daily",
+    "stream_stream_join_clicks",
 )
 
 

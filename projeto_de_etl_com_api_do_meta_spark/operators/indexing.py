@@ -1,0 +1,80 @@
+"""Global row indexing and file-layout operators.
+
+``global_dense_ids`` assigns contiguous 0..n-1 ids in a total order WITHOUT
+a single-partition window: range-repartition on the order key, count rows
+per partition (first pass, tiny result to the driver), prefix-sum the
+offsets, then add each partition's offset to its local running index
+(second pass, Arrow-batched). This is the standard scalable replacement for
+``row_number() OVER (ORDER BY ...)`` — the window form moves ALL rows to one
+partition, which is exactly what a 100 TB engine must never do.
+
+``compact_to_target_files`` is the small-files maintenance op: rewrite a
+parquet dataset into ~target_mb output files (lakehouse compaction).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField
+
+
+def global_dense_ids(
+    df: DataFrame,
+    order_col: str,
+    id_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 0-based ids in ascending ``order_col`` order.
+
+    Requires ``order_col`` to be unique (a key); ties would make the dense
+    order ambiguous. Two distributed passes + one driver-side prefix sum of
+    ``num_partitions`` longs — no global sort to a single partition.
+    """
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(nparts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # Pass 1: per-partition row counts (result size = nparts, driver-safe).
+    counts = {r["_pid"]: r.cnt for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+
+    out_schema = parts.drop("_pid").schema.add(StructField(id_col, LongType(), False))
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            base = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            pdf[id_col] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf.drop(columns="_pid")
+
+    # Arrow batches preserve within-partition order, so the local running
+    # index matches the sortWithinPartitions order.
+    return parts.mapInPandas(assign, out_schema)
+
+
+def compact_to_target_files(
+    df: DataFrame, path: str, target_mb: int = 128, row_bytes_estimate: int = 100
+) -> int:
+    """Rewrite ``df`` as parquet at ``path`` in ~target_mb files (lakehouse
+    small-file compaction). Returns the file count written. The size
+    estimate is row-count based — at scale you'd sample real row width; the
+    shape (estimate -> coalesce/repartition -> overwrite) is the operator."""
+    n_rows = df.count()
+    total_mb = max(n_rows * row_bytes_estimate / (1024 * 1024), 1e-9)
+    n_files = max(1, round(total_mb / target_mb))
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return n_files

@@ -214,6 +214,37 @@ def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Global dense row ids without a single-partition window.
+# ---------------------------------------------------------------------------
+
+_ORACLE_DENSE_IDS = """
+SELECT doc_id, lang,
+       ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_id
+FROM documents
+"""
+
+
+@register(
+    "ids_global_dense",
+    oracle=_ORACLE_DENSE_IDS,
+    tags=("training", "indexing", "north-star"),
+    doc=(
+        "Contiguous 0..n-1 row ids in doc_id order via range repartition + "
+        "per-partition offset prefix-sum (operators/indexing.py) — the "
+        "scalable replacement for ROW_NUMBER() OVER (ORDER BY ...), which "
+        "moves every row to one partition. Oracle IS that window function: "
+        "same result, scalable plan."
+    ),
+)
+def ids_global_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import global_dense_ids
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return global_dense_ids(docs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream join (clicks x purchases attribution).
 # ---------------------------------------------------------------------------
 

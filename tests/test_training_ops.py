@@ -87,3 +87,34 @@ def test_hll_union_matches_single_sketch_estimate(spark, sf_dir):
         .e
     )
     assert merged == single
+
+
+def test_global_dense_ids_contiguous_and_ordered(spark, sf_dir):
+    from projeto_de_etl_com_api_do_meta_spark.operators.indexing import (
+        global_dense_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = global_dense_ids(docs, "doc_id", num_partitions=7).collect()
+    n = len(out)
+    ids = sorted(r.row_id for r in out)
+    assert ids == list(range(n))  # dense, 0-based, no gaps or dups
+    by_order = sorted(out, key=lambda r: r.doc_id)
+    assert [r.row_id for r in by_order] == list(range(n))  # follows key order
+
+
+def test_compact_to_target_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.indexing import (
+        compact_to_target_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # force tiny target so multiple files are produced deterministically
+    n = compact_to_target_files(
+        docs, str(tmp_path / "out"), target_mb=1, row_bytes_estimate=10_000
+    )
+    files = glob.glob(str(tmp_path / "out" / "*.parquet"))
+    assert len(files) == n and n >= 2
+    assert spark.read.parquet(str(tmp_path / "out")).count() == docs.count()
