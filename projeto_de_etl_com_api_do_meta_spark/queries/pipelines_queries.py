@@ -22,7 +22,7 @@ from ..plans.pipelines import (
     run_dimension,
     run_lead_insights,
 )
-from ..session import pin_query_session_conf
+from ..session import pin_query_session_conf, scoped_conf
 from ..sources.meta_rest import MetaRestSource
 from ..streaming.windows import (
     dedup_within_watermark,
@@ -100,9 +100,10 @@ GROUP BY 1, 2
 )
 def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
-    stream = tumbling_daily(read_events_stream(spark, sf_dir))
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        return run_available_now(stream, ckpt)
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        stream = tumbling_daily(read_events_stream(spark, sf_dir))
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            return run_available_now(stream, ckpt)
 
 
 _ORACLE_STREAM_SLIDING = """
@@ -133,9 +134,10 @@ GROUP BY 1, 2, 3
 )
 def stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
-    stream = sliding_hourly(read_events_stream(spark, sf_dir))
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        return run_available_now(stream, ckpt)
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        stream = sliding_hourly(read_events_stream(spark, sf_dir))
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            return run_available_now(stream, ckpt)
 
 
 # Spark session_window range is [start, last_ts + gap): an event at EXACTLY
@@ -177,9 +179,10 @@ GROUP BY user_id, sid
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
-    stream = session_windows(read_events_stream(spark, sf_dir))
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        return run_available_now(stream, ckpt)
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        stream = session_windows(read_events_stream(spark, sf_dir))
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            return run_available_now(stream, ckpt)
 
 
 @register(
@@ -193,11 +196,12 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
-    stream = dedup_within_watermark(read_events_stream(spark, sf_dir)).select(
-        "event_id"
-    )
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        return run_available_now(stream, ckpt, output_mode="append")
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        stream = dedup_within_watermark(read_events_stream(spark, sf_dir)).select(
+            "event_id"
+        )
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            return run_available_now(stream, ckpt, output_mode="append")
 
 
 @register(
@@ -321,9 +325,10 @@ def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import stateful_user_counters
 
     pin_query_session_conf(spark)
-    stream = stateful_user_counters(read_events_stream(spark, sf_dir))
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        out = run_available_now(stream, ckpt, output_mode="update")
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        stream = stateful_user_counters(read_events_stream(spark, sf_dir))
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            out = run_available_now(stream, ckpt, output_mode="update")
     # Update mode re-emits a user's row each micro-batch it appears in; the
     # counters are monotone, so the final state is the per-user max.
     return out.groupBy("user_id").agg(

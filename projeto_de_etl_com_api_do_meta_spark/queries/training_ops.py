@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..session import pin_query_session_conf
+from ..session import pin_query_session_conf, scoped_conf
 from ..streaming.windows import (
     clicks_purchases_join,
     read_events_stream,
@@ -277,7 +277,11 @@ WHERE c.event_type = 'click'
 )
 def stream_stream_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
-    events = read_events_stream(spark, sf_dir)
-    joined = clicks_purchases_join(events)
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        return run_available_now(joined, ckpt, output_mode="append")
+    # State partitions = shuffle.partitions at stream start; fixture-scale
+    # state fits a handful of stores (production would size this to state
+    # volume — see session.scoped_conf).
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        events = read_events_stream(spark, sf_dir)
+        joined = clicks_purchases_join(events)
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            return run_available_now(joined, ckpt, output_mode="append")

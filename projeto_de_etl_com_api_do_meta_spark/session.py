@@ -56,6 +56,37 @@ def get_spark(
     return builder.getOrCreate()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, **confs: str):
+    """Temporarily set runtime-mutable session confs, restoring on exit.
+
+    Used by streaming registry queries to right-size the number of state
+    store partitions (= ``spark.sql.shuffle.partitions`` at query start) for
+    the expected state volume: a state store instance per partition has
+    fixed setup cost, so tiny-state demos pin it low while large-state
+    production jobs would pin it high. Results are unaffected.
+    """
+    keys = {k.replace("__", "."): v for k, v in confs.items()}
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 - unset key
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def pin_query_session_conf(spark: SparkSession) -> None:
     """Runtime-settable conf pins applied at the top of every registry query.
 
