@@ -412,3 +412,38 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned_interval_join(clicks, purchases, window_us=300_000_000).select(
         "click_id", "purchase_id"
     )
+
+
+_ORACLE_NULLSAFE = """
+WITH t AS (
+  SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg, COUNT(*) AS n
+  FROM customer GROUP BY 1
+)
+SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b
+FROM t a JOIN t b ON a.seg IS NOT DISTINCT FROM b.seg
+"""
+
+
+@register(
+    "join_null_safe_eq",
+    oracle=_ORACLE_NULLSAFE,
+    tags=("join",),
+    doc=(
+        "Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match "
+        "each other instead of dropping — the semantics a plain equi-join "
+        "silently loses. Still a hash-joinable condition (null is one key "
+        "value), unlike an OR-of-IS-NULL rewrite which degrades to a "
+        "nested loop."
+    ),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    t = cust.groupBy(
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = t.select(F.col("seg").alias("seg_a"), F.col("n").alias("n_a"))
+    b = t.select(F.col("seg").alias("seg_b"), F.col("n").alias("n_b"))
+    return a.join(b, a.seg_a.eqNullSafe(b.seg_b)).select(
+        "seg_a", "seg_b", "n_a", "n_b"
+    )

@@ -296,3 +296,41 @@ def sql_interface_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     register_all(spark, sf_dir)
     return spark.sql(_SQL_TEXT)
+
+
+_SQL_RECURSIVE = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1996-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < CAST('1996-12-01' AS DATE)
+)
+SELECT months.m AS month_start, COUNT(o.o_orderkey) AS n_orders
+FROM months
+LEFT JOIN orders o
+  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = months.m
+GROUP BY months.m
+ORDER BY months.m
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=_SQL_RECURSIVE,
+    tags=("sql", "interface"),
+    doc=(
+        "Recursive CTE (Spark 4 WITH RECURSIVE): a 12-month spine "
+        "generated by recursion, left-joined to orders for a "
+        "zero-preserving monthly series. The identical SQL text runs on "
+        "DuckDB as the oracle. (Each recursion step is a distributed "
+        "sub-plan, so depth is kept to the spine size, not the data size "
+        "— data-sized iteration belongs in the min-label-propagation "
+        "loop, see dedup_cluster_components.)"
+    ),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import register_all
+
+    pin_query_session_conf(spark)
+    register_all(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE)

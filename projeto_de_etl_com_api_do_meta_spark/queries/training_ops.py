@@ -214,6 +214,32 @@ def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stratified seeded sampling (per-language rates).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle=None,  # sample membership is partitioning-dependent; bounds + rate
+    # checks pinned by tests/test_training_ops.py
+    tags=("training", "sampling"),
+    doc=(
+        "Stratified Bernoulli sampling with per-language fractions "
+        "(df.sampleBy, seeded): the corpus-rebalancing step of a data "
+        "pipeline (e.g. downsample the dominant language). Per-row "
+        "coin-flips — no shuffle, no state; for run-invariant membership "
+        "use sample_hash_split's md5-bucket filter instead."
+    ),
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0}
+    sampled = docs.sampleBy("lang", fractions=fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# ---------------------------------------------------------------------------
 # Global dense row ids without a single-partition window.
 # ---------------------------------------------------------------------------
 

@@ -118,3 +118,22 @@ def test_compact_to_target_files(spark, sf_dir, tmp_path):
     files = glob.glob(str(tmp_path / "out" / "*.parquet"))
     assert len(files) == n and n >= 2
     assert spark.read.parquet(str(tmp_path / "out")).count() == docs.count()
+
+
+def test_stratified_sample_rates_and_repeatability(spark, sf_dir):
+    fn = QUERIES["sample_stratified_by_lang"].fn
+    a = {r.lang: r.n_sampled for r in fn(spark, sf_dir).collect()}
+    b = {r.lang: r.n_sampled for r in fn(spark, sf_dir).collect()}
+    assert a == b  # same seed + same input partitioning => same sample
+    exact = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(a) == set(exact)
+    # en downsampled to ~25%; other strata kept whole
+    assert a["en"] < 0.6 * exact["en"] and a["en"] > 0.05 * exact["en"]
+    for lang in ("de", "es", "fr", "zh"):
+        assert a[lang] == exact[lang]
