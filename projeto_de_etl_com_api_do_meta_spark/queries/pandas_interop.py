@@ -146,3 +146,74 @@ def fn_scalar_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", slug("c_name").alias("slug"), checksum("c_name").alias("checksum")
     )
+
+
+_ORACLE_COGROUP = """
+WITH o AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+         CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) * 100
+              AS BIGINT) AS BIGINT) AS total_cents
+  FROM orders GROUP BY o_custkey
+),
+c AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer)
+SELECT c.custkey, c.c_mktsegment,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.total_cents, 0) AS total_cents
+FROM c LEFT JOIN o ON c.custkey = o.custkey
+"""
+
+
+@register(
+    "udtf_cogroup_pandas",
+    oracle=_ORACLE_COGROUP,
+    tags=("join", "pandas", "cogroup"),
+    doc=(
+        "Co-grouped map (groupBy().cogroup().applyInPandas): both tables "
+        "shuffled on a shared bucket key, each bucket pair handed to one "
+        "Arrow-batched kernel that merges per-customer with pandas — the "
+        "escape hatch for per-key merge logic no join expresses. Bucketing "
+        "(custkey % 64) keeps Python invocations at O(buckets), not "
+        "O(customers); integer-cent sums keep the oracle exact."
+    ),
+)
+def udtf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    n_buckets = 64
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        "c_mktsegment",
+        F.pmod("c_custkey", F.lit(n_buckets)).alias("bucket"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.pmod("o_custkey", F.lit(n_buckets)).alias("bucket"),
+        # exact cents as int64 before the kernel: no float sum order issues
+        F.round(F.col("o_totalprice").cast("decimal(18,4)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def merge(c_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(c_pdf) == 0:  # orders whose custkey is absent from customer
+            return pd.DataFrame(
+                columns=["custkey", "c_mktsegment", "n_orders", "total_cents"]
+            )
+        agg = (
+            o_pdf.groupby("custkey")["cents"]
+            .agg(n_orders="count", total_cents="sum")
+            .reset_index()
+        )
+        out = c_pdf[["custkey", "c_mktsegment"]].merge(agg, on="custkey", how="left")
+        out[["n_orders", "total_cents"]] = (
+            out[["n_orders", "total_cents"]].fillna(0).astype("int64")
+        )
+        return out
+
+    return (
+        cust.groupBy("bucket")
+        .cogroup(orders.groupBy("bucket"))
+        .applyInPandas(
+            merge,
+            "custkey long, c_mktsegment string, n_orders long, total_cents long",
+        )
+    )

@@ -326,3 +326,44 @@ def fn_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey_parity"
         ),
     )
+
+
+# -- Semi-structured: VariantType JSON (Spark 4) ------------------------------
+
+_ORACLE_VARIANT = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "fn_variant_json",
+    oracle=_ORACLE_VARIANT,
+    tags=("functions", "json", "variant"),
+    doc=(
+        "Semi-structured access via Spark 4 VariantType: parse_json once "
+        "into the binary variant encoding, then typed path extraction "
+        "(try_variant_get) — the schema-on-read path for the reference's "
+        "JSONB field_data (load.py:77-91) that avoids re-parsing the JSON "
+        "string per field access. Oracle: DuckDB JSON operators."
+    ),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
