@@ -74,6 +74,7 @@ def _load_all() -> None:
         scalar_funcs,
         skew_queries,
         tpch_extra,
+        tpch_remaining,
         training_ops,
         windows_setops,
     )
