@@ -76,6 +76,7 @@ def _load_all() -> None:
         tpch_extra,
         tpch_remaining,
         training_ops,
+        warehouse_ops,
         windows_setops,
     )
 

@@ -1,0 +1,178 @@
+"""Warehouse-maintenance operator family: SCD2 point-in-time joins and
+incremental partition-overwrite rollups.
+
+These are the two patterns a daily-cron relational ETL (the reference's
+Jenkins re-run + ON CONFLICT merge, reference README.md:115-127 +
+load.py:94-116) grows into at warehouse scale:
+
+- **SCD2 / point-in-time join**: the reference keeps only the latest
+  dimension row per ad (keep-last dedup, reference transform.py:97).  The
+  scale-out generalization keeps *every* version with a validity interval
+  and joins facts to the version in effect at fact time.
+- **Incremental partition rollup**: the reference recomputes a sliding
+  "today" window and merges it over the target (load.py:94-116).  The
+  lakehouse analog rewrites only the affected date partitions via dynamic
+  partition overwrite — the whole-table history is never touched.
+
+Scale notes (100 TB posture):
+- The SCD2 join is an equi-join on the entity key with interval predicates
+  as residual filters: versions-per-entity is small and bounded, so the
+  shuffle moves each user's version list next to its facts — never a
+  broadcast of the full history, never a cross product.
+- The rollup writes with ``partitionOverwriteMode=dynamic`` so a re-run of
+  an N-day window issues N partition replacements regardless of table
+  history size; re-running the same window is idempotent (same input ->
+  same partition contents), which is the exactly-once story the
+  reference's ON CONFLICT merge provides row-wise.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.safe_math import dec
+from ..io import load_table
+from ..session import pin_query_session_conf
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH versions AS (
+  SELECT user_id,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS version_no
+  FROM events
+  WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, v.version_no
+FROM events c
+JOIN versions v
+  ON c.user_id = v.user_id
+ AND c.ts >= v.valid_from
+ AND (v.valid_to IS NULL OR c.ts < v.valid_to)
+WHERE c.event_type = 'click'
+ORDER BY c.event_id
+"""
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle=_SCD2_ORACLE,
+    tags=("join", "temporal", "warehouse"),
+    doc=(
+        "SCD2 point-in-time join: purchase events define per-user dimension "
+        "versions ([valid_from, valid_to) via LEAD over event time); each "
+        "click fact joins to the version in effect at its timestamp. "
+        "Equi-join on user_id with the interval test as a residual "
+        "predicate — per-user version lists are bounded, so this is a "
+        "plain shuffled join, no broadcast of history, no range explosion."
+    ),
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .withColumn("version_no", F.row_number().over(w))
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            "version_no",
+        )
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    in_effect = (
+        (clicks.user_id == versions.v_user_id)
+        & (clicks.ts >= versions.valid_from)
+        & (versions.valid_to.isNull() | (clicks.ts < versions.valid_to))
+    )
+    return (
+        clicks.join(versions, in_effect)
+        .select("event_id", "user_id", "version_no")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup via dynamic partition overwrite.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_date,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+ORDER BY event_date, event_type
+"""
+
+#: The incremental run re-processes this sliding window (the reference's
+#: HOURS_TO_PULL/today analog, reference extract.py:34-47).
+_CUTOFF = "2024-01-25"
+_REPROCESS_FROM = "2024-01-20"
+
+
+def _daily_rollup(events: DataFrame) -> DataFrame:
+    return events.groupBy(
+        F.to_date("ts").alias("event_date"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(dec("value")) * 100, 0).cast("long").alias("value_cents"),
+    )
+
+
+@register(
+    "events_incremental_rollup",
+    oracle=_ROLLUP_ORACLE,
+    tags=("sink", "incremental", "warehouse"),
+    doc=(
+        "Incremental daily rollup maintained by dynamic partition "
+        "overwrite: an initial load covers days < 2024-01-25, then an "
+        "incremental re-run of the sliding window >= 2024-01-20 "
+        "(overlapping 5 days, like the reference's daily re-scan) replaces "
+        "ONLY the window's date partitions. The read-back equals a full "
+        "recompute — proving the overlap overwrite is idempotent and "
+        "untouched history survives (static overwrite mode would have "
+        "dropped it)."
+    ),
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    events = load_table(spark, sf_dir, "events")
+    target = tempfile.mkdtemp(prefix="incr_rollup_") + "/daily"
+
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # Initial load: everything before the cutoff (as of a past run).
+        _daily_rollup(
+            events.where(F.to_date("ts") < F.lit(_CUTOFF))
+        ).write.mode("overwrite").partitionBy("event_date").parquet(target)
+        # Incremental run: sliding window, overlapping already-loaded days.
+        # Dynamic mode replaces only the window's partitions.
+        _daily_rollup(
+            events.where(F.to_date("ts") >= F.lit(_REPROCESS_FROM))
+        ).write.mode("overwrite").partitionBy("event_date").parquet(target)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    return (
+        spark.read.parquet(target)
+        .select("event_date", "event_type", "n_events", "value_cents")
+        .orderBy("event_date", "event_type")
+    )

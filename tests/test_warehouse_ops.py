@@ -1,0 +1,78 @@
+"""Warehouse ops: SCD2 point-in-time join and incremental partition
+overwrite (queries/warehouse_ops.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from projeto_de_etl_com_api_do_meta_spark.io import load_table
+from projeto_de_etl_com_api_do_meta_spark.queries.warehouse_ops import (
+    _daily_rollup,
+    events_incremental_rollup,
+    join_scd2_point_in_time,
+)
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_scd2_version_boundaries(spark, sf_dir, tmp_path):
+    """A click at exactly valid_from joins the NEW version; clicks before the
+    first purchase join nothing; clicks after the last join the open one."""
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: purchases at 10:00 (v1) and 12:00 (v2)
+        (1, t.replace(hour=10), 1, "purchase", 0.0),
+        (2, t.replace(hour=12), 1, "purchase", 0.0),
+        (3, t.replace(hour=9), 1, "click", 0.0),   # before v1 -> no match
+        (4, t.replace(hour=10), 1, "click", 0.0),  # == v1 valid_from -> v1
+        (5, t.replace(hour=11), 1, "click", 0.0),  # inside v1
+        (6, t.replace(hour=12), 1, "click", 0.0),  # == v2 valid_from -> v2
+        (7, t.replace(hour=23), 1, "click", 0.0),  # open interval -> v2
+        # user 2: no purchases -> its click never matches
+        (8, t.replace(hour=11), 2, "click", 0.0),
+    ]
+    src = tmp_path / "events.parquet"
+    _events_df(spark, rows).withColumn("props", F.lit("{}")).write.parquet(str(src))
+    # point the query at a directory whose events table is our fixture
+    got = {
+        r.event_id: r.version_no
+        for r in join_scd2_point_in_time(spark, str(tmp_path)).collect()
+    }
+    assert got == {4: 1, 5: 1, 6: 2, 7: 2}
+
+
+def test_incremental_rollup_matches_full_recompute(spark, sf_dir):
+    out = events_incremental_rollup(spark, sf_dir).collect()
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        (r.event_date, r.event_type): (r.n_events, r.value_cents)
+        for r in _daily_rollup(events).collect()
+    }
+    got = {
+        (r.event_date, r.event_type): (r.n_events, r.value_cents) for r in out
+    }
+    assert got == want
+    # early-history days (before the reprocess window) must have survived
+    # the second overwrite — static mode would have dropped them.
+    assert min(d for d, _ in got) == dt.date(2024, 1, 1)
+
+
+def test_incremental_rollup_rerun_idempotent(spark, sf_dir):
+    a = sorted(map(tuple, events_incremental_rollup(spark, sf_dir).collect()))
+    b = sorted(map(tuple, events_incremental_rollup(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_overwrite_mode_restored(spark, sf_dir):
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    events_incremental_rollup(spark, sf_dir)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == before
+    )
