@@ -34,8 +34,12 @@ HEADLINE: tuple[str, ...] = (
     "perf_daily_fact",
     "q5_local_supplier_revenue",
     "q8_market_share",
+    "q9_product_profit",
     "q18_large_volume_customers",
+    "q21_waiting_suppliers",
     "join_full_outer_fanout",
+    "join_scd2_point_in_time",
+    "events_incremental_rollup",
     "agg_rollup_region_nation",
     "window_topk_per_group",
     "events_sessionize_30m",
@@ -65,12 +69,22 @@ def main() -> None:
     # Warm the session (JVM init, parquet footer reads) outside timings.
     QUERIES[names[0]].fn(spark, sf_dir).count()
 
+    # Two reps per query, report the min: rep 1 absorbs first-run Catalyst
+    # analysis + codegen, rep 2 is steady state; min-of-2 also damps shared-
+    # host noise.  clearCache() between queries drops intermediates some
+    # operators persist (e.g. IVF centroid assignments) so queries can't
+    # degrade each other through executor memory pressure.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = QUERIES[name].fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = QUERIES[name].fn(spark, sf_dir)
+            df.count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

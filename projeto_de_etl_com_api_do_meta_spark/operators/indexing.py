@@ -78,3 +78,69 @@ def compact_to_target_files(
     n_files = max(1, round(total_mb / target_mb))
     df.repartition(n_files).write.mode("overwrite").parquet(path)
     return n_files
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) curve key: bit-interleave ``cols`` (already scaled
+    to non-negative ints < 2**bits) into one long.
+
+    Built from shift/and/or expressions only, so it stays inside
+    whole-stage codegen — no UDF. With k columns the key has k*bits bits;
+    keep k*bits <= 63.
+    """
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a signed long")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1).cast("long"))
+            key = key.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return key
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    num_files: int,
+    bits: int = 16,
+) -> None:
+    """Rewrite ``df`` as parquet laid out along a Z-order curve over
+    ``cols`` (the Delta/Iceberg OPTIMIZE ZORDER analog, built from plain
+    Spark ops).
+
+    Each column is min-max scaled to ``bits`` bits (one tiny agg pass for
+    the bounds), rows are range-partitioned AND sorted by the interleaved
+    curve key, so every output file covers a small hyper-rectangle of the
+    key space. Parquet column min/max stats then prune files for
+    predicates on ANY prefix-free subset of ``cols`` — unlike a
+    lexicographic sort, which only prunes on the leading column. The curve
+    key is dropped before write; content is unchanged (pure layout op).
+    """
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top).cast(
+                    "long"
+                ),
+            )
+        )
+    keyed = df.withColumn("_zkey", zorder_key(scaled, bits))
+    (
+        keyed.repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

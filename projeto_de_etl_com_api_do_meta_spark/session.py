@@ -30,6 +30,14 @@ def get_spark(
     """Build (or fetch) the tuned SparkSession."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # One BLAS thread per task: parallelism belongs to Spark's task
+    # scheduler, not to numpy's thread pool.  Without this, every Python
+    # worker doing a GEMM (embedding cosine / IVF) spawns one BLAS thread
+    # per core -> n_workers × n_cores runnable threads and multi-×
+    # run-to-run variance.  Set in the driver env (local-mode Python
+    # workers inherit it) AND as executorEnv for real clusters.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
@@ -50,6 +58,9 @@ def get_spark(
         # --- local-mode hygiene ---
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -137,3 +137,53 @@ def test_stratified_sample_rates_and_repeatability(spark, sf_dir):
     assert a["en"] < 0.6 * exact["en"] and a["en"] > 0.05 * exact["en"]
     for lang in ("de", "es", "fr", "zh"):
         assert a[lang] == exact[lang]
+
+
+def test_zorder_layout_clusters_2d_boxes(spark, sf_dir, tmp_path):
+    """A 2-d box predicate touches fewer files under Z-order layout than
+    under a single-column sort layout (the file-skipping rationale)."""
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.operators.indexing import (
+        zorder_layout,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts_long", F.col("ts").cast("long")
+    )
+    n_files = 16
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zorder_layout(events, ["user_id", "ts_long"], zpath, n_files)
+    (
+        events.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    stats = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts_long"), F.max("ts_long")
+    ).first()
+    u_lo, u_hi, t_lo, t_hi = stats
+    u_q = (u_hi - u_lo) // 4
+    t_q = (t_hi - t_lo) // 4
+    box = (
+        F.col("user_id").between(u_lo + u_q, u_lo + 2 * u_q)
+        & F.col("ts_long").between(t_lo + t_q, t_lo + 2 * t_q)
+    )
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .where(box)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    z, lin = files_touched(zpath), files_touched(lpath)
+    # content identical regardless of layout
+    assert spark.read.parquet(zpath).count() == events.count()
+    assert z <= lin
+    assert z < n_files
