@@ -336,3 +336,45 @@ def stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total_value_cents").alias("total_value_cents"),
         F.max("last_ts").alias("last_ts"),
     )
+
+
+_ORACLE_STREAM_STATIC = """
+WITH user_dim AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+SELECT e.event_type,
+       CASE WHEN e.ts = u.first_ts THEN 1 ELSE 0 END AS is_first,
+       COUNT(*) AS n_events
+FROM events e JOIN user_dim u ON e.user_id = u.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "stream_static_enrich",
+    oracle=_ORACLE_STREAM_STATIC,
+    tags=("streaming", "join"),
+    doc=(
+        "Stream-static broadcast enrichment: the events stream joins a "
+        "batch user dimension (first-seen timestamp, computed once and "
+        "broadcast to every micro-batch), then counts events per "
+        "(type, is-first-event). Oracle is the equivalent batch self-join "
+        "(stream/batch parity)."
+    ),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import enrich_with_static_dim
+
+    pin_query_session_conf(spark)
+    user_dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        stream = enrich_with_static_dim(read_events_stream(spark, sf_dir), user_dim)
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            out = run_available_now(stream, ckpt)
+    return out.orderBy("event_type", "is_first")

@@ -73,6 +73,7 @@ def _load_all() -> None:
         relational,
         scalar_funcs,
         skew_queries,
+        text_cleaning,
         tpch_extra,
         tpch_remaining,
         training_ops,

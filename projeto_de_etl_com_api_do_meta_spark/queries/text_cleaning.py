@@ -1,0 +1,158 @@
+"""Corpus-cleaning operators: PII scrubbing and repetition-based quality.
+
+Standard steps of an LLM training-data pipeline ahead of dedup/filtering:
+redact personally-identifying strings (emails, URLs, phone numbers) and
+score documents by internal repetition (near-boilerplate detector).
+
+The fixture corpus is synthetic word-soup with no PII, so the scrub query
+first APPENDS deterministic synthetic PII derived from ``doc_id`` and then
+scrubs it — the operator does real regex work on every row and the DuckDB
+oracle applies the identical augmentation + scrub, so semantics (not just
+plumbing) are value-verified.
+
+Scale notes: both queries are pure per-row JVM expression work — regex and
+array ops inside whole-stage codegen, no UDF, no shuffle except the final
+presentation sort. Cross-engine float hazards are avoided by emitting
+ratios as basis points via ``floor(10000 * x)``: the IEEE division is
+bit-identical on identical int inputs, and floor (unlike round) has no
+tie-breaking mode to disagree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..session import pin_query_session_conf
+from .registry import register
+
+#: Redaction patterns, applied in this order. Kept to regex features with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^ ]+"
+PHONE_RE = "\\+[0-9][0-9\\-]{4,}[0-9]"
+
+
+def scrub_pii(col):
+    """Chained global redaction: emails -> <EMAIL>, URLs -> <URL>, phone
+    numbers -> <PHONE>. Order is part of the contract: an email inside a
+    URL path is redacted by the email pass and then absorbed by the URL
+    pass; phone runs last so digit runs inside URLs are already gone.
+    """
+    c = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, URL_RE, "<URL>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")
+
+
+_SCRUB_ORACLE = """
+WITH augmented AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@mail.example.com via http://ex.com/d/' || doc_id ||
+         ' or +1-555-0' || doc_id AS raw
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+           '\\+[0-9][0-9\\-]{4,}[0-9]', '<PHONE>', 'g') AS clean
+  FROM augmented)
+SELECT doc_id,
+       md5(clean) AS scrub_hash,
+       len(regexp_extract_all(clean, '<EMAIL>')) AS n_email,
+       len(regexp_extract_all(clean, '<URL>')) AS n_url,
+       len(regexp_extract_all(clean, '<PHONE>')) AS n_phone
+FROM scrubbed
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_scrub_pii",
+    oracle=_SCRUB_ORACLE,
+    tags=("text", "cleaning"),
+    doc=(
+        "PII scrubbing over the corpus: deterministic synthetic "
+        "email/URL/phone strings are appended per doc_id, then globally "
+        "redacted by chained regexp_replace (JVM codegen, no UDF). Output "
+        "is the md5 of the cleaned text plus per-kind redaction counts, "
+        "value-checked against DuckDB running the same augment + scrub."
+    ),
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@mail.example.com via http://ex.com/d/"),
+        F.col("doc_id"),
+        F.lit(" or +1-555-0"),
+        F.col("doc_id"),
+    )
+    clean = scrub_pii(raw)
+    return (
+        docs.select(F.col("doc_id"), clean.alias("clean"))
+        .select(
+            "doc_id",
+            F.md5("clean").alias("scrub_hash"),
+            F.size(F.expr("regexp_extract_all(clean, '<EMAIL>', 0)")).alias(
+                "n_email"
+            ),
+            F.size(F.expr("regexp_extract_all(clean, '<URL>', 0)")).alias("n_url"),
+            F.size(F.expr("regexp_extract_all(clean, '<PHONE>', 0)")).alias(
+                "n_phone"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REPETITION_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ws,
+         length(replace(text, ' ', '')) AS n_chars_nospace
+  FROM documents)
+SELECT doc_id,
+       len(ws) AS n_words,
+       CAST(floor(10000 * (1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                                 / len(ws))) AS BIGINT) AS repetition_bp,
+       CAST(floor(10000 * (CAST(n_chars_nospace AS DOUBLE) / len(ws)))
+         AS BIGINT) AS mean_word_len_bp
+FROM words
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_repetition_quality",
+    oracle=_REPETITION_ORACLE,
+    tags=("text", "quality"),
+    doc=(
+        "Repetition-based quality signals (boilerplate detector): per doc, "
+        "the duplicated-word fraction (1 - distinct/total) and mean word "
+        "length, both as floor-basis-points so cross-engine float rounding "
+        "cannot disagree. Pure array expressions in codegen; no shuffle."
+    ),
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws)
+    rep = 1.0 - F.size(F.array_distinct(ws)).cast("double") / n_words
+    mean_len = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_words
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.floor(F.lit(10000) * rep).cast("long").alias("repetition_bp"),
+        F.floor(F.lit(10000) * mean_len).cast("long").alias("mean_word_len_bp"),
+    ).orderBy("doc_id")

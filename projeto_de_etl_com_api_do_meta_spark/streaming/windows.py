@@ -233,3 +233,16 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enrich_with_static_dim(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: each streaming event is enriched against a
+    broadcast batch dimension (here a user-level first-seen table), then
+    aggregated.  The static side is planned once and shipped to every
+    micro-batch — the streaming analog of the engine's broadcast dim joins
+    (SURVEY §2.3 J4); no state store is involved for the join itself.
+    """
+    enriched = stream.join(F.broadcast(user_dim), "user_id")
+    return enriched.withColumn(
+        "is_first", (F.col("ts") == F.col("first_ts")).cast("int")
+    ).groupBy("event_type", "is_first").agg(F.count(F.lit(1)).alias("n_events"))

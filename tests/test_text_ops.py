@@ -115,3 +115,23 @@ def test_winnow_fingerprints_semantics(spark):
     assert r1.n_kgrams == 0
     assert r1.n_fps == 0
     assert r1.min_fp is None
+
+
+def test_scrub_pii_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.text_cleaning import scrub_pii
+
+    rows = [
+        ("mail me at a.b+c%d@sub.example.co.uk today", "mail me at <EMAIL> today"),
+        ("see https://x.io/p?q=1#f and http://y.z/a", "see <URL> and <URL>"),
+        ("call +1-555-0100 now", "call <PHONE> now"),
+        ("digits-only 12345 stay", "digits-only 12345 stay"),  # no leading +
+        ("no pii here", "no pii here"),
+        # order: email inside URL path is already gone with the URL
+        ("go http://h.com/u@e.com end", "go <URL> end"),
+    ]
+    df = spark.createDataFrame(rows, "raw string, want string")
+    got = df.select("want", scrub_pii(F.col("raw")).alias("got")).collect()
+    for r in got:
+        assert r.got == r.want
