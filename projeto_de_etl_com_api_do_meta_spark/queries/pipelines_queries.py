@@ -378,3 +378,48 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
             out = run_available_now(stream, ckpt)
     return out.orderBy("event_type", "is_first")
+
+
+@register(
+    "meta_dsv2_dimension_scan",
+    tags=("source", "dsv2"),
+    doc=(
+        "Ads dimension built over the Python DataSource V2 reader "
+        "(sources/meta_dsv2.py): partition-per-page parallel scan with the "
+        "status IN-list accepted by pushFilters and executed by the "
+        "(fake) endpoint, nested adset/campaign structs flattened, "
+        "keep-last dedup to the ad grain. Rows-only check: the transport "
+        "is engine-internal, not a DuckDB-queryable table."
+    ),
+)
+def meta_dsv2_dimension_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.meta_dsv2 import register_meta_source
+
+    pin_query_session_conf(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_meta_source(spark)
+    ads = (
+        spark.read.format("meta_ads")
+        .load()
+        .where(
+            F.col("effective_status").isin("ACTIVE", "PAUSED", "PENDING_REVIEW")
+        )
+    )
+    w = Window.partitionBy("ad_id").orderBy(F.col("ad_name").desc())
+    return (
+        ads.select(
+            F.col("id").alias("ad_id"),
+            F.col("name").alias("ad_name"),
+            "adset_id",
+            F.col("adset.name").alias("adset_name"),
+            "campaign_id",
+            F.col("campaign.name").alias("campaign_name"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("ad_id")
+    )

@@ -52,6 +52,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- python interop ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource V2 filter pushdown (sources/meta_dsv2.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- semantics ---
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,192 @@
+"""Meta-shaped DataSource V2 (Python data source API) — SURVEY §7 M5 phase 2.
+
+Upgrades the phase-1 driver-side fetch (`meta_rest.MetaRestSource`) to a real
+``spark.read.format(...)`` source:
+
+- **Partitioned scan**: each API *page* is an ``InputPartition``, so pages
+  are fetched executor-parallel instead of serially on the driver (the
+  reference pages serially in-process, extract.py:209-215). With a real
+  cursor API the page count comes from the paging metadata; the fake
+  transport derives it from the fixture row count at plan time.
+- **Filter pushdown** (``pushFilters``): IN/= on ``effective_status`` maps
+  to the endpoint's ``filtering`` param (reference extract.py:125-128);
+  >=/<= on ``date_start`` maps to ``time_range`` (extract.py:199-205).
+  Accepted filters are executed by the (fake) server; everything else is
+  returned to Spark to evaluate — so a partially-pushable predicate stays
+  correct.
+- **Column pruning**: the engine's fixed schema contracts are the
+  ``fields`` projection; Spark's required-schema pruning composes on top.
+
+Registered under the short name ``meta_ads``; ``edge`` option selects
+``ads`` (default) or ``insights`` (+ optional ``breakdowns=age,gender`` /
+``region``).  Transport is the deterministic in-memory fake — a
+facebook_business-backed transport would plug in behind the same two
+methods (import-gated, the SDK is absent here).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from .. import schemas
+
+_INSIGHTS_SCHEMAS = {
+    "": schemas.RAW_INSIGHTS_DAILY,
+    "age,gender": schemas.RAW_INSIGHTS_DEMO,
+    "region": schemas.RAW_INSIGHTS_GEO,
+}
+
+
+def _attr(f: Filter) -> str:
+    return ".".join(f.attribute)
+
+
+class MetaAdsDataSource(DataSource):
+    """``spark.read.format("meta_ads")`` — Meta Graph-shaped edges."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "meta_ads"
+
+    def schema(self) -> StructType:
+        if self.options.get("edge", "ads") == "insights":
+            return _INSIGHTS_SCHEMAS[self.options.get("breakdowns", "")]
+        return schemas.RAW_ADS
+
+    def reader(self, schema: StructType) -> "MetaEdgeReader":
+        return MetaEdgeReader(schema, dict(self.options))
+
+
+class MetaEdgeReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.user_schema = schema
+        self.edge = options.get("edge", "ads")
+        self.breakdowns = tuple(
+            b for b in options.get("breakdowns", "").split(",") if b
+        )
+        self.page_size = int(options.get("pagesize", "1000" if self.edge != "ads" else "25"))
+        self.status_filter: list[str] | None = None
+        self.since: str | None = None
+        self.until: str | None = None
+        self.drop_null_dates = False
+
+    # -- pushdown -----------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        # Eager (not a generator): acceptance side effects must happen at
+        # planning time even if Spark never iterates the rejected list.
+        # NOTE: runs in Spark's planning *worker process* — acceptance is
+        # observable from the plan (no Filter node survives), not from
+        # driver-side module state.
+        rejected: list[Filter] = []
+        for f in filters:
+            if (
+                self.edge == "ads"
+                and isinstance(f, (In, EqualTo))
+                and _attr(f) == "effective_status"
+            ):
+                vals = list(f.value) if isinstance(f, In) else [f.value]
+                self.status_filter = [str(v) for v in vals]
+            elif (
+                self.edge == "insights"
+                and isinstance(f, (GreaterThan, GreaterThanOrEqual))
+                and _attr(f) == "date_start"
+            ):
+                self.since = str(f.value)
+            elif (
+                self.edge == "insights"
+                and isinstance(f, (LessThan, LessThanOrEqual))
+                and _attr(f) == "date_start"
+            ):
+                self.until = str(f.value)
+            elif (
+                self.edge == "insights"
+                and isinstance(f, IsNotNull)
+                and _attr(f) == "date_start"
+            ):
+                # Spark emits IsNotNull alongside range predicates; the
+                # endpoint's time_range never returns null dates, and we
+                # enforce it below for the pushed-alone case.
+                self.drop_null_dates = True
+            else:
+                rejected.append(f)  # not pushable -> Spark evaluates it
+        return rejected
+
+    # -- planning -----------------------------------------------------------
+    def _fetch_all(self) -> list[dict]:
+        from .meta_rest import FakeMetaTransport
+
+        t = FakeMetaTransport()
+        params: dict = {"limit": 1_000_000_000}
+        if self.edge == "ads":
+            if self.status_filter is not None:
+                params["filtering"] = [
+                    {
+                        "field": "ad.effective_status",
+                        "operator": "IN",
+                        "value": self.status_filter,
+                    }
+                ]
+            pages = t.get_ads([f.name for f in schemas.RAW_ADS.fields], params)
+        else:
+            params["breakdowns"] = list(self.breakdowns)
+            if self.since or self.until:
+                params["time_range"] = {
+                    "since": self.since or "0000-01-01",
+                    "until": self.until or "9999-12-31",
+                }
+            from .meta_rest import INSIGHT_FIELDS
+
+            pages = t.get_insights(INSIGHT_FIELDS, params)
+        rows: list[dict] = []
+        for page in pages:
+            rows.extend(page)
+        if self.drop_null_dates:
+            rows = [r for r in rows if r.get("date_start") is not None]
+        return rows
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # One partition per API page. The fake transport is deterministic,
+        # so the count is derived from the filtered row count; a cursor API
+        # would take page tokens from paging metadata instead.
+        n_rows = len(self._fetch_all())
+        n_pages = max(1, math.ceil(n_rows / self.page_size))
+        return [InputPartition(p) for p in range(n_pages)]
+
+    # -- execution (runs on executors) --------------------------------------
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        page = partition.value
+        rows = self._fetch_all()[page * self.page_size : (page + 1) * self.page_size]
+
+        def cell(row: dict, field) -> object:
+            v = row.get(field.name)
+            if v is None:
+                return None
+            if field.name in ("adset", "campaign"):
+                return (v.get("id"), v.get("name"))
+            if field.name in ("actions", "action_values"):
+                return [(a.get("action_type"), a.get("value")) for a in v]
+            return v
+
+        for r in rows:
+            yield tuple(cell(r, f) for f in self.user_schema.fields)
+
+
+def register_meta_source(spark) -> None:
+    """Idempotently register the short name with a session."""
+    spark.dataSource.register(MetaAdsDataSource)
