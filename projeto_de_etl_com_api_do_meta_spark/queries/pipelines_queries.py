@@ -423,3 +423,47 @@ def meta_dsv2_dimension_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("ad_id")
     )
+
+
+@register(
+    "meta_stream_insights_ingest",
+    tags=("streaming", "source", "dsv2"),
+    doc=(
+        "Streaming ingestion through the Python DataSourceStreamReader "
+        "(sources/meta_dsv2.py): day-indexed offsets over the insights "
+        "edge, run to completion with availableNow into a parquet sink "
+        "(checkpointed, exactly-once), then aggregated to daily ad counts. "
+        "The streaming-native form of the reference's daily cron re-scan. "
+        "Rows-only check: transport is engine-internal."
+    ),
+)
+def meta_stream_insights_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.meta_dsv2 import register_meta_stream_source
+
+    pin_query_session_conf(spark)
+    register_meta_stream_source(spark)
+    tmp = tempfile.mkdtemp(prefix="meta_stream_")
+    out = f"{tmp}/ingested"
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            spark.readStream.format("meta_insights_stream")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("date_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("ad_id").alias("n_ads"),
+        )
+        .orderBy("date_start")
+    )

@@ -93,3 +93,38 @@ def test_nested_structs_and_actions_arrays(spark):
     ins = spark.read.format("meta_ads").option("edge", "insights").load()
     acted = ins.select(F.explode("actions").alias("a")).select("a.action_type")
     assert acted.count() > 0
+
+
+def test_stream_source_parity_and_batching(spark, tmp_path):
+    from projeto_de_etl_com_api_do_meta_spark.sources.meta_dsv2 import (
+        register_meta_stream_source,
+    )
+
+    register_meta_stream_source(spark)
+    out = str(tmp_path / "ingested")
+
+    def run_once():
+        q = (
+            spark.readStream.format("meta_insights_stream")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got = spark.read.parquet(out)
+    batch = spark.read.format("meta_ads").option("edge", "insights").load()
+    assert got.count() == batch.count()
+    # value parity at the day grain
+    a = got.groupBy("date_start").count().collect()
+    b = batch.groupBy("date_start").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # restart on the same checkpoint: no new days -> no duplicate ingestion
+    run_once()
+    assert spark.read.parquet(out).count() == batch.count()
