@@ -22,16 +22,24 @@ Registered under the short name ``meta_ads``; ``edge`` option selects
 ``region``).  Transport is the deterministic in-memory fake — a
 facebook_business-backed transport would plug in behind the same two
 methods (import-gated, the SDK is absent here).
+
+The module also provides the other two legs of the DSv2 surface:
+``meta_insights_stream`` (``SimpleDataSourceStreamReader`` with day-indexed
+offsets — the reference's daily cron re-scan as a checkpointed streaming
+source) and ``meta_load`` (``DataSourceWriter`` implementing the
+reference's staged-chunk load + single atomic commit, load.py:42-46,94-119).
 """
 
 from __future__ import annotations
 
 import math
 from collections.abc import Iterable, Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -42,6 +50,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -282,3 +291,92 @@ class MetaInsightsStreamSource(DataSource):
 def register_meta_stream_source(spark) -> None:
     """Idempotently register the streaming short name with a session."""
     spark.dataSource.register(MetaInsightsStreamSource)
+
+
+@dataclass
+class _ChunkCommit(WriterCommitMessage):
+    """Per-task commit message: what this writer staged."""
+
+    task_rows: int = 0
+    chunk_files: tuple[str, ...] = ()
+
+
+class MetaLoadWriter(DataSourceWriter):
+    """Staged-commit batch writer — the reference's load protocol
+    (stage in chunks of ``batchsize``, then one atomic commit;
+    load.py:42-46 + 94-119) as a DataSource V2 writer.
+
+    Each task stages its rows in ``batchsize`` chunks under
+    ``<path>/_staging`` and reports them in its commit message; ``commit``
+    (driver, runs once, only if EVERY task succeeded) publishes a manifest
+    listing all chunks — readers treat manifest presence as visibility, so
+    a failed job leaves only invisible staging files for ``abort`` to
+    clean.  On a JDBC target the same protocol is stage-table + one MERGE.
+    """
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.path = options["path"]
+        self.batch_size = int(options.get("batchsize", "5000"))
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> _ChunkCommit:
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        files: list[str] = []
+        rows_out = 0
+        chunk: list[dict] = []
+
+        def flush() -> None:
+            nonlocal chunk
+            if not chunk:
+                return
+            fname = os.path.join(staging, f"chunk-{uuid.uuid4().hex}.jsonl")
+            with open(fname, "w") as fh:
+                for r in chunk:
+                    fh.write(json.dumps(r, default=str) + "\n")
+            files.append(fname)
+            chunk = []
+
+        for row in iterator:
+            chunk.append({k: row[k] for k in self.fields})
+            rows_out += 1
+            if len(chunk) >= self.batch_size:
+                flush()
+        flush()
+        return _ChunkCommit(task_rows=rows_out, chunk_files=tuple(files))
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        total = sum(m.task_rows for m in messages if m)
+        chunks = [f for m in messages if m for f in m.chunk_files]
+        manifest = {"total_rows": total, "chunks": sorted(chunks)}
+        with open(os.path.join(self.path, "_manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class MetaLoadSink(DataSource):
+    """``df.write.format("meta_load").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "meta_load"
+
+    def writer(self, schema: StructType, overwrite: bool) -> MetaLoadWriter:
+        return MetaLoadWriter(schema, dict(self.options))
+
+
+def register_meta_sink(spark) -> None:
+    """Idempotently register the sink short name with a session."""
+    spark.dataSource.register(MetaLoadSink)

@@ -128,3 +128,35 @@ def test_stream_source_parity_and_batching(spark, tmp_path):
     # restart on the same checkpoint: no new days -> no duplicate ingestion
     run_once()
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_dsv2_writer_staged_commit(spark, tmp_path):
+    import json
+
+    from projeto_de_etl_com_api_do_meta_spark.sources.meta_dsv2 import (
+        register_meta_sink,
+    )
+
+    register_meta_sink(spark)
+    target = tmp_path / "load"
+    target.mkdir()
+    df = spark.range(0, 12_345).selectExpr(
+        "CAST(id AS STRING) AS ad_id", "id * 2 AS clicks"
+    )
+    (
+        df.repartition(4)
+        .write.format("meta_load")
+        .option("path", str(target))
+        .option("batchsize", "1000")
+        .mode("append")
+        .save()
+    )
+    manifest = json.loads((target / "_manifest.json").read_text())
+    assert manifest["total_rows"] == 12_345
+    # chunking honors batchsize: 4 tasks x ceil(rows_per_task/1000) chunks
+    assert len(manifest["chunks"]) >= 13
+    staged_rows = 0
+    for chunk in manifest["chunks"]:
+        with open(chunk) as fh:
+            staged_rows += sum(1 for _ in fh)
+    assert staged_rows == 12_345
