@@ -224,3 +224,46 @@ def hamming64(a: Column, b: Column) -> Column:
     a_hi, a_lo = _halves(a)
     b_hi, b_lo = _halves(b)
     return F.bit_count(a_hi.bitwiseXOR(b_hi)) + F.bit_count(a_lo.bitwiseXOR(b_lo))
+
+
+def misra_gries_candidates(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> list[str]:
+    """Per-partition Misra-Gries heavy-hitter candidates.
+
+    Each partition maintains at most ``k-1`` counters over its token
+    stream (decrement-all when full); any token with global frequency
+    > n/k survives SOME partition summary, so the union of per-partition
+    survivors is a guaranteed superset of the true heavy hitters.  The
+    driver collects at most ``(k-1) x n_partitions`` candidate strings —
+    bounded and small — which phase 2 verifies with an exact count.  This
+    is the scale path for "frequent items over 100 TB of text": no
+    shuffle of the full token stream, one tiny collect, one broadcast.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in it:
+            for text in pdf[text_col]:
+                for tok in str(text).split(" "):
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k - 1:
+                        counters[tok] = 1
+                    else:
+                        for key in list(counters):
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                del counters[key]
+        yield pd.DataFrame({"candidate": list(counters)})
+
+    rows = (
+        df.select(text_col)
+        .mapInPandas(summarize, "candidate string")
+        .distinct()
+        .collect()
+    )
+    return sorted(r.candidate for r in rows)

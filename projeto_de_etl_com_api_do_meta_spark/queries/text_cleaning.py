@@ -156,3 +156,52 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(10000) * rep).cast("long").alias("repetition_bp"),
         F.floor(F.lit(10000) * mean_len).cast("long").alias("mean_word_len_bp"),
     ).orderBy("doc_id")
+
+
+_HEAVY_HITTERS_ORACLE = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+tot AS (SELECT count(*) AS n FROM words)
+SELECT w AS word, count(*) AS n_occurrences
+FROM words
+GROUP BY w
+HAVING count(*) * 50 > (SELECT n FROM tot)
+ORDER BY n_occurrences DESC, word
+"""
+
+
+@register(
+    "corpus_heavy_hitters",
+    oracle=_HEAVY_HITTERS_ORACLE,
+    tags=("text", "sketch", "agg"),
+    doc=(
+        "Words with frequency > n/50 via two phases: per-partition "
+        "Misra-Gries summaries (bounded counters, guaranteed candidate "
+        "superset, no token shuffle) -> exact recount of the broadcast "
+        "candidate set with an integer-exact HAVING threshold. The oracle "
+        "is the naive exact group-by, so the sketch path must be exactly "
+        "right, not approximately."
+    ),
+)
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import misra_gries_candidates
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    k = 50
+    candidates = misra_gries_candidates(docs, "text", k=k)
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        words.where(F.col("w").isin(candidates))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col("n_occurrences") * k > F.col("n_total"))
+        .select(F.col("w").alias("word"), "n_occurrences")
+        .orderBy(F.col("n_occurrences").desc(), "word")
+    )

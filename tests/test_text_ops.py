@@ -135,3 +135,43 @@ def test_scrub_pii_patterns(spark):
     got = df.select("want", scrub_pii(F.col("raw")).alias("got")).collect()
     for r in got:
         assert r.got == r.want
+
+
+def test_misra_gries_candidates_superset(spark):
+    from collections import Counter
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.text import (
+        misra_gries_candidates,
+    )
+
+    # Skewed corpus: 'hot' words well above n/k, long tail of unique noise.
+    rows = []
+    for i in range(200):
+        rows.append((i, "hot1 hot2 " + f"noise{i} noise{i+1000}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    k = 10
+    cands = set(misra_gries_candidates(df, "text", k=k))
+    counts = Counter(w for _, t in rows for w in t.split(" "))
+    n = sum(counts.values())
+    true_heavy = {w for w, c in counts.items() if c * k > n}
+    assert true_heavy  # test is vacuous otherwise
+    assert true_heavy <= cands  # MG guarantee: candidates are a superset
+
+
+def test_scrub_pii_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.text_cleaning import scrub_pii
+
+    rows = [
+        ("a a@b.co http://x.y +1-555-000 end",),
+        ("plain text no pii",),
+        ("<EMAIL> already scrubbed <URL> <PHONE>",),
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    once = scrub_pii(F.col("raw"))
+    twice = scrub_pii(once)
+    bad = df.select(once.alias("a"), twice.alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    assert bad.count() == 0
