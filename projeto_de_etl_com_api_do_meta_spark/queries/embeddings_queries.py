@@ -140,3 +140,55 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return ivf_topk(queries, emb, k=5, nlist=8, nprobe=2, iters=1)
+
+
+_ORACLE_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS scale
+  FROM embeddings)
+SELECT e.vec_id,
+       CAST(floor(s.scale * 10000) AS BIGINT) AS scale_bp,
+       list_transform(e.embedding,
+         x -> CASE WHEN s.scale = 0 THEN 0
+                   ELSE CAST(round(CAST(x AS DOUBLE) / s.scale * 127)
+                             AS BIGINT) END) AS q
+FROM embeddings e JOIN s USING (vec_id)
+ORDER BY e.vec_id
+"""
+
+
+@register(
+    "embed_quantize_int8",
+    oracle=_ORACLE_QUANTIZE,
+    tags=("embedding", "quantize", "north-star"),
+    doc=(
+        "Symmetric int8 quantization per embedding (the storage/ANN-speed "
+        "trick: 4x smaller vectors, dot products in integer SIMD): "
+        "per-vector absmax scale, values rounded to [-127, 127]. Pure "
+        "array-lambda codegen — no UDF, no shuffle; the scale is emitted "
+        "as floor-basis-points so no raw float crosses the oracle hash."
+    ),
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("scale"),
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.round(x.cast("double") / F.col("scale") * 127))
+        .cast("long"),
+    )
+    return scaled.select(
+        "vec_id",
+        F.floor(F.col("scale") * 10000).cast("long").alias("scale_bp"),
+        q.alias("q"),
+    ).orderBy("vec_id")

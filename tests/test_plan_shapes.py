@@ -66,3 +66,42 @@ def test_date_filter_prunes_at_scan(spark, sf_dir):
     df = orders.where(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
     plan = _formatted_plan(df)
     assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_q9_broadcasts_all_dims_no_nested_loop(spark, sf_dir):
+    from projeto_de_etl_com_api_do_meta_spark.queries.tpch_remaining import (
+        q9_product_profit,
+    )
+
+    plan = _formatted_plan(q9_product_profit(spark, sf_dir))
+    # part / supplier / nation are broadcast; the only shuffle join (if
+    # any at this size) is lineitem<->orders; never a nested loop.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_is_single_window_no_self_join(spark, sf_dir):
+    from projeto_de_etl_com_api_do_meta_spark.queries.tpch_remaining import (
+        q2_min_cost_supplier,
+    )
+
+    plan = _formatted_plan(q2_min_cost_supplier(spark, sf_dir))
+    # The correlated min runs as ONE window over the pair set, not a
+    # second aggregate-join of the same scan.  (Formatted plans name each
+    # node twice: "Window (n)" in the tree and "(n) Window" in details.)
+    assert plan.count("Window (") == 1
+    # distinct pairs aggregate map-side before any dimension join
+    assert "HashAggregate" in plan
+
+
+def test_scd2_join_is_hash_or_merge_on_entity_key(spark, sf_dir):
+    from projeto_de_etl_com_api_do_meta_spark.queries.warehouse_ops import (
+        join_scd2_point_in_time,
+    )
+
+    plan = _formatted_plan(join_scd2_point_in_time(spark, sf_dir))
+    # equi-join on user_id with interval residual -> hash/merge join,
+    # never a broadcast-nested-loop over the interval predicate.
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
