@@ -408,3 +408,81 @@ def centroids_per_label(
         ),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric absmax int8 quantization of unit vectors: q = round(u*127).
+
+    Normalizing FIRST makes the quantized dot product a direct cosine
+    estimate: cos ~= dot(qa, qb) / 127^2, max error ~ d * (1/127).  At
+    scale this is the candidate-generation representation — 4x smaller
+    than float32 and integer-SIMD friendly."""
+    u = unit_vectors(df, id_col, vec_col, "qid", "uv")
+    q = F.transform("uv", lambda x: F.round(x * 127).cast("long"))
+    return u.select(F.col("qid").alias(id_col), q.alias("qvec"))
+
+
+def ann_int8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: int8 candidate scoring, exact float re-rank.
+
+    Stage 1 scores every pair on the quantized integer dot product (cheap,
+    SIMD-friendly; in a production engine the int8 matrix also fits caches
+    4x better) and keeps ``k * rerank_factor`` candidates per query.
+    Stage 2 re-scores ONLY those candidates with the exact float cosine
+    and returns the top-k. Recall < 1 is possible only when quantization
+    error reorders neighbors past the rerank horizon — pinned by a recall
+    test against the exact brute-force baseline."""
+    qq = F.broadcast(
+        quantize_int8(queries, id_col, vec_col).withColumnRenamed(id_col, "query_id")
+    )
+    cq = quantize_int8(corpus, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    int_scored = (
+        qq.crossJoin(cq)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(qq.qvec, cq.qvec, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("int_score"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("int_score").desc(), F.col("neighbor_id")
+    )
+    candidates = int_scored.withColumn("crank", F.row_number().over(w1)).where(
+        F.col("crank") <= k * rerank_factor
+    )
+    # exact re-rank of the shortlisted pairs only
+    qu = F.broadcast(
+        unit_vectors(queries, id_col, vec_col, "query_id", "qv")
+    )
+    cu = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "cv")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.join(qu, "query_id")
+        .join(cu, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

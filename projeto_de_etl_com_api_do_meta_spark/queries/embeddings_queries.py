@@ -192,3 +192,23 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("scale") * 10000).cast("long").alias("scale_bp"),
         q.alias("q"),
     ).orderBy("vec_id")
+
+
+@register(
+    "embed_ann_int8",
+    tags=("embedding", "quantize", "ann", "north-star"),
+    doc=(
+        "Two-stage ANN on quantized vectors: int8 integer dot products "
+        "shortlist k*4 candidates per query, exact float cosine re-ranks "
+        "the shortlist. Approximate (quantization can reorder distant "
+        "neighbors) -> rows-only; recall vs the exact brute-force baseline "
+        "is pinned in tests/test_similarity_ops.py."
+    ),
+)
+def embed_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_int8_topk
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ann_int8_topk(queries, emb, k=5).orderBy("query_id", "rank")

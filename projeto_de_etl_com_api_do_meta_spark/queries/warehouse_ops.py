@@ -176,3 +176,31 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_date", "event_type", "n_events", "value_cents")
         .orderBy("event_date", "event_type")
     )
+
+
+@register(
+    "layout_zorder_roundtrip",
+    oracle="SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    tags=("layout", "warehouse"),
+    doc=(
+        "Z-order layout rewrite of events along (user_id, ts): rows are "
+        "range-partitioned and sorted by a codegen'd Morton key so 2-d box "
+        "predicates skip files via parquet min/max stats (the OPTIMIZE "
+        "ZORDER analog; skipping measured in tests/test_training_ops.py). "
+        "Layout ops must not change content — the oracle checks identity."
+    ),
+)
+def layout_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import zorder_layout
+
+    pin_query_session_conf(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("ts_l")
+    )
+    out = tempfile.mkdtemp(prefix="zorder_") + "/events_z"
+    zorder_layout(events, ["user_id", "ts_l"], out, num_files=8)
+    return (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )

@@ -124,3 +124,30 @@ def test_ivf_partial_probe_is_subset_with_full_k(spark, sf_dir):
     assert set(per_q) == {0, 1, 2, 3, 4}
     for ranks in per_q.values():
         assert sorted(ranks) == [1, 2, 3]
+
+
+def test_ann_int8_recall_vs_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        ann_int8_topk,
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).collect()
+    approx = ann_int8_topk(queries, emb, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # int8 error is ~1/127 per component; with a 4x rerank horizon the
+    # top-5 should be nearly perfectly recovered.
+    assert recall >= 0.9, recall
+    # re-ranked scores are EXACT float cosines: any overlapping pair must
+    # carry the identical score in both results.
+    exact_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
