@@ -55,3 +55,41 @@ def referential_violations(
         .groupBy(fact_key)
         .agg(F.count(F.lit(1)).alias("n_orphan_rows"))
     )
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    compare_col: str,
+) -> DataFrame:
+    """Table-diff between two snapshots keyed on ``key``: rows only in B
+    are 'added', only in A 'removed', in both with differing
+    ``compare_col`` 'changed'; identical rows are dropped.
+
+    One full-outer shuffle join on the key — the anti-entropy primitive
+    for validating an incremental load against a full recompute, or two
+    replicas against each other.  At 100 TB both sides hash-partition on
+    the key; nothing is broadcast and unchanged rows never leave their
+    executor (filtered before the presentation sort)."""
+    from pyspark.sql import functions as F
+
+    an = a.select(F.col(key).alias("a_key"), F.col(compare_col).alias("a_val"))
+    bn = b.select(F.col(key).alias("b_key"), F.col(compare_col).alias("b_val"))
+    joined = an.join(bn, an.a_key == bn.b_key, "full_outer")
+    status = (
+        F.when(F.col("a_key").isNull(), F.lit("added"))
+        .when(F.col("b_key").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.where(
+            F.col("a_key").isNull()
+            | F.col("b_key").isNull()
+            | (F.col("a_val") != F.col("b_val"))
+        )
+        .select(
+            F.coalesce(F.col("a_key"), F.col("b_key")).alias(key),
+            status.alias("status"),
+        )
+    )

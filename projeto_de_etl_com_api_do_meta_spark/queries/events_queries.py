@@ -230,3 +230,49 @@ def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.col("n_events").isNull().alias("gap_filled"),
     )
+
+
+_ORACLE_COHORT = """
+WITH firstseen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT f.cohort_day,
+       datediff('day', f.cohort_day, a.day) AS day_offset,
+       count(*) AS n_users
+FROM activity a
+JOIN firstseen f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.day)
+ORDER BY cohort_day, day_offset
+"""
+
+
+@register(
+    "events_cohort_retention",
+    oracle=_ORACLE_COHORT,
+    tags=("agg", "analytics"),
+    doc=(
+        "Cohort retention triangle: users grouped by first-seen day, "
+        "activity counted per (cohort, day-offset). Two hash aggregations "
+        "plus one key join — the first-seen table is tiny (one row per "
+        "user) and broadcasts; the distinct-activity aggregate combines "
+        "map-side before its shuffle."
+    ),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    events = load_table(spark, sf_dir, "events")
+    firstseen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        activity.join(F.broadcast(firstseen), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -68,3 +68,58 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     dim = load_table(spark, sf_dir, "customer").where("c_acctbal > 0")
     return referential_violations(orders, "o_custkey", dim, "c_custkey")
+
+
+_ORACLE_SNAPSHOT_DIFF = """
+WITH b AS (
+  SELECT event_id, value + 1 AS value FROM events
+  WHERE event_id % 97 <> 0 AND event_id % 101 = 0
+  UNION ALL
+  SELECT event_id, value FROM events
+  WHERE event_id % 97 <> 0 AND event_id % 101 <> 0
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, value FROM events
+  WHERE event_id % 103 = 0
+),
+a AS (SELECT event_id, value FROM events)
+SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+       CASE WHEN a.event_id IS NULL THEN 'added'
+            WHEN b.event_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+WHERE a.event_id IS NULL OR b.event_id IS NULL OR a.value <> b.value
+ORDER BY event_id
+"""
+
+
+@register(
+    "dq_snapshot_diff",
+    oracle=_ORACLE_SNAPSHOT_DIFF,
+    tags=("quality", "warehouse"),
+    doc=(
+        "Anti-entropy table diff: snapshot B is derived from events by "
+        "deterministic deletes (id%97), updates (id%101, value+1) and "
+        "inserts (id%103 re-keyed); the diff reports added/removed/changed "
+        "via one full-outer join on the key, unchanged rows filtered "
+        "executor-side. Oracle derives B identically in SQL."
+    ),
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import snapshot_diff
+
+    pin_query_session_conf(spark)
+    a = load_table(spark, sf_dir, "events").select("event_id", "value")
+    kept = a.where(F.col("event_id") % 97 != 0)
+    b = (
+        kept.where(F.col("event_id") % 101 == 0)
+        .withColumn("value", F.col("value") + 1)
+        .unionByName(kept.where(F.col("event_id") % 101 != 0))
+        .unionByName(
+            a.where(F.col("event_id") % 103 == 0).withColumn(
+                "event_id", F.col("event_id") + 10_000_000
+            )
+        )
+    )
+    return snapshot_diff(a, b, "event_id", "value").orderBy("event_id")
