@@ -123,3 +123,69 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(a, b, "event_id", "value").orderBy("event_id")
+
+
+_ORACLE_COLUMN_STATS = """
+SELECT 'l_quantity' AS "column",
+       CAST(min(l_quantity) AS DOUBLE) AS min_val,
+       CAST(max(l_quantity) AS DOUBLE) AS max_val,
+       count(DISTINCT l_quantity) AS n_distinct,
+       count(*) - count(l_quantity) AS n_null
+FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+       CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+       count(DISTINCT l_discount), count(*) - count(l_discount)
+FROM lineitem
+UNION ALL
+SELECT 'l_suppkey',
+       CAST(min(l_suppkey) AS DOUBLE), CAST(max(l_suppkey) AS DOUBLE),
+       count(DISTINCT l_suppkey), count(*) - count(l_suppkey)
+FROM lineitem
+ORDER BY "column"
+"""
+
+
+@register(
+    "dq_column_stats",
+    oracle=_ORACLE_COLUMN_STATS,
+    tags=("quality", "stats"),
+    doc=(
+        "Column-statistics profile (the ANALYZE TABLE analog feeding "
+        "cost-based decisions): min/max/exact-distinct/null-count per "
+        "column, all columns in ONE scan via a single multi-aggregate "
+        "projection, unpivoted to one row per column. At scale the exact "
+        "distinct swaps for approx_count_distinct — the exact form here "
+        "keeps the oracle value-comparable."
+    ),
+)
+def dq_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_suppkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).cast("double").alias(f"min__{c}"),
+            F.max(c).cast("double").alias(f"max__{c}"),
+            F.countDistinct(c).alias(f"nd__{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn__{c}"),
+        ]
+    wide = li.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"min__{c}").alias("min_val"),
+            F.col(f"max__{c}").alias("max_val"),
+            F.col(f"nd__{c}").alias("n_distinct"),
+            F.col(f"nn__{c}").alias("n_null"),
+        )
+        for c in cols
+    ]
+    return (
+        wide.select(F.explode(F.array(*per_col)).alias("s"))
+        .select("s.column", "s.min_val", "s.max_val", "s.n_distinct", "s.n_null")
+        .orderBy("column")
+    )
