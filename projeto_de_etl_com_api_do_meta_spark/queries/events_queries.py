@@ -276,3 +276,50 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# -- Next-event transition matrix ---------------------------------------------
+
+_ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+SELECT event_type AS prev_type, next_type, count(*) AS n_transitions
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "events_transition_matrix",
+    oracle=_ORACLE_TRANSITIONS,
+    tags=("events", "window", "analytics"),
+    doc=(
+        "First-order Markov transition counts between consecutive events "
+        "per user (LEAD over the per-user timeline, then one hash "
+        "aggregate). The window and the aggregate shuffle on different "
+        "keys, but the window's user_id exchange dominates and the "
+        "transition-pair aggregate combines map-side to |event_types|^2 "
+        "rows — negligible reduce fan-in at any scale."
+    ),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )

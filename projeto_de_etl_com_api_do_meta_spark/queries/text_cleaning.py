@@ -205,3 +205,79 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w").alias("word"), "n_occurrences")
         .orderBy(F.col("n_occurrences").desc(), "word")
     )
+
+
+# -- Train/eval decontamination (word n-gram overlap) -------------------------
+
+_ORACLE_DECONTAMINATE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+  FROM words WHERE len(w) >= 4
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g FROM idx
+),
+eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+),
+tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1
+)
+SELECT t.doc_id, count(*) AS n_overlap, any_value(tot.n_grams) AS n_grams
+FROM grams t
+JOIN eval_grams e USING (g)
+JOIN tot USING (doc_id)
+WHERE t.doc_id % 20 <> 0
+GROUP BY t.doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_decontaminate_ngram",
+    oracle=_ORACLE_DECONTAMINATE,
+    tags=("text", "dedup", "training"),
+    doc=(
+        "Train/eval decontamination: flag training documents sharing any "
+        "word 4-gram with a held-out eval split (doc_id % 20 = 0 stands in "
+        "for the benchmark set). Gram expansion is a pure codegen array "
+        "expression (split -> sequence -> slice -> array_join -> explode); "
+        "the eval gram set is orders of magnitude smaller than the corpus, "
+        "so it broadcasts and the training side never shuffles on the gram "
+        "key — at 100 TB the per-doc distinct is the only wide exchange, "
+        "and it combines map-side."
+    ),
+)
+def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 3),
+                    lambda i: F.array_join(F.slice(F.col("w"), i, 4), " "),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    eval_grams = (
+        grams.where(F.col("doc_id") % 20 == 0).select("g").distinct()
+    )
+    tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        grams.where(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .join(tot, "doc_id")
+        .select("doc_id", "n_overlap", "n_grams")
+        .orderBy("doc_id")
+    )

@@ -311,3 +311,48 @@ def stream_stream_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined = clicks_purchases_join(events)
         with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
             return run_available_now(joined, ckpt, output_mode="append")
+
+
+# -- Deterministic per-stratum top-k sample -----------------------------------
+
+_ORACLE_TOPK_SAMPLE = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, rk FROM ranked WHERE rk <= 10
+ORDER BY lang, rk
+"""
+
+
+@register(
+    "sample_topk_per_stratum",
+    oracle=_ORACLE_TOPK_SAMPLE,
+    tags=("sampling", "training", "window"),
+    doc=(
+        "Deterministic k-per-stratum sample: rank rows inside each lang "
+        "stratum by md5(doc_id) and keep the first 10. Unlike sampleBy, "
+        "the selected set is a pure function of the data — identical on "
+        "any cluster size, partitioning, or execution order — which is "
+        "what a reproducible training-data pipeline needs. One window "
+        "shuffle on the stratum key; at scale the rank-filter pattern "
+        "benefits from AQE partial top-k pushdown per partition."
+    ),
+)
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 10)
+        .orderBy("lang", "rk")
+    )
