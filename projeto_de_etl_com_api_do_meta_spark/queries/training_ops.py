@@ -356,3 +356,74 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .orderBy("lang", "rk")
     )
+
+
+# -- Weighted corpus mixture (per-source sampling rates) ----------------------
+
+_ORACLE_MIXTURE = """
+WITH r AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
+           % 10000 AS bucket,
+         CASE CAST(replace(source, 'src', '') AS BIGINT) % 4
+              WHEN 0 THEN 10000 WHEN 1 THEN 5000
+              WHEN 2 THEN 2500 ELSE 1250 END AS rate_bp
+  FROM documents
+)
+SELECT source, any_value(rate_bp) AS rate_bp, count(*) AS n_total,
+       sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS n_kept
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "sample_corpus_mixture",
+    oracle=_ORACLE_MIXTURE,
+    tags=("sampling", "training", "north-star"),
+    doc=(
+        "Weighted corpus mixing: each source gets a target sampling rate "
+        "(here a deterministic function of the source id; in production a "
+        "config map) and each document keeps or drops by comparing a salted "
+        "md5 bucket against the rate — the standard way training mixtures "
+        "(e.g. upweight curated sources, downweight crawl) are realized "
+        "reproducibly. The salt decorrelates the mixture decision from the "
+        "train/test split hash. Stateless per-row expression + one "
+        "map-side-combining aggregate: no rng, no shuffle of the kept "
+        "rows, identical selection at any scale or partitioning."
+    ),
+)
+def sample_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate = (
+        F.when(F.regexp_replace("source", "src", "").cast("long") % 4 == 0, 10000)
+        .when(F.regexp_replace("source", "src", "").cast("long") % 4 == 1, 5000)
+        .when(F.regexp_replace("source", "src", "").cast("long") % 4 == 2, 2500)
+        .otherwise(1250)
+    )
+    return (
+        docs.select("source", bucket.alias("bucket"), rate.alias("rate_bp"))
+        .groupBy("source")
+        .agg(
+            F.first("rate_bp").alias("rate_bp"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("bucket") < F.col("rate_bp")).cast("long")).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("source")
+    )

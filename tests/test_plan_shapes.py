@@ -105,3 +105,32 @@ def test_scd2_join_is_hash_or_merge_on_entity_key(spark, sf_dir):
     # never a broadcast-nested-loop over the interval predicate.
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_selective_fact_join_injects_runtime_bloom_filter(spark, sf_dir):
+    """At 100 TB a selective dim-side predicate must prune the fact scan
+    before the shuffle: Spark's runtime bloom filter builds a filter from
+    the selective side and applies might_contain() on the fact side. The
+    size thresholds are tuned for multi-GB scans, so the test lowers the
+    application-side floor to fire at fixture scale."""
+    from projeto_de_etl_com_api_do_meta_spark.session import scoped_conf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    with scoped_conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+        },
+    ):
+        df = li.join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        plan = _formatted_plan(df)
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
