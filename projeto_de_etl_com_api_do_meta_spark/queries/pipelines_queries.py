@@ -467,3 +467,4 @@ def meta_stream_insights_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date_start")
     )
+

@@ -246,3 +246,69 @@ def enrich_with_static_dim(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
     return enriched.withColumn(
         "is_first", (F.col("ts") == F.col("first_ts")).cast("int")
     ).groupBy("event_type", "is_first").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def stateful_user_profile_tws(events: DataFrame) -> DataFrame:
+    """Per-user profile via ``transformWithStateInPandas`` — Spark 4's typed
+    successor to ``applyInPandasWithState`` (SURVEY §2.8 custom stateful row).
+    Demonstrates the new composable state primitives: a ``ValueState`` for
+    running scalars plus a ``MapState`` keyed by event_type whose key count
+    gives the distinct-type cardinality without holding raw rows. State is
+    per-key in RocksDB-backed stores at scale; emissions are monotone so
+    update-mode output reduces to the final state per user.
+
+    Environment gate: the transformWithState protocol talks to the JVM state
+    server over protobuf; containers without ``google.protobuf`` cannot run
+    it (tests importorskip), so the registry exposes the equivalent
+    ``stateful_user_counters`` (applyInPandasWithState) as the driver-checked
+    stateful operator instead."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, maxc long")
+            self._types = handle.getMapState("type_counts", "t string", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, maxc = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents = [
+                    math.floor(v * 100 + 0.5)
+                    for v in pdf["value"].astype("float64")
+                ]
+                if cents:
+                    maxc = max(maxc, max(cents))
+                for t, c in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._types.getValue((t,))[0]
+                        if self._types.containsKey((t,))
+                        else 0
+                    )
+                    self._types.updateValue((t,), (prev + int(c),))
+            self._totals.update((n, maxc))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_event_types": [n_types],
+                    "max_value_cents": [maxc],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = (
+        "user_id long, n_events long, n_event_types long, max_value_cents long"
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfile(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

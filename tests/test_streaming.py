@@ -110,3 +110,51 @@ def test_stateful_counters_carry_state_across_batches(spark, tmp_path):
     # One emission per micro-batch containing user 7; state accumulates.
     assert [r.n_events for r in rows] == [2, 3]
     assert rows[-1].total_value_cents == 400  # 1.25+2.50+0.25 in cents
+
+
+def test_transform_with_state_profile_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas operator (ValueState + MapState)
+    agrees with the batch aggregate. Requires google.protobuf (the tws
+    state-server wire protocol); skipped where the container lacks it."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+        stateful_user_profile_tws,
+    )
+
+    stream = stateful_user_profile_tws(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        out = run_available_now(stream, ckpt, output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], r["n_event_types"], r["max_value_cents"])
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_event_types").alias("n_event_types"),
+            F.max("max_value_cents").alias("max_value_cents"),
+        )
+        .collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    want = {
+        r["user_id"]: (r["n_events"], r["n_event_types"], r["max_value_cents"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.max(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "max_value_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
