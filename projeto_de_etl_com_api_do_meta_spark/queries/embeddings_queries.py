@@ -212,3 +212,76 @@ def embed_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return ann_int8_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+# -- Signed random projection (dimensionality reduction) ----------------------
+
+_SRP_M = 16
+_FP = 1099511627776.0  # 2^40 — exact fixed-point scale shared with centroids
+
+_ORACLE_SRP = f"""
+WITH x AS (
+  SELECT vec_id, i - 1 AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP}) AS BIGINT) AS xfp
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT vec_id, CAST(j AS INT) AS proj_pos,
+       SUM(xfp * (CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                 || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                 THEN 1 ELSE -1 END)) AS y_fp
+FROM x, unnest(range(0, {_SRP_M})) AS u(j)
+GROUP BY vec_id, j
+ORDER BY vec_id, proj_pos
+"""
+
+
+@register(
+    "embed_random_projection",
+    oracle=_ORACLE_SRP,
+    tags=("embedding", "similarity", "north-star"),
+    doc=(
+        f"Signed random projection to {_SRP_M} dims (Achlioptas/SimHash-"
+        "style Johnson-Lindenstrauss reduction — the cheap front-end for "
+        "ANN shortlists and LSH bucketing): a deterministic ±1 matrix "
+        "derived from md5(i:j) parity, applied per row as a pure codegen "
+        "zip_with/aggregate expression over a literal matrix. No UDF, no "
+        "shuffle, no broadcast — the projection is embarrassingly parallel "
+        "at any scale. Components are summed in exact 2^40 fixed point so "
+        "the oracle compares integers, not FP roundings."
+    ),
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    sign = [
+        [
+            1
+            if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for i in range(d)
+        ]
+        for j in range(_SRP_M)
+    ]
+    rmat = F.array(
+        *[F.array(*[F.lit(s).cast("long") for s in row]) for row in sign]
+    )
+    xfp = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(_FP)).cast("long"),
+    )
+    yfp = F.transform(
+        rmat,
+        lambda row: F.aggregate(
+            F.zip_with(F.col("_xfp"), row, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (
+        emb.withColumn("_xfp", xfp)
+        .select("vec_id", F.posexplode(yfp).alias("proj_pos", "y_fp"))
+        .orderBy("vec_id", "proj_pos")
+    )
