@@ -285,3 +285,24 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode(yfp).alias("proj_pos", "y_fp"))
         .orderBy("vec_id", "proj_pos")
     )
+
+
+@register(
+    "embed_ann_srp",
+    tags=("embedding", "similarity", "ann", "north-star"),
+    doc=(
+        "Two-stage ANN via signed random projection: 32-dim JL-projected "
+        "dot products shortlist k*32 candidates per query, exact float "
+        "cosine re-ranks the shortlist. The projection matrix is a plan "
+        "literal (no fit step, no broadcast state). Approximate -> "
+        "rows-only; recall vs brute force pinned in "
+        "tests/test_similarity_ops.py."
+    ),
+)
+def embed_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_srp_topk
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ann_srp_topk(queries, emb, k=5).orderBy("query_id", "rank")

@@ -281,3 +281,51 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_overlap", "n_grams")
         .orderBy("doc_id")
     )
+
+
+# -- Corpus-quantile quality gate ---------------------------------------------
+
+_ORACLE_QUALITY_GATE = """
+WITH scored AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents
+),
+thresh AS (
+  SELECT quantile_cont(n_words, 0.75) AS p75 FROM scored
+)
+SELECT s.doc_id, s.n_words
+FROM scored s, thresh t
+WHERE s.n_words > t.p75
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "text_quality_filter_quantile",
+    oracle=_ORACLE_QUALITY_GATE,
+    tags=("text", "quality", "training"),
+    doc=(
+        "Corpus-relative quality gate: keep documents whose word count "
+        "exceeds the corpus 75th percentile — thresholds in a data "
+        "pipeline should adapt to the corpus, not be hard-coded. The "
+        "exact interpolated percentile is one tiny scalar aggregate "
+        "broadcast into the filter (a scalar-subquery join); at 100 TB "
+        "swap percentile() for approx_percentile and the shape is "
+        "unchanged. Integer scores + identical interpolation arithmetic "
+        "on both engines keep the threshold bit-identical."
+    ),
+)
+def text_quality_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words")
+    )
+    thresh = scored.agg(
+        F.percentile("n_words", F.lit(0.75)).alias("p75")
+    )
+    return (
+        scored.join(F.broadcast(thresh))
+        .where(F.col("n_words") > F.col("p75"))
+        .select("doc_id", "n_words")
+        .orderBy("doc_id")
+    )

@@ -151,3 +151,31 @@ def test_ann_int8_recall_vs_bruteforce(spark, sf_dir):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_ann_srp_recall_vs_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        ann_srp_topk,
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).collect()
+    approx = ann_srp_topk(queries, emb, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # The near-isotropic fixture corpus is JL's adversarial case; with
+    # m=32 and a 32x rerank horizon (~1/3 of the corpus) the top-5 is
+    # nearly recovered.
+    assert recall >= 0.85, recall
+    # Re-ranked scores are exact cosines: overlapping pairs carry the
+    # identical score.
+    exact_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
