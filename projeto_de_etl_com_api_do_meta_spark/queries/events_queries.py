@@ -323,3 +323,55 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+# -- Rolling 7-day active users ----------------------------------------------
+
+_ORACLE_ROLLING_WAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+spine AS (
+  SELECT DISTINCT day FROM ud
+)
+SELECT s.day, count(DISTINCT u.user_id) AS wau
+FROM spine s
+JOIN ud u ON u.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+GROUP BY s.day
+ORDER BY s.day
+"""
+
+
+@register(
+    "events_rolling_active_users",
+    oracle=_ORACLE_ROLLING_WAU,
+    tags=("events", "analytics", "agg"),
+    doc=(
+        "Rolling 7-day active users per day (WAU). COUNT(DISTINCT) cannot "
+        "live inside a window frame, so the engine uses the scalable "
+        "formulation: dedup to (user, day) once — the only big shuffle — "
+        "then range-join the tiny day spine (broadcast) and hash-aggregate "
+        "a distinct count per anchor day. Each (user, day) row fans out to "
+        "at most 7 anchors regardless of data size, so the blow-up is "
+        "bounded and partial aggregation absorbs it map-side."
+    ),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    spine = ud.select(F.col("day").alias("anchor")).distinct()
+    return (
+        ud.join(
+            F.broadcast(spine),
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("anchor").alias("day"), "wau")
+        .orderBy("day")
+    )

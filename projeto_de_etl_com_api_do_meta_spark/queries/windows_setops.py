@@ -458,3 +458,47 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+# -- Ratio-to-report (share-of-total windows) ---------------------------------
+
+_ORACLE_SHARE = """
+SELECT o_custkey,
+       o_orderkey,
+       CAST(floor(
+         CAST(o_totalprice AS DECIMAL(18,4)) * 1000000
+         / SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey)
+       ) AS BIGINT) AS share_ppm
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register(
+    "window_share_of_total",
+    oracle=_ORACLE_SHARE,
+    tags=("window", "analytics"),
+    doc=(
+        "Ratio-to-report: each order's share of its customer's lifetime "
+        "spend via an unordered partition window (one shuffle on the "
+        "partition key, no sort — Spark plans an unbounded frame). Share "
+        "emitted as floor parts-per-million over a decimal-exact "
+        "numerator/denominator so both engines divide identical exact "
+        "values and floor has no tie-mode to disagree on."
+    ),
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.safe_math import dec
+
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    share = F.floor(
+        dec("o_totalprice") * F.lit(1000000) / F.sum(dec("o_totalprice")).over(w)
+    ).cast("long")
+    return (
+        orders.where(F.col("o_custkey") < 100)
+        .select("o_custkey", "o_orderkey", share.alias("share_ppm"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
