@@ -325,3 +325,54 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
     )
     return renamed
+
+
+# -- Equi-width histogram ------------------------------------------------------
+
+_ORACLE_HISTOGRAM = """
+WITH bounds AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT LEAST(CAST(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 20) )
+             AS BIGINT), 19) AS bucket,
+       count(*) AS n_orders
+FROM orders, bounds b
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "agg_histogram_equiwidth",
+    oracle=_ORACLE_HISTOGRAM,
+    tags=("agg", "analytics", "stats"),
+    doc=(
+        "20-bucket equi-width histogram of order totals with data-derived "
+        "bounds: one tiny min/max scalar aggregate broadcast into a "
+        "stateless bucket expression, then one map-side-combining count "
+        "per bucket — two scans, no shuffle wider than 20 rows. The "
+        "histogram-of-a-measure profile that feeds range-partitioning and "
+        "skew decisions at scale. Bucket arithmetic is identical IEEE "
+        "double ops on both engines; the top edge clamps into the last "
+        "bucket (LEAST), matching half-open bins."
+    ),
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / F.lit(20))
+        ).cast("long"),
+        F.lit(19).cast("long"),
+    )
+    return (
+        orders.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("bucket")
+    )
