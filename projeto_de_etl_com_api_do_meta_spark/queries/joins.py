@@ -447,3 +447,52 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a.seg_a.eqNullSafe(b.seg_b)).select(
         "seg_a", "seg_b", "n_a", "n_b"
     )
+
+
+# -- Fuzzy string join (block -> edit-distance verify) ------------------------
+
+_ORACLE_FUZZY = """
+WITH v AS (SELECT DISTINCT p_name FROM part),
+t AS (SELECT p_name, string_split(p_name, ' ')[2] AS noun FROM v)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM t a JOIN t b ON a.noun = b.noun AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY name_a, name_b
+"""
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle=_ORACLE_FUZZY,
+    tags=("join", "similarity", "text"),
+    doc=(
+        "Fuzzy string join: near-matching part names (edit distance <= 3) "
+        "found as block -> verify, the same candidate-generation discipline "
+        "as the near-dup ops — dedup the corpus to its name vocabulary "
+        "first (tiny), block on a shared token so the quadratic verify "
+        "runs inside blocks only, and never levenshtein the raw corpus "
+        "cross product. At 100 TB the vocabulary join-back to rows is an "
+        "equi-join; the fuzzy part stays vocabulary-sized."
+    ),
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    part = load_table(spark, sf_dir, "part")
+    vocab = part.select("p_name").distinct()
+    t = vocab.select(
+        "p_name", F.split("p_name", " ").getItem(1).alias("noun")
+    )
+    a = t.select(F.col("p_name").alias("name_a"), F.col("noun"))
+    b = t.select(F.col("p_name").alias("name_b"), F.col("noun"))
+    return (
+        a.join(b, "noun")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .where(F.col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )
