@@ -217,3 +217,56 @@ def udtf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey long, c_mktsegment string, n_orders long, total_cents long",
         )
     )
+
+
+_ORACLE_ARROW_MAP = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS BIGINT) * 100 + l_linenumber AS qty_code
+FROM lineitem
+WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "map_in_arrow_batches",
+    oracle=_ORACLE_ARROW_MAP,
+    tags=("udf", "arrow"),
+    doc=(
+        "mapInArrow: per-partition transform over raw pyarrow RecordBatches "
+        "— the lowest-overhead Python escape hatch (no pandas conversion, "
+        "columnar end to end; the kernel computes on Arrow arrays "
+        "directly). Exact integer arithmetic, so the oracle hash-matches. "
+        "Scale shape identical to mapInPandas: stateless per batch, no "
+        "shuffle, batch size bounded by maxRecordsPerBatch."
+    ),
+)
+def map_in_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def kernel(batches):
+        for batch in batches:
+            qty = pc.cast(batch.column("l_quantity"), pa.int64())
+            line = pc.cast(batch.column("l_linenumber"), pa.int64())
+            code = pc.add(pc.multiply(qty, pa.scalar(100, pa.int64())), line)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(batch.column("l_orderkey"), pa.int64()),
+                    line,
+                    code,
+                ],
+                names=["l_orderkey", "l_linenumber", "qty_code"],
+            )
+
+    return (
+        li.where(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .mapInArrow(
+            kernel, "l_orderkey long, l_linenumber long, qty_code long"
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
