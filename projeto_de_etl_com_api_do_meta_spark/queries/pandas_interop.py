@@ -270,3 +270,46 @@ def map_in_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+_ORACLE_UDTF_LATERAL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS word
+FROM w, unnest(range(1, least(len(w), 5) + 1)) AS t(i)
+ORDER BY doc_id, pos
+"""
+
+
+@register(
+    "fn_python_udtf_lateral",
+    oracle=_ORACLE_UDTF_LATERAL,
+    tags=("udf", "udtf", "sql"),
+    doc=(
+        "True Python UDTF (Spark 4 @udtf) applied as a SQL LATERAL table "
+        "function: one row per leading word of each document. Completes "
+        "the UDF surface beyond the pandas grouped-map 'UDTF-shaped' ops "
+        "— this is the row-generator form, usable directly from SQL. "
+        "Python-side and row-at-a-time, so the hot-path guidance still "
+        "says codegen explode(); the UDTF exists for logic that can't be "
+        "expressed as expressions."
+    ),
+)
+def fn_python_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    pin_query_session_conf(spark)
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords5:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")[:5]):
+                yield i, w
+
+    spark.udtf.register("split_words5", SplitWords5)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.word "
+        "FROM _udtf_docs d, LATERAL split_words5(d.text) s "
+        "ORDER BY d.doc_id, s.pos"
+    )
