@@ -189,3 +189,53 @@ def dq_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.column", "s.min_val", "s.max_val", "s.n_distinct", "s.n_null")
         .orderBy("column")
     )
+
+
+_ORACLE_OUTLIERS_IQR = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type
+FROM events e JOIN q USING (event_type)
+WHERE e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+   OR e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+ORDER BY e.event_id
+"""
+
+
+@register(
+    "dq_outliers_iqr",
+    oracle=_ORACLE_OUTLIERS_IQR,
+    tags=("quality", "stats", "analytics"),
+    doc=(
+        "Tukey-fence outlier detection per event type: exact per-group "
+        "quartiles (one tiny aggregate, groups = |event_types|) broadcast "
+        "back against the full table as a stateless range filter. Robust "
+        "to the heavy tail (unlike z-scores, the quartiles don't move "
+        "with the outliers). Quartile interpolation and fence arithmetic "
+        "are identical IEEE ops on both engines; at 100 TB swap "
+        "percentile() for approx_percentile and the shape is unchanged."
+    ),
+)
+def dq_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .where(
+            (F.col("value") > F.col("q3") + 1.5 * iqr)
+            | (F.col("value") < F.col("q1") - 1.5 * iqr)
+        )
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
