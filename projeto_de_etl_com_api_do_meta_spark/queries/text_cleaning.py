@@ -329,3 +329,60 @@ def text_quality_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_words")
         .orderBy("doc_id")
     )
+
+
+# -- Inverted index (word -> posting list) ------------------------------------
+
+_ORACLE_INVERTED = """
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+df AS (SELECT word, count(*) AS df FROM w GROUP BY 1),
+pick AS (SELECT word, df FROM df ORDER BY df, word LIMIT 10)
+SELECT p.word, p.df,
+       string_agg(CAST(w.doc_id AS VARCHAR), ',' ORDER BY w.doc_id) AS postings
+FROM pick p JOIN w ON p.word = w.word
+GROUP BY p.word, p.df
+ORDER BY p.word
+"""
+
+
+@register(
+    "corpus_inverted_index",
+    oracle=_ORACLE_INVERTED,
+    tags=("text", "corpus", "agg"),
+    doc=(
+        "Inverted-index build for the 10 rarest terms: explode to distinct "
+        "(word, doc) postings — the one wide shuffle, map-side combined — "
+        "rank terms by document frequency, and materialize each picked "
+        "term's posting list numerically sorted (rendered as CSV so the "
+        "cross-engine hash is order-stable). The posting-list build behind "
+        "keyword search and the gram->docs lookups the dedup ops use; at "
+        "100 TB the df ranking prunes before any list materializes, and "
+        "per-term lists shard by (term, bucket) when a term's postings "
+        "outgrow a task."
+    ),
+)
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    df = w.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    pick = df.orderBy("df", "word").limit(10)
+    return (
+        w.join(F.broadcast(pick), "word")
+        .groupBy("word", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+        .orderBy("word")
+    )
