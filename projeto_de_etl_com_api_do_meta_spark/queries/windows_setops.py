@@ -502,3 +502,54 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "o_orderkey", share.alias("share_ppm"))
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# -- first/last/nth value windows ---------------------------------------------
+
+_ORACLE_FIRST_LAST_NTH = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register(
+    "window_first_last_nth",
+    oracle=_ORACLE_FIRST_LAST_NTH,
+    tags=("window", "analytics"),
+    doc=(
+        "first_value/last_value/nth_value over an explicit full-partition "
+        "frame (the default running frame makes last_value mean 'current "
+        "row' — a classic correctness trap, so the frame is pinned to "
+        "UNBOUNDED..UNBOUNDED on both engines). Total order on (date, "
+        "key) keeps ties deterministic. Values pass through from the scan "
+        "untouched — no arithmetic to diverge on."
+    ),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.where(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
