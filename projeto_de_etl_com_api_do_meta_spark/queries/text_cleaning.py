@@ -386,3 +386,47 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+# -- Boolean keyword search (posting intersection) ----------------------------
+
+_ORACLE_BOOL_SEARCH = """
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT doc_id
+FROM w
+WHERE word IN ('window', 'merge')
+GROUP BY doc_id
+HAVING count(DISTINCT word) = 2
+ORDER BY doc_id
+"""
+
+
+@register(
+    "corpus_boolean_search",
+    oracle=_ORACLE_BOOL_SEARCH,
+    tags=("text", "corpus", "agg"),
+    doc=(
+        "Conjunctive keyword search (docs containing ALL query terms) as "
+        "posting-list intersection: filter the exploded postings to the "
+        "query terms FIRST — the IN-list prunes at the scan, so only "
+        "matching postings ever shuffle — then one count-distinct HAVING "
+        "per doc. Generalizes to any term count without a join chain; "
+        "the semi-join-per-term alternative costs one shuffle per term."
+    ),
+)
+def corpus_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["window", "merge"]
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("word").alias("nt"))
+        .where(F.col("nt") == len(terms))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -76,3 +76,29 @@ def test_overwrite_mode_restored(spark, sf_dir):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         == before
     )
+
+
+def test_observation_metrics_piggyback_on_one_pass(spark, sf_dir):
+    """In-flight data-quality counters via df.observe(): row count, null
+    count, and value sum are collected as a side effect of the SAME job
+    that writes/consumes the data — at 100 TB this replaces a second
+    full-scan validation pass with zero extra IO."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_null_qty"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+    n = observed.count()  # one action drives both the query and the metrics
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["n_null_qty"] == 0
+    exact = li.agg(F.sum("l_quantity")).first()[0]
+    assert got["sum_qty"] == exact
