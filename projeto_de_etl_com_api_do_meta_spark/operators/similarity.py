@@ -576,3 +576,127 @@ def ann_srp_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _subvectors(df: DataFrame, id_alias: str, vec_col: str, nsub: int, dsub: int) -> DataFrame:
+    """(id, sub, subvec) — split each vector into nsub contiguous slices."""
+    slices = F.array(
+        *[F.slice(F.col(vec_col), s * dsub + 1, dsub) for s in range(nsub)]
+    )
+    return df.select(id_alias, F.posexplode(slices).alias("sub", "subvec"))
+
+
+def pq_index(
+    corpus_unit: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    nsub: int = 8,
+    ksub: int = 16,
+    iters: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization index: per-subspace codebooks (k-means, the same
+    deterministic Lloyd discipline as ``ivf_index``: init by id mix, means
+    summed in id order, argmin ties by code) and per-vector codes.
+
+    Scale shape per round: one Arrow grouped aggregate (nsub*ksub rows out)
+    and one broadcast-join argmin — the corpus shuffles only on its own
+    partitioning. Returns (codes [id, sub, code], cents [sub, code, cvec]).
+    """
+    dsub = dim // nsub
+
+    @F.pandas_udf("array<double>")
+    def _mean_vec(ids: pd.Series, vecs: pd.Series) -> list:
+        order = np.argsort(ids.to_numpy())
+        mat = np.stack(vecs.to_numpy())[order].astype("float64")
+        return list(mat.mean(axis=0))
+
+    sv = _subvectors(corpus_unit, id_col, vec_col, nsub, dsub).persist()
+    codes = sv.withColumn(
+        "code", ((F.col(id_col) + F.col("sub")) % ksub).cast("int")
+    )
+    cents = None
+    sqdist = (
+        dot(F.col("subvec"), F.col("subvec"))
+        + dot(F.col("cvec"), F.col("cvec"))
+        - 2 * dot(F.col("subvec"), F.col("cvec"))
+    )
+    for _ in range(iters):
+        cents = codes.groupBy("sub", "code").agg(
+            _mean_vec(id_col, "subvec").alias("cvec")
+        )
+        scored = (
+            codes.drop("code")
+            .join(F.broadcast(cents), "sub")
+            .withColumn("_d", sqdist)
+        )
+        w = Window.partitionBy(id_col, "sub").orderBy(F.col("_d"), F.col("code"))
+        codes = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn", "cvec", "_d")
+        )
+        codes = codes.persist()
+    return codes, cents.persist()
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nsub: int = 8,
+    ksub: int = 16,
+    rerank_factor: int = 48,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN via product quantization with asymmetric distance
+    computation (ADC): corpus vectors compress to nsub byte codes; each
+    query precomputes a (sub, code) -> partial-dot lookup table against the
+    codebooks (nsub*ksub entries, broadcast); the approximate score of a
+    pair is the sum of nsub table lookups — an equi-join on (sub, code)
+    plus a map-side-combining aggregate, never a full-dimension product.
+    Exact float cosine re-ranks the shortlist. The near-isotropic fixture
+    corpus is the adversarial case for coarse codebooks (like SRP), hence
+    the generous rerank horizon; recall pinned by test."""
+    d = len(corpus.select(vec_col).first()[0])
+    uq = unit_vectors(queries, id_col, vec_col, "query_id", "qv").persist()
+    uc = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "cv").persist()
+    codes, cents = pq_index(uc, "neighbor_id", "cv", d, nsub, ksub)
+    qsub = _subvectors(uq, "query_id", "qv", nsub, d // nsub)
+    table = (
+        qsub.join(F.broadcast(cents), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            dot(F.col("subvec"), F.col("cvec")).alias("part"),
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(table), ["sub", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("part").alias("adc_score"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    shortlist = approx.withColumn("crank", F.row_number().over(w1)).where(
+        F.col("crank") <= k * rerank_factor
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(F.broadcast(uq), "query_id")
+        .join(uc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

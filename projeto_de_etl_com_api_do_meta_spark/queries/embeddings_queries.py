@@ -306,3 +306,25 @@ def embed_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return ann_srp_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "embed_ann_pq",
+    tags=("embedding", "quantize", "ann", "north-star"),
+    doc=(
+        "Two-stage ANN via product quantization + ADC: per-subspace "
+        "codebooks (deterministic Lloyd), corpus compressed to nsub byte "
+        "codes, per-query lookup tables broadcast so approximate scoring "
+        "is an equi-join on (sub, code) plus nsub table lookups per pair "
+        "— never a full-dimension product; exact cosine re-ranks the "
+        "shortlist. Approximate -> rows-only; recall vs brute force "
+        "pinned in tests/test_similarity_ops.py."
+    ),
+)
+def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return pq_topk(queries, emb, k=5).orderBy("query_id", "rank")

@@ -179,3 +179,28 @@ def test_ann_srp_recall_vs_bruteforce(spark, sf_dir):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_ann_pq_recall_vs_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).collect()
+    approx = pq_topk(queries, emb, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # Coarse 8x16 codebooks on a near-isotropic corpus (the adversarial
+    # case); the generous rerank horizon recovers the top-5.
+    assert recall >= 0.85, recall
+    exact_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
