@@ -63,6 +63,7 @@ def _load_all() -> None:
         return
     from . import (  # noqa: F401
         aggregates,
+        analysis_extra,
         documents_queries,
         embeddings_queries,
         events_queries,

@@ -175,3 +175,58 @@ def test_scrub_pii_idempotent(spark):
         F.col("a") != F.col("b")
     )
     assert bad.count() == 0
+
+
+def test_word_entropy_uniform_and_degenerate(tmp_path, spark):
+    """Entropy semantics pinned on constructed docs: a one-word doc has
+    entropy 0; a k-distinct uniform doc has entropy ln(k)."""
+    import math
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.analysis_extra import (
+        text_word_entropy,
+    )
+
+    rows = [
+        (1, "same same same same", "en", "s", 19),
+        (2, "a b c d", "en", "s", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r.entropy_bps
+        for r in text_word_entropy(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == 0
+    assert out[2] == math.floor(10000 * math.log(4))
+
+
+def test_daily_anomaly_flags_spike(tmp_path, spark):
+    """A flat series with one 10x spike flags exactly that day."""
+    import datetime as dt
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.analysis_extra import (
+        events_daily_anomaly,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        n = 50 if day != 15 else 500
+        # tiny deterministic per-day jitter so the trailing stddev is nonzero
+        n += day % 3
+        for i in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 3, day, 12, 0, i % 60), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = events_daily_anomaly(spark, str(tmp_path)).collect()
+    flagged = {r.day.day for r in out if r.is_anomaly == 1}
+    assert flagged == {15}
