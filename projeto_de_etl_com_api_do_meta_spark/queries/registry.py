@@ -73,6 +73,7 @@ def _load_all() -> None:
         quality_queries,
         relational,
         scalar_funcs,
+        segmentation_cdc,
         skew_queries,
         text_cleaning,
         tpch_extra,

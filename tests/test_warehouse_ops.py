@@ -102,3 +102,41 @@ def test_observation_metrics_piggyback_on_one_pass(spark, sf_dir):
     assert got["n_null_qty"] == 0
     exact = li.agg(F.sum("l_quantity")).first()[0]
     assert got["sum_qty"] == exact
+
+
+def test_cdc_apply_semantics(tmp_path, spark):
+    """Pin last-writer-wins on a tiny hand-built orders table.
+
+    Keys (all < 100 so % waves are easy to reason about):
+      - 14: in base (14%10<8), U1 wave (14%7=0) and U2 wave (14%14=0)
+            -> survives with status U2 (seq 2 beats seq 1).
+      - 13: in base, D wave (13%13=0) -> removed.
+      - 18: not in base (18%10=8), I wave -> appears with status NEW.
+      - 11: in base, untouched -> unchanged.
+    """
+    import datetime as dt
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.segmentation_cdc import (
+        warehouse_cdc_apply,
+    )
+
+    d = dt.datetime(2024, 1, 1)
+    rows = [
+        (14, 1, "O", 10.0, d, "1-URGENT"),
+        (13, 2, "O", 20.0, d, "1-URGENT"),
+        (18, 3, "O", 30.0, d, "1-URGENT"),
+        (11, 4, "F", 40.0, d, "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r.o_orderkey: r for r in warehouse_cdc_apply(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {14, 18, 11}
+    assert out[14].o_orderstatus == "U2" and out[14].o_totalprice == 10.0
+    assert out[18].o_orderstatus == "NEW" and out[18].o_custkey == 3
+    assert out[11].o_orderstatus == "F"
