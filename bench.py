@@ -67,37 +67,46 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in QUERIES]
     # Warm the session (JVM init, parquet footer reads) outside timings.
-    QUERIES[names[0]].fn(spark, sf_dir).count()
+    try:
+        QUERIES[names[0]].fn(spark, sf_dir).count()
+    except Exception as exc:  # warm-up failure must not kill the bench
+        print(f"warmup failed: {exc}", file=sys.stderr)
 
     # Two reps per query, report the min: rep 1 absorbs first-run Catalyst
     # analysis + codegen, rep 2 is steady state; min-of-2 also damps shared-
     # host noise.  clearCache() between queries drops intermediates some
     # operators persist (e.g. IVF centroid assignments) so queries can't
-    # degrade each other through executor memory pressure.
+    # degrade each other through executor memory pressure.  A query that
+    # raises is recorded in "errors" instead of zeroing the whole artifact.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        try:
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                df = QUERIES[name].fn(spark, sf_dir)
+                df.count()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"query {name} failed: {errors[name]}", file=sys.stderr)
+        finally:
             spark.catalog.clearCache()
-            t0 = time.time()
-            df = QUERIES[name].fn(spark, sf_dir)
-            df.count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -42,16 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects.  Read nanos as long and truncate to micros —
-    the same truncation DuckDB applies when loading nanos into its
-    microsecond timestamps, so both engines see identical values."""
+    """events.parquet may store ``ts`` as TIMESTAMP(NANOS) (read nanos-as-long
+    and truncate to micros — the same truncation DuckDB applies) or as a
+    no-timezone TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ.
+    ``unix_micros``/``withWatermark``/BIGINT casts all reject NTZ, so
+    normalize either form to a session-TZ TIMESTAMP; the session timezone is
+    pinned to UTC everywhere (tests, bench, entrypoints), so wall-clock values
+    are identical to what DuckDB sees and oracle parity is preserved."""
     from pyspark.sql import functions as F  # local: keep module import light
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.to_timestamp("ts"))
     return df
 
 

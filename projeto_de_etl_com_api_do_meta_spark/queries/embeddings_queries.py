@@ -150,12 +150,13 @@ WITH s AS (
   FROM embeddings)
 SELECT e.vec_id,
        CAST(floor(s.scale * 10000) AS BIGINT) AS scale_bp,
-       list_transform(e.embedding,
-         x -> CASE WHEN s.scale = 0 THEN 0
-                   ELSE CAST(round(CAST(x AS DOUBLE) / s.scale * 127)
-                             AS BIGINT) END) AS q
-FROM embeddings e JOIN s USING (vec_id)
-ORDER BY e.vec_id
+       CAST(i - 1 AS INT) AS pos,
+       CASE WHEN s.scale = 0 THEN 0
+            ELSE CAST(round(CAST(e.embedding[i] AS DOUBLE) / s.scale * 127)
+                      AS BIGINT) END AS q_val
+FROM embeddings e JOIN s USING (vec_id),
+     unnest(range(1, len(e.embedding) + 1)) AS t(i)
+ORDER BY e.vec_id, pos
 """
 
 
@@ -168,7 +169,10 @@ ORDER BY e.vec_id
         "trick: 4x smaller vectors, dot products in integer SIMD): "
         "per-vector absmax scale, values rounded to [-127, 127]. Pure "
         "array-lambda codegen — no UDF, no shuffle; the scale is emitted "
-        "as floor-basis-points so no raw float crosses the oracle hash."
+        "as floor-basis-points so no raw float crosses the oracle hash. "
+        "Output is posexploded to (vec_id, scale_bp, pos, q_val) rows so "
+        "the driver's pandas canonicalization (which can't hash list "
+        "cells) can compare it."
     ),
 )
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,8 +194,8 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id",
         F.floor(F.col("scale") * 10000).cast("long").alias("scale_bp"),
-        q.alias("q"),
-    ).orderBy("vec_id")
+        F.posexplode(q).alias("pos", "q_val"),
+    ).orderBy("vec_id", "pos")
 
 
 @register(
@@ -226,9 +230,9 @@ WITH x AS (
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
 )
 SELECT vec_id, CAST(j AS INT) AS proj_pos,
-       SUM(xfp * (CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+       CAST(SUM(xfp * (CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
                  || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
-                 THEN 1 ELSE -1 END)) AS y_fp
+                 THEN 1 ELSE -1 END)) AS BIGINT) AS y_fp
 FROM x, unnest(range(0, {_SRP_M})) AS u(j)
 GROUP BY vec_id, j
 ORDER BY vec_id, proj_pos

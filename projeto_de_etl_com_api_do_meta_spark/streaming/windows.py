@@ -43,13 +43,19 @@ def _stream_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture (nanos ts handled as in
-    batch io: read as long, truncate to micros)."""
+    """File-source stream over the events fixture, ``ts`` normalized exactly
+    as in batch io (``io._load_events``): nanos-as-long → truncate to micros;
+    TIMESTAMP_NTZ (no-TZ micros parquet) → session-TZ TIMESTAMP, which
+    ``withWatermark`` requires.  Session TZ is pinned UTC, so values match
+    the batch oracles."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = spark.readStream.schema(batch_schema).parquet(_stream_dir(sf_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.to_timestamp("ts"))
     return stream
 
 
