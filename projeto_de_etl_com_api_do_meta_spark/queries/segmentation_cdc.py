@@ -129,6 +129,174 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Approx (scale-path) RFM: percentile_approx thresholds joined back.
+# ---------------------------------------------------------------------------
+
+# Semantics note vs the exact NTILE form: scores here are VALUE-based —
+# score(x) = 1 + #{thresholds t_i < x} with t_i the discrete quartile values
+# — so tied metric values always share a bucket (NTILE splits ties by rank).
+# That is the correct contract for the scale path: it needs no global total
+# order, only three scalar thresholds.
+#
+# Cross-engine determinism: Spark's percentile_approx with rank error
+# n/accuracy < 1 returns exactly the element at rank ceil(q*n), which is
+# precisely DuckDB's quantile_disc (verified empirically incl. tie cases).
+# Thresholds are actual data values, bit-identical in both engines (counts,
+# day-diffs, cents-rounded sums), so the > comparisons are exact.
+
+_RFM_ACC = 1_000_000  # rank error < 1 up to 1M users; dial down at 100 TB
+
+_ORACLE_RFM_APPROX = """
+WITH u AS (
+  SELECT user_id,
+         COUNT(*) AS freq,
+         (CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+               AS DOUBLE) / 100) AS monetary,
+         date_diff('day', CAST(MAX(ts) AS DATE),
+                   (SELECT CAST(MAX(ts) AS DATE)
+                    FROM events)) AS recency_days
+  FROM events
+  GROUP BY user_id
+),
+th AS (
+  SELECT quantile_disc(recency_days, [0.25, 0.5, 0.75]) AS r_t,
+         quantile_disc(freq, [0.25, 0.5, 0.75]) AS f_t,
+         quantile_disc(monetary, [0.25, 0.5, 0.75]) AS m_t
+  FROM u
+)
+SELECT u.user_id, u.recency_days, u.freq, u.monetary,
+       CAST(1 + (u.recency_days > r_t[1])::INT + (u.recency_days > r_t[2])::INT
+              + (u.recency_days > r_t[3])::INT AS BIGINT) AS r_score,
+       CAST(1 + (u.freq > f_t[1])::INT + (u.freq > f_t[2])::INT
+              + (u.freq > f_t[3])::INT AS BIGINT) AS f_score,
+       CAST(1 + (u.monetary > m_t[1])::INT + (u.monetary > m_t[2])::INT
+              + (u.monetary > m_t[3])::INT AS BIGINT) AS m_score
+FROM u, th
+"""
+
+
+@register(
+    "events_rfm_segments_approx",
+    oracle=_ORACLE_RFM_APPROX,
+    tags=("events", "segmentation", "approx", "scale-path"),
+    doc=(
+        "Scale-path RFM: quartile thresholds from percentile_approx (one "
+        "tiny map-side-combinable aggregate) broadcast-joined back; scores "
+        "are value-based (1 + #thresholds below). No global sort, no "
+        "single-partition NTILE window — this is the plan that survives "
+        "100 TB; the exact NTILE form (events_rfm_segments) remains the "
+        "rank-exact contract."
+    ),
+)
+def events_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    global_max = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            dec_sum("value").alias("monetary"),
+            F.max(F.col("ts").cast("date")).alias("user_max_day"),
+        )
+        .crossJoin(F.broadcast(global_max))
+        .select(
+            "user_id",
+            "freq",
+            "monetary",
+            F.datediff("max_day", "user_max_day").alias("recency_days"),
+        )
+    )
+    qs = [0.25, 0.5, 0.75]
+    th = u.agg(
+        F.percentile_approx("recency_days", qs, _RFM_ACC).alias("r_t"),
+        F.percentile_approx("freq", qs, _RFM_ACC).alias("f_t"),
+        F.percentile_approx("monetary", qs, _RFM_ACC).alias("m_t"),
+    )
+
+    def score(col: str, t: str):
+        x = F.col(col)
+        return (
+            F.lit(1)
+            + (x > F.col(t)[0]).cast("int")
+            + (x > F.col(t)[1]).cast("int")
+            + (x > F.col(t)[2]).cast("int")
+        ).cast("long")
+
+    return u.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        "recency_days",
+        "freq",
+        "monetary",
+        score("recency_days", "r_t").alias("r_score"),
+        score("freq", "f_t").alias("f_score"),
+        score("monetary", "m_t").alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approx (scale-path) equi-depth histogram.
+# ---------------------------------------------------------------------------
+
+_ORACLE_EQUIDEPTH_APPROX = """
+WITH th AS (
+  SELECT quantile_disc(l_extendedprice,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+  FROM lineitem
+),
+b AS (
+  SELECT l_extendedprice,
+         1 + (l_extendedprice > t[1])::INT + (l_extendedprice > t[2])::INT
+           + (l_extendedprice > t[3])::INT + (l_extendedprice > t[4])::INT
+           + (l_extendedprice > t[5])::INT + (l_extendedprice > t[6])::INT
+           + (l_extendedprice > t[7])::INT + (l_extendedprice > t[8])::INT
+           + (l_extendedprice > t[9])::INT AS bucket
+  FROM lineitem, th
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       MIN(l_extendedprice) AS lo,
+       MAX(l_extendedprice) AS hi
+FROM b
+GROUP BY bucket
+"""
+
+
+@register(
+    "agg_histogram_equidepth_approx",
+    oracle=_ORACLE_EQUIDEPTH_APPROX,
+    tags=("agg", "histogram", "approx", "scale-path"),
+    doc=(
+        "Scale-path equi-depth deciles: percentile_approx threshold vector "
+        "(single aggregate, GK sketch, mergeable map-side) broadcast to a "
+        "value-based bucket assignment, then a hash aggregate per bucket. "
+        "Replaces the exact form's global NTILE sort; buckets deviate from "
+        "exact equal population only by tie mass at the thresholds."
+    ),
+)
+def agg_histogram_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [i / 10 for i in range(1, 10)]
+    th = li.agg(F.percentile_approx("l_extendedprice", qs, _RFM_ACC).alias("t"))
+    x = F.col("l_extendedprice")
+    bucket = F.lit(1)
+    for i in range(9):
+        bucket = bucket + (x > F.col("t")[i]).cast("int")
+    return (
+        li.crossJoin(F.broadcast(th))
+        .select("l_extendedprice", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact equi-depth (equal-population) histogram.
 # ---------------------------------------------------------------------------
 
