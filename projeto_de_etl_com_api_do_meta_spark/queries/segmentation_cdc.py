@@ -144,7 +144,12 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Thresholds are actual data values, bit-identical in both engines (counts,
 # day-diffs, cents-rounded sums), so the > comparisons are exact.
 
-_RFM_ACC = 1_000_000  # rank error < 1 up to 1M users; dial down at 100 TB
+# Rank error is n/accuracy; empirically the sketch needs a wide margin
+# (error <= ~0.1, not just < 1) to pin the exact ceil(q*n) element, so keep
+# accuracy >= ~10x the checked row counts (sf0.1 lineitem ~600k). At real
+# scale this dial turns DOWN and the result is honestly approximate — that
+# is the point of the scale path.
+_RFM_ACC = 10_000_000
 
 _ORACLE_RFM_APPROX = """
 WITH u AS (
