@@ -1,0 +1,333 @@
+"""Oracle-verifiable MinHash-LSH and SimHash (md5 hash family).
+
+The production dedup operators (operators/dedup.py) use murmur3 (``F.hash``)
+— the cheapest JVM-codegen hash — which no other engine reproduces, so their
+registry queries are rows-only.  These queries run the SAME pipeline shapes
+(shingle → k-min signature → banded equi-join → signature verify; token →
+±1 bit fold → pigeonhole blocks → Hamming verify) with an md5-derived hash
+family that DuckDB evaluates bit-identically, turning full MinHash+LSH and
+SimHash near-dup into value-checked contracts.
+
+Hash family: ``h_i(x) = uint32(first 8 hex chars of md5(i ':' x))`` — the
+same construction already used by ``embed_random_projection``'s ±1 matrix.
+md5 is ~2-4x slower per call than murmur3, which is why the murmur3 forms
+remain the headline/bench path; the shapes (and therefore the 100 TB
+posture: posting-list joins, never all-pairs) are identical.
+
+Determinism: every output column is an integer (ids, match counts, Hamming
+distances, packed fingerprints) — no floats cross the compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.dedup import spread, word_shingles
+from ..operators.text import tokens
+from ..session import pin_query_session_conf
+from .registry import register
+
+_K = 16  # minhash signature length
+_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4
+_ROWS = _K // _BANDS
+_MIN_MATCH = 8  # est Jaccard >= 8/16 = 0.5
+
+
+def _md5_u32(col) -> F.Column:
+    """uint32 from the first 8 hex chars of md5 — same value as DuckDB's
+    ('0x' || substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH, md5 family.
+# ---------------------------------------------------------------------------
+
+_ORACLE_MINHASH = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+       unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id, r.i AS hi,
+         MIN(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || s), 1, 8))::BIGINT)
+           AS h
+  FROM sh, unnest(range(0, {_K})) AS r(i)
+  GROUP BY doc_id, r.i
+),
+sig AS (
+  SELECT doc_id, list(h ORDER BY hi) AS sig FROM mh GROUP BY doc_id
+),
+band AS (
+  SELECT doc_id, b.j AS band_id,
+         md5(array_to_string(sig[b.j * {_ROWS} + 1 : b.j * {_ROWS} + {_ROWS}],
+                             ':')) AS bh
+  FROM sig, unnest(range(0, {_BANDS})) AS b(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM band a
+  JOIN band b2 ON a.band_id = b2.band_id AND a.bh = b2.bh
+              AND a.doc_id < b2.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_filter(range(1, {_K} + 1), k -> sa.sig[k] = sb.sig[k]))
+            AS BIGINT) AS n_match
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE len(list_filter(range(1, {_K} + 1), k -> sa.sig[k] = sb.sig[k]))
+      >= {_MIN_MATCH}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_minhash_md5_lsh",
+    oracle=_ORACLE_MINHASH,
+    tags=("dedup", "minhash", "lsh", "north-star"),
+    doc=(
+        "Full MinHash+LSH near-dup with a cross-engine md5 hash family: "
+        "16-min signature per doc (one explode + one 16-column min "
+        "aggregate, single shuffle), 4x4 banded equi-join candidates "
+        "(posting-list join, never all-pairs), signature-match verify "
+        ">= 8/16. Value-checked end to end against DuckDB — the oracle-"
+        "backed twin of the murmur3 dedup_minhash_lsh."
+    ),
+)
+def dedup_minhash_md5_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    posting = (
+        spread(docs, "doc_id")
+        .where(F.size(tokens("text")) >= 3)
+        .select(
+            "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+        )
+    )
+    mins = posting.groupBy("doc_id").agg(
+        *[
+            F.min(_md5_u32(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(_K)
+        ]
+    )
+    sig = mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(_K)]).alias("sig")
+    ).persist()
+
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BANDS - 1)),
+                lambda j: F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), j * _ROWS + 1, _ROWS),
+                            lambda v: v.cast("string"),
+                        ),
+                        ":",
+                    )
+                ),
+            )
+        ).alias("band_id", "bh"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+        .where(F.col("n_match") >= _MIN_MATCH)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash, md5 family (32-bit fingerprints + pigeonhole near-dup pairs).
+# ---------------------------------------------------------------------------
+
+_ORACLE_SIMHASH = """
+WITH th AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(regexp_split_to_array(trim(text), '\\s+'))),
+                         1, 8))::BIGINT AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b.i AS bit,
+         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, unnest(range(0, 32)) AS b(i)
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN acc > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+            AS BIGINT) AS fp
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _simhash32_md5(text_col: str) -> F.Column:
+    """32-bit md5-family SimHash packed into a long — per-row fold, no
+    shuffle; token multiplicity counts (same as the murmur3 simhash64)."""
+    toks = tokens(text_col)
+    h = lambda t: _md5_u32(t)  # noqa: E731
+    acc = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 32),
+        lambda a, t: F.zip_with(
+            a,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda b: F.when(F.getbit(h(t), b) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    bit_str = F.array_join(
+        F.reverse(
+            F.transform(acc, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")))
+        ),
+        "",
+    )
+    return F.conv(bit_str, 2, 10).cast("long")
+
+
+@register(
+    "dedup_simhash_md5",
+    oracle=_ORACLE_SIMHASH,
+    tags=("dedup", "simhash", "north-star"),
+    doc=(
+        "32-bit SimHash fingerprints with a cross-engine md5 hash family: "
+        "per-token ±1 bit votes folded per row (aggregate+zip_with, pure "
+        "codegen, shuffle-free), sign bits packed into a long. Value-"
+        "checked against DuckDB — the oracle-backed twin of dedup_simhash."
+    ),
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        spread(docs, "doc_id")
+        .select("doc_id", _simhash32_md5("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_SIMHASH_PAIRS = """
+WITH th AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(regexp_split_to_array(trim(text), '\\s+'))),
+                         1, 8))::BIGINT AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b.i AS bit,
+         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, unnest(range(0, 32)) AS b(i)
+  GROUP BY doc_id, b.i
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM bits GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, fp, j.b AS block_id, (fp >> (8 * j.b)) & 255 AS block_val
+  FROM fp, unnest(range(0, 4)) AS j(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a,
+                  b2.doc_id AS doc_b, b2.fp AS fp_b
+  FROM blocks a
+  JOIN blocks b2 ON a.block_id = b2.block_id
+                AND a.block_val = b2.block_val
+                AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_simhash_md5_pairs",
+    oracle=_ORACLE_SIMHASH_PAIRS,
+    tags=("dedup", "simhash", "north-star"),
+    doc=(
+        "SimHash near-dup pairs (Hamming <= 3) over md5-family 32-bit "
+        "fingerprints via pigeonhole blocking: 4 8-bit blocks, any pair "
+        "within Hamming 3 agrees on >= 1 block, so candidates come from an "
+        "equi-join on (block_id, block_val) — never all-pairs. Oracle-"
+        "backed twin of dedup_simhash_pairs."
+    ),
+)
+def dedup_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        spread(docs, "doc_id")
+        .select("doc_id", _simhash32_md5("text").alias("fp"))
+        .persist()
+    )
+    blocks = fp.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), j * 8).bitwiseAND(F.lit(255))
+                    for j in range(4)
+                ]
+            )
+        ).alias("block_id", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -171,6 +171,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         aggregates,
         analysis_extra,
+        dedup_crossengine,
         documents_queries,
         embeddings_queries,
         events_queries,
