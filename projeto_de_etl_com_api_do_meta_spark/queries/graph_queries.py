@@ -1,0 +1,123 @@
+"""Graph analytics over the star schema: fixed-point PageRank.
+
+Complements ``dedup_cluster_components`` (min-label connected components)
+with the other canonical iterative-join-aggregate graph workload.  The graph
+is the bipartite customer↔part purchase graph derived from
+``orders ⋈ lineitem`` (distinct pairs, both directions), so node influence
+reflects purchase co-occurrence — the "important entity" ranking a
+recommendation pipeline would bootstrap from.
+
+Determinism contract (cross-engine exactness): ranks are 1e9-scaled
+integers and every per-edge contribution is ``(85 * rank) div (100 *
+outdeg)`` — floor division on BIGINTs — so iteration results are
+bit-identical in any engine and under any partitioning/summation order.
+(Float PageRank would hash-mismatch from summation order alone.)  The
+teleport term is the constant ``floor(0.15 * 1e9)`` per node; mass lost to
+flooring is not redistributed — documented contract, same in the oracle.
+
+Scale posture: each iteration is one shuffle join (edges ⋈ ranks on src —
+co-partitionable, edges can be pre-partitioned and reused) plus one hash
+aggregate on dst.  That is the textbook distributed PageRank shape; the
+iteration count is a fixed k (unrolled CTEs in the oracle), and the edge
+list is persisted once, not rebuilt per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..session import pin_query_session_conf
+from .registry import register
+
+_ITERS = 3
+_R0 = 1_000_000_000  # initial rank, 1e9 fixed point
+_BASE = 150_000_000  # floor(0.15 * 1e9) teleport per node
+
+# Node ids: customers at custkey*2, parts at partkey*2+1 (disjoint spaces).
+_EDGES_SQL = """
+  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT DISTINCT l_partkey * 2 + 1 AS src, o_custkey * 2 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _oracle_pagerank() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, _ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT n.id,
+         {_BASE} + COALESCE(c.contrib, 0) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS id,
+           SUM((85 * p.rank) // (100 * d.outdeg)) AS contrib
+    FROM edges e
+    JOIN {prev} p ON p.id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.id = n.id
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH edges AS ({_EDGES_SQL}),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+r0 AS (SELECT id, CAST({_R0} AS BIGINT) AS rank FROM nodes),
+{chain}
+SELECT id, CAST(rank AS BIGINT) AS rank FROM {prev} ORDER BY id
+"""
+
+
+@register(
+    "graph_pagerank_purchases",
+    oracle=_oracle_pagerank(),
+    tags=("graph", "iterative", "north-star"),
+    doc=(
+        f"{_ITERS}-iteration fixed-point PageRank (damping 0.85) over the "
+        "bipartite customer↔part purchase graph. Integer 1e9-scaled ranks "
+        "with floor-division edge contributions make every iteration "
+        "bit-exact across engines and partitionings; each iteration is one "
+        "edges⋈ranks shuffle join + one dst hash aggregate (edges "
+        "persisted once)."
+    ),
+)
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    ol = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("c"), (F.col("l_partkey") * 2 + 1).alias("p")
+    )
+    fwd = ol.select(F.col("c").alias("src"), F.col("p").alias("dst")).distinct()
+    rev = ol.select(F.col("p").alias("src"), F.col("c").alias("dst")).distinct()
+    edges = fwd.unionAll(rev).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    nodes = edges.select(F.col("src").alias("id")).distinct().persist()
+
+    ranks = nodes.withColumn("rank", F.lit(_R0).cast("long"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select(
+                "dst", F.expr("(85 * rank) div (100 * outdeg)").alias("share")
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, nodes.id == contrib.dst, "left").select(
+            "id",
+            (F.lit(_BASE) + F.coalesce(F.col("contrib"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+        )
+    return ranks.orderBy("id")

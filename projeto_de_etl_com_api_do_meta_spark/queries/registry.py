@@ -175,6 +175,7 @@ def _load_all() -> None:
         documents_queries,
         embeddings_queries,
         events_queries,
+        graph_queries,
         joins,
         pandas_interop,
         pipelines_queries,

@@ -427,3 +427,86 @@ def sample_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-then-chunk token budgeting for training shards.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # context-window token budget per packed chunk
+_PACK_SHARDS = 8  # parallel packing shards (per-shard prefix sums)
+
+_ORACLE_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         doc_id % {_PACK_SHARDS} AS shard,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS chunk_start,
+       CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS chunk_offset,
+       CAST(CASE WHEN n_tok = 0 THEN cum_before // {_PACK_BUDGET}
+                 ELSE (cum_before + n_tok - 1) // {_PACK_BUDGET} END
+            AS BIGINT) AS chunk_end
+FROM c
+ORDER BY shard, doc_id
+"""
+
+
+@register(
+    "pack_sequences_chunked",
+    oracle=_ORACLE_PACK,
+    tags=("training", "packing", "north-star"),
+    doc=(
+        "Sequence packing for training shards (concat-then-chunk, the GPT-"
+        "style packing where documents are concatenated in deterministic "
+        "order and sliced at fixed token budgets): per-shard running token "
+        "offsets assign each document its starting chunk, offset within "
+        "chunk, and ending chunk. The prefix sum is PARTITIONED by shard — "
+        "each shard packs independently, so 100 TB packs as N parallel "
+        "window scans, never a global sort; shard count is the parallelism "
+        "dial. BPE-ish token counts (letter runs / digit runs / symbols)."
+    ),
+)
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text import bpe_ish_token_count
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        bpe_ish_token_count("text").cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    budget = F.lit(_PACK_BUDGET)
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        "cum_before",
+        F.expr(f"cum_before div {_PACK_BUDGET}").alias("chunk_start"),
+        (F.col("cum_before") % budget).alias("chunk_offset"),
+        F.when(
+            F.col("n_tok") == 0, F.expr(f"cum_before div {_PACK_BUDGET}")
+        )
+        .otherwise(F.expr(f"(cum_before + n_tok - 1) div {_PACK_BUDGET}"))
+        .alias("chunk_end"),
+    ).orderBy("shard", "doc_id")
