@@ -1,0 +1,287 @@
+"""ML-adjacent iterative + batching queries: k-means Lloyd rounds, graph
+degree distribution, and sequence-length bucketed batch planning.
+
+These extend the training-data-pipeline surface (driver north star) past the
+reference's own operators (reference analog: the per-entity aggregation in
+``src/transform.py:27-37`` is the closest shape — here generalized to
+iterative centroid refinement and batch planning):
+
+* ``embed_kmeans_lloyd`` — the clustering backbone behind IVF ANN and
+  semantic dedup, run as 2 bit-exact Lloyd iterations.
+* ``graph_degree_distribution`` — degree histogram of the purchase graph,
+  the profiling step before any graph algorithm (and the skew detector for
+  PageRank/components partitioning).
+* ``train_length_bucket_batches`` — sequence-length bucketing, the batch
+  planner that minimizes padding waste when packing documents for training.
+
+Determinism contracts (cross-engine exactness):
+
+* k-means works on shifted fixed-point values ``floor((v + 1) * 65536)``
+  (65536 = 2^16, so the scale multiply is exponent-only and exact; the +1
+  shift keeps everything non-negative so integer division truncation ==
+  floor in both engines; distances are shift-invariant).  Argmin uses the
+  combined-key trick ``min(dist * k + cid)`` so ties break to the lowest
+  centroid id identically everywhere, independent of partitioning.
+* degree distribution is pure integer counting.
+* length bucketing orders by ``(bucket, n_tokens, doc_id)`` — a total order,
+  so ``row_number`` is reproducible across engines and partitionings.
+
+Scale posture: k-means joins each point-component against a broadcast k×dim
+centroid table (k*dim rows — always tiny) and aggregates per (vec_id, cid)
+then per vec_id: two map-side-combinable hash aggregates per iteration, no
+all-pairs, no collect.  Degree distribution is two hash aggregates.  Length
+bucketing's window partitions by bucket (bounded fan-in per partition at any
+scale when bucket count grows with data via finer width, or by adding a
+shard key to the partition clause — documented in SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from ..session import pin_query_session_conf
+from .registry import register
+
+# --------------------------------------------------------------------------
+# k-means: 2 Lloyd iterations, k=4, fixed-point bit-exact
+# --------------------------------------------------------------------------
+
+_K = 4
+_ITERS = 2
+_SCALE = 65536.0  # 2^16: exact in binary floating point
+
+
+def _oracle_kmeans() -> str:
+    """Unrolled-CTE DuckDB oracle mirroring the Spark iterations exactly."""
+    assign = """
+a{i} AS (
+  SELECT vec_id, MIN(key) AS key FROM (
+    SELECT p.vec_id,
+           SUM((p.qv - c.cq) * (p.qv - c.cq)) * {k} + c.cid AS key
+    FROM pts p JOIN c{j} c ON p.pos = c.pos
+    GROUP BY p.vec_id, c.cid)
+  GROUP BY vec_id
+)"""
+    update = """
+c{i} AS (
+  SELECT a.key % {k} AS cid, p.pos, SUM(p.qv) // COUNT(*) AS cq
+  FROM pts p JOIN a{i} a ON p.vec_id = a.vec_id
+  GROUP BY a.key % {k}, p.pos
+)"""
+    parts = [
+        f"""pts AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+         CAST(floor((CAST(embedding[i] AS DOUBLE) + 1.0) * {_SCALE}) AS BIGINT)
+           AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+c0 AS (SELECT vec_id AS cid, pos, qv AS cq FROM pts WHERE vec_id < {_K})"""
+    ]
+    for i in range(1, _ITERS + 1):
+        parts.append(assign.format(i=i, j=i - 1, k=_K))
+        if i < _ITERS:
+            parts.append(update.format(i=i, k=_K))
+    return (
+        "WITH " + ",".join(parts) + f"""
+SELECT vec_id,
+       CAST(key % {_K} AS BIGINT) AS cid,
+       CAST(key // {_K} AS BIGINT) AS dist_q
+FROM a{_ITERS} ORDER BY vec_id"""
+    )
+
+
+@register(
+    "embed_kmeans_lloyd",
+    oracle=_oracle_kmeans(),
+    tags=("embedding", "iterative", "north-star"),
+    doc=(
+        f"{_ITERS} Lloyd iterations of k-means (k={_K}) over the embeddings "
+        "table in shifted 2^16 fixed point: assignment is a broadcast join "
+        "against the k*dim centroid table + two hash aggregates; centroid "
+        "update is one more hash aggregate with floor-division means. "
+        "Combined-key argmin (dist*k+cid) makes ties and therefore every "
+        "iteration bit-exact across engines and partitionings."
+    ),
+)
+def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor((F.col("v").cast("double") + F.lit(1.0)) * F.lit(_SCALE))
+        .cast("long")
+        .alias("qv"),
+    )
+    pts = pts.persist()
+
+    centroids = pts.where(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("qv").alias("cq")
+    )
+    assign = None
+    for i in range(_ITERS):
+        diff = F.col("qv") - F.col("cq")
+        assign = (
+            pts.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min(F.col("dist") * _K + F.col("cid")).alias("key"))
+        )
+        if i < _ITERS - 1:
+            centroids = (
+                pts.join(assign, "vec_id")
+                .groupBy((F.col("key") % _K).alias("cid"), "pos")
+                .agg(F.expr("sum(qv) div count(*)").alias("cq"))
+            )
+    return assign.select(
+        "vec_id",
+        (F.col("key") % _K).cast("long").alias("cid"),
+        (F.col("key") / F.lit(_K)).cast("long").alias("dist_q"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Degree distribution of the bipartite purchase graph
+# --------------------------------------------------------------------------
+
+_ORACLE_DEGREE = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (
+  SELECT 'customer' AS side, c AS node, COUNT(*) AS degree
+  FROM edges GROUP BY c
+  UNION ALL
+  SELECT 'part' AS side, p AS node, COUNT(*) AS degree
+  FROM edges GROUP BY p
+)
+SELECT side, degree, COUNT(*) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node
+FROM deg GROUP BY side, degree
+ORDER BY side, degree
+"""
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=_ORACLE_DEGREE,
+    tags=("graph", "agg"),
+    doc=(
+        "Degree histogram of the bipartite customer↔part purchase graph, "
+        "both sides: the skew-profiling step before any distributed graph "
+        "algorithm. Two map-side-combinable hash aggregates over the "
+        "distinct edge list; no windows, no collect."
+    ),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cust = edges.groupBy(F.col("c").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).select(F.lit("customer").alias("side"), "node", "degree")
+    part = edges.groupBy(F.col("p").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).select(F.lit("part").alias("side"), "node", "degree")
+    return (
+        cust.unionAll(part)
+        .groupBy("side", "degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+        .orderBy("side", "degree")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence-length bucketed batch planning
+# --------------------------------------------------------------------------
+
+_BUCKET_W = 64  # tokens per length bucket
+_BATCH = 16  # sequences per batch
+
+_ORACLE_LENGTH_BUCKETS = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, n_tokens // {_BUCKET_W} AS bucket,
+         ROW_NUMBER() OVER (PARTITION BY n_tokens // {_BUCKET_W}
+                            ORDER BY n_tokens, doc_id) AS rn
+  FROM t
+)
+SELECT bucket,
+       CAST((rn - 1) // {_BATCH} AS BIGINT) AS batch_id,
+       COUNT(*) AS n_seqs,
+       MAX(n_tokens) AS max_tokens,
+       SUM(n_tokens) AS sum_tokens,
+       MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS padding_waste
+FROM b
+GROUP BY bucket, (rn - 1) // {_BATCH}
+ORDER BY bucket, batch_id
+"""
+
+
+@register(
+    "train_length_bucket_batches",
+    oracle=_ORACLE_LENGTH_BUCKETS,
+    tags=("training", "window", "north-star"),
+    doc=(
+        f"Sequence-length bucketing for training batches: whitespace token "
+        f"counts -> {_BUCKET_W}-token-wide length buckets -> row_number "
+        f"within bucket (total order on (n_tokens, doc_id)) -> batches of "
+        f"{_BATCH} -> per-batch padding-waste accounting. The window "
+        "partitions by bucket so state is bounded per partition; at 100 TB "
+        "the partition clause gains a shard key and offsets are merged "
+        "prefix-sum style (same shape as ids_global_dense)."
+    ),
+)
+def train_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    b = t.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"n_tokens div {_BUCKET_W}").alias("bucket"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+        ),
+    )
+    return (
+        b.groupBy(
+            "bucket", F.expr(f"(rn - 1) div {_BATCH}").cast("long").alias("batch_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+        .orderBy("bucket", "batch_id")
+    )

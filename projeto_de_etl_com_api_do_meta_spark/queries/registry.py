@@ -177,6 +177,7 @@ def _load_all() -> None:
         events_queries,
         graph_queries,
         joins,
+        ml_queries,
         pandas_interop,
         pipelines_queries,
         quality_queries,
