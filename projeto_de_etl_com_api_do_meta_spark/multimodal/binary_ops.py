@@ -2,11 +2,15 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` UDFs.
 
-The container has no image/audio libraries, so the *decode kernel* is a
-deterministic fake behind ``decode_image_stub`` (a real pillow/ffmpeg kernel
-drops into the same seam — see ``REAL_DECODER_NOTE``).  Everything
-Spark-side is real and tested: schema contract, binary encoding, Arrow batch
-shape, partition-parallel execution, feature extraction plumbing.
+Two codec tiers share the same Spark plumbing, dispatched on content type:
+
+* **Real formats** (``codecs.py``, stdlib+numpy, no pillow/ffmpeg needed):
+  PPM images, RIFF/WAV PCM audio, YUV4MPEG2 (y4m) video.  The payloads in
+  the binary column are genuine files and the extractors genuinely parse
+  headers and sample data.
+* **Legacy fakes** (``*/fake`` content types) kept from round 1: the seam a
+  pillow/ffmpeg kernel for compressed formats (JPEG/MP3/H.264) would drop
+  into — see ``REAL_DECODER_NOTE``.
 
 Scale posture: binary payloads never pass through Python row-at-a-time —
 ``mapInPandas`` moves Arrow record batches; per-partition batch size is
@@ -18,15 +22,36 @@ from __future__ import annotations
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-REAL_DECODER_NOTE = (
-    "Swap decode_image_stub for a pillow/torchvision kernel: same signature, "
-    "bytes -> (width, height, channels, features)."
+from .codecs import (
+    PPM_CONTENT_TYPE,
+    WAV_CONTENT_TYPE,
+    Y4M_CONTENT_TYPE,
+    decode_ppm,
+    decode_wav,
+    decode_y4m,
+    encode_ppm,
+    encode_wav,
+    encode_y4m,
+    resize_ppm_nearest,
 )
+
+REAL_DECODER_NOTE = (
+    "Compressed formats (JPEG/MP3/H.264) need a pillow/ffmpeg kernel: same "
+    "signature seam as the real PPM/WAV/Y4M decoders in codecs.py."
+)
+
+
+def _cycle_bytes(data: bytes, n: int) -> bytes:
+    """Cycle ``data`` to exactly ``n`` bytes (deterministic payload filler)."""
+    if not data:
+        data = b"\x00"
+    return (data * (n // len(data) + 1))[:n]
 
 #: Output contract of the image feature extractor.
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -52,6 +77,100 @@ def attach_fake_image(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_ppm_image(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize a REAL PPM image per document: deterministic dimensions
+    from doc_id, pixel bytes cycled from the utf-8 text.  Encoding happens
+    executor-side in Arrow batches; the result column holds genuine P6
+    files any image tool can open."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("image_bytes", T.BinaryType()),
+            T.StructField("content_type", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id, text in zip(batch["doc_id"], batch[text_col]):
+                w = 8 + int(doc_id) % 25
+                h = 8 + (int(doc_id) * 7) % 25
+                rgb = _cycle_bytes(str(text).encode("utf-8"), w * h * 3)
+                out.append((doc_id, encode_ppm(w, h, rgb), PPM_CONTENT_TYPE))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.select("doc_id", text_col).mapInPandas(kernel, schema=schema)
+
+
+def attach_wav_audio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize a REAL RIFF/WAV PCM16 mono clip per document: samples
+    derived from the utf-8 text bytes (centered, scaled to int16)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("audio_bytes", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
+        ]
+    )
+    rate = 16000
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id, text in zip(batch["doc_id"], batch[text_col]):
+                raw = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                samples = (raw.astype(np.int16) - 128) * 256
+                out.append(
+                    (doc_id, encode_wav(samples, rate), rate, WAV_CONTENT_TYPE)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.select("doc_id", text_col).mapInPandas(kernel, schema=schema)
+
+
+_Y4M_W, _Y4M_H, _Y4M_FPS = 16, 16, 10
+
+
+def attach_y4m_video(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize a REAL YUV4MPEG2 (C444) clip per document: 3-8 frames of
+    plane data cycled from the utf-8 text."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("video_bytes", T.BinaryType()),
+            T.StructField("fps", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
+        ]
+    )
+    frame_size = 3 * _Y4M_W * _Y4M_H
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id, text in zip(batch["doc_id"], batch[text_col]):
+                n_frames = 3 + int(doc_id) % 6
+                blob = _cycle_bytes(
+                    str(text).encode("utf-8"), frame_size * n_frames
+                )
+                frames = [
+                    blob[i * frame_size : (i + 1) * frame_size]
+                    for i in range(n_frames)
+                ]
+                out.append(
+                    (
+                        doc_id,
+                        encode_y4m(frames, _Y4M_W, _Y4M_H, _Y4M_FPS),
+                        _Y4M_FPS,
+                        Y4M_CONTENT_TYPE,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.select("doc_id", text_col).mapInPandas(kernel, schema=schema)
+
+
 def decode_image_stub(payload: bytes) -> tuple[int, int, int, float]:
     """Deterministic fake decoder: derives (width, height, channels,
     mean_intensity) from the payload bytes.  A real decoder is not available
@@ -73,10 +192,14 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             for doc_id, payload, ctype in zip(
                 batch["doc_id"], batch["image_bytes"], batch["content_type"]
             ):
-                if ctype != "image/fake":
-                    raise NotImplementedError(REAL_DECODER_NOTE)
                 payload = bytes(payload)
-                w, h, c, mean = decode_image_stub(payload)
+                if ctype == PPM_CONTENT_TYPE:
+                    w, h, px = decode_ppm(payload)
+                    c, mean = 3, float(px.mean())
+                elif ctype == "image/fake":
+                    w, h, c, mean = decode_image_stub(payload)
+                else:
+                    raise NotImplementedError(REAL_DECODER_NOTE)
                 out.append(
                     (doc_id, len(payload), zlib.crc32(payload), w, h, c, mean)
                 )
@@ -120,17 +243,13 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             for doc_id, payload, ctype in zip(
                 batch["doc_id"], batch["image_bytes"], batch["content_type"]
             ):
-                if ctype != "image/fake":
+                if ctype == PPM_CONTENT_TYPE:
+                    resized = resize_ppm_nearest(bytes(payload), width, height)
+                elif ctype == "image/fake":
+                    resized = resize_image_stub(bytes(payload), width, height)
+                else:
                     raise NotImplementedError(REAL_DECODER_NOTE)
-                out.append(
-                    (
-                        doc_id,
-                        width,
-                        height,
-                        resize_image_stub(bytes(payload), width, height),
-                        ctype,
-                    )
-                )
+                out.append((doc_id, width, height, resized, ctype))
             yield pd.DataFrame(
                 out, columns=[f.name for f in RESIZED_SCHEMA.fields]
             )
@@ -169,8 +288,6 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     kernel drops into the same seam)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for batch in batches:
             out = []
             for doc_id, payload, rate, ctype in zip(
@@ -179,11 +296,15 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 batch["sample_rate"],
                 batch["content_type"],
             ):
-                if ctype != "audio/fake":
+                if ctype == WAV_CONTENT_TYPE:
+                    rate, pcm = decode_wav(bytes(payload))
+                    samples = pcm.astype("float64")
+                elif ctype == "audio/fake":
+                    samples = np.frombuffer(
+                        bytes(payload), dtype="uint8"
+                    ).astype("float64") - 128.0
+                else:
                     raise NotImplementedError(REAL_DECODER_NOTE)
-                samples = np.frombuffer(bytes(payload), dtype="uint8").astype(
-                    "float64"
-                ) - 128.0
                 n = len(samples)
                 rms = float(np.sqrt((samples**2).mean())) if n else 0.0
                 zc = int(np.count_nonzero(np.diff(np.signbit(samples)))) if n else 0
@@ -238,21 +359,19 @@ def sample_video_frames(df: DataFrame, every_nth: int = 5) -> DataFrame:
                 batch["fps"],
                 batch["content_type"],
             ):
-                if ctype != "video/fake":
-                    raise NotImplementedError(REAL_DECODER_NOTE)
                 payload = bytes(payload)
-                n_frames = len(payload) // _FAKE_FRAME_BYTES
-                for idx in range(0, n_frames, every_nth):
+                if ctype == Y4M_CONTENT_TYPE:
+                    _, _, fps, frames = decode_y4m(payload)
+                elif ctype == "video/fake":
+                    frames = [
+                        payload[i * _FAKE_FRAME_BYTES : (i + 1) * _FAKE_FRAME_BYTES]
+                        for i in range(len(payload) // _FAKE_FRAME_BYTES)
+                    ]
+                else:
+                    raise NotImplementedError(REAL_DECODER_NOTE)
+                for idx in range(0, len(frames), every_nth):
                     out.append(
-                        (
-                            doc_id,
-                            idx,
-                            idx * 1000 // int(fps),
-                            payload[
-                                idx * _FAKE_FRAME_BYTES : (idx + 1)
-                                * _FAKE_FRAME_BYTES
-                            ],
-                        )
+                        (doc_id, idx, idx * 1000 // int(fps), frames[idx])
                     )
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 

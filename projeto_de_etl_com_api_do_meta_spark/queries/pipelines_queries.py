@@ -209,15 +209,18 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     tags=("multimodal", "north-star"),
     doc=(
-        "Binary-column multimodal plumbing: opaque image bytes + typed "
-        "metadata -> Arrow-batched mapInPandas feature extraction (decode "
-        "kernel stubbed; Spark plumbing real)."
+        "Binary-column multimodal pipeline with a REAL codec: genuine PPM "
+        "(netpbm P6) files are encoded into the binary column and the "
+        "extractor genuinely parses headers + pixel data (stdlib+numpy, "
+        "codecs.py) — all via Arrow-batched mapInPandas."
     ),
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import attach_ppm_image
+
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return extract_image_features(attach_fake_image(docs))
+    return extract_image_features(attach_ppm_image(docs))
 
 
 @register(
@@ -225,16 +228,18 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     tags=("multimodal", "north-star"),
     doc=(
-        "Audio binary-column plumbing: Arrow-batched mapInPandas duration/"
-        "RMS/zero-crossing extraction (decode kernel stubbed; plumbing real)."
+        "Audio binary-column pipeline with a REAL codec: genuine RIFF/WAV "
+        "PCM16 clips in the binary column, chunk-walking WAV parser in the "
+        "extractor (codecs.py) -> duration/RMS/zero-crossing features via "
+        "Arrow-batched mapInPandas."
     ),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..multimodal.binary_ops import attach_fake_audio, extract_audio_features
+    from ..multimodal.binary_ops import attach_wav_audio, extract_audio_features
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return extract_audio_features(attach_fake_audio(docs))
+    return extract_audio_features(attach_wav_audio(docs))
 
 
 @register(
@@ -242,16 +247,18 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     tags=("multimodal", "north-star"),
     doc=(
-        "Video frame sampling: row-expanding mapInPandas (one row per "
-        "sampled frame) over the opaque video container column."
+        "Video frame sampling with a REAL container format: genuine "
+        "YUV4MPEG2 (y4m, C444) streams in the binary column, real FRAME-"
+        "marker parser (codecs.py), row-expanding mapInPandas (one row per "
+        "sampled frame)."
     ),
 )
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..multimodal.binary_ops import attach_fake_video, sample_video_frames
+    from ..multimodal.binary_ops import attach_y4m_video, sample_video_frames
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return sample_video_frames(attach_fake_video(docs))
+    return sample_video_frames(attach_y4m_video(docs))
 
 
 @register(
