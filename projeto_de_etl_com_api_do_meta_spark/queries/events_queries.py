@@ -375,3 +375,115 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("anchor").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+# -- Built-in session_window in BATCH mode (twin of events_sessionize_30m) -----
+
+_ORACLE_SESSION_BUILTIN = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register(
+    "events_session_window_builtin",
+    oracle=_ORACLE_SESSION_BUILTIN,
+    tags=("events", "window", "streaming-parity"),
+    doc=(
+        "F.session_window in BATCH mode (30-min inactivity gap): per-session "
+        "start/end/event-count detail rows — the built-in-operator twin of "
+        "the lag/cumsum gaps-and-islands form in events_sessionize_30m, and "
+        "the batch twin of stream_session_window (§2.8). One shuffle on "
+        "user_id; session merge is Spark-internal (no window-function pass). "
+        "Oracle reproduces [start, last_ts + gap) semantics via lag/cumsum "
+        "(session boundaries depend only on ts gaps, so duplicate-ts "
+        "ordering cannot change the result)."
+    ),
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# -- Time-hierarchy ROLLUP (year -> month -> day) ------------------------------
+
+_ORACLE_TIME_ROLLUP = """
+SELECT COALESCE(CAST(EXTRACT(year FROM ts) AS BIGINT), -1) AS y,
+       COALESCE(CAST(EXTRACT(month FROM ts) AS BIGINT), -1) AS m,
+       COALESCE(CAST(EXTRACT(day FROM ts) AS BIGINT), -1) AS d,
+       GROUPING(EXTRACT(year FROM ts)) * 4
+         + GROUPING(EXTRACT(month FROM ts)) * 2
+         + GROUPING(EXTRACT(day FROM ts)) AS gid,
+       COUNT(*) AS n_events,
+       (CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+             AS DOUBLE) / 100) AS total_value
+FROM events
+GROUP BY ROLLUP (EXTRACT(year FROM ts), EXTRACT(month FROM ts),
+                 EXTRACT(day FROM ts))
+"""
+
+
+@register(
+    "events_time_rollup_ymd",
+    oracle=_ORACLE_TIME_ROLLUP,
+    tags=("events", "rollup", "agg"),
+    doc=(
+        "Calendar-hierarchy ROLLUP (year, month, day) over events with "
+        "grouping_id and decimal-exact value sums: every report granularity "
+        "in ONE pass (partial aggregation handles all levels map-side) "
+        "instead of one scan per granularity."
+    ),
+)
+def events_time_rollup_ymd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.safe_math import dec_sum
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.year("ts").cast("long").alias("yy"),
+        F.month("ts").cast("long").alias("mm"),
+        F.dayofmonth("ts").cast("long").alias("dd"),
+        "value",
+    )
+    return (
+        ev.rollup("yy", "mm", "dd")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("yy"), F.lit(-1)).alias("y"),
+            F.coalesce(F.col("mm"), F.lit(-1)).alias("m"),
+            F.coalesce(F.col("dd"), F.lit(-1)).alias("d"),
+            "gid",
+            "n_events",
+            "total_value",
+        )
+    )
