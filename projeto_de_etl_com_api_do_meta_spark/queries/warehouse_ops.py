@@ -204,3 +204,186 @@ def layout_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension BUILD with change suppression.
+# ---------------------------------------------------------------------------
+
+_SCD2_BUILD_ORACLE = """
+WITH src AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT)
+           AS attr_cents
+  FROM events WHERE event_type = 'purchase'
+),
+flagged AS (
+  SELECT user_id, ts, event_id, attr_cents,
+         CASE WHEN LAG(attr_cents) OVER w IS NULL
+                OR attr_cents <> LAG(attr_cents) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (SELECT user_id, ts, event_id, attr_cents FROM flagged WHERE chg = 1)
+SELECT user_id,
+       ROW_NUMBER() OVER w2 AS version_no,
+       ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       CASE WHEN LEAD(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current,
+       attr_cents
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version_no
+"""
+
+
+@register(
+    "warehouse_scd2_build",
+    oracle=_SCD2_BUILD_ORACLE,
+    tags=("warehouse", "temporal", "window"),
+    doc=(
+        "SCD2 dimension BUILD from a changelog with change suppression: "
+        "consecutive versions with an unchanged tracked attribute are "
+        "collapsed (lag-compare), survivors get [valid_from, valid_to) "
+        "intervals via LEAD plus an is_current flag. This is the "
+        "keep-every-version generalization of the reference's keep-latest "
+        "upsert (reference load.py:94-119, transform.py:97): two window "
+        "passes over the same user_id partitioning — one shuffle total, "
+        "change detection never leaves the partition."
+    ),
+)
+def warehouse_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    src = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(dec("value") * 100, 0).cast("long").alias("attr_cents"),
+    )
+    changes = (
+        src.withColumn("prev", F.lag("attr_cents").over(w))
+        .where(F.col("prev").isNull() | (F.col("attr_cents") != F.col("prev")))
+        .drop("prev")
+    )
+    return (
+        changes.withColumn("version_no", F.row_number().over(w))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "version_no",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
+            "attr_cents",
+        )
+        .orderBy("user_id", "version_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations audit (one pass per table, unioned summary).
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT 'orders_fk_customer' AS check_name,
+       (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+         AS violations,
+       (SELECT COUNT(*) FROM orders) AS total
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'customer_pk_unique',
+       (SELECT COALESCE(SUM(n - 1), 0) FROM
+         (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey) t
+        WHERE n > 1),
+       (SELECT COUNT(*) FROM customer)
+UNION ALL
+SELECT 'events_value_null_or_negative',
+       (SELECT COUNT(*) FROM events WHERE value IS NULL OR value < 0),
+       (SELECT COUNT(*) FROM events)
+UNION ALL
+SELECT 'documents_text_empty',
+       (SELECT COUNT(*) FROM documents WHERE text IS NULL
+          OR length(trim(text)) = 0),
+       (SELECT COUNT(*) FROM documents)
+ORDER BY check_name
+"""
+
+
+@register(
+    "dq_expectations_summary",
+    oracle=_DQ_ORACLE,
+    tags=("warehouse", "quality", "reference-parity"),
+    doc=(
+        "Data-quality expectations audit — the validation gate the "
+        "reference's load step implies but never codifies (staging insert + "
+        "merge, reference load.py:30-119): FK orphan counts via LEFT "
+        "anti-join shape, PK duplicate mass, null/negative measures, empty "
+        "documents; one summary row per check. Each check is an "
+        "independent aggregate the optimizer can run in parallel; FK "
+        "checks broadcast the dim-side key set when small."
+    ),
+)
+def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def summary(name: str, violations: DataFrame, total: DataFrame) -> DataFrame:
+        v = violations.agg(F.count(F.lit(1)).alias("violations"))
+        t = total.agg(F.count(F.lit(1)).alias("total"))
+        return v.crossJoin(t).select(
+            F.lit(name).alias("check_name"), "violations", "total"
+        )
+
+    fk_orders = summary(
+        "orders_fk_customer",
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "left_anti"
+        ),
+        orders,
+    )
+    fk_lineitem = summary(
+        "lineitem_fk_orders",
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+        ),
+        lineitem,
+    )
+    pk_dups = (
+        customer.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("violations"))
+        .crossJoin(customer.agg(F.count(F.lit(1)).alias("total")))
+        .select(F.lit("customer_pk_unique").alias("check_name"), "violations", "total")
+    )
+    ev_bad = summary(
+        "events_value_null_or_negative",
+        events.where(F.col("value").isNull() | (F.col("value") < 0)),
+        events,
+    )
+    doc_empty = summary(
+        "documents_text_empty",
+        documents.where(
+            F.col("text").isNull() | (F.length(F.trim("text")) == 0)
+        ),
+        documents,
+    )
+    return (
+        fk_orders.unionAll(fk_lineitem)
+        .unionAll(pk_dups)
+        .unionAll(ev_bad)
+        .unionAll(doc_empty)
+        .orderBy("check_name")
+    )
