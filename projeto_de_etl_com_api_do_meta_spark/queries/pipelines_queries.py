@@ -475,3 +475,41 @@ def meta_stream_insights_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("date_start")
     )
 
+
+
+_ORACLE_STREAM_CHAINED = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT CAST(date_trunc('day', h) AS DATE) AS day,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_active_hours
+FROM hourly GROUP BY 1
+"""
+
+
+@register(
+    "stream_chained_windows",
+    oracle=_ORACLE_STREAM_CHAINED,
+    tags=("streaming",),
+    doc=(
+        "Chained stateful operators in one streaming query (Spark 3.4+ "
+        "multiple-stateful-operator support): hourly tumbling counts -> "
+        "daily re-aggregation with active-hour counts, watermark "
+        "propagating through both (window_time); append mode as multiple "
+        "stateful operators require, with a far-future sentinel row "
+        "advancing the final watermark so trailing windows flush under "
+        "Trigger.AvailableNow; oracle-checked against the equivalent "
+        "two-level batch rollup."
+    ),
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import chained_hourly_to_daily
+
+    pin_query_session_conf(spark)
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        stream = chained_hourly_to_daily(
+            read_events_stream(spark, sf_dir, sentinel=True)
+        )
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            return run_available_now(stream, ckpt, output_mode="append")

@@ -17,6 +17,7 @@ as a plain batch plan (stream/batch parity pinned by the oracle-checked
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,15 +43,77 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Sentinel event time: far enough in the future that the watermark it
+#: advances flushes every real window out of append-mode state.
+_SENTINEL_TS_US = 4_102_444_800_000_000  # 2100-01-01T00:00:00Z in micros
+SENTINEL_CUTOFF = "2099-01-01"
+
+
+def _add_sentinel(d: str, sf_dir: str) -> None:
+    """Write a one-row far-future sentinel parquet (exact fixture schema)
+    into the stream dir.  Append-mode streaming aggregations only emit a
+    window once the watermark passes its end; under Trigger.AvailableNow
+    the watermark stops at max-event-time - delay, which would hold back
+    the trailing window(s) forever.  The sentinel advances the watermark
+    past every real window; its own output rows are filtered downstream
+    (>= SENTINEL_CUTOFF)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(d, "zz_sentinel.parquet")
+    if os.path.exists(path):
+        return
+    schema = pq.read_schema(table_path(sf_dir, "events"))
+    ts_type = schema.field("ts").type
+    if pa.types.is_timestamp(ts_type):
+        unit = ts_type.unit
+        scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1 / 1000}[unit]
+        ts_val = pa.scalar(
+            int(_SENTINEL_TS_US / scale) if unit != "ns"
+            else _SENTINEL_TS_US * 1000,
+            type=ts_type,
+        )
+    else:  # nanos-as-long fixtures store int64
+        ts_val = pa.scalar(_SENTINEL_TS_US * 1000, type=ts_type)
+    cols = {}
+    for f in schema:
+        if f.name == "ts":
+            cols[f.name] = pa.array([ts_val.as_py()], type=f.type)
+        elif f.name == "event_type":
+            cols[f.name] = pa.array(["__sentinel__"], type=f.type)
+        elif pa.types.is_string(f.type):
+            cols[f.name] = pa.array([""], type=f.type)
+        elif pa.types.is_floating(f.type):
+            cols[f.name] = pa.array([0.0], type=f.type)
+        else:
+            cols[f.name] = pa.array([-1], type=f.type)
+    pq.write_table(pa.table(cols, schema=schema), path)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, sentinel: bool = False
+) -> DataFrame:
     """File-source stream over the events fixture, ``ts`` normalized exactly
     as in batch io (``io._load_events``): nanos-as-long → truncate to micros;
     TIMESTAMP_NTZ (no-TZ micros parquet) → session-TZ TIMESTAMP, which
     ``withWatermark`` requires.  Session TZ is pinned UTC, so values match
-    the batch oracles."""
+    the batch oracles.  ``sentinel=True`` adds the far-future watermark
+    flusher (see ``_add_sentinel``) for append-mode window queries."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = spark.readStream.schema(batch_schema).parquet(_stream_dir(sf_dir))
+    d = _stream_dir(sf_dir)
+    if sentinel:
+        sd = d + "_sentinel"
+        if not os.path.exists(sd):
+            os.makedirs(sd, exist_ok=True)
+            link = os.path.join(sd, "events.parquet")
+            if not os.path.exists(link):
+                os.symlink(table_path(sf_dir, "events"), link)
+            _add_sentinel(sd, sf_dir)
+        d = sd
+    stream = spark.readStream.schema(batch_schema).parquet(d)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -317,4 +380,33 @@ def stateful_user_profile_tws(events: DataFrame) -> DataFrame:
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def chained_hourly_to_daily(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """TWO chained stateful window aggregations in ONE streaming query
+    (multiple-stateful-operator support, Spark 3.4+): hourly tumbling counts
+    re-aggregated into daily totals + active-hour counts.  The watermark
+    propagates through the first aggregate so the second can finalize its
+    daily windows; state for both operators is bounded by the watermark
+    horizon.  At scale this halves the shuffled volume of a naive
+    raw-events daily agg: the second stage only sees one row per hour."""
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w1"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        hourly.groupBy(F.window(F.window_time("w1"), "1 day").alias("w2"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+        )
+        .select(
+            F.col("w2.start").cast("date").alias("day"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_active_hours").cast("long").alias("n_active_hours"),
+        )
+        # drop the sentinel's own window (stateless filter after the aggs)
+        .where(F.col("day") < F.lit(SENTINEL_CUTOFF).cast("date"))
     )
