@@ -376,3 +376,69 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("bucket")
     )
+
+
+# -- Median (exact interpolated) + deterministic mode --------------------------
+
+_ORACLE_MEDIAN_MODE = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+mode_pick AS (
+  SELECT l_returnflag, q AS mode_qty,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, q ASC) AS rn
+  FROM counts
+)
+SELECT m.l_returnflag,
+       med.median_qty,
+       m.mode_qty
+FROM mode_pick m
+JOIN (
+  SELECT l_returnflag,
+         median(CAST(l_quantity AS DOUBLE)) AS median_qty
+  FROM lineitem GROUP BY 1
+) med USING (l_returnflag)
+WHERE m.rn = 1
+ORDER BY m.l_returnflag
+"""
+
+
+@register(
+    "agg_median_mode",
+    oracle=_ORACLE_MEDIAN_MODE,
+    tags=("agg",),
+    doc=(
+        "Exact interpolated median (F.median, whole-stage sortable agg) "
+        "plus DETERMINISTIC mode per group: built-in mode() is "
+        "tie-arbitrary in any engine, so the mode is computed as "
+        "count-per-value -> row_number ordered (count DESC, value ASC) — "
+        "reproducible under any partitioning. Median values here are "
+        "integers/half-integers, exact in double on both engines."
+    ),
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median(F.col("q").cast("double")).alias("median_qty")
+    )
+    counts = li.groupBy("l_returnflag", "q").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("q").asc()
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("q").alias("mode_qty"))
+    )
+    return (
+        med.join(mode, "l_returnflag")
+        .select("l_returnflag", "median_qty", "mode_qty")
+        .orderBy("l_returnflag")
+    )

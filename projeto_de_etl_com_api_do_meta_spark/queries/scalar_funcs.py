@@ -367,3 +367,45 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+_ORACLE_BITWISE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 15 AS bor,
+       xor(o_orderkey, o_custkey) AS bxor,
+       CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INTEGER) AS popcount,
+       o_orderkey << 2 AS shl,
+       o_orderkey >> 3 AS shr,
+       ~o_orderkey AS bnot
+FROM orders
+WHERE o_orderkey < 400
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "fn_bitwise_family",
+    oracle=_ORACLE_BITWISE,
+    tags=("functions",),
+    doc=(
+        "Bitwise scalar family (R6): AND/OR/XOR/NOT, bit_count popcount, "
+        "shifts — all codegen'd JVM expressions, no UDFs. The building "
+        "blocks the SimHash/bucketing operators use, exposed as a "
+        "standalone verified family."
+    ),
+)
+def fn_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 400)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(15)).alias("bor"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("bxor"),
+        F.bit_count(k.cast("long")).alias("popcount"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.expr("~o_orderkey").alias("bnot"),
+    ).orderBy("o_orderkey")
