@@ -22,44 +22,65 @@ def asof_join(
     ts: str,
     payload_cols: list[str],
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the payload of the most recent right row
-    with ``right.ts <= left.ts`` and the same ``key`` (ties: the right row
-    at exactly left.ts counts — right sorts before left at equal ts).
+    """For every left row, attach the payload of the nearest right row with
+    the same ``key``: ``direction="backward"`` takes the most recent right
+    row with ``right.ts <= left.ts`` (ties: the right row at exactly left.ts
+    counts — right sorts before left at equal ts); ``direction="forward"``
+    takes the earliest right row with ``right.ts >= left.ts`` (a right row
+    at exactly left.ts counts — it sorts after left at equal ts).
 
-    ``tolerance_us`` nulls the payload when the matched right row is older
+    ``tolerance_us`` nulls the payload when the matched right row is further
     than the given horizon (pandas ``merge_asof(tolerance=...)`` analog).
+
+    Both directions are the same one-shuffle union+carry window pass; only
+    the frame flips (carry-forward ``last`` vs carry-backward ``first``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     pay = [f"_r_{c}" for c in payload_cols]
+    back = direction == "backward"
+    # backward: right sorts BEFORE left at equal ts (right=0, left=1);
+    # forward: right sorts AFTER left at equal ts (left=0, right=1).
+    r_side, l_side = (0, 1) if back else (1, 0)
     r = right.select(
         F.col(key),
         F.col(ts),
-        F.lit(0).alias("_side"),
+        F.lit(r_side).alias("_side"),
         F.unix_micros(F.col(ts)).alias("_r_ts_us"),
         *[F.col(c).alias(a) for c, a in zip(payload_cols, pay)],
     )
     l = left.select(
         "*",
-        F.lit(1).alias("_side"),
+        F.lit(l_side).alias("_side"),
         F.lit(None).cast("long").alias("_r_ts_us"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(a) for c, a in zip(payload_cols, pay)],
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(ts), F.col("_side"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    base = Window.partitionBy(key).orderBy(F.col(ts), F.col("_side"))
+    if back:
+        w = base.rowsBetween(Window.unboundedPreceding, 0)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = base.rowsBetween(0, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     carried = u.select(
         "*",
-        *[F.last(a, ignorenulls=True).over(w).alias(f"_c{a}") for a in pay],
-        F.last("_r_ts_us", ignorenulls=True).over(w).alias("_c_ts_us"),
-    ).where(F.col("_side") == 1)
+        *[pick(a).over(w).alias(f"_c{a}") for a in pay],
+        pick("_r_ts_us").over(w).alias("_c_ts_us"),
+    ).where(F.col("_side") == l_side)
     if tolerance_us is not None:
-        stale = (F.unix_micros(F.col(ts)) - F.col("_c_ts_us")) > tolerance_us
+        gap = (
+            (F.unix_micros(F.col(ts)) - F.col("_c_ts_us"))
+            if back
+            else (F.col("_c_ts_us") - F.unix_micros(F.col(ts)))
+        )
         outs = [
-            F.when(stale, F.lit(None)).otherwise(F.col(f"_c{a}")).alias(c)
+            F.when(gap > tolerance_us, F.lit(None))
+            .otherwise(F.col(f"_c{a}"))
+            .alias(c)
             for c, a in zip(payload_cols, pay)
         ]
     else:

@@ -496,3 +496,53 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 3)
         .orderBy("name_a", "name_b")
     )
+
+
+_ORACLE_ASOF_FWD = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+"""
+
+
+@register(
+    "join_asof_forward",
+    oracle=_ORACLE_ASOF_FWD,
+    tags=("join", "asof", "timeseries"),
+    doc=(
+        "FORWARD as-of join: each click joined to the user's next purchase "
+        "at-or-after it (attribution lookahead). Same one-shuffle "
+        "union+carry pass as the backward form with the window frame "
+        "flipped (first-over-following instead of last-over-preceding) — "
+        "oracle: DuckDB native ASOF LEFT JOIN with a >= condition."
+    ),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts="ts",
+        payload_cols=["purchase_id", "purchase_value"],
+        direction="forward",
+    )
