@@ -487,3 +487,140 @@ def events_time_rollup_ymd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# -- Linear interpolation of sparse series (exact-rational form) ---------------
+
+_ORACLE_INTERPOLATE = """
+WITH bounds AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1
+  FROM events
+),
+spine AS (
+  SELECT t.day, e.event_type
+  FROM (SELECT unnest(generate_series(d0, d1, INTERVAL '1 day'))::DATE AS day
+        FROM bounds) t
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) e
+),
+observed AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+           AS cents
+  FROM events
+  WHERE EXTRACT(day FROM ts) % 3 = 0
+  GROUP BY 1, 2
+),
+idx AS (
+  SELECT s.day, s.event_type,
+         datediff('day', DATE '2020-01-01', s.day) AS di,
+         o.cents
+  FROM spine s LEFT JOIN observed o
+    ON s.day = o.day AND s.event_type = o.event_type
+),
+ctx AS (
+  SELECT day, event_type, di, cents,
+         last_value(cents IGNORE NULLS) OVER wp AS prev_c,
+         last_value(CASE WHEN cents IS NOT NULL THEN di END IGNORE NULLS)
+           OVER wp AS prev_i,
+         first_value(cents IGNORE NULLS) OVER wf AS next_c,
+         first_value(CASE WHEN cents IS NOT NULL THEN di END IGNORE NULLS)
+           OVER wf AS next_i
+  FROM idx
+  WINDOW wp AS (PARTITION BY event_type ORDER BY di
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY di
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT day, event_type,
+       CASE WHEN cents IS NOT NULL THEN cents
+            WHEN prev_c IS NULL OR next_c IS NULL THEN NULL
+            ELSE prev_c * (next_i - prev_i)
+                 + (next_c - prev_c) * (di - prev_i) END AS interp_num,
+       CASE WHEN cents IS NOT NULL THEN 1
+            WHEN prev_c IS NULL OR next_c IS NULL THEN NULL
+            ELSE next_i - prev_i END AS interp_den
+FROM ctx
+ORDER BY event_type, day
+"""
+
+
+@register(
+    "events_interpolate_linear",
+    oracle=_ORACLE_INTERPOLATE,
+    tags=("events", "timeseries", "window"),
+    doc=(
+        "Linear interpolation of a sparse daily series (only every-3rd-day "
+        "totals observed): dense spine -> carry prev/next observation via "
+        "ignore-nulls window frames -> EXACT-RATIONAL interpolated value "
+        "emitted as (numerator, denominator) integer pair, so the result "
+        "hashes bit-identically across engines (no float division). "
+        "Windows partition per series (event_type); at N series x D days "
+        "state is bounded per partition."
+    ),
+)
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pin_query_session_conf(spark)
+    from ..functions.safe_math import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"),
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(F.broadcast(types))
+    observed = (
+        ev.where(F.dayofmonth("ts") % 3 == 0)
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.round(F.sum(dec("value")) * 100, 0).cast("long").alias("cents"))
+    )
+    idx = spine.join(observed, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.datediff("day", F.lit("2020-01-01").cast("date")).alias("di"),
+        "cents",
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_di = F.when(F.col("cents").isNotNull(), F.col("di"))
+    ctx = idx.select(
+        "day",
+        "event_type",
+        "di",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("prev_c"),
+        F.last(obs_di, ignorenulls=True).over(wp).alias("prev_i"),
+        F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(obs_di, ignorenulls=True).over(wf).alias("next_i"),
+    )
+    has_ends = F.col("prev_c").isNotNull() & F.col("next_c").isNotNull()
+    num = F.col("prev_c") * (F.col("next_i") - F.col("prev_i")) + (
+        F.col("next_c") - F.col("prev_c")
+    ) * (F.col("di") - F.col("prev_i"))
+    den = F.col("next_i") - F.col("prev_i")
+    return ctx.select(
+        "day",
+        "event_type",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(has_ends, num)
+        .alias("interp_num"),
+        F.when(F.col("cents").isNotNull(), F.lit(1).cast("long"))
+        .when(has_ends, den.cast("long"))
+        .alias("interp_den"),
+    ).orderBy("event_type", "day")
