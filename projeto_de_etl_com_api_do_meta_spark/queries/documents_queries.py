@@ -429,3 +429,128 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = jaccard_pairs(docs, threshold=0.12).select("doc_a", "doc_b")
     return connected_components(pairs)
+
+
+# -- Cross-document duplicated substrings (exact substring-dedup signal) -------
+
+_GRAM_LEN = 50
+
+_ORACLE_SUBSTR_DUP = f"""
+WITH grams AS (
+  SELECT doc_id,
+         md5(substr(text, CAST(i AS INTEGER), {_GRAM_LEN})) AS g
+  FROM documents,
+       unnest(range(1, greatest(length(text) - {_GRAM_LEN} + 1, 1) + 1)) AS t(i)
+),
+dup AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT gr.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(d.g) AS n_dup_grams
+FROM grams gr LEFT JOIN dup d ON gr.g = d.g
+GROUP BY gr.doc_id
+ORDER BY gr.doc_id
+"""
+
+
+@register(
+    "text_substring_dup_spans",
+    oracle=_ORACLE_SUBSTR_DUP,
+    tags=("text", "dedup", "north-star"),
+    doc=(
+        f"Exact substring-level duplication signal (the train-set memorization "
+        f"risk detector): every {_GRAM_LEN}-char sliding window is hashed "
+        "(md5 — cross-engine), windows appearing in >1 distinct document "
+        "are flagged, and each document reports total vs duplicated window "
+        "counts. Gram generation is codegen'd sequence+transform+explode "
+        "(no Python); the dup set is found by hash aggregate and joined "
+        "back posting-list style on the hash — never all-pairs, and the "
+        "join key is a fixed-width digest, not the raw substring. At 100 TB "
+        "add a stride and/or winnowing pre-filter (text_fingerprint_winnow) "
+        "to bound gram volume."
+    ),
+)
+def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(F.col("doc_id"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {_GRAM_LEN} + 1, 1)),"
+                f" i -> md5(substring(text, i, {_GRAM_LEN})))"
+            )
+        ).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g", F.lit(1).alias("is_dup"))
+    )
+    return (
+        grams.join(dup, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_dup").alias("n_dup_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- BPE pair statistics (one vocab-induction iteration) -----------------------
+
+_ORACLE_BPE_PAIRS = """
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, f
+  FROM freq, unnest(range(1, length(w))) AS t(i)
+)
+SELECT pair, CAST(SUM(f) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT 200
+"""
+
+
+@register(
+    "corpus_bpe_pair_stats",
+    oracle=_ORACLE_BPE_PAIRS,
+    tags=("text", "tokenizer", "north-star"),
+    doc=(
+        "BPE vocabulary-induction statistics (the counting core of one "
+        "merge iteration): adjacent character-pair frequencies within "
+        "words, weighted by word frequency. Aggregating the WORD-FREQUENCY "
+        "table first (classic BPE trick) shrinks the pair-explosion input "
+        "from corpus scale to vocabulary scale — the pair explode runs "
+        "over |vocab| rows, not |tokens|. Top-200 by (count, pair) total "
+        "order."
+    ),
+)
+def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+    ).where(F.length("w") >= 2)
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pairs = freq.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(200)
+    )
