@@ -285,3 +285,93 @@ def train_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "batch_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Power iteration: dominant singular direction of the embedding matrix
+# --------------------------------------------------------------------------
+
+_PD = 16  # leading dims used
+_QS = 256.0  # 2^8 quantization scale (exact exponent shift)
+_VS = 65536  # vector rescale target after each iteration
+
+_ORACLE_POWER = f"""
+WITH pts AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+         CAST(floor((CAST(embedding[i] AS DOUBLE) + 1.0) * {_QS}) AS BIGINT)
+           AS qv
+  FROM embeddings, unnest(range(1, {_PD} + 1)) AS t(i)
+),
+a AS (
+  SELECT p1.pos AS i, p2.pos AS j, SUM(p1.qv * p2.qv) AS aij
+  FROM pts p1 JOIN pts p2 ON p1.vec_id = p2.vec_id
+  GROUP BY p1.pos, p2.pos
+),
+u1 AS (SELECT i, SUM(aij) AS u FROM a GROUP BY i),
+s1 AS (SELECT MAX(u) // {_VS} + 1 AS s FROM u1),
+v1 AS (SELECT i, u // s AS v FROM u1, s1),
+u2 AS (
+  SELECT a.i, SUM(a.aij * v1.v) AS u
+  FROM a JOIN v1 ON a.j = v1.i
+  GROUP BY a.i
+),
+s2 AS (SELECT MAX(u) // {_VS} + 1 AS s FROM u2)
+SELECT i AS pos, CAST(u // s AS BIGINT) AS v
+FROM u2, s2
+ORDER BY pos
+"""
+
+
+@register(
+    "embed_power_iteration",
+    oracle=_ORACLE_POWER,
+    tags=("embedding", "iterative", "north-star"),
+    doc=(
+        f"Two power-iteration rounds toward the dominant singular direction "
+        f"of the (first {_PD} dims, shift-quantized non-negative) embedding "
+        "matrix: Gram matrix A = X^T X via a pos-pair self-join on vec_id "
+        f"({_PD}^2 entries — dimension-bounded, never row-bounded), then "
+        "A·v twice with integer max-rescaling between rounds. Everything "
+        "is BIGINT multiply/sum/floor-div on non-negative values, so the "
+        "result is bit-exact across engines; the A matrix and v vectors "
+        "are broadcast-sized at any corpus scale (the only row-scale pass "
+        "is the one Gram-matrix aggregate, which is map-side combinable)."
+    ),
+)
+def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .where(F.col("pos") < _PD)
+        .select(
+            "vec_id",
+            "pos",
+            F.floor((F.col("val").cast("double") + F.lit(1.0)) * F.lit(_QS))
+            .cast("long")
+            .alias("qv"),
+        )
+    )
+    p2 = pts.select(
+        F.col("vec_id"), F.col("pos").alias("j"), F.col("qv").alias("qj")
+    )
+    a = (
+        pts.join(p2, "vec_id")
+        .groupBy(F.col("pos").alias("i"), "j")
+        .agg(F.sum(F.col("qv") * F.col("qj")).alias("aij"))
+        .persist()
+    )
+    u1 = a.groupBy("i").agg(F.sum("aij").alias("u"))
+    s1 = u1.agg((F.expr(f"max(u) div {_VS}") + 1).alias("s"))
+    v1 = u1.crossJoin(F.broadcast(s1)).select("i", F.expr("u div s").alias("v"))
+    u2 = (
+        a.join(F.broadcast(v1.withColumnRenamed("i", "j")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("aij") * F.col("v")).alias("u"))
+    )
+    s2 = u2.agg((F.expr(f"max(u) div {_VS}") + 1).alias("s"))
+    return (
+        u2.crossJoin(F.broadcast(s2))
+        .select(F.col("i").alias("pos"), F.expr("u div s").cast("long").alias("v"))
+        .orderBy("pos")
+    )

@@ -553,3 +553,54 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# -- Rolling exact median over a trailing window -------------------------------
+
+_ORACLE_ROLLING_MEDIAN = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       median(CAST(cents AS DOUBLE))
+         OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+FROM daily
+ORDER BY event_type, day
+"""
+
+
+@register(
+    "window_rolling_median",
+    oracle=_ORACLE_ROLLING_MEDIAN,
+    tags=("window", "timeseries"),
+    doc=(
+        "Exact rolling median (trailing 7-row frame) of the daily value "
+        "series per event type — percentile as a WINDOW aggregate, the "
+        "robust-baseline primitive for anomaly detection. Runs on the "
+        "pre-aggregated daily series (|types| x |days| rows), so the "
+        "per-frame sort is over at most 7 values; integer cents in, exact "
+        "half-integer double out on both engines."
+    ),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    from ..functions.safe_math import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum(dec("value")) * 100, 0).cast("long").alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.expr("percentile(CAST(cents AS DOUBLE), 0.5)").over(w).alias("med7"),
+    ).orderBy("event_type", "day")
