@@ -53,8 +53,12 @@ HEADLINE: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "embed_knn_bruteforce",
     "embed_ann_ivf",
+    "embed_kmeans_lloyd",
+    "text_substring_dup_spans",
+    "events_session_window_builtin",
     "stream_tumbling_daily",
     "stream_stream_join_clicks",
+    "stream_chained_windows",
 )
 
 

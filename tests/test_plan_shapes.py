@@ -134,3 +134,26 @@ def test_selective_fact_join_injects_runtime_bloom_filter(spark, sf_dir):
     assert "might_contain" in plan
     assert "bloom_filter_agg" in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_kmeans_broadcasts_centroids_every_iteration(spark, sf_dir):
+    from projeto_de_etl_com_api_do_meta_spark.queries.ml_queries import (
+        embed_kmeans_lloyd,
+    )
+
+    plan = _formatted_plan(embed_kmeans_lloyd(spark, sf_dir))
+    # each Lloyd round joins points against a BROADCAST centroid table —
+    # never a shuffle join keyed on the k*dim side
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_substring_dup_join_key_is_digest_not_raw_text(spark, sf_dir):
+    from projeto_de_etl_com_api_do_meta_spark.queries.documents_queries import (
+        text_substring_dup_spans,
+    )
+
+    plan = _formatted_plan(text_substring_dup_spans(spark, sf_dir))
+    # gram hashing happens BEFORE the exchange: the shuffled key is the md5
+    # digest (fixed width), not the 50-char substring
+    assert "md5" in plan
+    assert plan.count("HashAggregate") >= 2
