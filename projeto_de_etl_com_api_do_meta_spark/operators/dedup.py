@@ -15,7 +15,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint_md5, tokens
@@ -324,3 +324,89 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity join via PREFIX FILTERING (ppjoin-style):
+    same result set as :func:`jaccard_pairs`, far fewer candidate pairs.
+
+    Order every document's shingles rarest-first (global document
+    frequency); a pair with J >= t MUST share at least one shingle within
+    each side's first ``|s| - ceil(t*|s|) + 1`` shingles, so only prefix
+    tokens enter the candidate equi-join.  Candidates are then verified
+    with an exact per-pair ``array_intersect`` — lossless by construction.
+
+    Scale posture: the candidate join shuffles only prefix postings
+    (a (1-t) fraction of each posting list, and the RAREST tokens at
+    that — the hot frequent-token buckets that dominate the naive
+    posting-list join never reach the shuffle).  The frequency ranking is
+    a vocabulary-bounded window (documented; at petabyte vocab swap in a
+    broadcast hash rank).  Verification touches only surviving pairs.
+    """
+    sh = spread(df, id_col).select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
+    )
+    sh = sh.persist()
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    vocab = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    rank_w = Window.orderBy(F.col("df_").asc(), F.col("shingle").asc())
+    ranked = vocab.select("shingle", F.row_number().over(rank_w).alias("rk"))
+
+    s = F.size("shingles")
+    prefix_len = (s - F.floor(F.lit(threshold) * s) + 1).cast("int")
+    by_rank = (
+        posting.join(ranked, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("rk")
+            ),
+        )
+    )
+    prefix = (
+        by_rank.join(
+            sh.select("doc_id", prefix_len.alias("plen")), "doc_id"
+        )
+        .where(F.col("pos") <= F.col("plen"))
+        .select("doc_id", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").alias("size_a"),
+            F.size("sh_b").alias("size_b"),
+        )
+        .where(F.col("n_inter") > 0)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "n_inter", "size_a", "size_b", "jaccard")

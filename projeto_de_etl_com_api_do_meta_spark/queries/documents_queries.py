@@ -554,3 +554,25 @@ def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(200)
     )
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=_ORACLE_JACCARD,
+    tags=("dedup", "north-star", "scale"),
+    doc=(
+        "PREFIX-FILTERED exact Jaccard join (ppjoin-style, J >= 0.12): "
+        "shingles ranked rarest-first by global document frequency; only "
+        "each doc's lossless prefix enters the candidate equi-join, then "
+        "candidates verify with an exact array_intersect. Identical result "
+        "set to dedup_ngram_jaccard (same naive oracle) with the frequent- "
+        "token shuffle hotspots eliminated — the scale path for exact "
+        "similarity joins."
+    ),
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_jaccard_pairs
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return prefix_jaccard_pairs(docs, threshold=0.12)
