@@ -513,3 +513,34 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
             return run_available_now(stream, ckpt, output_mode="append")
+
+
+@register(
+    "multimodal_image_resize",
+    oracle=None,
+    tags=("multimodal", "north-star"),
+    doc=(
+        "REAL image resize pipeline: PPM files decoded, nearest-neighbor "
+        "resampled to 16x16, re-encoded — all inside Arrow-batched "
+        "mapInPandas; output rows carry the resized genuine PPM payloads "
+        "plus integrity metadata (byte size, crc32)."
+    ),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib as _zlib
+
+    from pyspark.sql import functions as F
+
+    from ..multimodal.binary_ops import attach_ppm_image, resize_images
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    resized = resize_images(attach_ppm_image(docs), width=16, height=16)
+    crc = F.udf(lambda b: _zlib.crc32(bytes(b)) if b is not None else None, "long")
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("image_bytes").alias("n_bytes"),
+        crc("image_bytes").alias("crc32"),
+    )
