@@ -442,3 +442,59 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "median_qty", "mode_qty")
         .orderBy("l_returnflag")
     )
+
+
+# -- Bivariate sufficient statistics (exact integer moments) -------------------
+
+_ORACLE_BIVARIATE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
+       CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS sum_y_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS sum_x2,
+       CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) * 100, 0)
+                     AS BIGINT)
+                * CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS sum_y2_cents2,
+       CAST(SUM(CAST(l_quantity AS BIGINT)
+                * CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS sum_xy
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_bivariate_moments",
+    oracle=_ORACLE_BIVARIATE,
+    tags=("agg", "stats"),
+    doc=(
+        "Bivariate sufficient statistics per group — (n, Σx, Σy, Σx², Σy², "
+        "Σxy) as exact integers (quantity x price-cents): everything "
+        "covariance/correlation/OLS-slope needs, in ONE map-side-combinable "
+        "pass, with the float division/sqrt deferred to the consumer so the "
+        "distributed part stays bit-exact and mergeable across partitions "
+        "(the classic parallel-statistics decomposition)."
+    ),
+)
+def agg_bivariate_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(dec("l_extendedprice") * 100, 0).cast("long")
+    t = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    return (
+        t.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sum_x"),
+            F.sum("y").alias("sum_y_cents"),
+            F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+            F.sum(F.col("y") * F.col("y")).alias("sum_y2_cents2"),
+            F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -624,3 +624,72 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(has_ends, den.cast("long"))
         .alias("interp_den"),
     ).orderBy("event_type", "day")
+
+
+# -- Last-touch attribution (the ads-ETL composite) ----------------------------
+
+_ORACLE_ATTRIBUTION = """
+WITH clicks AS (
+  SELECT user_id, ts, CAST(props->>'k' AS BIGINT) AS campaign_k
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+attributed AS (
+  SELECT c.campaign_k, p.value
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT COALESCE(campaign_k, -1) AS campaign_k,
+       COUNT(*) AS n_purchases,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+         AS attributed_cents
+FROM attributed
+GROUP BY 1
+ORDER BY campaign_k
+"""
+
+
+@register(
+    "events_last_touch_attribution",
+    oracle=_ORACLE_ATTRIBUTION,
+    tags=("events", "asof", "reference-parity"),
+    doc=(
+        "Last-touch revenue attribution — the ads-measurement composite the "
+        "reference's CPC/CPL metrics feed (reference transform.py "
+        "safe-ratio KPIs): each purchase is attributed to the campaign key "
+        "(props JSON) of the user's most recent prior click via the "
+        "one-shuffle as-of join, then revenue rolls up per campaign in "
+        "exact cents; unattributed purchases land in campaign -1."
+    ),
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.safe_math import dec
+    from ..operators.asof import asof_join
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("long").alias("campaign_k"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    attributed = asof_join(
+        purchases, clicks, key="user_id", ts="ts", payload_cols=["campaign_k"]
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("campaign_k"), F.lit(-1)).alias("campaign_k")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(dec("value")) * 100, 0)
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+        .orderBy("campaign_k")
+    )
