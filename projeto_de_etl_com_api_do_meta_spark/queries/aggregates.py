@@ -498,3 +498,65 @@ def agg_bivariate_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# -- Target encoding (m-estimate, exact rational) ------------------------------
+
+_TE_M = 10
+
+_ORACLE_TARGET_ENCODE = f"""
+WITH cat AS (
+  SELECT o_orderstatus AS category,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT COUNT(*) AS g_n,
+         CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS g_sum
+  FROM orders
+)
+SELECT category, n,
+       CAST(sum_cents * g_n + {_TE_M} * g_sum AS BIGINT) AS enc_num,
+       CAST((n + {_TE_M}) * g_n AS BIGINT) AS enc_den
+FROM cat, g
+ORDER BY category
+"""
+
+
+@register(
+    "ml_target_encode_status",
+    oracle=_ORACLE_TARGET_ENCODE,
+    tags=("agg", "ml"),
+    doc=(
+        f"M-estimate target encoding (m={_TE_M}) of order status by mean "
+        "order value: per-category sums blended with the global prior, "
+        "emitted as an EXACT-RATIONAL (num, den) integer pair — the "
+        "categorical-feature encoder for ML pipelines, computed in two "
+        "map-side-combinable aggregates with the scalar prior broadcast; "
+        "no float crosses the engine boundary."
+    ),
+)
+def ml_target_encode_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(dec("o_totalprice") * 100, 0).cast("long")
+    t = orders.select(F.col("o_orderstatus").alias("category"), cents.alias("c"))
+    cat = t.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_cents")
+    )
+    g = t.agg(F.count(F.lit(1)).alias("g_n"), F.sum("c").alias("g_sum"))
+    return (
+        cat.crossJoin(F.broadcast(g))
+        .select(
+            "category",
+            "n",
+            (F.col("sum_cents") * F.col("g_n") + _TE_M * F.col("g_sum"))
+            .cast("long")
+            .alias("enc_num"),
+            ((F.col("n") + _TE_M) * F.col("g_n")).cast("long").alias("enc_den"),
+        )
+        .orderBy("category")
+    )

@@ -430,3 +430,56 @@ def corpus_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+# -- Feature hashing (the hashing-trick vectorizer) ----------------------------
+
+_FH_BUCKETS = 64
+
+_ORACLE_FEATURE_HASH = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_FH_BUCKETS})
+             + {_FH_BUCKETS}) % {_FH_BUCKETS} AS BIGINT) AS bucket,
+       COUNT(*) AS tf
+FROM toks
+GROUP BY 1, 2
+ORDER BY doc_id, bucket
+"""
+
+
+@register(
+    "text_feature_hashing",
+    oracle=_ORACLE_FEATURE_HASH,
+    tags=("text", "ml", "north-star"),
+    doc=(
+        f"Hashing-trick vectorization: tokens -> md5-derived bucket in "
+        f"[0, {_FH_BUCKETS}) -> per-doc term frequencies. The fixed-width, "
+        "vocabulary-free featurizer a distributed classifier pipeline "
+        "needs (no global vocab build, no fit step, reproducible under "
+        "any partitioning — md5 is the cross-engine hash family). One "
+        "explode + one hash aggregate; sparse output rows."
+    ),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(F.col("doc_id"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % _FH_BUCKETS
+        + _FH_BUCKETS
+    ) % _FH_BUCKETS
+    return (
+        toks.select("doc_id", bucket.cast("long").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy("doc_id", "bucket")
+    )
