@@ -125,3 +125,27 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_prefix_filter_jaccard_equals_naive(spark):
+    """Prefix filtering is lossless: identical result set to the naive
+    posting-list join on crafted near-dup and disjoint docs."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 1
+        (3, "completely different words appear in this document body"),
+        (4, "another unrelated text with its own vocabulary entirely"),
+        (5, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6, 0.9):
+        naive = sorted(map(tuple, jaccard_pairs(df, threshold=t).collect()))
+        fast = sorted(map(tuple, prefix_jaccard_pairs(df, threshold=t).collect()))
+        assert fast == naive, f"threshold {t}"
+    assert (1, 5) in {(a, b) for a, b, *_ in
+                      prefix_jaccard_pairs(df, threshold=0.9).collect()}
