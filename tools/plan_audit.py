@@ -1,0 +1,130 @@
+"""Plan auditor: materialize the physical plan of every (batch) registry
+query and flag scale anti-patterns.
+
+Flags raised:
+
+* ``CARTESIAN``   — CartesianProduct / BroadcastNestedLoopJoin in the plan.
+  Fine only when one side is provably tiny (crossJoin of scalar aggregates,
+  deliberate small cross joins); every hit must be allowlisted with a reason.
+* ``GLOBAL_WINDOW`` — a window with an empty partition spec (single-partition
+  funnel).  Fine only on provably reduced inputs (vocab ranking, per-group
+  daily series); allowlisted with a reason.
+* ``ROW_UDF``     — row-at-a-time BatchEvalPython in the plan (Arrow-batched
+  pandas UDFs do NOT trigger this).  Allowed only for the deliberate §2.9
+  escape-hatch demo.
+
+Streaming queries are skipped (their plans only materialize at query start).
+
+Usage:  python tools/plan_audit.py [name ...]
+Exit code 1 if any non-allowlisted flag fires — usable as a CI gate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+from projeto_de_etl_com_api_do_meta_spark.queries.registry import (  # noqa: E402
+    QUERIES,
+    _load_all,
+)
+from projeto_de_etl_com_api_do_meta_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001")
+
+#: (query, flag) -> reason the pattern is acceptable THERE.
+ALLOWLIST: dict[tuple[str, str], str] = {
+    ("join_cross_small", "CARTESIAN"): "deliberate 5x5x5 dim cross join (J3)",
+    ("join_theta_ineq", "CARTESIAN"): "deliberate pure theta-join demo (J5); bounded filtered sides — join_range_binned is the scale path",
+    ("q11_important_parts", "CARTESIAN"): "TPC-H q11 global value-threshold scalar broadcast (1 row)",
+    ("q22_dormant_customers", "CARTESIAN"): "TPC-H q22 avg-acctbal scalar broadcast (1 row)",
+    ("events_rfm_segments", "CARTESIAN"): "scalar quartile-threshold row broadcast (exact-NTILE contract; approx twin exists)",
+    ("fn_python_udtf_lateral", "ROW_UDF"): "SQL UDTF lateral demo (§2.9)",
+    ("fn_scalar_udfs", "ROW_UDF"): "deliberate F.udf vs pandas_udf demo (§2.9)",
+    ("multimodal_image_resize", "ROW_UDF"): "bounded: crc32 over 5k resized rows",
+    ("embed_knn_bruteforce", "CARTESIAN"): "exact-oracle baseline by contract; scale paths are the ANN queries",
+    ("dedup_embedding_cosine", "CARTESIAN"): "scalar-threshold crossJoin of two single-row aggregates",
+    ("embed_ann_int8", "CARTESIAN"): "broadcast 10-query shortlist re-rank",
+    ("embed_ann_srp", "CARTESIAN"): "broadcast 10-query shortlist re-rank",
+    ("embed_ann_pq", "CARTESIAN"): "broadcast 10-query shortlist re-rank",
+    ("embed_ann_lsh", "CARTESIAN"): "broadcast 10-query bucket probe",
+    ("embed_ann_ivf", "CARTESIAN"): "broadcast centroid assignment (k=8 rows)",
+    ("embed_quantize_int8", "CARTESIAN"): "scalar scale broadcast",
+    ("embed_power_iteration", "CARTESIAN"): "scalar rescale-factor broadcast (1 row)",
+    ("agg_histogram_equiwidth", "CARTESIAN"): "scalar min/max bounds broadcast",
+    ("agg_histogram_equidepth_approx", "CARTESIAN"): "decile threshold array broadcast (1 row)",
+    ("events_rfm_segments_approx", "CARTESIAN"): "quartile threshold row broadcast",
+    ("text_quality_filter_quantile", "CARTESIAN"): "scalar percentile threshold broadcast",
+    ("text_decontaminate_ngram", "CARTESIAN"): "broadcast eval-split gram set",
+    ("ml_target_encode_status", "CARTESIAN"): "global prior scalar broadcast (1 row)",
+    ("dq_expectations_summary", "CARTESIAN"): "per-check scalar count pairs (1x1 rows)",
+    ("events_interpolate_linear", "CARTESIAN"): "date-bounds scalar broadcast (1 row)",
+    ("events_gap_fill_daily", "CARTESIAN"): "date-bounds scalar + 5-type spine",
+    ("events_rolling_active_users", "CARTESIAN"): "30-row day spine broadcast range join",
+    ("corpus_pmi_bigrams", "CARTESIAN"): "scalar corpus-total broadcast",
+    ("corpus_heavy_hitters", "CARTESIAN"): "bounded Misra-Gries candidate set broadcast",
+    ("sql_interface_demo", "CARTESIAN"): "scalar subquery in demo SQL",
+    ("events_funnel_stages", "CARTESIAN"): "per-user stage minima are scalar-joined",
+    ("window_rolling_median", "GLOBAL_WINDOW"): "input pre-reduced to |types|x|days| rows",
+    ("events_daily_anomaly", "GLOBAL_WINDOW"): "input pre-reduced to daily series",
+    ("dedup_jaccard_prefix_filter", "GLOBAL_WINDOW"): "vocabulary-bounded df ranking (documented)",
+    ("corpus_inverted_index", "GLOBAL_WINDOW"): "vocabulary-bounded df ranking",
+    ("events_rfm_segments", "GLOBAL_WINDOW"): "exact NTILE contract at user grain (approx twin exists)",
+    ("agg_histogram_equidepth", "GLOBAL_WINDOW"): "exact equi-depth contract (approx twin exists)",
+    ("ids_global_dense", "GLOBAL_WINDOW"): "partition-count prefix-sum only (rows never funnel)",
+    ("pack_sequences_chunked", "GLOBAL_WINDOW"): "per-shard offsets merged via partition counts",
+    ("train_length_bucket_batches", "GLOBAL_WINDOW"): "partitioned by bucket; see SCALE.md",
+    ("sample_topk_per_stratum", "GLOBAL_WINDOW"): "partitioned by lang stratum",
+    ("sort_limit_topn", "GLOBAL_WINDOW"): "global top-N by contract (TakeOrdered, not full sort)",
+}
+
+
+def audit(names: list[str] | None = None) -> int:
+    _load_all()
+    spark = get_spark(app_name="plan-audit", master="local[4]", shuffle_partitions=4)
+    targets = names or [
+        n for n, s in QUERIES.items() if "streaming" not in s.tags and not n.startswith("stream_")
+    ]
+    bad = 0
+    for name in targets:
+        spec = QUERIES[name]
+        try:
+            df = spec.fn(spark, SF_DIR)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        flags = []
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            flags.append("CARTESIAN")
+        if "windowspecdefinition()" in plan or "Window [" in plan and "PartitionBy: []" in plan:
+            flags.append("GLOBAL_WINDOW")
+        # Spark marks unpartitioned windows by an Exchange SinglePartition
+        # feeding a Window node; detect via the physical operator pair.
+        if "Exchange SinglePartition" in plan and "Window" in plan:
+            if "GLOBAL_WINDOW" not in flags:
+                flags.append("GLOBAL_WINDOW")
+        if "BatchEvalPython" in plan:
+            flags.append("ROW_UDF")
+        verdicts = []
+        for f in flags:
+            why = ALLOWLIST.get((name, f))
+            if why:
+                verdicts.append(f"{f}:ok({why})")
+            else:
+                verdicts.append(f"{f}:FLAG")
+                bad += 1
+        print(f"{'FLAG' if any(v.endswith('FLAG') for v in verdicts) else 'ok  '} "
+              f"{name}" + (f"  [{'; '.join(verdicts)}]" if verdicts else ""))
+    spark.catalog.clearCache()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(audit(sys.argv[1:] or None))
