@@ -69,6 +69,8 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("sql_interface_demo", "CARTESIAN"): "scalar subquery in demo SQL",
     ("events_funnel_stages", "CARTESIAN"): "per-user stage minima are scalar-joined",
     ("window_rolling_median", "GLOBAL_WINDOW"): "input pre-reduced to |types|x|days| rows",
+    ("window_range_frame_7d", "GLOBAL_WINDOW"): "input pre-reduced to the daily series (calendar-bounded rows)",
+    ("window_distribution_funcs", "GLOBAL_WINDOW"): "cume_dist/percent_rank over a total order by W1 contract; approx-quantile twin pattern documented in SCALE.md",
     ("events_daily_anomaly", "GLOBAL_WINDOW"): "input pre-reduced to daily series",
     ("dedup_jaccard_prefix_filter", "GLOBAL_WINDOW"): "vocabulary-bounded df ranking (documented)",
     ("corpus_inverted_index", "GLOBAL_WINDOW"): "vocabulary-bounded df ranking",
@@ -80,6 +82,32 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("sample_topk_per_stratum", "GLOBAL_WINDOW"): "partitioned by lang stratum",
     ("sort_limit_topn", "GLOBAL_WINDOW"): "global top-N by contract (TakeOrdered, not full sort)",
 }
+
+
+import re as _re
+
+
+def _has_global_window(plan: str) -> bool:
+    """True iff some Window node is fed (directly in the tree) by an
+    Exchange whose Arguments include SinglePartition — i.e. an
+    unpartitioned window funneling all rows through one task."""
+    lines = plan.splitlines()
+    tree = [ln for ln in lines if _re.search(r"\(\d+\)$", ln.rstrip())]
+    single_ids = set()
+    for i, ln in enumerate(lines):
+        m = _re.match(r"\((\d+)\) Exchange", ln.strip())
+        if m and i + 2 < len(lines):
+            block = "\n".join(lines[i : i + 3])
+            if "SinglePartition" in block:
+                single_ids.add(m.group(1))
+    for i, ln in enumerate(tree):
+        if "Window (" in ln:
+            # a Sort sits between Window and its Exchange; look 2 nodes down
+            for nxt in tree[i + 1 : i + 3]:
+                m = _re.search(r"Exchange \((\d+)\)", nxt)
+                if m and m.group(1) in single_ids:
+                    return True
+    return False
 
 
 def audit(names: list[str] | None = None) -> int:
@@ -103,13 +131,8 @@ def audit(names: list[str] | None = None) -> int:
         flags = []
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             flags.append("CARTESIAN")
-        if "windowspecdefinition()" in plan or "Window [" in plan and "PartitionBy: []" in plan:
+        if _has_global_window(plan):
             flags.append("GLOBAL_WINDOW")
-        # Spark marks unpartitioned windows by an Exchange SinglePartition
-        # feeding a Window node; detect via the physical operator pair.
-        if "Exchange SinglePartition" in plan and "Window" in plan:
-            if "GLOBAL_WINDOW" not in flags:
-                flags.append("GLOBAL_WINDOW")
         if "BatchEvalPython" in plan:
             flags.append("ROW_UDF")
         verdicts = []
