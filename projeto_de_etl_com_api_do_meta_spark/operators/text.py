@@ -68,11 +68,17 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalize_ws(text: Column | str) -> Column:
+    """Whitespace-normalized, lowercased text (the canonical form keys and
+    fingerprints are computed over)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
 def fingerprint_md5(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text (exact-dedup key)."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+    return F.md5(normalize_ws(text))
 
 
 def lang_scores(text_col: str = "text") -> list[Column]:

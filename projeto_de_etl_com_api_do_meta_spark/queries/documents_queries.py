@@ -576,3 +576,112 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return prefix_jaccard_pairs(docs, threshold=0.12)
+
+
+# -- Sorted-neighborhood dedup blocking ----------------------------------------
+
+_SN_WINDOW = 3  # neighbors ahead considered per sorted position
+
+_ORACLE_SORTED_NEIGHBORHOOD = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, norm, substr(norm, 1, 2) AS blk,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingles
+  FROM t
+),
+ordered AS (
+  SELECT doc_id, blk, shingles,
+         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY norm, doc_id) AS pos
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.shingles AS sh_a, b.shingles AS sh_b
+  FROM ordered a JOIN ordered b
+    ON a.blk = b.blk
+   AND b.pos > a.pos AND b.pos <= a.pos + {_SN_WINDOW}
+)
+SELECT LEAST(doc_a, doc_b) AS doc_a,
+       GREATEST(doc_a, doc_b) AS doc_b,
+       CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS n_inter,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
+             6) AS jaccard
+FROM cand
+WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+            / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
+            6) >= 0.12
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=_ORACLE_SORTED_NEIGHBORHOOD,
+    tags=("dedup", "north-star"),
+    doc=(
+        f"Sorted-neighborhood dedup blocking (the 4th candidate-generation "
+        "family next to LSH banding, SimHash pigeonhole, and prefix "
+        "filtering): docs sort by normalized text WITHIN 2-char prefix "
+        f"blocks, each doc pairs with its next {_SN_WINDOW} sorted "
+        "neighbors, candidates verify by exact shingle Jaccard (>= 0.12). "
+        "The sort is per-block (prefix-partitioned shuffle, no global "
+        "order); candidate count is window-bounded at |docs| * w — linear, "
+        "not quadratic."
+    ),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import spread
+    from ..operators.text import normalize_ws
+    from ..operators.dedup import word_shingles
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = spread(docs, "doc_id").select(
+        "doc_id",
+        normalize_ws("text").alias("norm"),
+        word_shingles("text", 3).alias("shingles"),
+    ).withColumn("blk", F.substring("norm", 1, 2))
+    ordered = sh.withColumn(
+        "pos", F.row_number().over(W.partitionBy("blk").orderBy("norm", "doc_id"))
+    )
+    a = ordered.select(
+        F.col("blk"),
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = ordered.select(
+        F.col("blk"),
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    cand = a.join(
+        b,
+        (a.blk == b.blk)
+        & (F.col("pos_b") > F.col("pos_a"))
+        & (F.col("pos_b") <= F.col("pos_a") + _SN_WINDOW),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        cand.select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            inter.cast("long").alias("n_inter"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.12)
+        .orderBy("doc_a", "doc_b")
+    )
