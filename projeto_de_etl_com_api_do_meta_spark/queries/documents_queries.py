@@ -685,3 +685,77 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.12)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# -- Canonical-document selection per near-dup cluster -------------------------
+
+_ORACLE_CANONICAL = (
+    _ORACLE_COMPONENTS.replace(
+        "SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n",
+        """, comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM labeled
+)
+SELECT doc_id, cluster_id,
+       MIN(CASE WHEN rn = 1 THEN doc_id END)
+         OVER (PARTITION BY cluster_id) AS canonical_id,
+       CAST(rn = 1 AS BOOLEAN) AS keep
+FROM ranked
+ORDER BY doc_id""",
+    )
+)
+
+
+@register(
+    "dedup_canonical_selection",
+    oracle=_ORACLE_CANONICAL,
+    tags=("dedup", "north-star"),
+    doc=(
+        "Canonical-document selection — the final emit step of the dedup "
+        "pipeline: near-dup clusters (connected components over the "
+        "Jaccard>=0.12 pair graph) plus singleton docs, each cluster "
+        "keeping its best representative (longest text, doc_id "
+        "tie-break); every document labeled (cluster_id, canonical_id, "
+        "keep). Selection is one per-cluster window over bounded cluster "
+        "sizes; singletons join in via left join, no extra pass."
+    ),
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import connected_components
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    pairs = jaccard_pairs(docs, threshold=0.12).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    labeled = (
+        docs.join(comp.withColumnRenamed("doc_id", "cid_doc"),
+                  docs.doc_id == F.col("cid_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .over(W.partitionBy("cluster_id"))
+        .alias("canonical_id"),
+        (F.col("rn") == 1).alias("keep"),
+    ).orderBy("doc_id")

@@ -483,3 +483,71 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .orderBy("doc_id", "bucket")
     )
+
+
+# -- Corpus token budget (scaling-law accounting) ------------------------------
+
+_ORACLE_TOKEN_BUDGET = r"""
+WITH per AS (
+  SELECT source, lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n_tokens) AS all_tokens FROM per)
+SELECT p.source, p.lang, p.n_docs, p.n_tokens,
+       CAST(p.n_tokens * 1000000 // t.all_tokens AS BIGINT) AS share_ppm,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.n_tokens DESC, p.source, p.lang
+                                  ROWS UNBOUNDED PRECEDING)
+            * 1000000 // t.all_tokens AS BIGINT) AS cum_share_ppm
+FROM per p, tot t
+ORDER BY p.n_tokens DESC, p.source, p.lang
+"""
+
+
+@register(
+    "corpus_token_budget",
+    oracle=_ORACLE_TOKEN_BUDGET,
+    tags=("text", "training", "north-star"),
+    doc=(
+        "Corpus token-budget accounting per (source, lang): document and "
+        "whitespace-token totals, floor-ppm share, and cumulative share "
+        "down the size ranking — the mixture-planning report a training "
+        "run starts from. Token counting is one map-side-combinable "
+        "aggregate; the running share is a window over the tiny "
+        "(source x lang) grid."
+    ),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("all_tokens"))
+    w = W.orderBy(F.col("n_tokens").desc(), "source", "lang").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div all_tokens").cast("long").alias(
+                "share_ppm"
+            ),
+            F.expr("cum_tokens * 1000000 div all_tokens")
+            .cast("long")
+            .alias("cum_share_ppm"),
+        )
+        .orderBy(F.col("n_tokens").desc(), "source", "lang")
+    )
