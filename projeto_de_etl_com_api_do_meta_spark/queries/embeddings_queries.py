@@ -332,3 +332,89 @@ def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return pq_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+# -- kNN majority-vote classification ------------------------------------------
+
+_ORACLE_KNN_CLASSIFY = """
+WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, q.true_label, c.neighbor_id, c.label,
+         round(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE q.query_id <> c.neighbor_id
+),
+top5 AS (
+  SELECT query_id, true_label, label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT query_id, true_label, label, COUNT(*) AS n_votes
+  FROM top5 GROUP BY 1, 2, 3
+)
+SELECT query_id, true_label,
+       CAST(label AS BIGINT) AS pred_label,
+       n_votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label ASC) AS vr
+  FROM votes
+) WHERE vr = 1
+ORDER BY query_id
+"""
+
+
+@register(
+    "embed_knn_classify",
+    oracle=_ORACLE_KNN_CLASSIFY,
+    tags=("similarity", "ml", "north-star"),
+    doc=(
+        "kNN majority-vote label classification on top of the exact "
+        "cosine top-5 (deterministic vote: count DESC, label ASC "
+        "tie-break) — the label-propagation / auto-labeling primitive; "
+        "swap the brute-force neighbor stage for any of the ANN shortlist "
+        "paths at scale, the vote stays identical."
+    ),
+)
+def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import brute_force_topk
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    topk = brute_force_topk(queries, emb, k=5)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    qlabels = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .join(qlabels, "query_id")
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").cast("long").alias("pred_label"),
+            "n_votes",
+        )
+        .orderBy("query_id")
+    )

@@ -55,7 +55,11 @@ def get_spark(
         # Python DataSource V2 filter pushdown (sources/meta_dsv2.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- semantics ---
-        .config("spark.sql.ansi.enabled", "false")
+        # SPARK_GRAFT_ANSI=true builds a hostile ANSI-on session to prove
+        # the per-query pin_query_session_conf pin holds (driver parity).
+        .config(
+            "spark.sql.ansi.enabled", os.environ.get("SPARK_GRAFT_ANSI", "false")
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # --- local-mode hygiene ---
         .config("spark.ui.enabled", "false")
@@ -106,5 +110,12 @@ def pin_query_session_conf(spark: SparkSession) -> None:
     The correctness driver owns its own SparkSession; these pins make query
     results independent of whatever defaults it chose.  Only runtime-mutable
     keys belong here.
+
+    ANSI is pinned OFF because the engine's semantic contract is the
+    reference's coercion behavior (bad cast -> null -> 0-backfill,
+    reference transform.py:51-61); queries are nevertheless written
+    ANSI-safe, and the pin is validated by running the full differ under
+    an ANSI-on session (SPARK_GRAFT_ANSI=true python tools/check_oracle.py).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
