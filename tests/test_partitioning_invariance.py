@@ -1,0 +1,42 @@
+"""Partitioning-invariance: the determinism contracts claim results are
+bit-identical under ANY partitioning/summation order.  Prove it by running
+representative queries under different shuffle-partition counts (different
+physical grouping and merge order) and requiring identical sorted output.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from projeto_de_etl_com_api_do_meta_spark.queries.registry import QUERIES, _load_all
+from projeto_de_etl_com_api_do_meta_spark.session import scoped_conf
+
+#: Queries whose docstrings promise partitioning-independent exactness —
+#: iterative fixed-point, hash-family, window-total-order, and
+#: decimal-exact aggregate representatives.
+INVARIANT_QUERIES = (
+    "graph_pagerank_purchases",
+    "embed_kmeans_lloyd",
+    "embed_power_iteration",
+    "dedup_minhash_md5_lsh",
+    "train_length_bucket_batches",
+    "warehouse_scd2_build",
+    "events_last_touch_attribution",
+    "agg_bivariate_moments",
+    "q1_pricing_summary",
+)
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_result_invariant_under_shuffle_partitioning(spark, sf_dir, name):
+    _load_all()
+    fn = QUERIES[name].fn
+    results = []
+    for parts in ("3", "17"):
+        with scoped_conf(spark, **{"spark.sql.shuffle.partitions": parts}):
+            rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        results.append(rows)
+    assert results[0] == results[1], (
+        f"{name}: output differs between shuffle.partitions=3 and 17"
+    )
+    assert results[0], f"{name}: empty result can't demonstrate invariance"
