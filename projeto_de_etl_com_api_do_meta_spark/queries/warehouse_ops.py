@@ -387,3 +387,49 @@ def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(doc_empty)
         .orderBy("check_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-partitioned layout + partition-pruned read roundtrip.
+# ---------------------------------------------------------------------------
+
+_PRUNE_LO, _PRUNE_HI = "2024-01-08", "2024-01-14"
+
+_ORACLE_PARTITION_PRUNE = f"""
+SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS event_date
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_PRUNE_LO}' AND DATE '{_PRUNE_HI}'
+ORDER BY event_id
+"""
+
+
+@register(
+    "layout_partition_prune_roundtrip",
+    oracle=_ORACLE_PARTITION_PRUNE,
+    tags=("layout", "warehouse", "scale"),
+    doc=(
+        "Hive-style date-partitioned layout roundtrip: events written "
+        "partitionBy(event_date), read back with a date-range predicate "
+        "that resolves at PLANNING time as PartitionFilters (directory "
+        "pruning — zero data files outside the window are opened; asserted "
+        "in tests/test_io_formats.py). The foundational 100 TB layout: "
+        "time-range queries and incremental jobs touch O(window) storage, "
+        "not O(history). Oracle checks the pruned read returns exactly the "
+        "predicate's rows."
+    ),
+)
+def layout_partition_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("date").alias("event_date")
+    )
+    out = tempfile.mkdtemp(prefix="datepart_") + "/events_by_date"
+    events.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    lo = F.lit(_PRUNE_LO).cast("date")
+    hi = F.lit(_PRUNE_HI).cast("date")
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_date").between(lo, hi))
+        .select("event_id", "user_id", "event_type", "event_date")
+        .orderBy("event_id")
+    )
