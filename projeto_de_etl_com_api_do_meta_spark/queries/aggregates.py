@@ -560,3 +560,80 @@ def ml_target_encode_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# -- Conditional aggregates (count_if / bool_and / bool_or / any_value) --------
+
+_ORACLE_COND_AGG = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       bool_and(o_totalprice > 900) AS all_over_900,
+       bool_or(o_orderstatus = 'O') AS any_open,
+       MIN(o_orderkey) AS first_key
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "agg_conditional_battery",
+    oracle=_ORACLE_COND_AGG,
+    tags=("agg",),
+    doc=(
+        "Conditional-aggregate battery: count_if twice, bool_and/bool_or "
+        "(every/any), deterministic first via MIN — the FILTER-clause "
+        "family, all map-side combinable in one pass."
+    ),
+)
+def agg_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.bool_and(F.col("o_totalprice") > 900).alias("all_over_900"),
+            F.bool_or(F.col("o_orderstatus") == "O").alias("any_open"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# -- Ordered string aggregation ------------------------------------------------
+
+_ORACLE_STRING_AGG = """
+SELECT n_regionkey AS regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY regionkey
+"""
+
+
+@register(
+    "agg_string_concat_ordered",
+    oracle=_ORACLE_STRING_AGG,
+    tags=("agg",),
+    doc=(
+        "Deterministic ordered string aggregation (LISTAGG/string_agg "
+        "analog): collect_list is order-arbitrary in a distributed engine, "
+        "so the contract form is array_sort -> array_join — reproducible "
+        "under any partitioning."
+    ),
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+        .orderBy("regionkey")
+    )

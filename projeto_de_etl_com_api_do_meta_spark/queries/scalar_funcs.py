@@ -409,3 +409,36 @@ def fn_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr"),
         F.expr("~o_orderkey").alias("bnot"),
     ).orderBy("o_orderkey")
+
+
+_ORACLE_LATERAL = """
+SELECT doc_id, tok.w AS word, len(tok.w) AS word_len
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE doc_id < 20) d,
+     unnest(d.toks) AS tok(w)
+ORDER BY doc_id, word, word_len
+"""
+
+
+@register(
+    "fn_lateral_view_explode",
+    oracle=_ORACLE_LATERAL,
+    tags=("functions", "restructure"),
+    doc=(
+        "LATERAL VIEW explode in SQL (the HiveQL-heritage row-expansion "
+        "form; same plan as DataFrame explode): one row per token with "
+        "its source doc — no shuffle, Generate node feeds codegen."
+    ),
+)
+def fn_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks")) \
+        .createOrReplaceTempView("docs_toks_v")
+    return spark.sql(
+        """
+        SELECT doc_id, word, length(word) AS word_len
+        FROM docs_toks_v LATERAL VIEW explode(toks) t AS word
+        ORDER BY doc_id, word, word_len
+        """
+    )
