@@ -433,3 +433,35 @@ def layout_partition_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         .select("event_id", "user_id", "event_type", "event_date")
         .orderBy("event_id")
     )
+
+
+@register(
+    "layout_compact_roundtrip",
+    oracle=(
+        "SELECT event_id, user_id, event_type FROM events ORDER BY event_id"
+    ),
+    tags=("layout", "warehouse"),
+    doc=(
+        "Small-file compaction roundtrip: events fragmented into 64 tiny "
+        "files, then compacted to ~target-size files "
+        "(compact_to_target_files — the lakehouse OPTIMIZE analog that "
+        "keeps scan task counts sane at 100 TB). Layout ops must not "
+        "change content: the oracle checks row identity."
+    ),
+)
+def layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import compact_to_target_files
+
+    pin_query_session_conf(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="compact_")
+    frag, compacted = f"{base}/frag", f"{base}/compacted"
+    events.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_to_target_files(spark.read.parquet(frag), compacted, target_mb=64)
+    return (
+        spark.read.parquet(compacted)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
