@@ -54,6 +54,8 @@ HEADLINE: tuple[str, ...] = (
     "embed_knn_bruteforce",
     "embed_ann_ivf",
     "embed_kmeans_lloyd",
+    "embed_power_iteration",
+    "dedup_jaccard_prefix_filter",
     "text_substring_dup_spans",
     "events_session_window_builtin",
     "stream_tumbling_daily",

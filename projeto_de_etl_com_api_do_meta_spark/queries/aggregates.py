@@ -637,3 +637,43 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("regionkey")
     )
+
+
+# -- SQL PIVOT clause ----------------------------------------------------------
+
+_ORACLE_SQL_PIVOT = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS st_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS st_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS st_pending
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "restructure_sql_pivot",
+    oracle=_ORACLE_SQL_PIVOT,
+    tags=("restructure", "pivot"),
+    doc=(
+        "SQL PIVOT clause (the declarative twin of DataFrame "
+        ".pivot()/the operators.actions_pivot fixed path): status counts "
+        "widened per priority; fixed IN-list so the schema is static and "
+        "no pivot-value discovery scan runs."
+    ),
+)
+def restructure_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pv")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderstatus FROM orders_pv
+        )
+        PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS st_open,
+                                              'F' AS st_finished,
+                                              'P' AS st_pending))
+        ORDER BY o_orderpriority
+        """
+    )

@@ -442,3 +442,44 @@ def fn_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, word, word_len
         """
     )
+
+
+_ORACLE_TRY_FAMILY = """
+SELECT doc_id,
+       TRY_CAST(substr(text, 1, 4) AS BIGINT) AS try_num_prefix,
+       TRY_CAST(lang AS BIGINT) AS try_lang_num,
+       CAST(n_chars AS DOUBLE) / nullif(doc_id % 5, 0) AS div_nullable,
+       COALESCE(TRY_CAST(substr(text, 1, 1) AS BIGINT), -1) AS coerced_first
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+@register(
+    "fn_try_family",
+    oracle=_ORACLE_TRY_FAMILY,
+    tags=("functions", "reference-parity"),
+    doc=(
+        "try_* coercion family — the engine-native form of the reference's "
+        "pandas errors='coerce' contract (reference transform.py:51-61): "
+        "try_cast on non-numeric text -> null, guarded division -> null, "
+        "coalesce backfill. ANSI-safe by construction: these expressions "
+        "return null instead of raising under any session mode."
+    ),
+)
+def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 4).try_cast("long").alias("try_num_prefix"),
+        F.col("lang").try_cast("long").alias("try_lang_num"),
+        (
+            F.col("n_chars").cast("double")
+            / F.nullif((F.col("doc_id") % 5), F.lit(0))
+        ).alias("div_nullable"),
+        F.coalesce(
+            F.substring("text", 1, 1).try_cast("long"), F.lit(-1)
+        ).alias("coerced_first"),
+    ).orderBy("doc_id")

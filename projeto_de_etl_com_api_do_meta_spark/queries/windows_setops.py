@@ -604,3 +604,54 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.expr("percentile(CAST(cents AS DOUBLE), 0.5)").over(w).alias("med7"),
     ).orderBy("event_type", "day")
+
+
+# -- Set ops with duplicate preservation (ALL variants) ------------------------
+
+_ORACLE_SETOP_ALL = """
+WITH a AS (SELECT l_orderkey % 100 AS k FROM lineitem WHERE l_linenumber <= 2),
+     b AS (SELECT l_orderkey % 100 AS k FROM lineitem WHERE l_linenumber = 1)
+SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM (
+  SELECT k FROM a INTERSECT ALL SELECT k FROM b
+) GROUP BY k
+UNION ALL
+SELECT 'except_all', k, COUNT(*) FROM (
+  SELECT k FROM a EXCEPT ALL SELECT k FROM b
+) GROUP BY k
+ORDER BY op, k
+"""
+
+
+@register(
+    "setop_intersect_except_all",
+    oracle=_ORACLE_SETOP_ALL,
+    tags=("setop",),
+    doc=(
+        "INTERSECT ALL / EXCEPT ALL (U2 completion): bag semantics — "
+        "duplicates preserved up to multiplicity — which Spark plans as "
+        "count-compare aggregates, not row-pair matching; results "
+        "re-aggregated per key for a stable comparison form."
+    ),
+)
+def setop_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_linenumber") <= 2).select(
+        (F.col("l_orderkey") % 100).alias("k")
+    )
+    b = li.where(F.col("l_linenumber") == 1).select(
+        (F.col("l_orderkey") % 100).alias("k")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return inter.unionAll(exc).orderBy("op", "k")
