@@ -483,3 +483,42 @@ def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 1).try_cast("long"), F.lit(-1)
         ).alias("coerced_first"),
     ).orderBy("doc_id")
+
+
+_ORACLE_CALENDAR = """
+SELECT o_orderkey AS orderkey,
+       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY orderkey
+"""
+
+
+@register(
+    "fn_calendar_family",
+    oracle=_ORACLE_CALENDAR,
+    tags=("functions",),
+    doc=(
+        "Calendar/interval family (R5 extension): add_months, last_day, "
+        "quarter, ISO week, day-of-year, quarter truncation — the "
+        "fiscal-calendar toolkit, all codegen'd date arithmetic."
+    ),
+)
+def fn_calendar_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.add_months(d, 3).cast("timestamp").alias("plus_3m"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("doy"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+    ).orderBy("orderkey")
