@@ -361,3 +361,104 @@ def corpus_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "c_ab", pmi.alias("pmi_bps"))
     )
+
+
+# -- Count-min sketch (mergeable frequency sketch, fully relational) -----------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+
+_ORACLE_CMS = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT tok, r.d,
+         ((CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || tok), 1, 8))
+                AS BIGINT) % {_CMS_W}) + {_CMS_W}) % {_CMS_W} AS bucket
+  FROM toks, unnest(range(0, {_CMS_D})) AS r(d)
+),
+sketch AS (
+  SELECT d, bucket, COUNT(*) AS cell
+  FROM hashed GROUP BY 1, 2
+),
+truth AS (
+  SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY tok
+  ORDER BY true_count DESC, tok LIMIT 20
+),
+est AS (
+  SELECT t.tok, t.true_count,
+         MIN(s.cell) AS est_count
+  FROM truth t,
+       unnest(range(0, {_CMS_D})) AS r(d)
+  JOIN sketch s
+    ON s.d = r.d
+   AND s.bucket = ((CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || t.tok), 1, 8))
+                         AS BIGINT) % {_CMS_W}) + {_CMS_W}) % {_CMS_W}
+  GROUP BY t.tok, t.true_count
+)
+SELECT tok, CAST(true_count AS BIGINT) AS true_count,
+       CAST(est_count AS BIGINT) AS est_count
+FROM est
+ORDER BY true_count DESC, tok
+"""
+
+
+@register(
+    "corpus_countmin_sketch",
+    oracle=_ORACLE_CMS,
+    tags=("text", "sketch", "north-star"),
+    doc=(
+        f"Count-min sketch built fully relationally ({_CMS_D} md5 hash "
+        f"rows x {_CMS_W} buckets, one hash aggregate — mergeable across "
+        "partitions/batches by cell-wise addition like any sketch), then "
+        "point queries for the 20 most frequent tokens: est = min over "
+        "rows of the bucket cell, always >= truth (the one-sided CMS "
+        "bound, pinned by test). md5 hash family makes the whole sketch "
+        "bit-exact cross-engine."
+    ),
+)
+def corpus_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(F.col("doc_id"))
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+
+    def bucket_expr(d_col, tok_col):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws(":", d_col.cast("string"), tok_col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return ((h % _CMS_W) + _CMS_W) % _CMS_W
+
+    hashed = toks.select(
+        "tok", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d")
+    ).withColumn("bucket", bucket_expr(F.col("d"), F.col("tok")))
+    sketch = hashed.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+    truth = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "tok")
+        .limit(20)
+    )
+    probes = truth.select(
+        "tok",
+        "true_count",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+    ).withColumn("bucket", bucket_expr(F.col("d"), F.col("tok")))
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cell").alias("est_count"))
+    )
+    return est.select(
+        "tok",
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("est_count").cast("long").alias("est_count"),
+    ).orderBy(F.col("true_count").desc(), "tok")

@@ -465,3 +465,80 @@ def layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate-view maintenance (algebraic merge).
+# ---------------------------------------------------------------------------
+
+_IVM_CUTOFF = "2024-01-20"
+
+_ORACLE_IVM = f"""
+WITH base AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+           AS cents
+  FROM events WHERE CAST(ts AS DATE) < DATE '{_IVM_CUTOFF}'
+  GROUP BY 1
+),
+delta AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+           AS cents
+  FROM events WHERE CAST(ts AS DATE) >= DATE '{_IVM_CUTOFF}'
+  GROUP BY 1
+)
+SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+       COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n_events,
+       COALESCE(b.cents, 0) + COALESCE(d.cents, 0) AS total_cents
+FROM base b FULL OUTER JOIN delta d ON b.event_type = d.event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "warehouse_incremental_agg_merge",
+    oracle=_ORACLE_IVM,
+    tags=("warehouse", "incremental"),
+    doc=(
+        "Incremental view maintenance by ALGEBRAIC MERGE: the materialized "
+        "aggregate over history merges with the new batch's partial "
+        "aggregate via full-outer join + additive combine — never "
+        "re-scanning history (the O(delta) nightly refresh; the reference "
+        "re-aggregates its sliding window then upserts, load.py:94-116 — "
+        "same algebra, file-grain). Works for any commutative-monoid "
+        "aggregate (count/sum here; min/max/HLL merge identically). The "
+        "oracle proves merge == full recompute."
+    ),
+)
+def warehouse_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_IVM_CUTOFF).cast("date")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec("value")) * 100, 0).cast("long").alias("cents"),
+        )
+
+    base = agg(ev.where(F.col("ts").cast("date") < cutoff))
+    delta = agg(ev.where(F.col("ts").cast("date") >= cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.event_type") == F.col("d.event_type"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias(
+                "event_type"
+            ),
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("b.cents"), F.lit(0))
+                + F.coalesce(F.col("d.cents"), F.lit(0))
+            ).alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )

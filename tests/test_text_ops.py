@@ -230,3 +230,14 @@ def test_daily_anomaly_flags_spike(tmp_path, spark):
     out = events_daily_anomaly(spark, str(tmp_path)).collect()
     flagged = {r.day.day for r in out if r.is_anomaly == 1}
     assert flagged == {15}
+
+
+def test_countmin_sketch_never_underestimates(spark, sf_dir):
+    from projeto_de_etl_com_api_do_meta_spark.queries.analysis_extra import (
+        corpus_countmin_sketch,
+    )
+
+    rows = corpus_countmin_sketch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.est_count >= r.true_count  # one-sided CMS error bound
