@@ -510,3 +510,81 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr(f"(cum_before + n_tok - 1) div {_PACK_BUDGET}"))
         .alias("chunk_end"),
     ).orderBy("shard", "doc_id")
+
+
+# -- End-to-end training-corpus manifest (capstone composite) ------------------
+
+_ORACLE_CORPUS_MANIFEST = r"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+           AS n_distinct
+  FROM documents
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM fp) WHERE rn = 1
+),
+gated AS (
+  SELECT * FROM deduped
+  WHERE n_tokens >= 10 AND n_distinct * 2 >= n_tokens
+)
+SELECT lang,
+       n_tokens // 64 AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc
+FROM gated
+GROUP BY lang, n_tokens // 64
+ORDER BY lang, bucket
+"""
+
+
+@register(
+    "train_corpus_manifest",
+    oracle=_ORACLE_CORPUS_MANIFEST,
+    tags=("training", "pipeline", "north-star"),
+    doc=(
+        "End-to-end training-corpus preparation in one plan: exact dedup "
+        "(md5 fingerprint, keep-lowest-id), an INTEGER-ONLY quality gate "
+        "(>=10 tokens and type-token ratio >= 0.5 as the cross-multiplied "
+        "integer compare 2*distinct >= tokens — no float crosses the "
+        "hash), 64-token length bucketing, and the per-(lang, bucket) "
+        "manifest a sharded training run consumes. One window for dedup "
+        "(fingerprint-partitioned), everything else map-side-combinable "
+        "aggregates — the whole pipeline is two shuffles."
+    ),
+)
+def train_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text import fingerprint_md5
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    fp = docs.select(
+        "doc_id",
+        "lang",
+        fingerprint_md5("text").alias("fingerprint"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = fp.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    gated = deduped.where(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_distinct") * 2 >= F.col("n_tokens"))
+    )
+    return (
+        gated.groupBy("lang", F.expr("n_tokens div 64").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "bucket")
+    )
