@@ -345,9 +345,11 @@ def prefix_jaccard_pairs(
     Scale posture: the candidate join shuffles only prefix postings
     (a (1-t) fraction of each posting list, and the RAREST tokens at
     that — the hot frequent-token buckets that dominate the naive
-    posting-list join never reach the shuffle).  The frequency ranking is
-    a vocabulary-bounded window (documented; at petabyte vocab swap in a
-    broadcast hash rank).  Verification touches only surviving pairs.
+    posting-list join never reach the shuffle).  No global vocabulary
+    ranking is materialized: any consistent total order works for
+    correctness, so each doc's shingles sort LOCALLY by the
+    (document-frequency, shingle) pair — a per-doc window, never a
+    single-partition funnel.  Verification touches only surviving pairs.
     """
     sh = spread(df, id_col).select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
@@ -355,19 +357,16 @@ def prefix_jaccard_pairs(
     sh = sh.persist()
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     vocab = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    rank_w = Window.orderBy(F.col("df_").asc(), F.col("shingle").asc())
-    ranked = vocab.select("shingle", F.row_number().over(rank_w).alias("rk"))
 
     s = F.size("shingles")
     prefix_len = (s - F.floor(F.lit(threshold) * s) + 1).cast("int")
-    by_rank = (
-        posting.join(ranked, "shingle")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("rk")
-            ),
-        )
+    by_rank = posting.join(vocab, "shingle").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("df_").asc(), F.col("shingle").asc()
+            )
+        ),
     )
     prefix = (
         by_rank.join(

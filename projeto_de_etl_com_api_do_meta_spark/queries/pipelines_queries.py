@@ -1,12 +1,14 @@
 """Registry queries for the reference-parity pipelines, streaming surface,
 and multimodal plumbing.
 
-Pipelines read from the fake REST transport (not sf_dir): no oracle SQL is
-possible (the driver registers only the fixture parquet views), so these are
-rows-only checks; semantics are pinned by the golden/unit tests in
-tests/test_pipelines.py.  ``stream_tumbling_daily`` DOES carry an oracle —
-Structured Streaming vs DuckDB batch SQL on the same fixture (stream/batch
-parity).
+Pipelines read from the fake REST transport (not sf_dir).  The dimension
+pipelines carry DIFFERENTIAL oracles: the deterministic raw fixture rows are
+inlined into the oracle SQL as a VALUES table and the whole transform is
+re-implemented in DuckDB (status filter, json struct flatten, keep-last
+dedup).  The insights/leads pipelines' raw fixtures are too wide/large for
+that form (13k x 26 output), so they stay rows-only with golden tests in
+tests/test_pipelines.py.  Streaming queries carry batch-SQL oracles
+(stream/batch parity).
 """
 
 from __future__ import annotations
@@ -35,14 +37,87 @@ from ..streaming.windows import (
 from .registry import register
 
 
+
+
+def _dimension_raw_values_sql() -> str:
+    """Inline the deterministic raw ads fixture (the exact rows the fake
+    transport serves, sources/meta_fixtures.gen_ads) as a VALUES table, so
+    DuckDB can independently re-implement the dimension transform: status
+    IN-filter, null-safe struct flatten (via json_extract on the struct
+    payload), keep-last dedup.  The INPUT is shared by contract (it IS the
+    fixture); the TRANSFORM is a second implementation — a true
+    differential oracle for the reference-parity pipeline."""
+    import json as _json
+
+    from ..sources import meta_fixtures
+
+    def q(v):
+        if v is None:
+            return "NULL"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    vals = []
+    for i, r in enumerate(meta_fixtures.gen_ads()):
+        adset_json = None if r["adset"] is None else _json.dumps(r["adset"])
+        camp_json = None if r["campaign"] is None else _json.dumps(r["campaign"])
+        vals.append(
+            f"({i}, {q(r['id'])}, {q(r['name'])}, {q(r['adset_id'])}, "
+            f"{q(adset_json)}, {q(r['campaign_id'])}, {q(camp_json)}, "
+            f"{q(r['effective_status'])})"
+        )
+    return (
+        "raw(arrival, id, name, adset_id, adset_json, campaign_id, "
+        "campaign_json, effective_status) AS (VALUES "
+        + ", ".join(vals)
+        + ")"
+    )
+
+
+def _build_dimension_oracles() -> tuple[str, str]:
+    body = _dimension_raw_values_sql()
+    flat = """
+filtered AS (
+  SELECT * FROM raw
+  WHERE effective_status IN ('ACTIVE', 'PAUSED', 'PENDING_REVIEW')
+),
+flat AS (
+  SELECT arrival, id AS ad_id, name AS ad_name, adset_id,
+         json_extract_string(adset_json, '$.name') AS adset_name,
+         campaign_id,
+         json_extract_string(campaign_json, '$.name') AS campaign_name
+  FROM filtered
+)"""
+    keep_last_arrival = f"""
+WITH {body},{flat}
+SELECT ad_id, ad_name, adset_id, adset_name, campaign_id, campaign_name
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ad_id
+                                   ORDER BY arrival DESC) AS rn FROM flat)
+WHERE rn = 1
+"""
+    keep_max_name = f"""
+WITH {body},{flat}
+SELECT ad_id, ad_name, adset_id, adset_name, campaign_id, campaign_name
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ad_id
+                                   ORDER BY ad_name DESC) AS rn FROM flat)
+WHERE rn = 1
+ORDER BY ad_id
+"""
+    return keep_last_arrival, keep_max_name
+
+
+_ORACLE_DIM_PIPELINE, _ORACLE_DIM_DSV2 = _build_dimension_oracles()
+
+
 @register(
     "meta_dimension_pipeline",
-    oracle=None,
+    oracle=_ORACLE_DIM_PIPELINE,
     tags=("reference-parity", "pipeline"),
     doc=(
         "End-to-end ads_dimension pipeline (REST scan + IN-filter pushdown, "
-        "null-safe struct flatten, keep-last dedup). Rows-only; goldens in "
-        "tests/test_pipelines.py."
+        "null-safe struct flatten, keep-last dedup). Differential oracle: "
+        "the deterministic raw fixture inlined as a VALUES table with the "
+        "whole transform re-implemented in DuckDB SQL (+ goldens in "
+        "tests/test_pipelines.py)."
     ),
 )
 def meta_dimension_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,14 +464,15 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "meta_dsv2_dimension_scan",
+    oracle=_ORACLE_DIM_DSV2,
     tags=("source", "dsv2"),
     doc=(
         "Ads dimension built over the Python DataSource V2 reader "
         "(sources/meta_dsv2.py): partition-per-page parallel scan with the "
         "status IN-list accepted by pushFilters and executed by the "
         "(fake) endpoint, nested adset/campaign structs flattened, "
-        "keep-last dedup to the ad grain. Rows-only check: the transport "
-        "is engine-internal, not a DuckDB-queryable table."
+        "keep-last dedup to the ad grain. Differential oracle: the raw "
+        "fixture rows inlined as VALUES, transform re-implemented in SQL."
     ),
 )
 def meta_dsv2_dimension_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
