@@ -558,16 +558,17 @@ def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_jaccard_prefix_filter",
-    oracle=_ORACLE_JACCARD,
+    oracle=_ORACLE_JACCARD.replace("0.12", "0.8"),
     tags=("dedup", "north-star", "scale"),
     doc=(
-        "PREFIX-FILTERED exact Jaccard join (ppjoin-style, J >= 0.12): "
-        "shingles ranked rarest-first by global document frequency; only "
-        "each doc's lossless prefix enters the candidate equi-join, then "
-        "candidates verify with an exact array_intersect. Identical result "
-        "set to dedup_ngram_jaccard (same naive oracle) with the frequent- "
-        "token shuffle hotspots eliminated — the scale path for exact "
-        "similarity joins."
+        "PREFIX-FILTERED exact Jaccard join (ppjoin-style, J >= 0.8 — the "
+        "high-threshold regime where prefix filtering earns its keep: the "
+        "lossless prefix is ~1-t of each shingle list, so ~80% of posting "
+        "volume, including every hot frequent-token bucket, never reaches "
+        "the candidate shuffle): shingles ordered rarest-first by document "
+        "frequency locally per doc, prefix tokens equi-join into "
+        "candidates, exact array_intersect verifies. Oracle: the naive "
+        "all-posting join at the same threshold."
     ),
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,7 +576,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return prefix_jaccard_pairs(docs, threshold=0.12)
+    return prefix_jaccard_pairs(docs, threshold=0.8)
 
 
 # -- Sorted-neighborhood dedup blocking ----------------------------------------
