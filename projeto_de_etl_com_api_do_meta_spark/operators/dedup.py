@@ -334,46 +334,42 @@ def prefix_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard similarity join via PREFIX FILTERING (ppjoin-style):
-    same result set as :func:`jaccard_pairs`, far fewer candidate pairs.
+    same result set as :func:`jaccard_pairs`, far less shuffled volume.
 
-    Order every document's shingles rarest-first (global document
-    frequency); a pair with J >= t MUST share at least one shingle within
-    each side's first ``|s| - ceil(t*|s|) + 1`` shingles, so only prefix
-    tokens enter the candidate equi-join.  Candidates are then verified
-    with an exact per-pair ``array_intersect`` — lossless by construction.
+    A pair with J >= t MUST share at least one shingle within each side's
+    first ``|s| - ceil(t*|s|) + 1`` shingles under ANY fixed global shingle
+    order, so only prefix tokens enter the candidate equi-join; candidates
+    are then verified with an exact per-pair ``array_intersect`` —
+    lossless by construction.
 
-    Scale posture: the candidate join shuffles only prefix postings
-    (a (1-t) fraction of each posting list, and the RAREST tokens at
-    that — the hot frequent-token buckets that dominate the naive
-    posting-list join never reach the shuffle).  No global vocabulary
-    ranking is materialized: any consistent total order works for
-    correctness, so each doc's shingles sort LOCALLY by the
-    (document-frequency, shingle) pair — a per-doc window, never a
-    single-partition funnel.  Verification touches only surviving pairs.
+    The global order used is md5(shingle): order-by-hash makes prefix
+    selection a PURE PER-ROW array expression (sort the shingle array by
+    digest, slice the prefix — whole-stage codegen, zero shuffles, no
+    vocabulary pass), where the classic rarest-first df order would cost a
+    full posting-list aggregate + join before any pruning happened.
+    Hash order also de-correlates prefix membership from token frequency,
+    so hot shingles are diluted across prefixes instead of concentrated.
+
+    Scale posture: the only row-scale shuffle is the candidate equi-join
+    over ~(1-t) of each posting list; verification touches only surviving
+    pairs.
     """
     sh = spread(df, id_col).select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
     )
     sh = sh.persist()
-    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    vocab = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
 
     s = F.size("shingles")
     prefix_len = (s - F.floor(F.lit(threshold) * s) + 1).cast("int")
-    by_rank = posting.join(vocab, "shingle").withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(
-                F.col("df_").asc(), F.col("shingle").asc()
-            )
-        ),
+    # sort by (md5(shingle), shingle) structs -> take the lossless prefix,
+    # all inside codegen; no posting-list explode before the slice.
+    by_hash = F.expr(
+        "transform(array_sort(transform(shingles,"
+        " x -> struct(md5(x) AS h, x AS s))), p -> p.s)"
     )
-    prefix = (
-        by_rank.join(
-            sh.select("doc_id", prefix_len.alias("plen")), "doc_id"
-        )
-        .where(F.col("pos") <= F.col("plen"))
-        .select("doc_id", "shingle")
+    prefix = sh.select(
+        "doc_id",
+        F.explode(F.slice(by_hash, F.lit(1), prefix_len)).alias("shingle"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
