@@ -760,3 +760,41 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("canonical_id"),
         (F.col("rn") == 1).alias("keep"),
     ).orderBy("doc_id")
+
+
+# -- Language-ID confusion matrix ----------------------------------------------
+
+_ORACLE_LANG_CONFUSION = (
+    "WITH pred AS ("
+    + _ORACLE_LANG_ID.replace("WITH t AS", "WITH t AS").strip()
+    + """
+)
+SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+FROM pred
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+)
+
+
+@register(
+    "text_lang_confusion_matrix",
+    oracle=_ORACLE_LANG_CONFUSION,
+    tags=("text", "quality", "ml"),
+    doc=(
+        "Language-ID confusion matrix (true x predicted counts) — the "
+        "classifier-evaluation rollup over text_lang_id's per-doc "
+        "predictions; one extra hash aggregate on the scored stream."
+    ),
+)
+def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang"), "text"
+    )
+    return (
+        predict_lang(docs)
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

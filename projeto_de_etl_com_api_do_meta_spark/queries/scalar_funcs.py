@@ -522,3 +522,36 @@ def fn_calendar_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear(d).alias("doy"),
         F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
     ).orderBy("orderkey")
+
+
+_ORACLE_HASH_FAMILY = """
+SELECT doc_id,
+       md5(text) AS h_md5,
+       sha256(text) AS h_sha256,
+       CAST(length(md5(text)) AS INTEGER) AS md5_len
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+"""
+
+
+@register(
+    "fn_hash_family",
+    oracle=_ORACLE_HASH_FAMILY,
+    tags=("functions", "hash"),
+    doc=(
+        "Cryptographic hash family (md5 / sha-256) — the cross-engine-"
+        "portable hash functions every dedup fingerprint, bucketing split, "
+        "and sketch in this engine builds on, verified as a standalone "
+        "scalar family."
+    ),
+)
+def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+        F.length(F.md5("text")).alias("md5_len"),
+    ).orderBy("doc_id")
