@@ -191,3 +191,83 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.countDistinct("u") + F.countDistinct("v")).alias("node_mentions")
     )
     return n_tri.crossJoin(n_edges).crossJoin(mentions)
+
+
+# -- Market-basket association rules (support / confidence / lift) -------------
+
+_ORACLE_BASKET = """
+WITH pl AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT o) AS total FROM pl),
+item AS (SELECT p, COUNT(*) AS n_p FROM pl GROUP BY p),
+pair AS (
+  SELECT a.p AS u, b.p AS v, COUNT(*) AS support
+  FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT pr.u, pr.v, pr.support,
+       CAST(pr.support * 1000000 // iu.n_p AS BIGINT) AS conf_u_to_v_ppm,
+       CAST(pr.support * 1000000 // iv.n_p AS BIGINT) AS conf_v_to_u_ppm,
+       CAST(pr.support * t.total AS BIGINT) AS lift_num,
+       CAST(iu.n_p * iv.n_p AS BIGINT) AS lift_den
+FROM pair pr
+JOIN item iu ON iu.p = pr.u
+JOIN item iv ON iv.p = pr.v
+CROSS JOIN n_orders t
+ORDER BY pr.support DESC, pr.u, pr.v
+"""
+
+
+@register(
+    "basket_association_rules",
+    oracle=_ORACLE_BASKET,
+    tags=("graph", "agg", "analytics"),
+    doc=(
+        "Market-basket association rules over order baskets (support >= 3 "
+        "part pairs): directional confidence as floor-ppm integers and "
+        "lift as an exact rational (num, den) — no float division crosses "
+        "the oracle hash. Pair generation is the within-order self-join "
+        "(fan-out bounded by basket size squared), then two broadcast "
+        "item-count joins + one scalar total. The co-occurrence analytics "
+        "the reference's ads domain grows into (which creatives convert "
+        "together)."
+    ),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct().persist()
+    total = pl.agg(F.countDistinct("o").alias("total"))
+    item = pl.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = pl.alias("a"), pl.alias("b")
+    pair = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    iu = item.select(F.col("p").alias("u"), F.col("n_p").alias("n_u"))
+    iv = item.select(F.col("p").alias("v"), F.col("n_p").alias("n_v"))
+    return (
+        pair.join(iu, "u")
+        .join(iv, "v")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "u",
+            "v",
+            "support",
+            F.expr("support * 1000000 div n_u").cast("long").alias(
+                "conf_u_to_v_ppm"
+            ),
+            F.expr("support * 1000000 div n_v").cast("long").alias(
+                "conf_v_to_u_ppm"
+            ),
+            (F.col("support") * F.col("total")).cast("long").alias("lift_num"),
+            (F.col("n_u") * F.col("n_v")).cast("long").alias("lift_den"),
+        )
+        .orderBy(F.col("support").desc(), "u", "v")
+    )
