@@ -555,3 +555,42 @@ def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("h_sha256"),
         F.length(F.md5("text")).alias("md5_len"),
     ).orderBy("doc_id")
+
+
+_ORACLE_REGEX = r"""
+SELECT doc_id,
+       regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+       regexp_replace(text, '[aeiou]', '_', 'g') LIKE '%__%' AS has_adj_vowels,
+       regexp_matches(text, '^[A-Z]') AS starts_upper,
+       CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS INTEGER) AS n_spaces
+FROM documents
+WHERE doc_id < 150
+ORDER BY doc_id
+"""
+
+
+@register(
+    "fn_regex_family",
+    oracle=_ORACLE_REGEX,
+    tags=("functions",),
+    doc=(
+        "Regex family (R4/R6 extension): group extraction, match counting, "
+        "global replacement, anchored rlike, character-class stripping — "
+        "all codegen'd pattern work (the cleaning primitives every "
+        "text-pipeline stage leans on)."
+    ),
+)
+def fn_regex_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_count("text", F.lit(r"[0-9]+")).alias("n_numbers"),
+        F.regexp_replace("text", r"[aeiou]", "_").like("%__%").alias(
+            "has_adj_vowels"
+        ),
+        F.col("text").rlike(r"^[A-Z]").alias("starts_upper"),
+        F.length(F.regexp_replace("text", r"[^ ]", "")).alias("n_spaces"),
+    ).orderBy("doc_id")
