@@ -24,6 +24,11 @@ INVARIANT_QUERIES = (
     "events_last_touch_attribution",
     "agg_bivariate_moments",
     "q1_pricing_summary",
+    "corpus_countmin_sketch",
+    "basket_association_rules",
+    "text_feature_hashing",
+    "dedup_jaccard_prefix_filter",
+    "train_corpus_manifest",
 )
 
 
