@@ -336,9 +336,58 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(attach_y4m_video(docs))
 
 
+
+
+def _raw_leads_oracle() -> str:
+    """Differential oracle for the raw-leads pipeline: the deterministic
+    per-form lead fixture rows (sources/meta_fixtures.gen_leads, exactly
+    what the correlated mapInPandas fetch returns) inlined as VALUES, with
+    the transform — created_time day coercion via TRY_CAST and keep-first
+    dedup per lead_id — re-implemented in DuckDB SQL."""
+    from ..sources import meta_fixtures
+
+    def q(v):
+        if v is None:
+            return "NULL"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    vals = []
+    for form in meta_fixtures.gen_forms():
+        for r in meta_fixtures.gen_leads(form["id"]):
+            vals.append(
+                "(" + ", ".join(
+                    q(r[k])
+                    for k in (
+                        "lead_id", "created_time", "ad_id", "campaign_id",
+                        "adset_id", "form_id", "field_data",
+                        "ad_platform_data",
+                    )
+                ) + ")"
+            )
+    return (
+        "WITH raw(lead_id, created_time, ad_id, campaign_id, adset_id, "
+        "form_id, field_data, ad_platform_data) AS (VALUES "
+        + ", ".join(vals)
+        + """),
+dated AS (
+  SELECT lead_id, TRY_CAST(created_time AS DATE) AS created_time,
+         ad_id, campaign_id, adset_id, form_id, field_data,
+         CAST(ad_platform_data AS VARCHAR) AS ad_platform_data
+  FROM raw
+)
+SELECT lead_id, created_time, ad_id, campaign_id, adset_id, form_id,
+       field_data, ad_platform_data
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lead_id
+                                   ORDER BY created_time ASC NULLS LAST,
+                                            form_id) AS rn
+      FROM dated)
+WHERE rn = 1
+""")
+
+
 @register(
     "meta_raw_leads_pipeline",
-    oracle=None,
+    oracle=_raw_leads_oracle(),
     tags=("reference-parity", "pipeline"),
     doc=(
         "Latent ads_raw_leads path (reference extract.py:60-100, never wired "

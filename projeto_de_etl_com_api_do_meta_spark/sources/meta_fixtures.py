@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import random
+import zlib
 from datetime import date, timedelta
 
 ACTION_TYPES = [
@@ -147,7 +148,10 @@ def gen_forms() -> list[dict]:
 
 def gen_leads(form_id: str) -> list[dict]:
     """Raw leads for one form (A5) — the correlated inner scan."""
-    rng = random.Random(hash(form_id) % (2**31))
+    # crc32, not hash(): Python string hashing is salted per process
+    # (PYTHONHASHSEED), so hash() would serve different "API rows" to
+    # executors vs the driver vs the oracle builder.
+    rng = random.Random(zlib.crc32(form_id.encode()) % (2**31))
     rows = []
     for i in range(rng.randint(20, 60)):
         rows.append(
