@@ -125,13 +125,88 @@ def meta_dimension_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_dimension(MetaRestSource(spark))
 
 
+
+
+def _performance_oracle() -> str:
+    """Differential oracle for the flagship campaign-performance pipeline:
+    the raw no-breakdown insights fixture (exactly what the transport
+    serves, incl. the ~5%% duplicate-key rows with null metrics and the
+    ''/'N/A' junk) inlined as VALUES with actions as JSON strings; the
+    whole transform re-implemented in DuckDB SQL — whitelist pivot with
+    last-match-wins extraction, errors='coerce' numeric handling,
+    keep-first-per-grain dedup, safe-div KPIs."""
+    import json as _json
+
+    from ..operators.actions_pivot import ALLOWED_ACTION_COLUMNS
+    from ..sources import meta_fixtures
+
+    def q(v):
+        if v is None:
+            return "NULL"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    vals = []
+    for i, r in enumerate(meta_fixtures.gen_insights(())):
+        actions_json = None if r["actions"] is None else _json.dumps(r["actions"])
+        vals.append(
+            f"({i}, {q(r['ad_id'])}, {q(r['adset_id'])}, "
+            f"{q(r['campaign_id'])}, {q(r['date_start'])}, "
+            f"{q(r['impressions'])}, {q(r['clicks'])}, {q(r['spend'])}, "
+            f"{q(actions_json)})"
+        )
+    spec = '[{"action_type":"VARCHAR","value":"VARCHAR"}]'
+    acts = ",\n".join(
+        "         COALESCE(CAST(FLOOR(TRY_CAST(list_filter(\n"
+        + "           from_json(actions_json, '" + spec + "'),\n"
+        + "           a -> replace(a.action_type, '.', '_') = '" + name
+        + "')[-1].value\n"
+        + '           AS DOUBLE)) AS BIGINT), 0) AS "' + name + '"'
+        for name in ALLOWED_ACTION_COLUMNS
+    )
+    return f"""
+WITH raw(arrival, ad_id, adset_id, campaign_id, date_start, impressions,
+         clicks, spend, actions_json) AS (VALUES {", ".join(vals)}),
+flat AS (
+  SELECT arrival, ad_id, adset_id, campaign_id, date_start,
+         COALESCE(CAST(FLOOR(TRY_CAST(impressions AS DOUBLE)) AS BIGINT), 0)
+           AS impressions,
+         COALESCE(CAST(FLOOR(TRY_CAST(clicks AS DOUBLE)) AS BIGINT), 0)
+           AS clicks,
+         COALESCE(TRY_CAST(spend AS DOUBLE), 0.0) AS spend,
+{acts}
+  FROM raw
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY date_start, ad_id, adset_id, campaign_id
+      ORDER BY arrival) AS rn
+    FROM flat) WHERE rn = 1
+)
+SELECT TRY_CAST(date_start AS DATE) AS date_start, ad_id, adset_id,
+       campaign_id,
+       impressions AS total_impressions,
+       clicks AS total_clicks,
+       spend AS total_spend,
+       "lead" AS total_leads,
+       CAST(0 AS BIGINT) AS total_successes,
+       CASE WHEN clicks != 0 THEN spend / clicks ELSE 0.0 END AS cpc,
+       CASE WHEN impressions != 0 THEN CAST(clicks AS DOUBLE) / impressions
+            ELSE 0.0 END AS ctr,
+       CASE WHEN "lead" != 0 THEN spend / "lead" ELSE 0.0 END AS cpl
+FROM dedup
+"""
+
+
 @register(
     "meta_performance_pipeline",
-    oracle=None,
+    oracle=_performance_oracle(),
     tags=("reference-parity", "pipeline"),
     doc=(
-        "End-to-end ads_campaign_performance pipeline (insights scan, actions "
-        "pivot, first-non-null grain dedup, safe-div metrics)."
+        "End-to-end ads_campaign_performance pipeline (insights scan, "
+        "actions pivot, first-non-null grain dedup, safe-div metrics). "
+        "Differential oracle: raw fixture inlined as VALUES, whole "
+        "transform re-implemented in DuckDB SQL."
     ),
 )
 def meta_performance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
