@@ -1,14 +1,15 @@
 """Registry queries for the reference-parity pipelines, streaming surface,
 and multimodal plumbing.
 
-Pipelines read from the fake REST transport (not sf_dir).  The dimension
-pipelines carry DIFFERENTIAL oracles: the deterministic raw fixture rows are
-inlined into the oracle SQL as a VALUES table and the whole transform is
-re-implemented in DuckDB (status filter, json struct flatten, keep-last
-dedup).  The insights/leads pipelines' raw fixtures are too wide/large for
-that form (13k x 26 output), so they stay rows-only with golden tests in
-tests/test_pipelines.py.  Streaming queries carry batch-SQL oracles
-(stream/batch parity).
+Pipelines read from the fake REST transport (not sf_dir).  ALL FOUR
+reference pipelines (dimension, dsv2 dimension, campaign performance, lead
+insights, raw leads) carry DIFFERENTIAL oracles: the deterministic raw
+fixture rows are inlined into the oracle SQL as VALUES tables and every
+transform — status filter, json struct flatten, whitelist actions pivot
+with last-match-wins, errors='coerce' numerics, keep-first/-last dedup,
+full-outer fan-out with 0/'0' fills, safe-div KPIs — is re-implemented in
+DuckDB SQL.  Golden tests in tests/test_pipelines.py remain as the second
+check.  Streaming queries carry batch-SQL oracles (stream/batch parity).
 """
 
 from __future__ import annotations
@@ -214,13 +215,93 @@ def meta_performance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_campaign_performance(MetaRestSource(spark))
 
 
+
+
+def _leads_oracle() -> str:
+    """Differential oracle for the lead-insights pipeline: demo raw rows
+    (with actions JSON) and geo raw rows (actions omitted — the transform
+    discards every geo column except region + grain keys before the join)
+    inlined as VALUES; pivot/coerce, distinct geo subset, full-outer
+    fan-out join, and the reference's quirky 0/'0' null-fills all
+    re-implemented in DuckDB SQL."""
+    import json as _json
+
+    from ..operators.actions_pivot import ALLOWED_ACTION_COLUMNS
+    from ..sources import meta_fixtures
+
+    def q(v):
+        if v is None:
+            return "NULL"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    demo_vals = []
+    for r in meta_fixtures.gen_insights(("age", "gender")):
+        actions_json = None if r["actions"] is None else _json.dumps(r["actions"])
+        demo_vals.append(
+            f"({q(r['ad_id'])}, {q(r['adset_id'])}, {q(r['campaign_id'])}, "
+            f"{q(r['date_start'])}, {q(r['date_stop'])}, "
+            f"{q(r['impressions'])}, {q(r['clicks'])}, {q(r['spend'])}, "
+            f"{q(actions_json)}, {q(r['age'])}, {q(r['gender'])})"
+        )
+    geo_vals = []
+    for r in meta_fixtures.gen_insights(("region",)):
+        geo_vals.append(
+            f"({q(r['ad_id'])}, {q(r['adset_id'])}, {q(r['campaign_id'])}, "
+            f"{q(r['date_start'])}, {q(r['region'])})"
+        )
+    spec = '[{"action_type":"VARCHAR","value":"VARCHAR"}]'
+    out_actions = [c for c in ALLOWED_ACTION_COLUMNS if c != "lead"]
+    acts = ",\n".join(
+        "         COALESCE(CAST(FLOOR(TRY_CAST(list_filter(\n"
+        + "           from_json(actions_json, '" + spec + "'),\n"
+        + "           a -> replace(a.action_type, '.', '_') = '" + name
+        + "')[-1].value\n"
+        + '           AS DOUBLE)) AS BIGINT), 0) AS "' + name + '"'
+        for name in ALLOWED_ACTION_COLUMNS
+    )
+    fills = ",\n".join(
+        f'       COALESCE(d."{name}", 0) AS "{name}"' for name in out_actions
+    )
+    return f"""
+WITH demo_raw(ad_id, adset_id, campaign_id, date_start, date_stop,
+              impressions, clicks, spend, actions_json, age, gender)
+  AS (VALUES {", ".join(demo_vals)}),
+geo_raw(ad_id, adset_id, campaign_id, date_start, region)
+  AS (VALUES {", ".join(geo_vals)}),
+demo AS (
+  SELECT ad_id, adset_id, campaign_id, date_start, age, gender,
+         COALESCE(TRY_CAST(spend AS DOUBLE), 0.0) AS spend,
+{acts}
+  FROM demo_raw
+),
+geo_sub AS (
+  SELECT DISTINCT region, date_start, ad_id, adset_id, campaign_id
+  FROM geo_raw
+)
+SELECT COALESCE(d.date_start, g.date_start) AS date_start,
+       COALESCE(d.ad_id, g.ad_id) AS ad_id,
+       COALESCE(d.adset_id, g.adset_id) AS adset_id,
+       COALESCE(d.campaign_id, g.campaign_id) AS campaign_id,
+       COALESCE(d.age, '0') AS age,
+       COALESCE(d.gender, '0') AS gender,
+       COALESCE(g.region, '0') AS region,
+       COALESCE(d.spend, 0.0) AS total_spend,
+       COALESCE(d."lead", 0) AS total_leads,
+{fills}
+FROM demo d FULL OUTER JOIN geo_sub g
+  ON d.date_start = g.date_start AND d.ad_id = g.ad_id
+ AND d.adset_id = g.adset_id AND d.campaign_id = g.campaign_id
+"""
+
+
 @register(
     "meta_leads_pipeline",
-    oracle=None,
+    oracle=_leads_oracle(),
     tags=("reference-parity", "pipeline"),
     doc=(
         "End-to-end ads_lead_insights pipeline (demo x geo full-outer merge "
-        "with fan-out + 0-fill)."
+        "with fan-out + 0-fill). Differential oracle: both raw fixtures "
+        "inlined as VALUES, join/fill quirks re-implemented in DuckDB."
     ),
 )
 def meta_leads_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
