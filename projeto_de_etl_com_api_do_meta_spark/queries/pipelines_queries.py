@@ -713,8 +713,32 @@ def meta_dsv2_dimension_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _stream_ingest_oracle() -> str:
+    """Differential oracle for the streaming ingest: the stream source
+    serves exactly the no-breakdown insights fixture day-by-day, so the
+    daily rollup must equal the same aggregate over the raw rows (inlined
+    as (date_start, ad_id) VALUES)."""
+    from ..sources import meta_fixtures
+
+    vals = ", ".join(
+        f"('{r['date_start']}', '{r['ad_id']}')"
+        for r in meta_fixtures.gen_insights(())
+    )
+    return (
+        "WITH raw(date_start, ad_id) AS (VALUES "
+        + vals
+        + """)
+SELECT date_start, COUNT(*) AS n_rows, COUNT(DISTINCT ad_id) AS n_ads
+FROM raw GROUP BY date_start ORDER BY date_start
+"""
+    )
+
+
 @register(
     "meta_stream_insights_ingest",
+    oracle=_stream_ingest_oracle(),
     tags=("streaming", "source", "dsv2"),
     doc=(
         "Streaming ingestion through the Python DataSourceStreamReader "
@@ -722,7 +746,8 @@ def meta_dsv2_dimension_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "edge, run to completion with availableNow into a parquet sink "
         "(checkpointed, exactly-once), then aggregated to daily ad counts. "
         "The streaming-native form of the reference's daily cron re-scan. "
-        "Rows-only check: transport is engine-internal."
+        "Differential oracle: raw (date_start, ad_id) fixture pairs "
+        "inlined as VALUES, same daily rollup in SQL."
     ),
 )
 def meta_stream_insights_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
