@@ -551,3 +551,65 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_tokens").desc(), "source", "lang")
     )
+
+
+# -- Unigram-LM surprisal (perplexity-proxy quality scoring) -------------------
+
+_ORACLE_SURPRISAL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT SUM(c) AS n FROM vocab)
+SELECT t.doc_id,
+       COUNT(*) AS n_toks,
+       round(SUM(-ln(CAST(v.c AS DOUBLE) / tt.n)) / COUNT(*), 6)
+         AS avg_surprisal
+FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total tt
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=_ORACLE_SURPRISAL,
+    tags=("text", "quality", "north-star"),
+    doc=(
+        "Perplexity-proxy quality scoring: average per-token surprisal "
+        "under the corpus unigram LM (-ln p, corpus-wide probabilities) — "
+        "the language-model-based quality gate next to the doc-local "
+        "entropy signal (text_word_entropy scores the doc's own "
+        "distribution; this scores it against the corpus). Vocabulary "
+        "aggregates map-side; the token->vocab join broadcasts when the "
+        "vocab is small and shuffles on the token key otherwise (AQE "
+        "decides); the corpus total is one scalar broadcast."
+    ),
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    docs = docs.repartition(F.col("doc_id"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(
+                F.sum(-F.log(F.col("c").cast("double") / F.col("n")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
