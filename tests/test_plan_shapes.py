@@ -157,3 +157,22 @@ def test_substring_dup_join_key_is_digest_not_raw_text(spark, sf_dir):
     # digest (fixed width), not the 50-char substring
     assert "md5" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A date-partitioned fact joined to a selectively-filtered dim must
+    plan a dynamicpruning subquery on the partition column — the runtime
+    analog of static partition pruning (SURVEY §4)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("date").alias("event_date")
+    )
+    path = str(tmp_path / "events_by_date")
+    events.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        events.select("event_date").distinct()
+        .withColumn("is_hot", F.dayofmonth("event_date") == 3)
+    )
+    joined = fact.join(dim.where(F.col("is_hot")), "event_date")
+    plan = _formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower()
