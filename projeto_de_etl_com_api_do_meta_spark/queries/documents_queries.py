@@ -484,6 +484,9 @@ def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # consumed twice (dup-set aggregate + join back): persist so the
+    # 50-char-window md5 explosion is computed once
+    grams = grams.persist()
     dup = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))
