@@ -278,6 +278,12 @@ def embedding_near_dup(
 
 # -- IVF (inverted-file) ANN --------------------------------------------------
 
+#: Fixed-point scale for exact centroid sums: floor(x * 2^40) is an exact
+#: integer for unit-vector components, so distributed partial sums are
+#: order-independent (bit-deterministic under any partitioning).
+_FP_SCALE = 1099511627776.0  # 2^40
+
+
 def ivf_index(
     corpus_unit: DataFrame,
     id_col: str,
@@ -288,53 +294,72 @@ def ivf_index(
     """Spherical k-means IVF index over unit vectors: deterministic init
     (``id % nlist``), ``iters`` Lloyd rounds, assignment by max dot product.
 
-    Fully deterministic: the centroid mean is an Arrow-batched grouped
-    aggregate that sorts each cluster's members by id before summing (fixed
-    float-addition order), ties broken by cluster id.  Scale shape: each
-    round is one grouped aggregate (tiny result: nlist rows) and one
-    broadcast-join argmax (assignment) — the corpus is never shuffled on
-    anything but its own partitioning.
+    Scale shape (the classic distributed-Lloyd discipline, e.g. Spark MLlib
+    KMeans): per round, ONE map-side-combinable hash aggregate computes
+    per-(cluster, component) fixed-point sums — nlist×dim rows out, combined
+    partially on every executor, so no round ever shuffles vectors and no
+    reducer sees more than one component of one cluster (the grouped-UDF
+    formulation that funnels the whole corpus into nlist reducers is exactly
+    the skew this avoids).  The nlist×dim result is bounded by contract
+    (k-means state, not data), collected, and re-broadcast as plan literals;
+    re-assignment is then a stateless codegen projection — argmax over the
+    literal centroid array, ties to the lowest cluster id — with zero
+    shuffle and no lineage growth (each round's collect() cuts the plan).
+
+    Determinism: floor(component * 2^40) sums are exact integers, so the
+    centroid is bit-identical under any partitioning / arrival order.
 
     Returns (assignment df [id, vec, cluster], centroid df [cluster, cvec]).
     """
-    @F.pandas_udf("array<double>")
-    def _mean_vec(ids: pd.Series, vecs: pd.Series) -> list:
-        # Sort by id before summing: float addition order is then fixed, so
-        # the centroid is deterministic regardless of shuffle arrival order.
-        order = np.argsort(ids.to_numpy())
-        mat = np.stack(vecs.to_numpy())[order].astype("float64")
-        return list(mat.mean(axis=0))
-
-    assign = corpus_unit.withColumn(
-        "cluster", (F.col(id_col) % nlist).cast("int")
+    if iters < 1:
+        raise ValueError("ivf_index needs at least one Lloyd round")
+    corpus_unit = corpus_unit.persist()  # loop-invariant: scanned once/round
+    assign_expr = (F.col(id_col) % nlist).cast("int")
+    for _ in range(iters):
+        sums = (
+            corpus_unit.select(
+                assign_expr.alias("cluster"),
+                F.posexplode(F.col(vec_col)).alias("pos", "c"),
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.floor(F.col("c") * _FP_SCALE).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # bounded: nlist × dim rows (index state, not data)
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (
+                r["s"] / r["n"] / _FP_SCALE
+            )
+        dim = max(len(v) for v in by_cluster.values())
+        cent_vecs = [
+            [by_cluster[c].get(p, 0.0) for p in range(dim)]
+            for c in sorted(by_cluster)
+        ]
+        cents_lit = F.array(
+            *[
+                F.array(*[F.lit(x) for x in cv])
+                for cv in cent_vecs
+            ]
+        )
+        # argmax dot over the literal centroids; array_position returns the
+        # FIRST index equal to the max, i.e. ties break to the lowest
+        # cluster id — same contract as an (dot DESC, cluster ASC) sort.
+        dots = F.transform(cents_lit, lambda cv: dot(F.col(vec_col), cv))
+        assign_expr = (F.array_position(dots, F.array_max(dots)) - 1).cast(
+            "int"
+        )
+    # Cluster labels are DENSE indices into cent_vecs (argmax position), so
+    # if a round emptied a cluster the surviving ones are renumbered 0..m-1
+    # consistently on both sides of the (assign, cents) pair.
+    assign = corpus_unit.withColumn("cluster", assign_expr)
+    spark = corpus_unit.sparkSession
+    cents = spark.createDataFrame(
+        list(enumerate(cent_vecs)), "cluster int, cvec array<double>"
     )
-    cents = None
-    for it in range(iters):
-        # One Arrow-batched grouped aggregate (nlist rows out) — far smaller
-        # plan than the posexplode + per-component groupBy formulation.
-        cents = assign.groupBy("cluster").agg(
-            _mean_vec(id_col, vec_col).alias("cvec")
-        )
-        # Materialize the dot BEFORE the window: an interpreted HOF fold in
-        # a sort key is re-evaluated per comparison (O(n log n) folds).
-        scored = (
-            assign.drop("cluster")
-            .crossJoin(F.broadcast(cents))
-            .withColumn("_dot", dot(F.col(vec_col), F.col("cvec")))
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_dot").desc(), F.col("cluster")
-        )
-        assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn", "cvec", "_dot")
-        )
-        # Truncate the iterative lineage: without this each Lloyd round's
-        # plan re-embeds (and re-executes) every previous round on each of
-        # its several downstream references.
-        assign = assign.persist()
-    return assign, cents.persist()
+    return assign, cents
 
 
 def ivf_topk(
