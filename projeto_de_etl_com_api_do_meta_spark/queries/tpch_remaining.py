@@ -489,18 +489,26 @@ LIMIT 100
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    # Per (orderkey, suppkey): did any OTHER supplier line exist in the
-    # order, and did any OTHER supplier have a returned line?  Derived from
-    # one order-level aggregate broadcast-joined back to the supplier lines.
-    order_stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supps"),
+    # ONE scan of lineitem, reduced to (orderkey, suppkey) grain first — a
+    # map-side-combinable aggregate — then the EXISTS / NOT-EXISTS pair
+    # becomes a window over the reduced grain: n_supps (any other supplier
+    # line exists) and n_r_supps (no other supplier had a returned line).
+    # No countDistinct expand, no second scan, no row-level join-back: the
+    # qualifying supplier's returned-row count (what the oracle's count(*)
+    # over l1 rows measures) is carried as n_r_lines and summed at the end.
+    os_stats = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_r_lines")
     )
-    # NOTE: no distinct — the oracle counts every qualifying l1 *row*, so a
-    # supplier with two returned lines in one order contributes 2 to numwait.
-    l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey")
+    enriched = os_stats.select(
+        "l_orderkey",
+        "l_suppkey",
+        "n_r_lines",
+        F.count(F.lit(1)).over(w).alias("n_supps"),
+        F.sum((F.col("n_r_lines") > 0).cast("int")).over(w).alias("n_r_supps"),
+    )
     orders_f = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     )
@@ -515,12 +523,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     waiting = (
-        l1.join(order_stats, "l_orderkey")
-        # EXISTS other-supplier line: order has >1 distinct supplier.
-        .where(F.col("n_supps") > 1)
-        # NOT EXISTS other supplier with 'R': this supplier is the only
-        # 'R' supplier of the order.
-        .where(F.col("n_r_supps") == 1)
+        enriched
+        # this supplier has returned lines; some OTHER supplier line exists;
+        # NO other supplier has a returned line (this is the only 'R' one).
+        .where(
+            (F.col("n_r_lines") > 0)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_r_supps") == 1)
+        )
         .join(
             orders_f.select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -530,7 +540,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         waiting.groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_r_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
