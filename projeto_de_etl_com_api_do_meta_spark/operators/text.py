@@ -273,3 +273,68 @@ def misra_gries_candidates(
         .collect()
     )
     return sorted(r.candidate for r in rows)
+
+
+# -- Bloom-filter membership gate ---------------------------------------------
+
+def bloom_build(
+    values: DataFrame, col: str, m_bits: int, k: int
+) -> list[int]:
+    """Build a bloom filter over a value column as ``m_bits / 64`` longs.
+
+    The bit positions are ``pmod(xxhash64(value, seed_i), m_bits)`` — all
+    JVM-side, so the probe side can recompute identical positions with the
+    same expressions (no Python hash-parity trap).  The bitset itself is one
+    map-side-combinable ``bit_or`` aggregate grouped by word index: every
+    executor ORs its local bits, the shuffle carries at most ``m_bits/64``
+    rows regardless of input size, and the driver collects bounded SKETCH
+    state (16 KB at m=2^17), never data.
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+                for i in range(k)
+            ]
+        )
+    ).alias("pos")
+    words = (
+        values.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("widx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    bits = [0] * ((m_bits + 63) // 64)
+    for r in words:
+        bits[r["widx"]] = r["word"]
+    return bits
+
+
+def bloom_might_contain(
+    bits: list[int], col: str, m_bits: int, k: int
+) -> Column:
+    """Codegen membership test against a literal bloom bitset: AND over the
+    k probe bits, each ``element_at(bitset, pos/64 + 1) & (1 << pos%64)``.
+    The bitset ships inside the plan like any broadcast scalar — zero joins,
+    zero Python; size the literal via ``m_bits`` to the reference-set
+    cardinality (2^17 bits ~ 2048 longs is comfortable; for much larger
+    filters switch the probe to an Arrow-batched gate with JVM-computed
+    positions)."""
+    # One Literal node of ArrayType (not an array() of m/64 children —
+    # which would explode the codegen'd expression tree k times over).
+    bitset = F.lit(bits)
+    cond = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+        word = F.element_at(bitset, (pos / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond

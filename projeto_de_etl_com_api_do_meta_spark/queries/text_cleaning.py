@@ -613,3 +613,83 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- Bloom-gated decontamination (big-reference-set scale path) ---------------
+
+_ORACLE_DECONTAMINATE_BLOOM = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+  FROM words WHERE len(w) >= 4
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g FROM idx
+),
+eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+)
+SELECT t.doc_id, count(*) AS n_overlap
+FROM grams t
+JOIN eval_grams e USING (g)
+WHERE t.doc_id % 20 <> 0
+GROUP BY t.doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_decontaminate_bloom",
+    oracle=_ORACLE_DECONTAMINATE_BLOOM,
+    tags=("text", "dedup", "training", "sketch"),
+    doc=(
+        "Decontamination for the regime where the benchmark gram set is too "
+        "large to broadcast as a hash join side: a bloom filter over the "
+        "eval grams (one map-side-combinable bit_or aggregate; <= m/64 rows "
+        "shuffled, 16 KB of sketch state collected) gates the training gram "
+        "stream with a pure-codegen membership test (literal bitset, "
+        "xxhash64 probes — no join, no Python), and only the surviving "
+        "~contaminated + FP-rate fraction reaches the exact verify join. "
+        "The verify join keeps the result EXACT (bloom false positives are "
+        "eliminated), so the query stays value-oracle-checkable while the "
+        "wide gram-key exchange shrinks from the full corpus to the "
+        "candidate sliver."
+    ),
+)
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bloom_build, bloom_might_contain
+
+    pin_query_session_conf(spark)
+    m_bits, k = 1 << 17, 4
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 3),
+                    lambda i: F.array_join(F.slice(F.col("w"), i, 4), " "),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    # Persisted: consumed twice (bloom build + exact verify); it is the
+    # SMALL side — the big training gram stream is never materialized.
+    eval_grams = (
+        grams.where(F.col("doc_id") % 20 == 0).select("g").distinct().persist()
+    )
+    bits = bloom_build(eval_grams, "g", m_bits, k)
+    candidates = grams.where(F.col("doc_id") % 20 != 0).where(
+        bloom_might_contain(bits, "g", m_bits, k)
+    )
+    return (
+        candidates.join(eval_grams, "g")  # exact verify: kills bloom FPs
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .orderBy("doc_id")
+    )

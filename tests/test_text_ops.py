@@ -241,3 +241,26 @@ def test_countmin_sketch_never_underestimates(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.est_count >= r.true_count  # one-sided CMS error bound
+
+
+def test_bloom_gate_no_false_negatives_and_prunes(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.text import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    m_bits, k = 1 << 14, 4
+    members = spark.range(200).select(
+        F.concat(F.lit("member_"), F.col("id")).alias("v")
+    )
+    bits = bloom_build(members, "v", m_bits, k)
+    # Every member passes the gate (blooms never false-negative).
+    kept = members.where(bloom_might_contain(bits, "v", m_bits, k)).count()
+    assert kept == 200
+    # Non-members are overwhelmingly pruned (FP rate ~(1-e^-kn/m)^k << 1).
+    others = spark.range(2000).select(
+        F.concat(F.lit("other_"), F.col("id")).alias("v")
+    )
+    passed = others.where(bloom_might_contain(bits, "v", m_bits, k)).count()
+    assert passed < 100  # < 5% leak at these parameters
