@@ -125,6 +125,62 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", "n_inter", "size_a", "size_b", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT join: pairs where either side's
+    shingle set is mostly inside the other (``|A∩B| / |A| >= t`` or the
+    mirror).  Catches doc-in-doc duplication — quotations, boilerplate
+    wrappers, near-supersets — that symmetric Jaccard misses: a 50-gram
+    chunk fully embedded in a 5000-gram page scores J ~ 0.01 but
+    containment 1.0.
+
+    Same posting-list equi-join scale shape as :func:`jaccard_pairs` (the
+    only row-scale shuffle is on the shingle key; no all-pairs product).
+    """
+    sh = spread(df, id_col).select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "cont_a", F.round(F.col("n_inter").cast("double") / F.col("size_a"), 6)
+        )
+        .withColumn(
+            "cont_b", F.round(F.col("n_inter").cast("double") / F.col("size_b"), 6)
+        )
+        .where(F.greatest("cont_a", "cont_b") >= threshold)
+    )
+    return out.select(
+        "doc_a", "doc_b", "n_inter", "size_a", "size_b", "cont_a", "cont_b"
+    )
+
+
 # -- MinHash + LSH -------------------------------------------------------------
 
 

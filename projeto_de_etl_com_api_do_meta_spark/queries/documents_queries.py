@@ -801,3 +801,59 @@ def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# -- Asymmetric containment (doc-in-doc duplication) --------------------------
+
+_ORACLE_CONTAINMENT = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingles
+  FROM t
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM posting a JOIN posting b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       CAST(sa.n_shingles AS INTEGER) AS size_a,
+       CAST(sb.n_shingles AS INTEGER) AS size_b,
+       round(CAST(i.n_inter AS DOUBLE) / sa.n_shingles, 6) AS cont_a,
+       round(CAST(i.n_inter AS DOUBLE) / sb.n_shingles, 6) AS cont_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE greatest(round(CAST(i.n_inter AS DOUBLE) / sa.n_shingles, 6),
+               round(CAST(i.n_inter AS DOUBLE) / sb.n_shingles, 6)) >= 0.4
+"""
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=_ORACLE_CONTAINMENT,
+    tags=("dedup", "north-star"),
+    doc=(
+        "Asymmetric shingle-containment join (max(|A∩B|/|A|, |A∩B|/|B|) "
+        ">= 0.4): catches doc-in-doc duplication — quotes, boilerplate "
+        "wrappers, near-supersets — that symmetric Jaccard misses (a chunk "
+        "fully embedded in a much larger page scores J~0 but containment "
+        "1.0). Same posting-list equi-join scale shape as the Jaccard "
+        "join: the only row-scale shuffle is on the shingle key."
+    ),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return containment_pairs(docs, threshold=0.4)
