@@ -27,8 +27,17 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     Fixture tables arrive as a single parquet file = one input partition, so
     expression-heavy operators (shingling, hashing) would otherwise run on
     one core.  At cluster scale the same repartition is the standard
-    load-balancing step before CPU-bound per-doc work."""
-    return df.repartition(*[F.col(c) for c in cols])
+    load-balancing step before CPU-bound per-doc work.
+
+    The partition count is pinned to ``defaultParallelism`` explicitly: a
+    count-less ``repartition(col)`` lets AQE re-pick the number from SHUFFLE
+    BYTES, and a few MB of docs coalesces to ONE partition — byte-blind to
+    the per-row shingle/hash CPU that follows (measured: the whole Jaccard
+    posting join ran single-task).  An explicit count is exempt from AQE
+    coalescing, and executors×cores is the right width for CPU-bound maps
+    on any cluster size."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols])
 
 
 def exact_dedup(
