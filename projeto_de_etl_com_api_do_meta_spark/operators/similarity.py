@@ -686,41 +686,82 @@ def pq_index(
     and one broadcast-join argmin — the corpus shuffles only on its own
     partitioning. Returns (codes [id, sub, code], cents [sub, code, cvec]).
     """
+    if iters < 1:
+        raise ValueError("pq_index needs at least one Lloyd round")
     dsub = dim // nsub
-
-    @F.pandas_udf("array<double>")
-    def _mean_vec(ids: pd.Series, vecs: pd.Series) -> list:
-        order = np.argsort(ids.to_numpy())
-        mat = np.stack(vecs.to_numpy())[order].astype("float64")
-        return list(mat.mean(axis=0))
-
-    sv = _subvectors(corpus_unit, id_col, vec_col, nsub, dsub).persist()
-    codes = sv.withColumn(
-        "code", ((F.col(id_col) + F.col("sub")) % ksub).cast("int")
+    spark = corpus_unit.sparkSession
+    n_par = spark.sparkContext.defaultParallelism
+    corpus_unit = corpus_unit.repartition(n_par, F.col(id_col)).persist()
+    sv = _subvectors(corpus_unit, id_col, vec_col, nsub, dsub)
+    # Same distributed-Lloyd discipline as ivf_index: per round ONE
+    # map-side-combinable fixed-point component aggregate (nsub*ksub*dsub
+    # rows of bounded codebook state — the grouped-UDF formulation would
+    # funnel every subvector into nsub*ksub reducers), collected and
+    # re-broadcast; re-encoding is a vectorized numpy argmin per Arrow
+    # batch (ties to the lowest code, matching an (_d ASC, code ASC) sort).
+    codes = sv.select(
+        id_col,
+        "sub",
+        ((F.col(id_col) + F.col("sub")) % ksub).cast("int").alias("code"),
+        "subvec",
     )
-    cents = None
-    sqdist = (
-        dot(F.col("subvec"), F.col("subvec"))
-        + dot(F.col("cvec"), F.col("cvec"))
-        - 2 * dot(F.col("subvec"), F.col("cvec"))
-    )
+    cent_rows: list = []
     for _ in range(iters):
-        cents = codes.groupBy("sub", "code").agg(
-            _mean_vec(id_col, "subvec").alias("cvec")
+        sums = (
+            codes.select("sub", "code", F.posexplode("subvec").alias("pos", "c"))
+            .groupBy("sub", "code", "pos")
+            .agg(
+                F.sum(F.floor(F.col("c") * _FP_SCALE).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
         )
-        scored = (
-            codes.drop("code")
-            .join(F.broadcast(cents), "sub")
-            .withColumn("_d", sqdist)
+        cents_np = np.zeros((nsub, ksub, dsub))
+        present = np.zeros((nsub, ksub), dtype=bool)
+        for r in sums:
+            cents_np[r["sub"], r["code"], r["pos"]] = r["s"] / r["n"] / _FP_SCALE
+            present[r["sub"], r["code"]] = True
+
+        def encode(batches, cents_np=cents_np, present=present):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(
+                    [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+                ).reshape(len(pdf), nsub, dsub)
+                out_ids, out_subs, out_codes, out_sv = [], [], [], []
+                for s in range(nsub):
+                    # (n, ksub) squared distances; empty codes masked out.
+                    d2 = ((mat[:, s, None, :] - cents_np[None, s]) ** 2).sum(-1)
+                    d2[:, ~present[s]] = np.inf
+                    best = d2.argmin(axis=1)  # first min => lowest code
+                    out_ids.append(pdf[id_col].to_numpy())
+                    out_subs.append(np.full(len(pdf), s))
+                    out_codes.append(best)
+                    out_sv.extend(list(mat[:, s, :]))
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(out_ids),
+                        "sub": np.concatenate(out_subs),
+                        "code": np.concatenate(out_codes),
+                        "subvec": out_sv,
+                    }
+                )
+
+        codes = corpus_unit.mapInPandas(
+            encode,
+            schema=f"{id_col} long, sub int, code int, subvec array<double>",
         )
-        w = Window.partitionBy(id_col, "sub").orderBy(F.col("_d"), F.col("code"))
-        codes = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn", "cvec", "_d")
-        )
-        codes = codes.persist()
-    return codes, cents.persist()
+        cent_rows = [
+            (s, c, [float(x) for x in cents_np[s, c]])
+            for s in range(nsub)
+            for c in range(ksub)
+            if present[s, c]
+        ]
+    cents = spark.createDataFrame(
+        cent_rows, "sub int, code int, cvec array<double>"
+    )
+    return codes, cents
 
 
 def pq_topk(
