@@ -49,6 +49,8 @@ HEADLINE: tuple[str, ...] = (
     "sample_hash_split",
     "agg_udaf_pandas",  # first pandas-exec query: absorbs Python worker spin-up
     "dedup_exact_docs",
+    "dedup_containment_pairs",
+    "text_decontaminate_bloom",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "embed_knn_bruteforce",
