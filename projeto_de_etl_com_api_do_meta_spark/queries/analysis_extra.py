@@ -87,7 +87,7 @@ GROUP BY c.doc_id, t.n
     doc=(
         "Unigram Shannon entropy per document (word-distribution "
         "gibberish/boilerplate signal) — computed shuffle-free with "
-        "array higher-order functions inside codegen."
+        "array higher-order functions — JVM expressions, no Python."
     ),
 )
 def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -463,7 +463,7 @@ ORDER BY gr.doc_id
         f"risk detector): every {_GRAM_LEN}-char sliding window is hashed "
         "(md5 — cross-engine), windows appearing in >1 distinct document "
         "are flagged, and each document reports total vs duplicated window "
-        "counts. Gram generation is codegen'd sequence+transform+explode "
+        "counts. Gram generation is JVM-side sequence+transform+explode "
         "(no Python); the dup set is found by hash aggregate and joined "
         "back posting-list style on the hash — never all-pairs, and the "
         "join key is a fixed-width digest, not the raw substring. At 100 TB "

@@ -168,7 +168,7 @@ ORDER BY e.vec_id, pos
         "Symmetric int8 quantization per embedding (the storage/ANN-speed "
         "trick: 4x smaller vectors, dot products in integer SIMD): "
         "per-vector absmax scale, values rounded to [-127, 127]. Pure "
-        "array-lambda codegen — no UDF, no shuffle; the scale is emitted "
+        "JVM array lambdas — no UDF, no shuffle; the scale is emitted "
         "as floor-basis-points so no raw float crosses the oracle hash. "
         "Output is posexploded to (vec_id, scale_bp, pos, q_val) rows so "
         "the driver's pandas canonicalization (which can't hash list "

@@ -11,7 +11,7 @@ oracle applies the identical augmentation + scrub, so semantics (not just
 plumbing) are value-verified.
 
 Scale notes: both queries are pure per-row JVM expression work — regex and
-array ops inside whole-stage codegen, no UDF, no shuffle except the final
+JVM array expressions (no Python), no UDF, no shuffle except the final
 presentation sort. Cross-engine float hazards are avoided by emitting
 ratios as basis points via ``floor(10000 * x)``: the IEEE division is
 bit-identical on identical int inputs, and floor (unlike round) has no
@@ -138,7 +138,7 @@ ORDER BY doc_id
         "Repetition-based quality signals (boilerplate detector): per doc, "
         "the duplicated-word fraction (1 - distinct/total) and mean word "
         "length, both as floor-basis-points so cross-engine float rounding "
-        "cannot disagree. Pure array expressions in codegen; no shuffle."
+        "cannot disagree. Pure JVM array expressions; no shuffle."
     ),
 )
 def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,7 +243,7 @@ ORDER BY doc_id
     doc=(
         "Train/eval decontamination: flag training documents sharing any "
         "word 4-gram with a held-out eval split (doc_id % 20 = 0 stands in "
-        "for the benchmark set). Gram expansion is a pure codegen array "
+        "for the benchmark set). Gram expansion is a pure JVM array "
         "expression (split -> sequence -> slice -> array_join -> explode); "
         "the eval gram set is orders of magnitude smaller than the corpus, "
         "so it broadcasts and the training side never shuffles on the gram "
