@@ -149,3 +149,33 @@ def test_prefix_filter_jaccard_equals_naive(spark):
         assert fast == naive, f"threshold {t}"
     assert (1, 5) in {(a, b) for a, b, *_ in
                       prefix_jaccard_pairs(df, threshold=0.9).collect()}
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """Containment >= Jaccard for every pair: any pair emitted by the
+    Jaccard join at threshold t must be emitted by the containment join at
+    the same t, with max(cont_a, cont_b) >= its jaccard."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    docs = (
+        __import__(
+            "projeto_de_etl_com_api_do_meta_spark.io", fromlist=["load_table"]
+        )
+        .load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+    )
+    t = 0.12
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=t).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): max(r.cont_a, r.cont_b)
+        for r in containment_pairs(docs, threshold=t).collect()
+    }
+    assert jac, "fixture should produce at least one near-dup pair"
+    for pair, j in jac.items():
+        assert pair in cont and cont[pair] >= j - 1e-9

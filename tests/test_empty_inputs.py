@@ -73,3 +73,23 @@ def test_asof_and_quality_on_empty(spark):
     assert {r.column for r in report} == {"k", "v"}
     assert all(r.n_rows == 0 for r in report)
     assert uniqueness_violations(empty, ["k"]).count() == 0
+
+
+def test_containment_and_bloom_on_empty(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.dedup import (
+        containment_pairs,
+    )
+    from projeto_de_etl_com_api_do_meta_spark.operators.text import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    docs = _empty_docs(spark)
+    assert containment_pairs(docs).count() == 0
+    # Empty member set -> all-zero bitset -> gate admits nothing.
+    bits = bloom_build(
+        spark.createDataFrame([], "v string"), "v", 1 << 10, 3
+    )
+    assert not any(bits)
+    probe = spark.createDataFrame([("x",), ("y",)], "v string")
+    assert probe.where(bloom_might_contain(bits, "v", 1 << 10, 3)).count() == 0
