@@ -850,3 +850,60 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("image_bytes").alias("n_bytes"),
         crc("image_bytes").alias("crc32"),
     )
+
+
+# -- Multi-batch incremental exact dedup stream -------------------------------
+
+_ORACLE_STREAM_INCR_DEDUP = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, fingerprint
+FROM fp
+GROUP BY fingerprint
+ORDER BY doc_id
+"""
+
+
+@register(
+    "stream_incremental_dedup",
+    oracle=_ORACLE_STREAM_INCR_DEDUP,
+    tags=("streaming", "dedup", "north-star"),
+    doc=(
+        "First-seen-wins exact dedup as a REAL multi-micro-batch streaming "
+        "pipeline: the corpus replays as 5 ordered file batches "
+        "(maxFilesPerTrigger=1), each batch collapses its own duplicates "
+        "(min doc_id per fingerprint), anti-joins the persistent "
+        "fingerprint store, and appends only never-seen fingerprints — the "
+        "reference's cron rescan + ON CONFLICT DO NOTHING ingest "
+        "(load.py:94-119) made incremental. Chunks are doc_id-monotone, so "
+        "first-seen == global-min doc_id and the batch-SQL oracle is "
+        "exact. Store state is O(distinct fingerprints); each batch "
+        "shuffles only itself, never the history."
+    ),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.windows import (
+        chunked_docs_stream_dir,
+        incremental_exact_dedup,
+    )
+
+    pin_query_session_conf(spark)
+    stream_dir = chunked_docs_stream_dir(spark, sf_dir, n_chunks=5)
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        run = tempfile.mkdtemp(prefix="incr_dedup_")
+        store = f"{run}/store.parquet"
+        q = incremental_exact_dedup(spark, stream_dir, store, f"{run}/ckpt")
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(store)
+            .select("doc_id", "fingerprint")
+            .orderBy("doc_id")
+        )
+        rows = out.collect()
+        shutil.rmtree(run, ignore_errors=True)
+        return spark.createDataFrame(rows, out.schema)

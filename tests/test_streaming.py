@@ -158,3 +158,46 @@ def test_transform_with_state_profile_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_runs_multiple_batches(spark, sf_dir, tmp_path):
+    """The incremental dedup stream must process the corpus as MULTIPLE
+    ordered micro-batches (one per staged chunk) and its final store must
+    equal first-seen-wins dedup."""
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.text import (
+        fingerprint_md5,
+    )
+    from projeto_de_etl_com_api_do_meta_spark.streaming.windows import (
+        chunked_docs_stream_dir,
+        incremental_exact_dedup,
+    )
+
+    stream_dir = chunked_docs_stream_dir(spark, sf_dir, n_chunks=5)
+    store = str(tmp_path / "store.parquet")
+    q = incremental_exact_dedup(
+        spark, stream_dir, store, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    assert n_batches == 5, f"expected 5 micro-batches, saw {n_batches}"
+
+    got = {
+        (r.doc_id, r.fingerprint)
+        for r in spark.read.parquet(store).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        (r.doc_id, r.fingerprint)
+        for r in docs.select(
+            "doc_id", fingerprint_md5("text").alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+        .collect()
+    }
+    assert got == want
