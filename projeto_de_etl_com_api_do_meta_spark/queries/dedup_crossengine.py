@@ -87,22 +87,11 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register(
-    "dedup_minhash_md5_lsh",
-    oracle=_ORACLE_MINHASH,
-    tags=("dedup", "minhash", "lsh", "north-star"),
-    doc=(
-        "Full MinHash+LSH near-dup with a cross-engine md5 hash family: "
-        "16-min signature per doc (one explode + one 16-column min "
-        "aggregate, single shuffle), 4x4 banded equi-join candidates "
-        "(posting-list join, never all-pairs), signature-match verify "
-        ">= 8/16. Value-checked end to end against DuckDB — the oracle-"
-        "backed twin of the murmur3 dedup_minhash_lsh."
-    ),
-)
-def dedup_minhash_md5_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pin_query_session_conf(spark)
-    docs = load_table(spark, sf_dir, "documents")
+def md5_lsh_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig[16]) md5-family minhash signatures — the cross-engine
+    hash family shared by the batch near-dup query and the incremental
+    streaming suppressor (docs with <3 tokens have no shingles and are
+    absent from the result)."""
     posting = (
         spread(docs, "doc_id")
         .where(F.size(tokens("text")) >= 3)
@@ -116,11 +105,14 @@ def dedup_minhash_md5_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_K)
         ]
     )
-    sig = mins.select(
+    return mins.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(_K)]).alias("sig")
-    ).persist()
+    )
 
-    banded = sig.select(
+
+def md5_lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bh) LSH band buckets from md5 signatures."""
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -137,6 +129,28 @@ def dedup_minhash_md5_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "bh"),
     )
+
+
+@register(
+    "dedup_minhash_md5_lsh",
+    oracle=_ORACLE_MINHASH,
+    tags=("dedup", "minhash", "lsh", "north-star"),
+    doc=(
+        "Full MinHash+LSH near-dup with a cross-engine md5 hash family: "
+        "16-min signature per doc (one explode + one 16-column min "
+        "aggregate, single shuffle), 4x4 banded equi-join candidates "
+        "(posting-list join, never all-pairs), signature-match verify "
+        ">= 8/16. Value-checked end to end against DuckDB — the oracle-"
+        "backed twin of the murmur3 dedup_minhash_lsh."
+    ),
+)
+
+def dedup_minhash_md5_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sig = md5_lsh_signatures(docs).persist()
+
+    banded = md5_lsh_bands(sig)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -907,3 +907,89 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         shutil.rmtree(run, ignore_errors=True)
         return spark.createDataFrame(rows, out.schema)
+
+
+_ORACLE_STREAM_NEARDUP = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+       unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id, r.i AS hi,
+         MIN(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || s), 1, 8))::BIGINT)
+           AS h
+  FROM sh, unnest(range(0, 16)) AS r(i)
+  GROUP BY doc_id, r.i
+),
+sig AS (
+  SELECT doc_id, list(h ORDER BY hi) AS sig FROM mh GROUP BY doc_id
+),
+band AS (
+  SELECT doc_id, b.j AS band_id,
+         md5(array_to_string(sig[b.j * 4 + 1 : b.j * 4 + 4], ':')) AS bh
+  FROM sig, unnest(range(0, 4)) AS b(j)
+),
+sup AS (
+  SELECT b1.doc_id, MIN(b2.doc_id) AS suppressor
+  FROM band b1
+  JOIN band b2 ON b1.band_id = b2.band_id AND b1.bh = b2.bh
+              AND b2.doc_id < b1.doc_id
+  GROUP BY b1.doc_id
+)
+SELECT d.doc_id,
+       s.suppressor IS NULL AS is_kept,
+       s.suppressor
+FROM documents d
+LEFT JOIN sup s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "stream_incremental_neardup",
+    oracle=_ORACLE_STREAM_NEARDUP,
+    tags=("streaming", "dedup", "minhash", "north-star"),
+    doc=(
+        "Streaming NEAR-dup suppression: the corpus replays as 5 ordered "
+        "micro-batches; each document's MinHash-LSH band buckets (md5 "
+        "cross-engine family, 16-min signature, 4x4 bands) probe a "
+        "persistent first-seen bucket store and the within-batch bucket "
+        "minima — suppressed iff ANY band was seen by a smaller doc_id, "
+        "with the smallest such doc recorded as the suppressor. Monotone "
+        "chunk replay makes the incremental result equal the batch rule "
+        "'min earlier doc sharing any band', so the full (doc, is_kept, "
+        "suppressor) output is value-exact against SQL. Store is "
+        "O(distinct buckets); batches never rescan history."
+    ),
+)
+def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.windows import (
+        chunked_docs_stream_dir,
+        incremental_neardup_suppress,
+    )
+
+    pin_query_session_conf(spark)
+    stream_dir = chunked_docs_stream_dir(spark, sf_dir, n_chunks=5)
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        run = tempfile.mkdtemp(prefix="incr_neardup_")
+        q = incremental_neardup_suppress(
+            spark,
+            stream_dir,
+            f"{run}/buckets.parquet",
+            f"{run}/results.parquet",
+            f"{run}/ckpt",
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{run}/results.parquet")
+            .select("doc_id", "is_kept", "suppressor")
+            .orderBy("doc_id")
+        )
+        rows = out.collect()
+        shutil.rmtree(run, ignore_errors=True)
+        return spark.createDataFrame(rows, out.schema)

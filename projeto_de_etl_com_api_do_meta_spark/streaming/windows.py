@@ -511,3 +511,100 @@ def incremental_exact_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -- Multi-batch incremental NEAR-dup suppression (MinHash-LSH band store) ----
+
+def incremental_neardup_suppress(
+    spark,
+    stream_dir: str,
+    store_path: str,
+    results_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming near-dup suppression: per micro-batch, each document's
+    MinHash-LSH band buckets (md5 cross-engine family) probe a PERSISTENT
+    first-seen bucket store; a document is suppressed when ANY of its bands
+    was seen before — by an earlier batch (store hit) or by a smaller-id
+    document in the same batch.  The suppressor recorded is the smallest
+    earlier doc_id sharing a bucket, so the output is fully deterministic
+    and (with doc_id-monotone chunk replay) equals the batch SQL rule
+    "suppressed by min earlier doc sharing any band".
+
+    Scale shape: the store is O(distinct buckets) with one (band, bh)
+    first-write-wins append per batch; each batch shuffles only its own
+    bands plus store probes on the bucket key — history is never
+    rescanned.  Every batch document (including shingle-less ones, which
+    have no bands and are trivially kept) lands in ``results_path``."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..queries.dedup_crossengine import md5_lsh_bands, md5_lsh_signatures
+
+    docs_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+
+    def _suppress(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bands = md5_lsh_bands(md5_lsh_signatures(batch_df)).persist()
+        # Within-batch suppressor: smallest doc_id in each bucket.
+        w = Window.partitionBy("band_id", "bh")
+        intra = bands.withColumn("bucket_min", F.min("doc_id").over(w))
+        sup_intra = (
+            intra.where(F.col("bucket_min") < F.col("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.min("bucket_min").alias("sup"))
+        )
+        if os.path.exists(store_path):
+            store = spark.read.parquet(store_path)
+            sup_store = (
+                bands.join(store, ["band_id", "bh"])
+                .groupBy("doc_id")
+                .agg(F.min("first_doc").alias("sup"))
+            )
+            sup = sup_intra.unionByName(sup_store)
+        else:
+            sup = sup_intra
+        suppressor = sup.groupBy("doc_id").agg(
+            F.min("sup").alias("suppressor")
+        )
+        out = (
+            batch_df.select("doc_id")
+            .join(suppressor, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.col("suppressor").isNull().alias("is_kept"),
+                "suppressor",
+            )
+        )
+        out.write.mode("append").parquet(results_path)
+        # First-write-wins bucket registration (monotone replay => the
+        # batch min IS the global first doc for a new bucket).
+        new_buckets = bands.groupBy("band_id", "bh").agg(
+            F.min("doc_id").alias("first_doc")
+        )
+        if os.path.exists(store_path):
+            new_buckets = new_buckets.join(
+                spark.read.parquet(store_path).select("band_id", "bh"),
+                ["band_id", "bh"],
+                "left_anti",
+            )
+        new_buckets.write.mode("append").parquet(store_path)
+        bands.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_suppress)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

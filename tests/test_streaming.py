@@ -201,3 +201,34 @@ def test_incremental_dedup_runs_multiple_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_neardup_multiple_batches_and_store_bounded(
+    spark, sf_dir, tmp_path
+):
+    """Near-dup suppression stream: 5 real micro-batches; the bucket store
+    holds one first-seen row per distinct (band_id, bh); every corpus doc
+    appears exactly once in the results."""
+    from projeto_de_etl_com_api_do_meta_spark.streaming.windows import (
+        chunked_docs_stream_dir,
+        incremental_neardup_suppress,
+    )
+
+    stream_dir = chunked_docs_stream_dir(spark, sf_dir, n_chunks=5)
+    store = str(tmp_path / "buckets.parquet")
+    results = str(tmp_path / "results.parquet")
+    q = incremental_neardup_suppress(
+        spark, stream_dir, store, results, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert sum(1 for p in q.recentProgress if p["numInputRows"] > 0) == 5
+
+    buckets = spark.read.parquet(store)
+    assert buckets.count() == buckets.select("band_id", "bh").distinct().count()
+
+    res = spark.read.parquet(results)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert res.count() == n_docs
+    assert res.select("doc_id").distinct().count() == n_docs
+    # Suppressors point strictly backwards.
+    assert res.where("suppressor >= doc_id").count() == 0
