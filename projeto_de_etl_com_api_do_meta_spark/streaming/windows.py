@@ -433,14 +433,14 @@ def chunked_docs_stream_dir(spark, sf_dir: str, n_chunks: int = 5) -> str:
 
     key = hashlib.md5(f"{sf_dir}:{n_chunks}".encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"docs_chunks_{key}")
-    done = os.path.join(d, "_STAGED")
-    if os.path.exists(done):
+    if os.path.exists(d):
         return d
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
+    # Stage into a private dir and atomically rename into place, so a
+    # concurrent caller can never observe a half-staged directory.
+    build = tempfile.mkdtemp(prefix=f"docs_chunks_{key}_build_")
     docs = load_table(spark, sf_dir, "documents")
     hi = docs.agg(F.max("doc_id")).first()[0] + 1
-    stage = os.path.join(d, "_stage")
+    stage = os.path.join(build, "_stage")
     for k in range(n_chunks):
         chunk = docs.where(
             (F.col("doc_id") * n_chunks >= k * hi)
@@ -448,11 +448,14 @@ def chunked_docs_stream_dir(spark, sf_dir: str, n_chunks: int = 5) -> str:
         )
         chunk.coalesce(1).write.mode("overwrite").parquet(stage)
         part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(d, f"chunk-{k:05d}.parquet")
+        dst = os.path.join(build, f"chunk-{k:05d}.parquet")
         shutil.move(part, dst)
         os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
     shutil.rmtree(stage, ignore_errors=True)
-    open(done, "w").close()
+    try:
+        os.rename(build, d)
+    except OSError:  # lost the race: another process renamed first
+        shutil.rmtree(build, ignore_errors=True)
     return d
 
 
