@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.dedup import spread
 from ..session import pin_query_session_conf
 from .registry import register
 
@@ -255,7 +256,7 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
     grams = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
+        spread(docs, "doc_id").select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= 4)
         .select(
             "doc_id",
@@ -665,7 +666,7 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_bits, k = 1 << 17, 4
     docs = load_table(spark, sf_dir, "documents")
     grams = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
+        spread(docs, "doc_id").select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= 4)
         .select(
             "doc_id",
