@@ -255,8 +255,14 @@ ORDER BY doc_id
 def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # RAW gram stream — deliberately NOT pre-distinct'd: a global distinct
+    # would shuffle every (doc, gram) pair before any filtering.  The
+    # broadcast join filters map-side, and both per-doc counts use distinct
+    # AGGREGATION (two-phase, partial per partition) so the only wide
+    # exchanges carry post-filter / per-doc-reduced data.
     grams = (
-        spread(docs, "doc_id").select("doc_id", F.split("text", " ").alias("w"))
+        spread(docs, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= 4)
         .select(
             "doc_id",
@@ -267,17 +273,18 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
-        .distinct()
     )
     eval_grams = (
         grams.where(F.col("doc_id") % 20 == 0).select("g").distinct()
     )
-    tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    tot = grams.groupBy("doc_id").agg(
+        F.countDistinct("g").alias("n_grams")
+    )
     return (
         grams.where(F.col("doc_id") % 20 != 0)
         .join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.countDistinct("g").alias("n_overlap"))
         .join(tot, "doc_id")
         .select("doc_id", "n_overlap", "n_grams")
         .orderBy("doc_id")
@@ -665,8 +672,12 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     m_bits, k = 1 << 17, 4
     docs = load_table(spark, sf_dir, "documents")
+    # RAW gram stream, no pre-distinct: the bloom gate must be the FIRST
+    # thing the training grams meet — a global distinct would shuffle the
+    # entire gram stream before any pruning, defeating the sketch.
     grams = (
-        spread(docs, "doc_id").select("doc_id", F.split("text", " ").alias("w"))
+        spread(docs, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= 4)
         .select(
             "doc_id",
@@ -677,7 +688,6 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
-        .distinct()
     )
     # Persisted: consumed twice (bloom build + exact verify); it is the
     # SMALL side — the big training gram stream is never materialized.
@@ -691,6 +701,6 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         candidates.join(eval_grams, "g")  # exact verify: kills bloom FPs
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.countDistinct("g").alias("n_overlap"))
         .orderBy("doc_id")
     )
