@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.dedup import spread
 from ..session import pin_query_session_conf
 from .registry import register
 
@@ -422,7 +423,7 @@ ORDER BY true_count DESC, tok
 def corpus_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.repartition(F.col("doc_id"))
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
     toks = docs.select(
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
     )

@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_near_dup
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_near_dup,
+    spread,
+)
 from ..operators.text import (
     doc_stats,
     fingerprint_md5,
@@ -60,7 +65,7 @@ FROM t
 def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    docs = docs.repartition(F.col("doc_id"))  # single-file input -> all cores
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
     return doc_stats(docs).withColumn(
         "fingerprint", fingerprint_md5("text")
     ).drop("text")
@@ -249,7 +254,7 @@ FROM w
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.repartition(F.col("doc_id"))  # single-file input -> all cores
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
     return winnow_fingerprints(docs)
 
 
@@ -281,7 +286,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.repartition(F.col("doc_id"))  # single-file input -> all cores
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
     return docs.select("doc_id", simhash64("text").alias("simhash"))
 
 
@@ -346,7 +351,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.repartition(F.col("doc_id"))  # single-file input -> all cores
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
     n_docs = docs.count()
     tok = docs.select(
         "doc_id",
@@ -474,7 +479,7 @@ ORDER BY gr.doc_id
 def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.repartition(F.col("doc_id"))
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
     grams = docs.select(
         "doc_id",
         F.explode(

@@ -475,7 +475,7 @@ ORDER BY doc_id, bucket
 def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.repartition(F.col("doc_id"))
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
@@ -600,7 +600,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim("text")) > 0
     )
-    docs = docs.repartition(F.col("doc_id"))
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),

@@ -12,6 +12,12 @@ Flags raised:
 * ``ROW_UDF``     — row-at-a-time BatchEvalPython in the plan (Arrow-batched
   pandas UDFs do NOT trigger this).  Allowed only for the deliberate §2.9
   escape-hatch demo.
+* ``BLIND_REPARTITION`` — source lint: a count-less ``repartition(col)``
+  in engine code.  AQE re-picks the partition count from shuffle BYTES and
+  will coalesce a small-but-CPU-heavy stream to one task (measured: the
+  whole Jaccard posting join ran single-task until spread() pinned an
+  explicit count).  Pass an explicit count (executors×cores) whenever the
+  repartition feeds per-row-heavy compute.
 
 Streaming queries are skipped (their plans only materialize at query start).
 
@@ -114,6 +120,29 @@ def _has_global_window(plan: str) -> bool:
     return False
 
 
+_REPARTITION_RE = _re.compile(r"\.repartition\(\s*(?:F\.col|[\"'])")
+
+
+def lint_blind_repartitions() -> int:
+    """Source lint: flag count-less .repartition(col) in engine code (AQE
+    byte-based coalescing serializes CPU-bound per-row work; see spread())."""
+    pkg = os.path.join(_REPO_ROOT, "projeto_de_etl_com_api_do_meta_spark")
+    bad = 0
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            for i, line in enumerate(open(path), 1):
+                if _REPARTITION_RE.search(line):
+                    print(
+                        f"FLAG {os.path.relpath(path, _REPO_ROOT)}:{i} "
+                        f"[BLIND_REPARTITION] {line.strip()}"
+                    )
+                    bad += 1
+    return bad
+
+
 def audit(names: list[str] | None = None) -> int:
     _load_all()
     spark = get_spark(app_name="plan-audit", master="local[4]", shuffle_partitions=4)
@@ -150,6 +179,7 @@ def audit(names: list[str] | None = None) -> int:
         print(f"{'FLAG' if any(v.endswith('FLAG') for v in verdicts) else 'ok  '} "
               f"{name}" + (f"  [{'; '.join(verdicts)}]" if verdicts else ""))
     spark.catalog.clearCache()
+    bad += lint_blind_repartitions()
     return 1 if bad else 0
 
 
