@@ -824,3 +824,96 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def embedding_near_dup_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    nlist: int = 8,
+    nassign: int = 2,
+    iters: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """APPROXIMATE embedding near-dup: candidate pairs restricted to shared
+    IVF inverted lists, exact cosine within — the semantic-dedup shape that
+    survives 100 TB, where :func:`embedding_near_dup`'s exact all-blocks
+    product cannot.  Each vector registers in its ``nassign`` closest lists
+    (multi-assignment: a pair is a candidate if ANY list is shared, which
+    recovers most borderline cross-list pairs); pair work is ≈
+    nassign²/nlist of N² for balanced lists, so the knob only wins when
+    nlist ≫ nassign² — at fixture scale (nlist=8) this demonstrates the
+    SHAPE, while production sizes nlist to thousands.  Recall vs the exact
+    operator is pinned by test.  Each list's pairwise scoring is one numpy
+    GEMM per Arrow group (at larger list sizes, shard lists with the same
+    blocked packing as the exact operator); same-pair hits from multiple
+    shared lists are collapsed by a distinct on the (a, b) key."""
+    import pandas as pd
+
+    u = unit_vectors(df, id_col, vec_col, "vid", "uv")
+    assign1, cents = ivf_index(u, "vid", "uv", nlist, iters)
+    # Multi-assignment: rank ALL centroids per vector, keep the top-nassign.
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cluster"])
+    cmat = np.array([r["cvec"] for r in cent_rows])  # (m, dim)
+    m = len(cent_rows)
+    p = min(nassign, m)
+
+    def multi_assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = pdf["uv"].to_numpy()
+            mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+            dots = mat @ cmat.T  # (n, m)
+            # top-p clusters per row; ties to lowest cluster id via stable
+            # argsort on (-dot, cluster-index natural order)
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy().repeat(p),
+                    "uv": [v for v in vecs for _ in range(p)],
+                    "cluster": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    assign = u.repartition(
+        u.sparkSession.sparkContext.defaultParallelism, F.col("vid")
+    ).mapInPandas(
+        multi_assign, schema="vid long, uv array<double>, cluster int"
+    )
+
+    def list_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vid")
+        ids = pdf["vid"].to_numpy(dtype="int64")
+        mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["uv"]])
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        sims = np.round(sims[ia, ib], round_digits)
+        keep = sims >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos_sim": sims[keep],
+            }
+        )
+
+    return (
+        assign.groupBy("cluster")
+        .applyInPandas(
+            list_pairs, schema="vec_a long, vec_b long, cos_sim double"
+        )
+        .distinct()  # a pair found via several shared lists counts once
+    )

@@ -418,3 +418,28 @@ def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "dedup_embedding_ivf",
+    oracle=None,
+    tags=("similarity", "dedup", "north-star", "approx"),
+    doc=(
+        "Semantic near-dup at scale: candidate pairs restricted to shared "
+        "IVF inverted lists (multi-assignment nassign=3 of nlist=8), exact "
+        "cosine GEMM within each list, pair-distinct across lists. The "
+        "approximate twin of dedup_embedding_cosine whose pair work is "
+        "~nassign²/nlist of N² — the knob that makes semantic dedup "
+        "feasible at 100 TB (production sizes nlist to thousands). "
+        "Rows-only by design; recall >= 0.9 vs the exact operator pinned "
+        "by test."
+    ),
+)
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_ivf
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_ivf(
+        emb, threshold=0.4, nlist=8, nassign=3
+    ).orderBy("vec_a", "vec_b")

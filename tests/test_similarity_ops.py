@@ -204,3 +204,27 @@ def test_ann_pq_recall_vs_bruteforce(spark, sf_dir):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_ivf_near_dup_recall_vs_exact(spark, sf_dir):
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_ivf(
+            emb, threshold=0.4, nlist=8, nassign=3
+        ).collect()
+    }
+    assert exact, "fixtures must contain near-dup pairs"
+    # No false positives (exact verify within lists) ...
+    assert approx <= exact
+    # ... and high recall via multi-assignment.
+    assert len(approx & exact) / len(exact) >= 0.9
