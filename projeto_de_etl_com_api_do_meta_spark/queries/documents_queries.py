@@ -862,3 +862,91 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return containment_pairs(docs, threshold=0.4)
+
+
+# -- Winnowed substring duplication (the bounded-volume 100 TB variant) -------
+
+_WINNOW_W = 8  # window of consecutive gram hashes per fingerprint pick
+
+_ORACLE_SUBSTR_WINNOW = f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(length(text) - {_GRAM_LEN} + 1, 1) + 1),
+           i -> md5(substr(text, CAST(i AS INTEGER), {_GRAM_LEN}))) AS h
+  FROM documents
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(h) - {_WINNOW_W} + 1, 1) + 1),
+           j -> list_min(h[j : j + {_WINNOW_W} - 1]))) AS fps
+  FROM hs
+),
+posting AS (
+  SELECT doc_id, unnest(fps) AS fp FROM fps
+),
+dup AS (
+  SELECT fp FROM posting GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_fps,
+       COUNT(d.fp) AS n_dup_fps
+FROM posting p LEFT JOIN dup d ON p.fp = d.fp
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+@register(
+    "text_substring_dup_winnow",
+    oracle=_ORACLE_SUBSTR_WINNOW,
+    tags=("text", "dedup", "north-star", "sketch"),
+    doc=(
+        f"Substring-duplication signal at BOUNDED gram volume — the 100 TB "
+        f"variant of text_substring_dup_spans: instead of shuffling every "
+        f"{_GRAM_LEN}-char window hash, each document winnows its ordered "
+        f"hash stream (min of every {_WINNOW_W} consecutive hashes, "
+        f"distinct) so ~2/{_WINNOW_W} of the volume reaches the shuffle, "
+        f"while the winnowing guarantee keeps detection LOSSLESS for any "
+        f"cross-document span of >= {_GRAM_LEN + _WINNOW_W - 1} chars "
+        "(two equal substrings that long share an identical hash window, "
+        "hence the same selected minimum). Selection is deterministic, so "
+        "the whole result is value-exact against DuckDB running the same "
+        "winnow."
+    ),
+)
+def text_substring_dup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
+    hs = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {_GRAM_LEN} + 1, 1)),"
+        f" i -> md5(substring(text, i, {_GRAM_LEN})))"
+    )
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(_hs) - {_WINNOW_W} + 1, 1)),"
+            f" j -> array_min(slice(_hs, j, {_WINNOW_W})))"
+        )
+    )
+    posting = (
+        docs.select("doc_id", hs.alias("_hs"))
+        .select("doc_id", F.explode(fps).alias("fp"))
+        .persist()
+    )
+    dup = (
+        posting.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("fp", F.lit(1).alias("is_dup"))
+    )
+    return (
+        posting.join(dup, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.count("is_dup").alias("n_dup_fps"),
+        )
+        .orderBy("doc_id")
+    )

@@ -264,3 +264,33 @@ def test_bloom_gate_no_false_negatives_and_prunes(spark):
     )
     passed = others.where(bloom_might_contain(bits, "v", m_bits, k)).count()
     assert passed < 100  # < 5% leak at these parameters
+
+
+def test_substring_winnow_guarantee(spark):
+    """Winnowing guarantee: a shared span of >= GRAM_LEN + W - 1 chars must
+    be detected (both docs report n_dup_fps > 0)."""
+    import pyspark.sql.functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.documents_queries import (
+        _GRAM_LEN,
+        _WINNOW_W,
+        text_substring_dup_winnow,
+    )
+
+    shared = "x".join(str(i) for i in range(40))  # deterministic filler
+    shared = (shared * 4)[: _GRAM_LEN + _WINNOW_W - 1]
+    rows = [
+        (0, "aaa unique prefix zero " + shared + " tail zero"),
+        (1, "bbb another lead-in " + shared + " differing tail"),
+        (2, "ccc entirely unrelated document with no shared span at all"),
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="winnow_t_")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r.n_dup_fps for r in text_substring_dup_winnow(spark, d).collect()}
+    assert out[0] > 0 and out[1] > 0
+    assert out[2] == 0
