@@ -470,3 +470,93 @@ def prefix_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return verified.select("doc_a", "doc_b", "n_inter", "size_a", "size_b", "jaccard")
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact containment join via PREFIX FILTERING — same result set as
+    :func:`containment_pairs`, a fraction of the shuffled volume.
+
+    max-containment(A, B) = |A∩B| / min(|A|, |B|) >= t requires the SMALLER
+    side S to have |S∩L| >= ceil(t·|S|), so at most |S| - ceil(t·|S|) =
+    p - 1 of S's shingles miss L — by pigeonhole ANY p = |S| - ceil(t·|S|)
+    + 1 shingles of S contain at least one hit.  Under a fixed global
+    order (md5, per-row codegen slice like the Jaccard prefix join) only
+    S's p-prefix joins against the other side's FULL posting list; at
+    t = 0.8 the prefix is ~20% of each doc's shingles.  Candidates where
+    the prefix side is not actually the smaller side are discarded using
+    carried sizes (the mirrored orientation finds those pairs), then
+    exact ``array_intersect`` verifies — lossless by construction.
+    """
+    sh = spread(df, id_col).select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
+    )
+    sh = sh.persist()
+    s = F.size("shingles")
+    prefix_len = (s - F.ceil(F.lit(threshold) * s) + 1).cast("int")
+    by_hash = F.expr(
+        "transform(array_sort(transform(shingles,"
+        " x -> struct(md5(x) AS h, x AS s))), p -> p.s)"
+    )
+    prefix = sh.select(
+        F.col("doc_id").alias("p_doc"),
+        s.alias("p_size"),
+        F.explode(F.slice(by_hash, F.lit(1), prefix_len)).alias("shingle"),
+    )
+    full = sh.select(
+        F.col("doc_id").alias("f_doc"),
+        s.alias("f_size"),
+        F.explode("shingles").alias("shingle"),
+    )
+    cand = (
+        prefix.join(full, "shingle")
+        .where(
+            (F.col("p_doc") != F.col("f_doc"))
+            # prefix side must be the smaller set (ties by id, so each
+            # unordered pair is generated by exactly one orientation)
+            & (
+                (F.col("p_size") < F.col("f_size"))
+                | (
+                    (F.col("p_size") == F.col("f_size"))
+                    & (F.col("p_doc") < F.col("f_doc"))
+                )
+            )
+        )
+        .select(
+            F.least("p_doc", "f_doc").alias("doc_a"),
+            F.greatest("p_doc", "f_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").alias("size_a"),
+            F.size("sh_b").alias("size_b"),
+        )
+        .withColumn(
+            "cont_a", F.round(F.col("n_inter").cast("double") / F.col("size_a"), 6)
+        )
+        .withColumn(
+            "cont_b", F.round(F.col("n_inter").cast("double") / F.col("size_b"), 6)
+        )
+        # UNROUNDED filter (n_inter >= t*min) so the admission criterion is
+        # exactly the pigeonhole bound the prefix was sized for — a rounded
+        # ratio could admit a pair the prefix never generated.
+        .where(
+            F.col("n_inter")
+            >= F.lit(threshold) * F.least("size_a", "size_b").cast("double")
+        )
+        .select("doc_a", "doc_b", "n_inter", "size_a", "size_b", "cont_a", "cont_b")
+    )

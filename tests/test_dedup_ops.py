@@ -179,3 +179,27 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     assert jac, "fixture should produce at least one near-dup pair"
     for pair, j in jac.items():
         assert pair in cont and cont[pair] >= j - 1e-9
+
+
+def test_containment_prefix_filter_lossless(spark, sf_dir):
+    """Prefix-filtered containment join returns exactly the naive join's
+    result set at the same threshold (losslessness of the pigeonhole
+    prefix)."""
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.operators.dedup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = 0.8
+    naive = {
+        (r.doc_a, r.doc_b, r.n_inter)
+        for r in containment_pairs(docs, threshold=t).collect()
+        if r.n_inter >= t * min(r.size_a, r.size_b)  # align filter forms
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.n_inter)
+        for r in containment_prefix_pairs(docs, threshold=t).collect()
+    }
+    assert pref == naive and pref
