@@ -6,8 +6,10 @@ Scale design:
   shuffle on the fingerprint, no data movement of full texts needed beyond it.
 - N-gram Jaccard = shingle explode + equi-join on shingle: fully relational,
   shuffles on the shingle key.  Quadratic only within a shingle's posting
-  list — the classic positional-join formulation that survives scale-out
-  (hot shingles can be stopworded via a frequency cap).
+  list — the classic positional-join formulation that survives scale-out.
+  Hot-shingle mitigation is CODE: dedup_ngram_jaccard_capped drops df>cap
+  shingles consistently from every set before the join (pair work per
+  shingle bounded by cap²), value-exact against its SQL oracle.
 - MinHash = one explode + one groupBy computing k mins simultaneously
   (k agg columns, single shuffle); LSH banding turns near-dup search into an
   equi-join on (band_id, band_hash) — never an all-pairs product.

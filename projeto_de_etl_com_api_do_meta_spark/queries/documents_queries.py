@@ -1010,3 +1010,109 @@ def dedup_containment_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFra
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return containment_prefix_pairs(docs, threshold=0.8)
+
+
+# -- Frequency-capped Jaccard (hot-shingle mitigation as code) ----------------
+
+_DF_CAP = 10
+
+_ORACLE_JACCARD_CAPPED = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingles
+  FROM t
+),
+posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+kept AS (
+  SELECT doc_id, shingle FROM posting
+  QUALIFY COUNT(DISTINCT doc_id) OVER (PARTITION BY shingle) <= {_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       CAST(sa.n_shingles AS INTEGER) AS size_a,
+       CAST(sb.n_shingles AS INTEGER) AS size_b,
+       round(CAST(i.n_inter AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.n_inter AS DOUBLE)
+            / (sa.n_shingles + sb.n_shingles - i.n_inter), 6) >= 0.12
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=_ORACLE_JACCARD_CAPPED,
+    tags=("dedup", "north-star", "skew"),
+    doc=(
+        f"Jaccard near-dup over FREQUENCY-CAPPED shingle sets: shingles "
+        f"appearing in more than {_DF_CAP} documents (boilerplate, stop "
+        "phrases) are dropped from every document's set before the posting "
+        "join, so the per-shingle pair work is bounded by cap² no matter "
+        "how hot the phrase — the skew mitigation SCALE.md prescribes for "
+        "the posting-join family, as code. Semantics are deterministic "
+        "(similarity over the capped sets, both sizes and intersections "
+        "consistently capped), so the whole result is value-exact against "
+        "SQL; at web scale this is the standard stopword-capping knob that "
+        "keeps a 10M-document boilerplate phrase from generating 10M² "
+        "candidate pairs."
+    ),
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..operators.dedup import word_shingles
+
+    sh = spread(docs, "doc_id").select(
+        "doc_id", word_shingles("text", 3).alias("shingles")
+    )
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    hot = (
+        posting.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") > _DF_CAP)
+        .select("shingle")
+    )
+    # Broadcast anti-join: the hot set is tiny by construction (few
+    # phrases exceed the cap), so capping costs one map-side probe.
+    kept = posting.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.12)
+        .select("doc_a", "doc_b", "n_inter", "size_a", "size_b", "jaccard")
+    )
