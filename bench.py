@@ -63,6 +63,16 @@ HEADLINE: tuple[str, ...] = (
     "stream_tumbling_daily",
     "stream_stream_join_clicks",
     "stream_chained_windows",
+    # scale-path variants tracked round-over-round (VERDICT r2 item 7):
+    # the capped/prefix/salted/incremental forms are what actually runs at
+    # 100 TB, so their timings matter as much as the exact paths'.
+    "dedup_ngram_jaccard_capped",
+    "dedup_containment_prefix_filter",
+    "join_salted_skew",
+    "agg_skew_safe_distinct",
+    "warehouse_incremental_agg_merge",
+    "embed_ann_lsh_md5",
+    "embed_ann_srp_md5",
 )
 
 

@@ -481,8 +481,12 @@ def containment_prefix_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact containment join via PREFIX FILTERING — same result set as
-    :func:`containment_pairs`, a fraction of the shuffled volume.
+    """Exact containment join via PREFIX FILTERING — the same pair set as
+    :func:`containment_pairs` up to threshold-boundary rounding (this
+    variant admits on the UNROUNDED containment, while containment_pairs
+    filters on the 6-digit-rounded value, so pairs sitting exactly on the
+    rounding boundary can differ between the two), at a fraction of the
+    shuffled volume.
 
     max-containment(A, B) = |A∩B| / min(|A|, |B|) >= t requires the SMALLER
     side S to have |S∩L| >= ceil(t·|S|), so at most |S| - ceil(t·|S|) =

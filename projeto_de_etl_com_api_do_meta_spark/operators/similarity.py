@@ -196,10 +196,13 @@ def _lsh_postings(
                 }
             )
 
+    # The id field keeps the caller's type (string ids etc.), not a
+    # hardcoded long — only the vec/table/bucket columns are fixed.
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.repartition(n, F.col(id_col)).mapInPandas(
         bucketize,
         schema=(
-            f"{id_alias} long, {vec_alias} array<double>, "
+            f"{id_alias} {id_type}, {vec_alias} array<double>, "
             "table_id int, bucket long"
         ),
     )

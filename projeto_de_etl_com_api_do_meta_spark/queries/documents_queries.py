@@ -352,21 +352,27 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = spread(docs, "doc_id")  # explicit width: see spread()
-    n_docs = docs.count()
+    # n_docs stays inside the plan (broadcast 1-row aggregate, same pattern
+    # as the entropy queries) — no separate driver count() action.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(dfreq, "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

@@ -312,6 +312,298 @@ def embed_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_srp_topk(queries, emb, k=5).orderBy("query_id", "rank")
 
 
+# -- Oracle-backed ANN twins (md5 cross-engine hash family) -------------------
+#
+# The production ANN queries above (embed_ann_lsh / embed_ann_srp / ...) use
+# the murmur3 plane family — fast, but not reproducible in DuckDB, so they
+# can only ever earn rows-only checks.  These twins re-express the SAME
+# two algorithms (sign-bucket LSH candidate join; SRP integer-dot shortlist
+# + exact re-rank) with an md5-parity projection matrix and 2^20 fixed-point
+# integer arithmetic, making every intermediate — projection, bucket,
+# shortlist, final rank — bit-identical across engines and the full result
+# value-verifiable (the dedup_crossengine.py pattern applied to ANN).
+
+_FP20 = 1048576.0  # 2^20: xfp<=2^20, y_fp<=64*2^20=2^26, 16-dim dot<=2^56
+
+
+def _md5_sign_rows(tag: str, d: int, m: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix from md5('tag:i:j') parity —
+    reproducible in any engine with md5 (the cross-engine hash family)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{tag}:{i}:{j}".encode()).hexdigest()[:8], 16)
+            % 2
+            == 0
+            else -1
+            for i in range(d)
+        ]
+        for j in range(m)
+    ]
+
+
+def _yfp_col(tag: str, d: int, m: int):
+    """array<long> of m fixed-point signed projections of `embedding` —
+    pure codegen zip_with/aggregate over a literal matrix (no UDF/shuffle)."""
+    rmat = F.array(
+        *[
+            F.array(*[F.lit(s).cast("long") for s in row])
+            for row in _md5_sign_rows(tag, d, m)
+        ]
+    )
+    xfp = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(_FP20)).cast("long"),
+    )
+    return F.transform(
+        rmat,
+        lambda row: F.aggregate(
+            F.zip_with(xfp, row, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def _oracle_yfp_cte(tag: str, m: int) -> str:
+    """DuckDB CTEs x/y: per-(vec_id, j) fixed-point projection, md5 parity."""
+    return f"""
+x AS (
+  SELECT vec_id, i - 1 AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP20}) AS BIGINT) AS xfp
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+y AS (
+  SELECT vec_id, j,
+         CAST(SUM(xfp * (CASE WHEN ('0x' || substr(md5('{tag}:'
+                   || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+                   1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT)
+           AS y_fp
+  FROM x, unnest(range(0, {m})) AS u(j)
+  GROUP BY vec_id, j
+)"""
+
+
+_LSH_MD5_M = 8
+
+_ORACLE_ANN_LSH_MD5 = f"""
+WITH {_oracle_yfp_cte("lsh", _LSH_MD5_M)},
+b AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN y_fp > 0 THEN (1::BIGINT << j) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM y GROUP BY vec_id
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos_sim
+  FROM b q
+  JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  JOIN e qe ON qe.vec_id = q.vec_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "embed_ann_lsh_md5",
+    oracle=_ORACLE_ANN_LSH_MD5,
+    tags=("embedding", "similarity", "ann", "north-star"),
+    doc=(
+        "Sign-bucket LSH ANN with a VALUE-EXACT oracle: 8 md5-parity "
+        "hyperplanes in 2^20 fixed point give every vector an integer "
+        "bucket (bit-identical cross-engine); candidates are an equi-join "
+        "on the bucket key — the scale path, never all-pairs — and exact "
+        "cosine ranks top-5 within the bucket. The md5 twin of "
+        "embed_ann_lsh, built so the LSH algorithm itself (not just its "
+        "row count) is oracle-verified."
+    ),
+)
+def embed_ann_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, norm
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    yfp = _yfp_col("lsh", d, _LSH_MD5_M)
+    wts = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(_LSH_MD5_M)]
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            yfp, wts,
+            lambda y, w: F.when(y > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    # unit_vectors() projects to (id, uv) only; bucket must ride along, so
+    # inline the same normalize-once pattern here.
+    tmp = emb.select(
+        "vec_id",
+        F.col("embedding").alias("_raw"),
+        norm(F.col("embedding")).alias("_nrm"),
+        bucket.alias("bucket"),
+    )
+    bucketed = tmp.select(
+        "vec_id",
+        F.transform(
+            "_raw", lambda x: x.cast("double") / F.col("_nrm")
+        ).alias("uv"),
+        "bucket",
+    )
+    q = F.broadcast(
+        bucketed.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("uv").alias("qv"),
+            "bucket",
+        )
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("uv").alias("cv"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_SRP_MD5_M = 16
+
+_ORACLE_ANN_SRP_MD5 = f"""
+WITH {_oracle_yfp_cte("srp", _SRP_MD5_M)},
+sig AS (SELECT vec_id, list(y_fp ORDER BY j) AS s FROM y GROUP BY vec_id),
+pdot AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.s, c.s) AS BIGINT) AS pd
+  FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY pd DESC, neighbor_id) AS srn
+    FROM pdot
+  ) WHERE srn <= 20
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos_sim
+  FROM short s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ce ON ce.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "embed_ann_srp_md5",
+    oracle=_ORACLE_ANN_SRP_MD5,
+    tags=("embedding", "similarity", "ann", "north-star"),
+    doc=(
+        "Two-stage SRP ANN with a VALUE-EXACT oracle: 16-dim md5-parity "
+        "signed projection in 2^20 fixed point; the shortlist is the top-20 "
+        "per query by INTEGER projected dot product (bit-identical "
+        "cross-engine — the stage where approximation lives), then exact "
+        "float cosine re-ranks to top-5. The md5 twin of embed_ann_srp: "
+        "the shortlist rule is deterministic, so unlike the murmur3 "
+        "variant the full two-stage result is value-verified."
+    ),
+)
+def embed_ann_srp_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, unit_vectors
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    proj = emb.select("vec_id", _yfp_col("srp", d, _SRP_MD5_M).alias("s"))
+    q = F.broadcast(
+        proj.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("s").alias("qs")
+        )
+    )
+    pd_col = F.aggregate(
+        F.zip_with(F.col("qs"), F.col("s"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pdot = (
+        q.crossJoin(proj)  # 10 broadcast queries x corpus: shortlist stage
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), pd_col.alias("pd")
+        )
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("pd").desc(), F.col("neighbor_id")
+    )
+    short = (
+        pdot.withColumn("srn", F.row_number().over(sw))
+        .where(F.col("srn") <= 20)
+        .select("query_id", "neighbor_id")
+    )
+    uv = unit_vectors(emb, "vec_id", "embedding", "vec_id", "uv")
+    qe = uv.select(F.col("vec_id").alias("query_id"), F.col("uv").alias("qv"))
+    ce = uv.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("uv").alias("cv")
+    )
+    scored = (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "embed_ann_pq",
     tags=("embedding", "quantize", "ann", "north-star"),

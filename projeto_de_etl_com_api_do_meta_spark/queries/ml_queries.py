@@ -230,8 +230,8 @@ SELECT bucket,
        CAST((rn - 1) // {_BATCH} AS BIGINT) AS batch_id,
        COUNT(*) AS n_seqs,
        MAX(n_tokens) AS max_tokens,
-       SUM(n_tokens) AS sum_tokens,
-       MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS padding_waste
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_waste
 FROM b
 GROUP BY bucket, (rn - 1) // {_BATCH}
 ORDER BY bucket, batch_id

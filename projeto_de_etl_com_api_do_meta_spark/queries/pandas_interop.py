@@ -26,7 +26,7 @@ from .registry import register
 
 _ORACLE_UDAF = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT) * l_linenumber) AS weighted_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT) * l_linenumber) AS BIGINT) AS weighted_qty,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus

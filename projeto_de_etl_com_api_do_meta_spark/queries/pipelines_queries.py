@@ -38,6 +38,24 @@ from ..streaming.windows import (
 from .registry import register
 
 
+def _fresh_run_dir(prefix: str, sf_dir: str) -> str:
+    """Stable per-(prefix, sf_dir) scratch dir, WIPED at the start of each
+    call.  The incremental-streaming queries write their persistent stores
+    here and return parquet-backed DataFrames, so the dir must outlive the
+    query function (cleanup happens lazily on the next invocation instead of
+    eagerly before return — the fix for the driver-collect round-trip)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 
 
 def _dimension_raw_values_sql() -> str:
@@ -885,8 +903,6 @@ ORDER BY doc_id
     ),
 )
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from ..streaming.windows import (
         chunked_docs_stream_dir,
         incremental_exact_dedup,
@@ -895,18 +911,18 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     stream_dir = chunked_docs_stream_dir(spark, sf_dir, n_chunks=5)
     with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
-        run = tempfile.mkdtemp(prefix="incr_dedup_")
+        # Stable per-(sf_dir) run dir, wiped at the START of each call so the
+        # returned DataFrame stays parquet-backed (no driver collect round-
+        # trip) — the store outlives this function; the next call cleans it.
+        run = _fresh_run_dir("incr_dedup", sf_dir)
         store = f"{run}/store.parquet"
         q = incremental_exact_dedup(spark, stream_dir, store, f"{run}/ckpt")
         q.awaitTermination()
-        out = (
+        return (
             spark.read.parquet(store)
             .select("doc_id", "fingerprint")
             .orderBy("doc_id")
         )
-        rows = out.collect()
-        shutil.rmtree(run, ignore_errors=True)
-        return spark.createDataFrame(rows, out.schema)
 
 
 _ORACLE_STREAM_NEARDUP = r"""
@@ -966,8 +982,6 @@ ORDER BY d.doc_id
     ),
 )
 def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from ..streaming.windows import (
         chunked_docs_stream_dir,
         incremental_neardup_suppress,
@@ -976,7 +990,7 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     stream_dir = chunked_docs_stream_dir(spark, sf_dir, n_chunks=5)
     with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
-        run = tempfile.mkdtemp(prefix="incr_neardup_")
+        run = _fresh_run_dir("incr_neardup", sf_dir)
         q = incremental_neardup_suppress(
             spark,
             stream_dir,
@@ -985,11 +999,8 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{run}/ckpt",
         )
         q.awaitTermination()
-        out = (
+        return (
             spark.read.parquet(f"{run}/results.parquet")
             .select("doc_id", "is_kept", "suppressor")
             .orderBy("doc_id")
         )
-        rows = out.collect()
-        shutil.rmtree(run, ignore_errors=True)
-        return spark.createDataFrame(rows, out.schema)

@@ -13,9 +13,9 @@ from .registry import register
 _ORACLE_NULL_RATES = """
 WITH agg AS (
   SELECT COUNT(*) AS n_rows,
-         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_custkey,
-         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_orderdate,
-         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_totalprice
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_custkey,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_orderdate,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_totalprice
   FROM orders
 )
 SELECT col AS "column", n_rows, n_null,

@@ -62,68 +62,91 @@ _LOADED = False
 #: rows-only (no-oracle) queries go last where a scored slot can never earn a
 #: hash match anyway.
 _PRIORITY: tuple[str, ...] = (
-    # r01 crashers/fails, now fixed — need their first green row
-    "events_sessionize_30m",
-    "embed_quantize_int8",
-    "embed_random_projection",
-    # streaming family (SURVEY §2.8) — largest driver-unverified block
-    "stream_tumbling_daily",
-    "stream_sliding_hourly",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_upsert_foreachbatch",
-    "stream_stateful_counters",
-    "stream_static_enrich",
-    "stream_stream_join_clicks",
-    # TPC-H battery (q5 already green in r01)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
+    # r02's only red (oracle HUGEINT cast, now fixed) + r02's slot-51 cutoff
     "q12_priority_by_status",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "perf_daily_fact",
-    # join matrix rows not yet driver-verified
-    "join_right_outer",
-    "join_asof_events",
-    "join_range_binned",
-    "join_null_safe_eq",
-    "join_fuzzy_levenshtein",
-    # window / set-op family
-    "window_topk_per_group",
-    "window_running_lag_lead",
-    "window_range_frame_7d",
-    "dedup_keep_last",
-    "groupby_first_nonnull",
-    "dedup_distinct_pairs",
-    "sort_limit_topn",
-    "union_by_name_ragged",
-    "setop_intersect",
-    "setop_except",
-    "subquery_correlated",
-    "restructure_unpivot",
     "window_distribution_funcs",
+    # scalar-function families (SURVEY §2.6 R4-R6) — widest untested block
+    "fn_string_family",
+    "fn_date_family",
+    "fn_math_family",
+    "fn_array_family",
+    "fn_json_family",
+    "fn_map_family",
+    "fn_conditional_family",
+    "fn_variant_json",
+    "fn_bitwise_family",
+    "fn_lateral_view_explode",
+    "fn_try_family",
+    "fn_calendar_family",
+    "fn_hash_family",
+    "fn_regex_family",
+    # Python-interop surface (SURVEY §2.9)
+    "agg_udaf_pandas",
+    "udtf_applyinpandas",
+    "fn_scalar_udfs",
+    "udtf_cogroup_pandas",
+    "map_in_arrow_batches",
+    "fn_python_udtf_lateral",
+    # reference parity pipelines (SURVEY §2.10 X1/X2) + DSv2/stream ingest
+    "meta_dimension_pipeline",
+    "meta_performance_pipeline",
+    "meta_leads_pipeline",
+    "meta_raw_leads_pipeline",
+    "meta_dsv2_dimension_scan",
+    "meta_stream_insights_ingest",
+    # remaining streaming queries
+    "stream_chained_windows",
+    "stream_incremental_dedup",
+    "stream_incremental_neardup",
+    # data-quality battery
+    "dq_null_rates",
+    "dq_referential_integrity",
+    "dq_snapshot_diff",
+    "dq_column_stats",
+    "dq_outliers_iqr",
+    "dq_expectations_summary",
+    # warehouse / CDC / SCD2
+    "warehouse_cdc_apply",
+    "warehouse_scd2_build",
+    "warehouse_incremental_agg_merge",
+    "join_scd2_point_in_time",
+    # skew mitigation as queries
+    "join_salted_skew",
+    "agg_skew_safe_distinct",
+    # oracle-backed ANN twins (md5 cross-engine family, new r3)
+    "embed_ann_lsh_md5",
+    "embed_ann_srp_md5",
+    # north-star dedup stack (cross-engine md5 oracles + posting joins)
+    "dedup_minhash_md5_lsh",
+    "dedup_simhash_md5",
+    "dedup_simhash_md5_pairs",
+    "dedup_containment_pairs",
+    "dedup_jaccard_prefix_filter",
+    "dedup_ngram_jaccard_capped",
+    # north-star text stack
+    "text_decontaminate_bloom",
+    "text_scrub_pii",
+    "text_substring_dup_winnow",
+    "text_lang_confusion_matrix",
+    # training-data ops
+    "sample_hash_split",
+    "sample_corpus_mixture",
+    "ids_global_dense",
+    "pack_sequences_chunked",
+    "train_corpus_manifest",
+    # graph / ML / SQL interface
+    "graph_pagerank_purchases",
+    "graph_triangle_count",
+    "ml_target_encode_status",
+    "sql_interface_demo",
+    "sql_recursive_cte",
 )
 
-#: Driver-verified green in CORRECTNESS_r01 — re-scoring these wastes slots,
-#: so they sort after every not-yet-verified oracle-backed query.
+#: Driver-verified green in CORRECTNESS_r01 + r02 — re-scoring these wastes
+#: slots, so they sort after every not-yet-verified oracle-backed query.
 _VERIFIED_GREEN: frozenset[str] = frozenset(
     {
+        # --- r01 greens ---
         "agg_basic_battery", "agg_stats_moments", "agg_percentiles",
         "agg_collect_set", "agg_rollup_region_nation", "agg_cube_flag_status",
         "agg_grouping_sets", "pivot_status_counts", "agg_histogram_equiwidth",
@@ -139,6 +162,27 @@ _VERIFIED_GREEN: frozenset[str] = frozenset(
         "join_left_outer", "join_left_semi", "join_left_anti",
         "join_cross_small", "join_range_pred", "join_theta_ineq",
         "join_full_outer_fanout", "q5_local_supplier_revenue",
+        # --- r02 greens (CORRECTNESS_r02.json, 49 hash-match rows) ---
+        "events_sessionize_30m", "embed_quantize_int8",
+        "embed_random_projection", "stream_tumbling_daily",
+        "stream_sliding_hourly", "stream_session_window",
+        "stream_dedup_watermark", "stream_upsert_foreachbatch",
+        "stream_stateful_counters", "stream_static_enrich",
+        "stream_stream_join_clicks", "q1_pricing_summary",
+        "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q10_returned_items", "q11_important_parts",
+        "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_qty_revenue",
+        "q18_large_volume_customers", "q19_discounted_revenue",
+        "q20_excess_shippers", "q21_waiting_suppliers",
+        "q22_dormant_customers", "perf_daily_fact", "join_right_outer",
+        "join_asof_events", "join_range_binned", "join_null_safe_eq",
+        "join_fuzzy_levenshtein", "window_topk_per_group",
+        "window_running_lag_lead", "window_range_frame_7d",
+        "dedup_keep_last", "groupby_first_nonnull", "dedup_distinct_pairs",
+        "sort_limit_topn", "union_by_name_ragged", "setop_intersect",
+        "setop_except", "subquery_correlated", "restructure_unpivot",
     }
 )
 

@@ -333,7 +333,7 @@ def fn_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_VARIANT = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
        MAX(CAST(props->>'k' AS BIGINT)) AS max_k
 FROM events

@@ -371,7 +371,7 @@ WITH r AS (
   FROM documents
 )
 SELECT source, any_value(rate_bp) AS rate_bp, count(*) AS n_total,
-       sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS n_kept
+       CAST(sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM r
 GROUP BY source
 ORDER BY source

@@ -300,7 +300,7 @@ SELECT 'lineitem_fk_orders',
        (SELECT COUNT(*) FROM lineitem)
 UNION ALL
 SELECT 'customer_pk_unique',
-       (SELECT COALESCE(SUM(n - 1), 0) FROM
+       (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM
          (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey) t
         WHERE n > 1),
        (SELECT COUNT(*) FROM customer)

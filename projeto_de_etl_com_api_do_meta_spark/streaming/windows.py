@@ -431,7 +431,14 @@ def chunked_docs_stream_dir(spark, sf_dir: str, n_chunks: int = 5) -> str:
 
     from ..io import load_table
 
-    key = hashlib.md5(f"{sf_dir}:{n_chunks}".encode()).hexdigest()[:8]
+    from ..io import table_path as _tp
+
+    # Key includes the source file's identity (size + mtime), so regenerated
+    # fixture data at the same path can never silently reuse stale chunks.
+    st = os.stat(_tp(sf_dir, "documents"))
+    key = hashlib.md5(
+        f"{sf_dir}:{n_chunks}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"docs_chunks_{key}")
     if os.path.exists(d):
         return d
@@ -589,7 +596,17 @@ def incremental_neardup_suppress(
                 "suppressor",
             )
         )
-        out.write.mode("append").parquet(results_path)
+        # foreachBatch is at-least-once: partition by batch_id and overwrite
+        # only this batch's partition, so a replay after a crash between the
+        # results write and the checkpoint commit is idempotent (the store
+        # appends below are already retry-safe via their anti-joins).
+        (
+            out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(results_path)
+        )
         # First-write-wins bucket registration (monotone replay => the
         # batch min IS the global first doc for a new bucket).
         new_buckets = bands.groupBy("band_id", "bh").agg(
