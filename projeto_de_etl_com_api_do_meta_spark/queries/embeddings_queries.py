@@ -604,6 +604,195 @@ def embed_ann_srp_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_MD5_K = 8       # inverted lists
+_IVF_MD5_NPROBE = 2  # lists probed per query
+
+_ORACLE_ANN_IVF_MD5 = f"""
+WITH x AS (
+  SELECT vec_id, i - 1 AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP20}) AS BIGINT) AS xfp
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+c0 AS (
+  SELECT vec_id AS list_id, i, xfp AS cf FROM x WHERE vec_id < {_IVF_MD5_K}
+),
+d1 AS (
+  SELECT x.vec_id, c.list_id, SUM(x.xfp * c.cf) AS dp
+  FROM x JOIN c0 c ON x.i = c.i
+  GROUP BY x.vec_id, c.list_id
+),
+a1 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dp DESC, list_id) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.list_id, x.i,
+         CAST((SUM(x.xfp) - ((SUM(x.xfp) % COUNT(*) + COUNT(*)) % COUNT(*)))
+              / COUNT(*) AS BIGINT) AS cf
+  FROM x JOIN a1 ON x.vec_id = a1.vec_id
+  GROUP BY a1.list_id, x.i
+),
+d2 AS (
+  SELECT x.vec_id, c.list_id, SUM(x.xfp * c.cf) AS dp
+  FROM x JOIN c1 c ON x.i = c.i
+  GROUP BY x.vec_id, c.list_id
+),
+a2 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dp DESC, list_id) AS rn
+    FROM d2) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dp DESC, list_id) AS rn
+    FROM d2 WHERE vec_id < 10) WHERE rn <= {_IVF_MD5_NPROBE}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN a2 a ON p.list_id = a.list_id
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos_sim
+  FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+              JOIN e ce ON ce.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register(
+    "embed_ann_ivf_md5",
+    oracle=_ORACLE_ANN_IVF_MD5,
+    tags=("embedding", "similarity", "ann", "north-star"),
+    doc=(
+        "IVF ANN with a VALUE-EXACT oracle: one deterministic Lloyd round "
+        "in 2^20 fixed point (seed centroids = vectors 0..7, argmax integer "
+        "dot assignment with list-id tie-break, exact integer floor-mean "
+        "update) builds 8 inverted lists; queries probe their top-2 lists "
+        "and exact cosine re-ranks candidates to top-5. Every stage — "
+        "assignment, centroid update, probe selection — is integer "
+        "arithmetic, so the full IVF structure (not just a row count) is "
+        "verified cross-engine. The oracle twin of embed_ann_ivf, whose "
+        "murmur3-seeded spherical k-means stays rows-only."
+    ),
+)
+def embed_ann_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, unit_vectors
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    xfp = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * F.lit(_FP20)).cast("long"),
+    )
+    x = emb.select("vec_id", xfp.alias("xf"))
+    dot_fp = F.aggregate(
+        F.zip_with(F.col("xf"), F.col("cf"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+    def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+        """(vec_id, list_id, dp) for all pairs; centroids are K rows."""
+        return vectors.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "list_id", dot_fp.alias("dp")
+        )
+
+    rn1 = Window.partitionBy("vec_id").orderBy(
+        F.col("dp").desc(), F.col("list_id")
+    )
+    c0 = x.where(F.col("vec_id") < _IVF_MD5_K).select(
+        F.col("vec_id").alias("list_id"), F.col("xf").alias("cf")
+    )
+    a1 = (
+        assign(x, c0)
+        .withColumn("rn", F.row_number().over(rn1))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "list_id")
+    )
+    # Lloyd update: exact integer floor-mean per (list, component).
+    # (s - pmod(s, n)) is divisible by n, so the double division is exact
+    # (|result| << 2^53) — same construction as the oracle's % arithmetic.
+    comp = x.join(a1, "vec_id").select(
+        "list_id", F.posexplode("xf").alias("i", "v")
+    )
+    grp = comp.groupBy("list_id", "i").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    c1 = (
+        grp.select(
+            "list_id",
+            "i",
+            ((F.col("s") - F.pmod("s", "n")) / F.col("n"))
+            .cast("long")
+            .alias("cfv"),
+        )
+        .groupBy("list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cfv"))),
+                lambda p: p.cfv,
+            ).alias("cf")
+        )
+    )
+    d2 = assign(x, c1)
+    a2 = (
+        d2.withColumn("rn", F.row_number().over(rn1))
+        .where(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "list_id")
+    )
+    probe = (
+        d2.where(F.col("vec_id") < 10)
+        .withColumn("rn", F.row_number().over(rn1))
+        .where(F.col("rn") <= _IVF_MD5_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "list_id")
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(a2, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    uv = unit_vectors(emb, "vec_id", "embedding", "vec_id", "uv")
+    qe = uv.select(F.col("vec_id").alias("query_id"), F.col("uv").alias("qv"))
+    ce = uv.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("uv").alias("cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "embed_ann_pq",
     tags=("embedding", "quantize", "ann", "north-star"),
