@@ -496,6 +496,7 @@ def embed_ann_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SRP_MD5_M = 16
+_SRP_MD5_SHORTLIST = 50
 
 _ORACLE_ANN_SRP_MD5 = f"""
 WITH {_oracle_yfp_cte("srp", _SRP_MD5_M)},
@@ -511,7 +512,7 @@ short AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY pd DESC, neighbor_id) AS srn
     FROM pdot
-  ) WHERE srn <= 20
+  ) WHERE srn <= {_SRP_MD5_SHORTLIST}
 ),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 scored AS (
@@ -537,7 +538,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
     tags=("embedding", "similarity", "ann", "north-star"),
     doc=(
         "Two-stage SRP ANN with a VALUE-EXACT oracle: 16-dim md5-parity "
-        "signed projection in 2^20 fixed point; the shortlist is the top-20 "
+        "signed projection in 2^20 fixed point; the shortlist is the top-50 "
         "per query by INTEGER projected dot product (bit-identical "
         "cross-engine — the stage where approximation lives), then exact "
         "float cosine re-ranks to top-5. The md5 twin of embed_ann_srp: "
@@ -576,7 +577,7 @@ def embed_ann_srp_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     short = (
         pdot.withColumn("srn", F.row_number().over(sw))
-        .where(F.col("srn") <= 20)
+        .where(F.col("srn") <= _SRP_MD5_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
     uv = unit_vectors(emb, "vec_id", "embedding", "vec_id", "uv")

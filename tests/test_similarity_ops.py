@@ -228,3 +228,45 @@ def test_ivf_near_dup_recall_vs_exact(spark, sf_dir):
     assert approx <= exact
     # ... and high recall via multi-assignment.
     assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_md5_ann_twins_recall_vs_bruteforce(spark, sf_dir):
+    """The md5 oracle twins (deterministic fixed-point LSH / SRP / IVF) must
+    stay real ANN algorithms, not just oracle-matching artifacts: their
+    results are exact-cosine-scored and overlap the brute-force top-5."""
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from projeto_de_etl_com_api_do_meta_spark.queries.embeddings_queries import (
+        embed_ann_ivf_md5,
+        embed_ann_lsh_md5,
+        embed_ann_srp_md5,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    exact_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+
+    # SRP twin: 20-candidate integer-dot shortlist then exact re-rank —
+    # full result rows, decent recall on the near-isotropic fixture.
+    srp = embed_ann_srp_md5(spark, sf_dir).collect()
+    srp_set = {(r.query_id, r.neighbor_id) for r in srp}
+    assert len(srp_set & exact_set) / len(exact_set) >= 0.5
+    # IVF twin: nprobe=2 of 8 lists.
+    ivf = embed_ann_ivf_md5(spark, sf_dir).collect()
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
+    assert len(ivf_set & exact_set) / len(exact_set) >= 0.3
+    # LSH twin: single 8-bit bucket join — sparse candidates by design;
+    # anything it returns that brute force also found must carry the
+    # IDENTICAL exact cosine (same property for all three twins).
+    lsh = embed_ann_lsh_md5(spark, sf_dir).collect()
+    for rows in (srp, ivf, lsh):
+        for r in rows:
+            key = (r.query_id, r.neighbor_id)
+            if key in exact_scores:
+                assert abs(exact_scores[key] - r.cos_sim) < 1e-9
