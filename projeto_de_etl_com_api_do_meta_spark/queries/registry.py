@@ -187,16 +187,45 @@ _VERIFIED_GREEN: frozenset[str] = frozenset(
 )
 
 
+def _driver_verified() -> frozenset[str]:
+    """Every query with a hash-match row in ANY CORRECTNESS_r*.json, plus
+    the static list.  Reading the driver artifacts directly makes window
+    rotation AUTOMATIC: when a round's results land, its greens fall out of
+    the scoring prefix on the next import without anyone editing this file
+    (re-scoring already-green queries wastes the driver's ~50-slot budget).
+    """
+    import glob
+    import json
+    import os
+
+    green = set(_VERIFIED_GREEN)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                for name, row in json.load(f).items():
+                    if isinstance(row, dict) and row.get("hash_match"):
+                        green.add(name)
+        except Exception:  # noqa: BLE001 — a malformed artifact never breaks import
+            continue
+    return frozenset(green)
+
+
 def _reorder() -> None:
-    """Rebuild QUERIES in scoring-priority order (see _PRIORITY)."""
+    """Rebuild QUERIES in scoring-priority order: unverified _PRIORITY names
+    first (curated order), then remaining unverified oracle-backed queries,
+    then already-green ones, then rows-only checks."""
+    verified = _driver_verified()
     ordered: dict[str, QuerySpec] = {}
     for n in _PRIORITY:
-        if n in QUERIES:
+        if n in QUERIES and n not in verified:
             ordered[n] = QUERIES[n]
     for n, s in QUERIES.items():  # oracle-backed, not yet verified
-        if n not in ordered and s.oracle and n not in _VERIFIED_GREEN:
+        if n not in ordered and s.oracle and n not in verified:
             ordered[n] = s
-    for n, s in QUERIES.items():  # oracle-backed, already green in r01
+    for n, s in QUERIES.items():  # oracle-backed, already driver-green
         if n not in ordered and s.oracle:
             ordered[n] = s
     for n, s in QUERIES.items():  # rows-only checks last

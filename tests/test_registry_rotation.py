@@ -1,0 +1,50 @@
+"""Scoring-window rotation: the registry reads CORRECTNESS_r*.json driver
+artifacts so already-green queries automatically leave the ~50-slot scoring
+prefix (re-scoring greens wastes the driver's budget — the round-2 verdict's
+top finding)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from projeto_de_etl_com_api_do_meta_spark.queries.registry import (
+    QUERIES,
+    _driver_verified,
+    _load_all,
+)
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_driver_artifacts_are_absorbed():
+    _load_all()
+    verified = _driver_verified()
+    # every hash-match row from the committed driver artifacts is absorbed
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(_REPO_ROOT, fname)
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("hash_match"):
+                    assert name in verified, (fname, name)
+
+
+def test_new_artifact_is_picked_up():
+    # q1_pricing_summary is ALREADY green in r02, so a leaked test file
+    # can never skew real scoring order — safe to write in the repo root.
+    path = os.path.join(_REPO_ROOT, "CORRECTNESS_r99.json")
+    try:
+        with open(path, "w") as f:
+            json.dump({"q1_pricing_summary": {"hash_match": True}}, f)
+        assert "q1_pricing_summary" in _driver_verified()
+    finally:
+        os.remove(path)
+
+
+def test_scoring_prefix_has_no_verified_and_only_oracles():
+    _load_all()
+    verified = _driver_verified()
+    prefix = list(QUERIES)[:50]
+    for name in prefix:
+        assert name not in verified, f"{name} is green but still in the window"
+        assert QUERIES[name].oracle, f"{name} is rows-only but in the window"
