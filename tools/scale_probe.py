@@ -149,8 +149,10 @@ def main() -> int:
             t0 = time.time()
             gen_corpus(d, mult)
             print(f"[gen] x{mult}: {time.time()-t0:.1f}s", flush=True)
-        for name, _is_doc in PROBES:
-            if wanted and name not in wanted:
+        names = list(wanted) if wanted else [n for n, _ in PROBES]
+        for name in names:
+            if name not in QUERIES:
+                print(f"[skip] unknown query {name}", flush=True)
                 continue
             spark.catalog.clearCache()
             t0 = time.time()
