@@ -588,3 +588,66 @@ def train_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-epoch corpus shuffle: training-order permutation.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id, source, epoch,
+         md5(CAST(doc_id AS VARCHAR) || ':epoch:' || CAST(epoch AS VARCHAR))
+           AS sort_key
+  FROM documents, unnest([0, 1]) AS e(epoch)
+)
+SELECT epoch, doc_id, source,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                               ORDER BY sort_key, doc_id) AS BIGINT)
+         AS position
+FROM k
+ORDER BY epoch, position
+"""
+
+
+@register(
+    "train_shuffle_epochs",
+    oracle=_ORACLE_SHUFFLE,
+    tags=("training", "north-star"),
+    doc=(
+        "Deterministic per-epoch corpus shuffle: every document's training "
+        "position in epoch e is its rank under md5(doc_id:epoch:e) — a "
+        "reproducible pseudo-random permutation that changes completely "
+        "between epochs yet is identical across runs, engines and "
+        "partitionings (rng-free, resume-safe: a restarted job recomputes "
+        "the same order). Scale shape: orderBy range-partitions on the "
+        "hash key — a distributed sort whose keys are uniform by "
+        "construction, so range boundaries are balanced and no reducer "
+        "hot-spots; at 100 TB you write the permuted shards directly from "
+        "the sort, one pass."
+    ),
+)
+def train_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    epochs = docs.crossJoin(
+        F.broadcast(
+            spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+        )
+    )
+    key = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":epoch:"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    w = W.partitionBy("epoch").orderBy("sort_key", "doc_id")
+    return (
+        epochs.withColumn("sort_key", key)
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select("epoch", "doc_id", "source", "position")
+        .orderBy("epoch", "position")
+    )

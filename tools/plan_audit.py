@@ -66,6 +66,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("embed_ann_srp_md5", "CARTESIAN"): "broadcast 10-query integer-dot shortlist (oracle twin of embed_ann_srp)",
     ("embed_ann_ivf_md5", "CARTESIAN"): "broadcast centroid assignment (k=8 rows; oracle twin of embed_ann_ivf)",
     ("text_tfidf_top_terms", "CARTESIAN"): "scalar n_docs aggregate broadcast (1 row; replaced the driver count() action)",
+    ("train_shuffle_epochs", "CARTESIAN"): "2-row epoch spine broadcast",
     ("embed_quantize_int8", "CARTESIAN"): "scalar scale broadcast",
     ("embed_power_iteration", "CARTESIAN"): "scalar rescale-factor broadcast (1 row)",
     ("agg_histogram_equiwidth", "CARTESIAN"): "scalar min/max bounds broadcast",
