@@ -66,6 +66,79 @@ def global_dense_ids(
     return parts.mapInPandas(assign, out_schema)
 
 
+def grouped_dense_ids(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    id_col: str = "pos",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group dense ranks in ascending ``order_cols`` order — the
+    scalable replacement for ``ROW_NUMBER() OVER (PARTITION BY group
+    ORDER BY ...)`` when groups are few and huge (epochs, shards, days):
+    the window form moves EACH group to a single reducer, so two epochs
+    over a 100 TB corpus become two hot partitions.
+
+    Shape: range-repartition on ``(group, *order_cols)`` (groups stay
+    contiguous, order is global across partitions), count rows per
+    ``(partition, group)`` — a driver-safe result bounded by
+    ``nparts + n_groups`` because each range partition holds a contiguous
+    key slice — prefix-sum per-group offsets across partitions, then add
+    each batch's local running index (Arrow-batched second pass).
+
+    ``(group_col, *order_cols)`` tuples must be unique, else the dense
+    order is ambiguous.
+    """
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [F.col(group_col)] + [F.col(c) for c in order_cols]
+    parts = (
+        df.repartitionByRange(nparts, *keys)
+        .sortWithinPartitions(group_col, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # Pass 1: rows per (partition, group). Range partitioning keeps each
+    # partition to a contiguous slice, so this is at most nparts + n_groups
+    # rows — driver-safe at any corpus size.
+    counts = (
+        parts.groupBy("_pid", group_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_group: dict = {}
+    for r in counts:
+        by_group.setdefault(r[group_col], []).append((r["_pid"], r["cnt"]))
+    offsets: dict = {}  # (pid, group) -> rows of this group in earlier pids
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            offsets[(pid, g)] = acc
+            acc += cnt
+    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+
+    out_schema = parts.drop("_pid").schema.add(StructField(id_col, LongType(), False))
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: dict = {}  # group -> rows already emitted in this partition
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            off = b_offsets.value
+            local = pdf.groupby(group_col, sort=False).cumcount()
+            base = pdf[group_col].map(
+                lambda g: off.get((pid, g), 0) + seen.get(g, 0)
+            )
+            pdf[id_col] = (base + local + start).astype("int64")
+            for g, c in pdf[group_col].value_counts().items():
+                seen[g] = seen.get(g, 0) + int(c)
+            yield pdf.drop(columns="_pid")
+
+    # Arrow batches preserve within-partition order, so local + carried
+    # `seen` counters extend the sortWithinPartitions order exactly.
+    return parts.mapInPandas(assign, out_schema)
+
+
 def compact_to_target_files(
     df: DataFrame, path: str, target_mb: int = 128, row_bytes_estimate: int = 100
 ) -> int:

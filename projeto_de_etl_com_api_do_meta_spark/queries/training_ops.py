@@ -620,15 +620,18 @@ ORDER BY epoch, position
         "reproducible pseudo-random permutation that changes completely "
         "between epochs yet is identical across runs, engines and "
         "partitionings (rng-free, resume-safe: a restarted job recomputes "
-        "the same order). Scale shape: orderBy range-partitions on the "
-        "hash key — a distributed sort whose keys are uniform by "
-        "construction, so range boundaries are balanced and no reducer "
-        "hot-spots; at 100 TB you write the permuted shards directly from "
-        "the sort, one pass."
+        "the same order). Scale shape: positions come from "
+        "operators/indexing.py grouped_dense_ids — range-repartition on "
+        "(epoch, hash) + per-(partition, epoch) prefix-sum offsets — NOT "
+        "row_number() OVER (PARTITION BY epoch), which would funnel each "
+        "epoch's entire corpus through one reducer. Hash keys are uniform "
+        "by construction, so range boundaries are balanced; at 100 TB you "
+        "write the permuted shards directly from the partitioned sort, "
+        "one pass."
     ),
 )
 def train_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.indexing import grouped_dense_ids
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -644,10 +647,10 @@ def train_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("epoch").cast("string"),
         )
     )
-    w = W.partitionBy("epoch").orderBy("sort_key", "doc_id")
-    return (
-        epochs.withColumn("sort_key", key)
-        .withColumn("position", F.row_number().over(w).cast("long"))
-        .select("epoch", "doc_id", "source", "position")
-        .orderBy("epoch", "position")
+    keyed = epochs.withColumn("sort_key", key)
+    ids = grouped_dense_ids(
+        keyed, "epoch", ["sort_key", "doc_id"], id_col="position"
+    )
+    return ids.select("epoch", "doc_id", "source", "position").orderBy(
+        "epoch", "position"
     )

@@ -187,3 +187,49 @@ def test_zorder_layout_clusters_2d_boxes(spark, sf_dir, tmp_path):
     assert spark.read.parquet(zpath).count() == events.count()
     assert z <= lin
     assert z < n_files
+
+
+def test_grouped_dense_ids_matches_window_row_number(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.indexing import (
+        grouped_dense_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = {
+        (r.lang, r.doc_id): r.pos
+        for r in grouped_dense_ids(
+            docs, "lang", ["doc_id"], id_col="pos", num_partitions=7
+        ).collect()
+    }
+    w = W.partitionBy("lang").orderBy("doc_id")
+    expected = {
+        (r.lang, r.doc_id): r.pos
+        for r in docs.withColumn(
+            "pos", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert out == expected  # exact per-group dense ranks, window-free
+
+
+def test_train_shuffle_epochs_permutation_properties(spark, sf_dir):
+    fn = QUERIES["train_shuffle_epochs"].fn
+    rows = fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    by_epoch: dict[int, dict] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.position
+    assert set(by_epoch) == {0, 1}
+    for _, pos in by_epoch.items():
+        # each epoch is a complete 1..n permutation of the corpus
+        assert len(pos) == n_docs
+        assert sorted(pos.values()) == list(range(1, n_docs + 1))
+    # the two epochs are genuinely different orders
+    diff = sum(1 for d in by_epoch[0] if by_epoch[0][d] != by_epoch[1][d])
+    assert diff > 0.9 * n_docs
+    # and the shuffle is deterministic across runs
+    again = {(r.epoch, r.doc_id): r.position for r in fn(spark, sf_dir).collect()}
+    assert again == {
+        (e, d): p for e, pos in by_epoch.items() for d, p in pos.items()
+    }
