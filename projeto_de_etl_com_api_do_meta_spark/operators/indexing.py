@@ -139,6 +139,75 @@ def grouped_dense_ids(
     return parts.mapInPandas(assign, out_schema)
 
 
+def grouped_prefix_sums(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum_before",
+    inclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running totals of ``value_col`` in ``order_cols`` order —
+    the scalable replacement for ``SUM(v) OVER (PARTITION BY group ORDER
+    BY ...)`` when groups are few and huge. Same two-pass shape as
+    :func:`grouped_dense_ids` (range repartition keeps groups contiguous;
+    pass 1 collects per-(partition, group) value sums, bounded by
+    ``nparts + n_groups``; pass 2 adds local cumulative sums on top of the
+    prefix-summed offsets). ``inclusive=False`` gives the exclusive
+    prefix (sum of strictly-earlier rows), the packing-friendly form.
+
+    ``value_col`` must be integral (sums are exact longs); ``(group_col,
+    *order_cols)`` tuples must be unique.
+    """
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [F.col(group_col)] + [F.col(c) for c in order_cols]
+    parts = (
+        df.repartitionByRange(nparts, *keys)
+        .sortWithinPartitions(group_col, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sums = (
+        parts.groupBy("_pid", group_col)
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    by_group: dict = {}
+    for r in sums:
+        by_group.setdefault(r[group_col], []).append((r["_pid"], r["s"]))
+    offsets: dict = {}  # (pid, group) -> value mass of this group in earlier pids
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, s in sorted(lst):
+            offsets[(pid, g)] = acc
+            acc += int(s)
+    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+
+    out_schema = parts.drop("_pid").schema.add(StructField(out_col, LongType(), False))
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: dict = {}  # group -> value mass already emitted in this partition
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            off = b_offsets.value
+            csum = pdf.groupby(group_col, sort=False)[value_col].cumsum()
+            if not inclusive:
+                csum = csum - pdf[value_col]
+            base = pdf[group_col].map(
+                lambda g: off.get((pid, g), 0) + seen.get(g, 0)
+            )
+            pdf[out_col] = (base + csum).astype("int64")
+            for g, s in (
+                pdf.groupby(group_col, sort=False)[value_col].sum().items()
+            ):
+                seen[g] = seen.get(g, 0) + int(s)
+            yield pdf.drop(columns="_pid")
+
+    return parts.mapInPandas(assign, out_schema)
+
+
 def compact_to_target_files(
     df: DataFrame, path: str, target_mb: int = 128, row_bytes_estimate: int = 100
 ) -> int:

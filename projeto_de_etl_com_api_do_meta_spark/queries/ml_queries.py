@@ -30,16 +30,15 @@ Scale posture: k-means joins each point-component against a broadcast k×dim
 centroid table (k*dim rows — always tiny) and aggregates per (vec_id, cid)
 then per vec_id: two map-side-combinable hash aggregates per iteration, no
 all-pairs, no collect.  Degree distribution is two hash aggregates.  Length
-bucketing's window partitions by bucket (bounded fan-in per partition at any
-scale when bucket count grows with data via finer width, or by adding a
-shard key to the partition clause — documented in SCALE.md).
+bucketing's within-bucket ranks come from grouped_dense_ids (range
+repartition + per-(partition, bucket) prefix-sum offsets), so a fixed
+bucket count never concentrates a bucket's corpus slice on one reducer.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..session import pin_query_session_conf
@@ -246,13 +245,17 @@ ORDER BY bucket, batch_id
         f"Sequence-length bucketing for training batches: whitespace token "
         f"counts -> {_BUCKET_W}-token-wide length buckets -> row_number "
         f"within bucket (total order on (n_tokens, doc_id)) -> batches of "
-        f"{_BATCH} -> per-batch padding-waste accounting. The window "
-        "partitions by bucket so state is bounded per partition; at 100 TB "
-        "the partition clause gains a shard key and offsets are merged "
-        "prefix-sum style (same shape as ids_global_dense)."
+        f"{_BATCH} -> per-batch padding-waste accounting. The within-bucket "
+        "rank comes from operators/indexing.py grouped_dense_ids (range "
+        "repartition + per-(partition, bucket) prefix-sum offsets), NOT "
+        "row_number() OVER (PARTITION BY bucket): bucket count is fixed "
+        "while rows grow, so the window form would funnel each bucket's "
+        "full corpus slice through one reducer at 100 TB."
     ),
 )
 def train_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import grouped_dense_ids
+
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
@@ -261,15 +264,15 @@ def train_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
-    b = t.select(
-        "doc_id",
-        "n_tokens",
-        F.expr(f"n_tokens div {_BUCKET_W}").alias("bucket"),
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    b = grouped_dense_ids(
+        t.select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"n_tokens div {_BUCKET_W}").alias("bucket"),
         ),
+        "bucket",
+        ["n_tokens", "doc_id"],
+        id_col="rn",
     )
     return (
         b.groupBy(

@@ -338,9 +338,12 @@ ORDER BY lang, rk
         "stratum by md5(doc_id) and keep the first 10. Unlike sampleBy, "
         "the selected set is a pure function of the data — identical on "
         "any cluster size, partitioning, or execution order — which is "
-        "what a reproducible training-data pipeline needs. One window "
-        "shuffle on the stratum key; at scale the rank-filter pattern "
-        "benefits from AQE partial top-k pushdown per partition."
+        "what a reproducible training-data pipeline needs. The stratum "
+        "key has only ~5 values, but the rn<=k filter triggers Spark's "
+        "InferWindowGroupLimit rule: the physical plan carries a Partial "
+        "WindowGroupLimit BEFORE the exchange (verified), so each map "
+        "task forwards at most k rows per stratum and the per-stratum "
+        "reducer sees k x n_map_partitions rows, not the full stratum."
     ),
 )
 def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,15 +475,18 @@ ORDER BY shard, doc_id
         "style packing where documents are concatenated in deterministic "
         "order and sliced at fixed token budgets): per-shard running token "
         "offsets assign each document its starting chunk, offset within "
-        "chunk, and ending chunk. The prefix sum is PARTITIONED by shard — "
-        "each shard packs independently, so 100 TB packs as N parallel "
-        "window scans, never a global sort; shard count is the parallelism "
-        "dial. BPE-ish token counts (letter runs / digit runs / symbols)."
+        "chunk, and ending chunk. Each shard packs independently, and the "
+        "per-shard running offsets come from operators/indexing.py "
+        "grouped_prefix_sums (range repartition + per-(partition, shard) "
+        "prefix-summed token-mass offsets) rather than SUM() OVER "
+        "(PARTITION BY shard), so parallelism does NOT degrade to the "
+        "shard count: even a handful of shards over 100 TB pack without "
+        "hot reducers. BPE-ish token counts (letter runs / digit runs / "
+        "symbols)."
     ),
 )
 def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from ..operators.indexing import grouped_prefix_sums
     from ..operators.text import bpe_ish_token_count
 
     pin_query_session_conf(spark)
@@ -490,12 +496,9 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
         bpe_ish_token_count("text").cast("long").alias("n_tok"),
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    c = grouped_prefix_sums(
+        t, "shard", ["doc_id"], "n_tok", out_col="cum_before"
     )
-    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
     budget = F.lit(_PACK_BUDGET)
     return c.select(
         "doc_id",

@@ -233,3 +233,33 @@ def test_train_shuffle_epochs_permutation_properties(spark, sf_dir):
     assert again == {
         (e, d): p for e, pos in by_epoch.items() for d, p in pos.items()
     }
+
+
+def test_grouped_prefix_sums_matches_window_sum(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.indexing import (
+        grouped_prefix_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("v")
+    )
+    out = {
+        (r.lang, r.doc_id): r.cum_before
+        for r in grouped_prefix_sums(
+            docs, "lang", ["doc_id"], "v", num_partitions=7
+        ).collect()
+    }
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    expected = {
+        (r.lang, r.doc_id): r.cum_before
+        for r in docs.withColumn(
+            "cum_before", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert out == expected  # exact exclusive per-group prefix sums
