@@ -39,7 +39,13 @@ def global_dense_ids(
         df.repartitionByRange(nparts, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
-    )
+    ).persist()
+    # The persist is CORRECTNESS, not caching: repartitionByRange picks its
+    # boundaries by sampling, and a re-execution may sample different
+    # boundaries — pass 2 would then see different partition contents than
+    # the offsets collected in pass 1 (observed: silently shifted ids at
+    # sf0.1). Materializing pins one partitioning for both passes; it is
+    # the same single materialization a checkpoint-based engine would do.
     # Pass 1: per-partition row counts (result size = nparts, driver-safe).
     counts = {r["_pid"]: r.cnt for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets: dict[int, int] = {}
@@ -96,7 +102,9 @@ def grouped_dense_ids(
         df.repartitionByRange(nparts, *keys)
         .sortWithinPartitions(group_col, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-    )
+    ).persist()  # pins ONE range partitioning across both passes — see
+    # global_dense_ids: re-sampled range boundaries would desync pass 2's
+    # partition contents from pass 1's offsets.
     # Pass 1: rows per (partition, group). Range partitioning keeps each
     # partition to a contiguous slice, so this is at most nparts + n_groups
     # rows — driver-safe at any corpus size.
@@ -166,7 +174,8 @@ def grouped_prefix_sums(
         df.repartitionByRange(nparts, *keys)
         .sortWithinPartitions(group_col, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-    )
+    ).persist()  # pins ONE range partitioning across both passes — see
+    # global_dense_ids.
     sums = (
         parts.groupBy("_pid", group_col)
         .agg(F.sum(value_col).alias("s"))
