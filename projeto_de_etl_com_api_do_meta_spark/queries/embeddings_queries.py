@@ -925,3 +925,85 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_ivf(
         emb, threshold=0.4, nlist=8, nassign=3
     ).orderBy("vec_a", "vec_b")
+
+
+# -- Hard-negative mining (contrastive training-data prep) --------------------
+
+_ORACLE_HARD_NEG = """
+WITH q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS q_label,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS n_label,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, q.q_label, c.neighbor_id, c.n_label,
+         round(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE q.q_label <> c.n_label
+)
+SELECT query_id, q_label, neighbor_id, n_label, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "train_hard_negatives",
+    oracle=_ORACLE_HARD_NEG,
+    tags=("training", "similarity", "north-star"),
+    doc=(
+        "Hard-negative mining for contrastive training (anchor vectors "
+        "vec_id < 20): per anchor, the top-5 most-similar vectors whose "
+        "label DIFFERS — the negatives that actually move an embedding "
+        "model. Same deterministic scorer as embed_knn_bruteforce "
+        "(broadcast anchors, unit-vector dot, rank on (cos desc, id)); "
+        "the label-mismatch filter runs before ranking so same-label "
+        "near-dups never crowd the shortlist. rn<=5 gets the Partial "
+        "WindowGroupLimit pushdown; at corpus scale the brute-force "
+        "scorer swaps for an ANN shortlist (embed_ann_*) re-ranked "
+        "exactly, label filter unchanged."
+    ),
+)
+def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, unit_vectors
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = lambda a: emb.select(  # noqa: E731
+        F.col("vec_id").alias(a[0]), F.col("label").cast("long").alias(a[1])
+    )
+    q = unit_vectors(
+        emb.where(F.col("vec_id") < 20), "vec_id", "embedding", "query_id", "qv"
+    ).join(lab(("query_id", "q_label")), "query_id")
+    c = unit_vectors(emb, "vec_id", "embedding", "neighbor_id", "cv").join(
+        lab(("neighbor_id", "n_label")), "neighbor_id"
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_label") != F.col("n_label"))
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "q_label", "neighbor_id", "n_label", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )

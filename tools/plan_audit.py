@@ -52,6 +52,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("fn_scalar_udfs", "ROW_UDF"): "deliberate F.udf vs pandas_udf demo (§2.9)",
     ("multimodal_image_resize", "ROW_UDF"): "bounded: crc32 over 5k resized rows",
     ("embed_knn_bruteforce", "CARTESIAN"): "exact-oracle baseline by contract; scale paths are the ANN queries",
+    ("train_hard_negatives", "CARTESIAN"): "bounded 20-anchor broadcast over the corpus (same contract as embed_knn_bruteforce); ANN shortlist swaps in at scale",
     ("embed_knn_classify", "CARTESIAN"): "vote layer over the brute-force baseline (same contract); ANN shortlist swaps in at scale",
     ("graph_triangle_count", "CARTESIAN"): "three 1x1 scalar-aggregate crossjoins in the summary row",
     ("corpus_token_budget", "CARTESIAN"): "corpus-total scalar broadcast (1 row)",
