@@ -1007,3 +1007,115 @@ def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "q_label", "neighbor_id", "n_label", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# -- Matryoshka truncation evaluation ----------------------------------------
+
+_ORACLE_MRL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+full_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, c.cv)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.neighbor_id) AS rank
+    FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+  ) WHERE rank <= 5
+),
+trunc_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv[1:16], c.cv[1:16])
+                            / (sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))
+                               * sqrt(list_dot_product(c.cv[1:16], c.cv[1:16]))),
+                            6) DESC,
+                      c.neighbor_id) AS rank
+    FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+  ) WHERE rank <= 5
+)
+SELECT f.query_id,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(5 AS BIGINT) AS k
+FROM full_rank f
+LEFT JOIN trunc_rank t
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+
+
+@register(
+    "embed_matryoshka_recall",
+    oracle=_ORACLE_MRL,
+    tags=("training", "similarity", "eval"),
+    doc=(
+        "Matryoshka truncation evaluation: per anchor (vec_id < 10), how "
+        "many of the full-dimension cosine top-5 survive when vectors are "
+        "truncated to their first 16 dims (MRL-style prefix) — the "
+        "retrieval-quality check run before shipping truncated embeddings "
+        "to a cheaper index. Both rankings use the deterministic "
+        "(rounded cosine desc, id) order; overlap is a per-anchor "
+        "left-join count. Bounded 10-anchor broadcast; at corpus scale "
+        "the full-dim side is the existing ANN shortlist and the "
+        "truncated side is the candidate index being evaluated."
+    ),
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, unit_vectors
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def topk(vec_expr_df):
+        q = F.broadcast(
+            unit_vectors(
+                vec_expr_df.where(F.col("vec_id") < 10),
+                "vec_id", "vec", "query_id", "qv",
+            )
+        )
+        c = unit_vectors(vec_expr_df, "vec_id", "vec", "neighbor_id", "cv")
+        scored = (
+            q.crossJoin(c)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(emb.select("vec_id", F.col("embedding").alias("vec")))
+    trunc = topk(
+        emb.select("vec_id", F.slice("embedding", 1, 16).alias("vec"))
+    )
+    return (
+        full.join(
+            trunc.withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_overlap"),
+            F.max(F.lit(5)).cast("long").alias("k"),
+        )
+        .orderBy("query_id")
+    )

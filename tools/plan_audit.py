@@ -53,6 +53,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("multimodal_image_resize", "ROW_UDF"): "bounded: crc32 over 5k resized rows",
     ("embed_knn_bruteforce", "CARTESIAN"): "exact-oracle baseline by contract; scale paths are the ANN queries",
     ("train_hard_negatives", "CARTESIAN"): "bounded 20-anchor broadcast over the corpus (same contract as embed_knn_bruteforce); ANN shortlist swaps in at scale",
+    ("embed_matryoshka_recall", "CARTESIAN"): "two bounded 10-anchor broadcasts (full-dim and truncated rankings being compared)",
     ("embed_knn_classify", "CARTESIAN"): "vote layer over the brute-force baseline (same contract); ANN shortlist swaps in at scale",
     ("graph_triangle_count", "CARTESIAN"): "three 1x1 scalar-aggregate crossjoins in the summary row",
     ("corpus_token_budget", "CARTESIAN"): "corpus-total scalar broadcast (1 row)",
