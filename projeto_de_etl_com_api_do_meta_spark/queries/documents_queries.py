@@ -1122,3 +1122,88 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.12)
         .select("doc_a", "doc_b", "n_inter", "size_a", "size_b", "jaccard")
     )
+
+
+# -- Vocabulary coverage curve (tokenizer sizing) -----------------------------
+
+_ORACLE_VOCAB_COVERAGE = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE len(trim(text)) > 0
+),
+freq AS (
+  SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk,
+         SUM(n) OVER (ORDER BY n DESC, token
+                      ROWS UNBOUNDED PRECEDING) AS cum_n,
+         SUM(n) OVER () AS total_n
+  FROM freq
+)
+SELECT v.vocab_size,
+       CAST(MAX(r.cum_n) AS BIGINT) AS n_covered,
+       CAST(MAX(r.total_n) AS BIGINT) AS total_tokens,
+       round(CAST(MAX(r.cum_n) AS DOUBLE) / MAX(r.total_n), 6) AS coverage
+FROM (SELECT unnest([8, 16, 24]) AS vocab_size) v
+JOIN ranked r ON r.rk <= v.vocab_size
+GROUP BY v.vocab_size
+ORDER BY v.vocab_size
+"""
+
+
+@register(
+    "corpus_vocab_coverage",
+    oracle=_ORACLE_VOCAB_COVERAGE,
+    tags=("text", "training", "tokenizer"),
+    doc=(
+        "Vocabulary coverage curve for tokenizer sizing: token frequencies "
+        "-> rank by (freq desc, token) -> cumulative corpus share at "
+        "candidate vocab sizes (8/16/24) — i.e. the OOV rate a vocab of "
+        "that size would leave. Corpus-scale work is ONE map-side- "
+        "combinable token count; ranking and the running sum act on the "
+        "vocabulary-bounded table (the global window never sees corpus-"
+        "scale rows). The candidate sizes join is a broadcast over the "
+        "ranked vocab."
+    ),
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    order = [F.col("n").desc(), F.col("token")]
+    ranked = freq.select(
+        "token",
+        "n",
+        F.row_number().over(W.orderBy(*order)).alias("rk"),
+        F.sum("n")
+        .over(W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum_n"),
+        F.sum("n").over(W.partitionBy()).alias("total_n"),
+    )
+    sizes = spark.range(1, 4).select(
+        (F.col("id") * 8).cast("int").alias("vocab_size")
+    )
+    return (
+        ranked.join(
+            F.broadcast(sizes), F.col("rk") <= F.col("vocab_size"), "inner"
+        )
+        .groupBy("vocab_size")
+        .agg(
+            F.max("cum_n").cast("long").alias("n_covered"),
+            F.max("total_n").cast("long").alias("total_tokens"),
+            F.round(
+                F.max("cum_n").cast("double") / F.max("total_n"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
