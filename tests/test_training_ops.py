@@ -263,3 +263,54 @@ def test_grouped_prefix_sums_matches_window_sum(spark, sf_dir):
         ).collect()
     }
     assert out == expected  # exact exclusive per-group prefix sums
+
+
+def test_grouped_ops_multi_arrow_batch_carryover(spark, sf_dir):
+    """Force tiny Arrow batches so each partition spans MANY pandas batches,
+    exercising the per-group `seen` counters that carry local ranks/sums
+    across batch boundaries."""
+    from pyspark.sql import Window as W
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.indexing import (
+        grouped_dense_ids,
+        grouped_prefix_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("v")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        ids = {
+            (r.lang, r.doc_id): r.pos
+            for r in grouped_dense_ids(
+                docs, "lang", ["doc_id"], id_col="pos", num_partitions=5
+            ).collect()
+        }
+        sums = {
+            (r.lang, r.doc_id): r.cum_before
+            for r in grouped_prefix_sums(
+                docs, "lang", ["doc_id"], "v", num_partitions=5
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    w = W.partitionBy("lang").orderBy("doc_id")
+    wsum = w.rowsBetween(W.unboundedPreceding, -1)
+    exp = {
+        (r.lang, r.doc_id): (r.pos, r.cum_before)
+        for r in docs.select(
+            "lang",
+            "doc_id",
+            F.row_number().over(w).cast("long").alias("pos"),
+            F.coalesce(F.sum("v").over(wsum), F.lit(0)).alias("cum_before"),
+        ).collect()
+    }
+    assert ids == {k: v[0] for k, v in exp.items()}
+    assert sums == {k: v[1] for k, v in exp.items()}
