@@ -704,3 +704,105 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("g").alias("n_overlap"))
         .orderBy("doc_id")
     )
+
+
+# -- Bigram-LM perplexity (sequence-aware quality gate) ------------------------
+
+_ORACLE_BIGRAM_PPL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+big AS (
+  SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+  FROM words, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM big GROUP BY prev, cur),
+c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev),
+v AS (
+  SELECT COUNT(DISTINCT tok) AS v FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents WHERE length(trim(text)) > 0)
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       round(exp(SUM(-ln((CAST(cc.c2 AS DOUBLE) + 1)
+                         / (CAST(c1.c1 AS DOUBLE) + v.v))) / COUNT(*)), 6)
+         AS ppl
+FROM big b
+JOIN c2 cc ON b.prev = cc.prev AND b.cur = cc.cur
+JOIN c1 ON b.prev = c1.prev
+CROSS JOIN v
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle=_ORACLE_BIGRAM_PPL,
+    tags=("text", "quality", "north-star"),
+    doc=(
+        "Sequence-aware LM quality gate: per-document perplexity under an "
+        "add-one-smoothed corpus bigram model — catches word-salad documents "
+        "whose unigram distribution looks normal (text_unigram_surprisal's "
+        "blind spot). Bigrams come from a pure array expression (no "
+        "self-join on position); bigram/context counts are two map-side-"
+        "combinable aggregates; the scoring joins shuffle on token keys "
+        "(AQE broadcasts when the model is small) and |V| is one scalar "
+        "broadcast."
+    ),
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    docs = spread(docs, "doc_id")
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
+    )
+    big = (
+        words.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS prev, w[i + 1] AS cur))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.prev", "b.cur")
+    )
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+        )
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    return (
+        big.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        -F.log(
+                            (F.col("c2").cast("double") + 1)
+                            / (F.col("c1").cast("double") + F.col("v"))
+                        )
+                    )
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

@@ -83,6 +83,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("events_rolling_active_users", "CARTESIAN"): "30-row day spine broadcast range join",
     ("corpus_pmi_bigrams", "CARTESIAN"): "scalar corpus-total broadcast",
     ("text_unigram_surprisal", "CARTESIAN"): "scalar corpus-total broadcast (1 row)",
+    ("text_bigram_perplexity", "CARTESIAN"): "scalar |V| aggregate broadcast (1 row)",
     ("corpus_heavy_hitters", "CARTESIAN"): "bounded Misra-Gries candidate set broadcast",
     ("sql_interface_demo", "CARTESIAN"): "scalar subquery in demo SQL",
     ("events_funnel_stages", "CARTESIAN"): "per-user stage minima are scalar-joined",
