@@ -345,3 +345,139 @@ def dedup_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimation error vs exact Jaccard (sketch calibration).
+# ---------------------------------------------------------------------------
+
+_ORACLE_MH_ERROR = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+       unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter,
+         round(CAST(i.n_inter AS DOUBLE)
+               / (sa.sz + sb.sz - i.n_inter), 6) AS j_exact
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+),
+mh AS (
+  SELECT doc_id, r.i AS hi,
+         MIN(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || s), 1, 8))::BIGINT)
+           AS h
+  FROM sh, unnest(range(0, {_K})) AS r(i)
+  GROUP BY doc_id, r.i
+),
+sig AS (
+  SELECT doc_id, list(h ORDER BY hi) AS sig FROM mh GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b, CAST(p.n_inter AS BIGINT) AS n_inter, p.j_exact,
+       CAST(len(list_filter(range(1, {_K} + 1), k -> sa.sig[k] = sb.sig[k]))
+            AS BIGINT) AS n_match,
+       round(len(list_filter(range(1, {_K} + 1), k -> sa.sig[k] = sb.sig[k]))
+             / {_K}.0, 6) AS j_est,
+       round(abs(round(CAST(p.n_inter AS DOUBLE)
+                       / (SELECT sa2.sz + sb2.sz - p.n_inter
+                          FROM sizes sa2, sizes sb2
+                          WHERE sa2.doc_id = p.doc_a
+                            AND sb2.doc_id = p.doc_b), 6)
+                 - len(list_filter(range(1, {_K} + 1),
+                                   k -> sa.sig[k] = sb.sig[k])) / {_K}.0),
+             6) AS abs_err
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+WHERE p.j_exact >= 0.3
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=_ORACLE_MH_ERROR,
+    tags=("dedup", "minhash", "eval", "north-star"),
+    doc=(
+        f"Sketch calibration: for every exact-Jaccard pair (J >= 0.3, "
+        f"trigram shingles), the {_K}-component md5-MinHash estimate "
+        "(matching-component fraction) next to the exact value and their "
+        "absolute error — the measurement that tells you whether the "
+        "signature length is adequate BEFORE trusting LSH at corpus "
+        "scale. Exact side is the posting-list equi-join; sketch side is "
+        "the map-side-combinable per-doc min aggregate; the error join "
+        "touches only admitted pairs."
+    ),
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread(docs, "doc_id").where(F.size(tokens("text")) >= 3)
+    sh = base.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    union_sz = F.col("size_a") + F.col("size_b") - F.col("n_inter")
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.round(F.col("n_inter").cast("double") / union_sz, 6).alias(
+                "j_exact"
+            ),
+        )
+        .where(F.col("j_exact") >= 0.3)
+    )
+    sig = md5_lsh_signatures(docs)
+    siga = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ).cast("long")
+    return (
+        pairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .withColumn("n_match", n_match)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "j_exact",
+            "n_match",
+            F.round(F.col("n_match") / F.lit(float(_K)), 6).alias("j_est"),
+            F.round(
+                F.abs(F.col("j_exact") - F.col("n_match") / F.lit(float(_K))),
+                6,
+            ).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
