@@ -44,8 +44,16 @@ def global_dense_ids(
     # boundaries by sampling, and a re-execution may sample different
     # boundaries — pass 2 would then see different partition contents than
     # the offsets collected in pass 1 (observed: silently shifted ids at
-    # sf0.1). Materializing pins one partitioning for both passes; it is
-    # the same single materialization a checkpoint-based engine would do.
+    # sf0.1). Materializing pins one partitioning for both passes.
+    # Honest limits: (a) persist does NOT truncate lineage — if an executor
+    # loses both its cached blocks and its shuffle files, recompute may
+    # re-sample; the strict offset lookup below turns any such desync into
+    # a loud task failure instead of silent corruption, and a fault-tolerant
+    # deployment should checkpoint() here (HDFS-backed) to truncate lineage.
+    # (b) The cache is pinned for the session (the lazy consumer needs it);
+    # it spills MEMORY_AND_DISK under pressure and is dropped by
+    # clearCache() — long-lived sessions indexing many corpora should clear
+    # between corpora.
     # Pass 1: per-partition row counts (result size = nparts, driver-safe).
     counts = {r["_pid"]: r.cnt for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets: dict[int, int] = {}
@@ -94,7 +102,13 @@ def grouped_dense_ids(
     each batch's local running index (Arrow-batched second pass).
 
     ``(group_col, *order_cols)`` tuples must be unique, else the dense
-    order is ambiguous.
+    order is ambiguous. NULL groups are supported for string group columns
+    (pandas preserves None keys); a NULL in a NUMERIC group column fails
+    loudly (Arrow converts it to NaN, which never matches the collected
+    None offset key) — pre-fill numeric nulls if you need them grouped.
+    Offset lookups are strict: any partition-content desync between the
+    two passes (see the persist note in :func:`global_dense_ids`) raises
+    in the task rather than emitting silently shifted ids.
     """
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(group_col)] + [F.col(c) for c in order_cols]
@@ -133,12 +147,14 @@ def grouped_dense_ids(
                 continue
             pid = int(pdf["_pid"].iloc[0])
             off = b_offsets.value
-            local = pdf.groupby(group_col, sort=False).cumcount()
+            local = pdf.groupby(group_col, sort=False, dropna=False).cumcount()
+            # strict lookup: a (pid, group) absent from pass 1 means the
+            # partitioning desynced between passes — fail the task loudly.
             base = pdf[group_col].map(
-                lambda g: off.get((pid, g), 0) + seen.get(g, 0)
+                lambda g: off[(pid, g)] + seen.get(g, 0)
             )
             pdf[id_col] = (base + local + start).astype("int64")
-            for g, c in pdf[group_col].value_counts().items():
+            for g, c in pdf[group_col].value_counts(dropna=False).items():
                 seen[g] = seen.get(g, 0) + int(c)
             yield pdf.drop(columns="_pid")
 
@@ -166,7 +182,8 @@ def grouped_prefix_sums(
     prefix (sum of strictly-earlier rows), the packing-friendly form.
 
     ``value_col`` must be integral (sums are exact longs); ``(group_col,
-    *order_cols)`` tuples must be unique.
+    *order_cols)`` tuples must be unique. Null-group and strict-lookup
+    semantics match :func:`grouped_dense_ids`.
     """
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(group_col)] + [F.col(c) for c in order_cols]
@@ -201,15 +218,20 @@ def grouped_prefix_sums(
                 continue
             pid = int(pdf["_pid"].iloc[0])
             off = b_offsets.value
-            csum = pdf.groupby(group_col, sort=False)[value_col].cumsum()
+            csum = pdf.groupby(group_col, sort=False, dropna=False)[
+                value_col
+            ].cumsum()
             if not inclusive:
                 csum = csum - pdf[value_col]
+            # strict lookup — see grouped_dense_ids.
             base = pdf[group_col].map(
-                lambda g: off.get((pid, g), 0) + seen.get(g, 0)
+                lambda g: off[(pid, g)] + seen.get(g, 0)
             )
             pdf[out_col] = (base + csum).astype("int64")
             for g, s in (
-                pdf.groupby(group_col, sort=False)[value_col].sum().items()
+                pdf.groupby(group_col, sort=False, dropna=False)[
+                    value_col
+                ].sum().items()
             ):
                 seen[g] = seen.get(g, 0) + int(s)
             yield pdf.drop(columns="_pid")

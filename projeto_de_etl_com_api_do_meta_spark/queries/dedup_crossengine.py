@@ -87,18 +87,23 @@ ORDER BY doc_a, doc_b
 """
 
 
-def md5_lsh_signatures(docs: DataFrame) -> DataFrame:
+def md5_lsh_signatures(
+    docs: DataFrame, posting: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig[16]) md5-family minhash signatures — the cross-engine
     hash family shared by the batch near-dup query and the incremental
     streaming suppressor (docs with <3 tokens have no shingles and are
-    absent from the result)."""
-    posting = (
-        spread(docs, "doc_id")
-        .where(F.size(tokens("text")) >= 3)
-        .select(
-            "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+    absent from the result). Pass ``posting`` (doc_id, s shingle rows) to
+    reuse an already-shingled stream — shingling dominates per-row cost,
+    so callers that also need the exact side should shingle once."""
+    if posting is None:
+        posting = (
+            spread(docs, "doc_id")
+            .where(F.size(tokens("text")) >= 3)
+            .select(
+                "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+            )
         )
-    )
     mins = posting.groupBy("doc_id").agg(
         *[
             F.min(_md5_u32(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
@@ -455,7 +460,7 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("j_exact") >= 0.3)
     )
-    sig = md5_lsh_signatures(docs)
+    sig = md5_lsh_signatures(docs, posting=sh)  # shingle once, use twice
     siga = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sigb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     n_match = F.size(

@@ -973,19 +973,32 @@ ORDER BY query_id, rank
 def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.similarity import dot, unit_vectors
+    from ..operators.similarity import dot, norm
 
     pin_query_session_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    lab = lambda a: emb.select(  # noqa: E731
-        F.col("vec_id").alias(a[0]), F.col("label").cast("long").alias(a[1])
+
+    def unit_with_label(df, id_alias, vec_alias, label_alias):
+        # unit_vectors with the label carried through the projection — no
+        # second table scan / shuffle join to reattach it
+        tmp = df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("label").cast("long").alias(label_alias),
+            F.col("embedding").alias("_raw"),
+            norm(F.col("embedding")).alias("_nrm"),
+        )
+        return tmp.select(
+            id_alias,
+            label_alias,
+            F.transform(
+                "_raw", lambda x: x.cast("double") / F.col("_nrm")
+            ).alias(vec_alias),
+        )
+
+    q = unit_with_label(
+        emb.where(F.col("vec_id") < 20), "query_id", "qv", "q_label"
     )
-    q = unit_vectors(
-        emb.where(F.col("vec_id") < 20), "vec_id", "embedding", "query_id", "qv"
-    ).join(lab(("query_id", "q_label")), "query_id")
-    c = unit_vectors(emb, "vec_id", "embedding", "neighbor_id", "cv").join(
-        lab(("neighbor_id", "n_label")), "neighbor_id"
-    )
+    c = unit_with_label(emb, "neighbor_id", "cv", "n_label")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -1069,38 +1082,19 @@ ORDER BY f.query_id
     ),
 )
 def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..operators.similarity import dot, unit_vectors
-
     pin_query_session_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
 
     def topk(vec_expr_df):
-        q = F.broadcast(
-            unit_vectors(
-                vec_expr_df.where(F.col("vec_id") < 10),
-                "vec_id", "vec", "query_id", "qv",
-            )
-        )
-        c = unit_vectors(vec_expr_df, "vec_id", "vec", "neighbor_id", "cv")
-        scored = (
-            q.crossJoin(c)
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos_sim").desc(), F.col("neighbor_id")
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 5)
-            .select("query_id", "neighbor_id")
-        )
+        # one top-k definition repo-wide: tie-break/rounding live in
+        # brute_force_topk only
+        return brute_force_topk(
+            vec_expr_df.where(F.col("vec_id") < 10),
+            vec_expr_df,
+            k=5,
+            id_col="vec_id",
+            vec_col="vec",
+        ).select("query_id", "neighbor_id")
 
     full = topk(emb.select("vec_id", F.col("embedding").alias("vec")))
     trunc = topk(

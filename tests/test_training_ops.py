@@ -314,3 +314,34 @@ def test_grouped_ops_multi_arrow_batch_carryover(spark, sf_dir):
     }
     assert ids == {k: v[0] for k, v in exp.items()}
     assert sums == {k: v[1] for k, v in exp.items()}
+
+
+def test_grouped_dense_ids_null_string_group(spark, sf_dir):
+    """NULL groups in a string group column rank like a window's NULL
+    partition (pandas preserves None keys end-to-end)."""
+    from pyspark.sql import Window as W
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.indexing import (
+        grouped_dense_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+    )
+    out = {
+        (r.lang, r.doc_id): r.pos
+        for r in grouped_dense_ids(
+            docs, "lang", ["doc_id"], id_col="pos", num_partitions=6
+        ).collect()
+    }
+    w = W.partitionBy("lang").orderBy("doc_id")
+    exp = {
+        (r.lang, r.doc_id): r.pos
+        for r in docs.withColumn(
+            "pos", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert out == exp

@@ -97,8 +97,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ids_global_dense", "GLOBAL_WINDOW"): "partition-count prefix-sum only (rows never funnel)",
     ("corpus_vocab_coverage", "GLOBAL_WINDOW"): "rank + running sum over the vocabulary-bounded frequency table",
     ("corpus_vocab_coverage", "CARTESIAN"): "3-row candidate-vocab-size spine broadcast (theta join on rk <= size)",
-    ("pack_sequences_chunked", "GLOBAL_WINDOW"): "per-shard offsets merged via partition counts",
-    ("train_length_bucket_batches", "GLOBAL_WINDOW"): "partitioned by bucket; see SCALE.md",
     ("sample_topk_per_stratum", "GLOBAL_WINDOW"): "partitioned by lang stratum",
     ("sort_limit_topn", "GLOBAL_WINDOW"): "global top-N by contract (TakeOrdered, not full sort)",
 }

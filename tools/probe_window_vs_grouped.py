@@ -68,10 +68,17 @@ def main() -> None:
             out = grouped_dense_ids(
                 keyed, "epoch", ["sort_key", "doc_id"], id_col="position"
             )
-        # order-sensitive checksum: permuted positions change the sum
+        # assignment-sensitive checksum: hashes the FULL (epoch, doc_id,
+        # position) triple so swapped group offsets, cross-epoch mixups,
+        # and modular position shifts all change the sum (a plain
+        # position*doc product is blind to whole-group swaps because each
+        # doc appears once per epoch).
         row = out.agg(
             F.count(F.lit(1)),
-            F.sum(F.col("position") % 97 * (F.col("doc_id") % 89)),
+            F.sum(
+                F.xxhash64("epoch", "doc_id", "position")
+                % F.lit(1_000_000_007)
+            ),
         ).collect()[0]
         checksums[name] = (int(row[0]), int(row[1]))
         print(
