@@ -73,6 +73,9 @@ HEADLINE: tuple[str, ...] = (
     "warehouse_incremental_agg_merge",
     "embed_ann_lsh_md5",
     "embed_ann_srp_md5",
+    # round-3 session additions (corpus-scale north-stars):
+    "train_shuffle_epochs",
+    "text_bigram_perplexity",
 )
 
 
