@@ -1113,3 +1113,64 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# -- Pair-similarity histogram (dedup-threshold calibration) ------------------
+
+_ORACLE_SIM_HIST = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 1000),
+n AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM e),
+pairs AS (
+  SELECT round(list_dot_product(a.u, b.u), 6) AS cos_sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT CAST(floor((cos_sim + 1) * 10) AS BIGINT) AS bucket,
+       COUNT(*) AS n_pairs,
+       round(MIN(cos_sim), 6) AS min_cos,
+       round(MAX(cos_sim), 6) AS max_cos
+FROM pairs
+GROUP BY CAST(floor((cos_sim + 1) * 10) AS BIGINT)
+ORDER BY bucket
+"""
+
+
+@register(
+    "embed_pair_sim_histogram",
+    oracle=_ORACLE_SIM_HIST,
+    tags=("embedding", "dedup", "eval"),
+    doc=(
+        "Dedup-threshold calibration: the distribution of pairwise cosine "
+        "similarities (0.1-wide buckets over [-1, 1]) on a bounded sample "
+        "(vec_id < 1000) — where the near-dup threshold should sit is read "
+        "off this histogram's valley, BEFORE running semantic dedup on the "
+        "corpus. Deliberately quadratic-on-a-sample: the audit/calibration "
+        "op; production pair generation is the IVF/LSH candidate path "
+        "(dedup_embedding_ivf). Same normalized-dot + round(6) contract as "
+        "the dedup operators it calibrates."
+    ),
+)
+def embed_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, unit_vectors
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    a = unit_vectors(emb, "vec_id", "embedding", "id_a", "ua")
+    b = unit_vectors(emb, "vec_id", "embedding", "id_b", "ub")
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cos_sim"))
+    )
+    return (
+        pairs.groupBy(
+            F.floor((F.col("cos_sim") + 1) * 10).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("cos_sim"), 6).alias("min_cos"),
+            F.round(F.max("cos_sim"), 6).alias("max_cos"),
+        )
+        .orderBy("bucket")
+    )

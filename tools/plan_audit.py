@@ -60,6 +60,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("basket_association_rules", "CARTESIAN"): "order-total scalar broadcast (1 row)",
     ("corpus_token_budget", "GLOBAL_WINDOW"): "cumulative share over the (source x lang) grid — input pre-reduced to ~|sources|*|langs| rows",
     ("dedup_embedding_cosine", "CARTESIAN"): "scalar-threshold crossJoin of two single-row aggregates",
+    ("embed_pair_sim_histogram", "CARTESIAN"): "deliberately quadratic on a bounded sample (vec_id < 1000) by calibration contract; production pairs come from the IVF/LSH candidate path",
     ("embed_ann_int8", "CARTESIAN"): "broadcast 10-query shortlist re-rank",
     ("embed_ann_srp", "CARTESIAN"): "broadcast 10-query shortlist re-rank",
     ("embed_ann_pq", "CARTESIAN"): "broadcast 10-query shortlist re-rank",
