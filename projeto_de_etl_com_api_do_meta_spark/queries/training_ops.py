@@ -657,3 +657,76 @@ def train_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.select("epoch", "doc_id", "source", "position").orderBy(
         "epoch", "position"
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum stages: per-language difficulty quartiles.
+# ---------------------------------------------------------------------------
+
+_ORACLE_CURRICULUM = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS difficulty
+  FROM documents WHERE length(trim(text)) > 0
+),
+r AS (
+  SELECT doc_id, lang, CAST(difficulty AS BIGINT) AS difficulty,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY difficulty, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM d
+)
+SELECT doc_id, lang, difficulty,
+       CAST(rk AS BIGINT) AS rank_in_lang,
+       CAST(((rk - 1) * 4) // n_lang AS BIGINT) AS stage
+FROM r
+ORDER BY lang, rank_in_lang
+"""
+
+
+@register(
+    "train_curriculum_stages",
+    oracle=_ORACLE_CURRICULUM,
+    tags=("training", "curriculum", "north-star"),
+    doc=(
+        "Curriculum scheduling: rank documents easy-to-hard inside each "
+        "language (difficulty = token count, ties broken by doc_id — a "
+        "total order, so stages are identical on any engine or "
+        "partitioning) and cut each language into 4 equal-population "
+        "stages with pure integer arithmetic ((rank-1)*4 div n). Ranks "
+        "come from grouped_dense_ids and the per-language totals from a "
+        "broadcast count aggregate — no PARTITION BY lang window funnel "
+        "at corpus scale."
+    ),
+)
+def train_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import grouped_dense_ids
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("difficulty"),
+    )
+    ranked = grouped_dense_ids(
+        d, "lang", ["difficulty", "doc_id"], id_col="rank_in_lang"
+    )
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        ranked.join(F.broadcast(counts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "difficulty",
+            "rank_in_lang",
+            F.expr("((rank_in_lang - 1) * 4) div n_lang")
+            .cast("long")
+            .alias("stage"),
+        )
+        .orderBy("lang", "rank_in_lang")
+    )
