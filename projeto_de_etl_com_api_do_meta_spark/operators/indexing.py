@@ -155,6 +155,10 @@ def grouped_dense_ids(
             )
             pdf[id_col] = (base + local + start).astype("int64")
             for g, c in pdf[group_col].value_counts(dropna=False).items():
+                # normalize pandas' NaN stand-in for a None key back to
+                # None so carryover matches the base lookup's key
+                if isinstance(g, float) and g != g:
+                    g = None
                 seen[g] = seen.get(g, 0) + int(c)
             yield pdf.drop(columns="_pid")
 
@@ -233,6 +237,11 @@ def grouped_prefix_sums(
                     value_col
                 ].sum().items()
             ):
+                # groupby(...).sum() surfaces a None key as NaN (a fresh
+                # float per batch) — normalize back to None, else a NULL
+                # group's carried mass is lost across Arrow batches
+                if isinstance(g, float) and g != g:
+                    g = None
                 seen[g] = seen.get(g, 0) + int(s)
             yield pdf.drop(columns="_pid")
 

@@ -44,19 +44,32 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def unit_vectors(
-    df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    vec_alias: str,
+    extra: dict | None = None,
 ) -> DataFrame:
     """Project to (id, vec/|vec|) so every downstream pair comparison is a
     single dot product instead of dot + two norms — at N query × M corpus
     pairs this cuts the per-pair work (and the codegen'd expression tree) 3×.
-    The norm is computed once per row in its own projection step."""
+    The norm is computed once per row in its own projection step.
+
+    ``extra`` maps output name -> Column for columns to carry through the
+    projection (e.g. a label), so callers never re-join attributes they
+    already had in hand — the normalization contract stays defined HERE
+    only."""
+    extra = extra or {}
     tmp = df.select(
         F.col(id_col).alias(id_alias),
+        *[c.alias(n) for n, c in extra.items()],
         F.col(vec_col).alias("_raw"),
         norm(F.col(vec_col)).alias("_nrm"),
     )
     return tmp.select(
         id_alias,
+        *extra.keys(),
         F.transform("_raw", lambda x: x.cast("double") / F.col("_nrm")).alias(
             vec_alias
         ),

@@ -973,32 +973,22 @@ ORDER BY query_id, rank
 def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.similarity import dot, norm
+    from ..operators.similarity import dot, unit_vectors
 
     pin_query_session_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def unit_with_label(df, id_alias, vec_alias, label_alias):
-        # unit_vectors with the label carried through the projection — no
-        # second table scan / shuffle join to reattach it
-        tmp = df.select(
-            F.col("vec_id").alias(id_alias),
-            F.col("label").cast("long").alias(label_alias),
-            F.col("embedding").alias("_raw"),
-            norm(F.col("embedding")).alias("_nrm"),
-        )
-        return tmp.select(
-            id_alias,
-            label_alias,
-            F.transform(
-                "_raw", lambda x: x.cast("double") / F.col("_nrm")
-            ).alias(vec_alias),
-        )
-
-    q = unit_with_label(
-        emb.where(F.col("vec_id") < 20), "query_id", "qv", "q_label"
+    # labels ride through unit_vectors' passthrough — no second table
+    # scan / shuffle join to reattach them
+    q = unit_vectors(
+        emb.where(F.col("vec_id") < 20),
+        "vec_id", "embedding", "query_id", "qv",
+        extra={"q_label": F.col("label").cast("long")},
     )
-    c = unit_with_label(emb, "neighbor_id", "cv", "n_label")
+    c = unit_vectors(
+        emb,
+        "vec_id", "embedding", "neighbor_id", "cv",
+        extra={"n_label": F.col("label").cast("long")},
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)

@@ -701,6 +701,7 @@ ORDER BY lang, rank_in_lang
 )
 def train_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.indexing import grouped_dense_ids
+    from ..operators.text import tokens
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").where(
@@ -709,16 +710,20 @@ def train_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         "lang",
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
-        .cast("long")
-        .alias("difficulty"),
+        F.size(tokens("text")).cast("long").alias("difficulty"),
     )
     ranked = grouped_dense_ids(
         d, "lang", ["difficulty", "doc_id"], id_col="rank_in_lang"
     )
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     return (
-        ranked.join(F.broadcast(counts), "lang")
+        # null-safe join: a NULL lang is its own stratum (matches the
+        # oracle's PARTITION BY semantics) — a plain equi-join would
+        # silently drop those rows
+        ranked.join(
+            F.broadcast(counts.withColumnRenamed("lang", "_clang")),
+            ranked["lang"].eqNullSafe(F.col("_clang")),
+        )
         .select(
             "doc_id",
             "lang",

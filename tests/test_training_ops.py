@@ -345,3 +345,58 @@ def test_grouped_dense_ids_null_string_group(spark, sf_dir):
         ).collect()
     }
     assert out == exp
+
+
+def test_grouped_prefix_sums_null_group_multi_batch(spark, sf_dir):
+    """NULL string group spanning many Arrow batches: the carryover dict
+    must find the group's running mass (pandas surfaces a None key as NaN
+    in groupby sums — the operator normalizes it back)."""
+    from pyspark.sql import Window as W
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.indexing import (
+        grouped_dense_ids,
+        grouped_prefix_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        sums = {
+            (r.lang, r.doc_id): r.cum_before
+            for r in grouped_prefix_sums(
+                docs, "lang", ["doc_id"], "v", num_partitions=4
+            ).collect()
+        }
+        ids = {
+            (r.lang, r.doc_id): r.pos
+            for r in grouped_dense_ids(
+                docs, "lang", ["doc_id"], id_col="pos", num_partitions=4
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    w = W.partitionBy("lang").orderBy("doc_id")
+    wsum = w.rowsBetween(W.unboundedPreceding, -1)
+    exp = {
+        (r.lang, r.doc_id): (r.cum_before, r.pos)
+        for r in docs.select(
+            "lang",
+            "doc_id",
+            F.coalesce(F.sum("v").over(wsum), F.lit(0)).alias("cum_before"),
+            F.row_number().over(w).cast("long").alias("pos"),
+        ).collect()
+    }
+    assert sums == {k: v[0] for k, v in exp.items()}
+    assert ids == {k: v[1] for k, v in exp.items()}
