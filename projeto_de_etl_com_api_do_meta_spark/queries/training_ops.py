@@ -735,3 +735,76 @@ def train_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rank_in_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted subsampling (deterministic importance reweighting).
+# ---------------------------------------------------------------------------
+
+_ORACLE_QUALITY_SAMPLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST((len(list_distinct(w)) * 10000) // len(w) AS BIGINT) AS q_bp,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 10000 AS BIGINT) AS u_bp,
+       CAST(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 10000
+                      < (len(list_distinct(w)) * 10000) // len(w)
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register(
+    "sample_quality_weighted",
+    oracle=_ORACLE_QUALITY_SAMPLE,
+    tags=("training", "sampling", "quality"),
+    doc=(
+        "Deterministic quality-weighted subsampling: each document's keep "
+        "probability IS its quality score (type-token ratio in integer "
+        "basis points), decided by comparing an md5-uniform draw against "
+        "it — high-quality docs survive at ~their TTR rate, repetitive "
+        "docs are thinned proportionally, and membership is a pure "
+        "function of the data (identical across runs, engines and "
+        "partitionings, unlike rng sampling). Stateless per-row "
+        "expression; no shuffle at any scale. The per-source-rate analog "
+        "is sample_corpus_mixture; this is the per-document continuous-"
+        "weight form."
+    ),
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    d = docs.select("doc_id", tokens("text").alias("w"))
+    u_bp = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    scored = d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(w)) * 10000 AS BIGINT) div size(w)"
+        ).alias("q_bp"),
+        u_bp.alias("u_bp"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "q_bp",
+        "u_bp",
+        F.when(F.col("u_bp") < F.col("q_bp"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept"),
+    ).orderBy("doc_id")
