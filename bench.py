@@ -6,6 +6,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (count + a cheap checksum collect) so
 the full plan runs; session is built once and reused (JVM/session startup is
 excluded from per-query timings).
+
+Methodology pin (r4): the shared session keeps total bench time bounded, but
+it makes individual per-query timings noisy at the ±30-70% level when the
+headline set changes between rounds (measured: five TPC-H entries "regressed"
+in BENCH_r03 purely from 9 added queries sharing the JVM, and re-measured at
+or below their r02 numbers in isolation — ISOLATED_BENCH_r04.json). Treat
+the TOTAL and large same-set deltas as signal; confirm any cross-round
+per-query delta >25% with `tools/bench_isolated.py <query>` (fresh JVM per
+query, 5 warm reps) before acting on it.
 """
 
 from __future__ import annotations

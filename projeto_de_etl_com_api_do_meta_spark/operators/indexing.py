@@ -47,13 +47,17 @@ def global_dense_ids(
     # sf0.1). Materializing pins one partitioning for both passes.
     # Honest limits: (a) persist does NOT truncate lineage — if an executor
     # loses both its cached blocks and its shuffle files, recompute may
-    # re-sample; the strict offset lookup below turns any such desync into
-    # a loud task failure instead of silent corruption, and a fault-tolerant
-    # deployment should checkpoint() here (HDFS-backed) to truncate lineage.
+    # re-sample; pass 2 validates its per-partition row counts against
+    # pass 1's (below), so any content desync — including a boundary shift
+    # between two partitions that both already hold rows, which a bare
+    # offset lookup would NOT catch — fails the task loudly instead of
+    # emitting silently shifted ids. A fault-tolerant deployment should
+    # still checkpoint() here (HDFS-backed) to truncate lineage.
     # (b) The cache is pinned for the session (the lazy consumer needs it);
     # it spills MEMORY_AND_DISK under pressure and is dropped by
     # clearCache() — long-lived sessions indexing many corpora should clear
-    # between corpora.
+    # between corpora (bench.py and tools/scale_probe.py clear between
+    # repetitions for exactly this reason).
     # Pass 1: per-partition row counts (result size = nparts, driver-safe).
     counts = {r["_pid"]: r.cnt for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets: dict[int, int] = {}
@@ -61,19 +65,29 @@ def global_dense_ids(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+    b_state = df.sparkSession.sparkContext.broadcast((offsets, counts))
 
     out_schema = parts.drop("_pid").schema.add(StructField(id_col, LongType(), False))
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
+        seen, pid = 0, None
+        offsets, counts = b_state.value
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            base = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            pid = int(pdf["_pid"].iloc[0])
+            base = offsets[pid]
             pdf[id_col] = range(base + seen, base + seen + len(pdf))
             seen += len(pdf)
             yield pdf.drop(columns="_pid")
+        expect = counts.get(pid, 0) if pid is not None else 0
+        if seen != expect:
+            raise RuntimeError(
+                f"global_dense_ids: partition {pid} held {seen} rows in "
+                f"pass 2 but {expect} in pass 1 — range boundaries were "
+                "re-sampled between passes (cache loss?); ids would be "
+                "silently shifted. Re-run, or checkpoint() the input."
+            )
 
     # Arrow batches preserve within-partition order, so the local running
     # index matches the sortWithinPartitions order.
@@ -106,9 +120,11 @@ def grouped_dense_ids(
     (pandas preserves None keys); a NULL in a NUMERIC group column fails
     loudly (Arrow converts it to NaN, which never matches the collected
     None offset key) — pre-fill numeric nulls if you need them grouped.
-    Offset lookups are strict: any partition-content desync between the
-    two passes (see the persist note in :func:`global_dense_ids`) raises
-    in the task rather than emitting silently shifted ids.
+    Pass 2 validates its per-(partition, group) row counts against
+    pass 1's, so any partition-content desync between the two passes (see
+    the persist note in :func:`global_dense_ids`) — including boundary
+    shifts that keep every (pid, group) key present — raises in the task
+    rather than emitting silently shifted ids.
     """
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(group_col)] + [F.col(c) for c in order_cols]
@@ -131,22 +147,25 @@ def grouped_dense_ids(
     for r in counts:
         by_group.setdefault(r[group_col], []).append((r["_pid"], r["cnt"]))
     offsets: dict = {}  # (pid, group) -> rows of this group in earlier pids
+    totals: dict = {}  # (pid, group) -> pass-1 row count, for pass-2 checks
     for g, lst in by_group.items():
         acc = 0
         for pid, cnt in sorted(lst):
             offsets[(pid, g)] = acc
+            totals[(pid, g)] = cnt
             acc += cnt
-    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+    b_state = df.sparkSession.sparkContext.broadcast((offsets, totals))
 
     out_schema = parts.drop("_pid").schema.add(StructField(id_col, LongType(), False))
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen: dict = {}  # group -> rows already emitted in this partition
+        pid = None
+        off, totals = b_state.value
         for pdf in it:
             if len(pdf) == 0:
                 continue
             pid = int(pdf["_pid"].iloc[0])
-            off = b_offsets.value
             local = pdf.groupby(group_col, sort=False, dropna=False).cumcount()
             # strict lookup: a (pid, group) absent from pass 1 means the
             # partitioning desynced between passes — fail the task loudly.
@@ -161,6 +180,18 @@ def grouped_dense_ids(
                     g = None
                 seen[g] = seen.get(g, 0) + int(c)
             yield pdf.drop(columns="_pid")
+        # Content check: a boundary shift that moves rows between two
+        # partitions that BOTH already hold a group keeps every (pid, group)
+        # key present, so the strict lookup alone can't catch it — the
+        # per-group totals comparison can.
+        expect = {g: c for (p, g), c in totals.items() if p == pid}
+        if pid is not None and seen != expect:
+            raise RuntimeError(
+                f"grouped_dense_ids: partition {pid} group counts changed "
+                f"between passes ({seen} != {expect}) — range boundaries "
+                "were re-sampled (cache loss?); ids would be silently "
+                "shifted. Re-run, or checkpoint() the input."
+            )
 
     # Arrow batches preserve within-partition order, so local + carried
     # `seen` counters extend the sortWithinPartitions order exactly.
@@ -206,22 +237,25 @@ def grouped_prefix_sums(
     for r in sums:
         by_group.setdefault(r[group_col], []).append((r["_pid"], r["s"]))
     offsets: dict = {}  # (pid, group) -> value mass of this group in earlier pids
+    totals: dict = {}  # (pid, group) -> pass-1 value mass, for pass-2 checks
     for g, lst in by_group.items():
         acc = 0
         for pid, s in sorted(lst):
             offsets[(pid, g)] = acc
+            totals[(pid, g)] = int(s)
             acc += int(s)
-    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+    b_state = df.sparkSession.sparkContext.broadcast((offsets, totals))
 
     out_schema = parts.drop("_pid").schema.add(StructField(out_col, LongType(), False))
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen: dict = {}  # group -> value mass already emitted in this partition
+        pid = None
+        off, totals = b_state.value
         for pdf in it:
             if len(pdf) == 0:
                 continue
             pid = int(pdf["_pid"].iloc[0])
-            off = b_offsets.value
             csum = pdf.groupby(group_col, sort=False, dropna=False)[
                 value_col
             ].cumsum()
@@ -244,6 +278,15 @@ def grouped_prefix_sums(
                     g = None
                 seen[g] = seen.get(g, 0) + int(s)
             yield pdf.drop(columns="_pid")
+        # Content check — see grouped_dense_ids (value-mass form).
+        expect = {g: s for (p, g), s in totals.items() if p == pid}
+        if pid is not None and seen != expect:
+            raise RuntimeError(
+                f"grouped_prefix_sums: partition {pid} group sums changed "
+                f"between passes ({seen} != {expect}) — range boundaries "
+                "were re-sampled (cache loss?); running totals would be "
+                "silently wrong. Re-run, or checkpoint() the input."
+            )
 
     return parts.mapInPandas(assign, out_schema)
 

@@ -1020,7 +1020,14 @@ def dedup_containment_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFra
 
 # -- Frequency-capped Jaccard (hot-shingle mitigation as code) ----------------
 
-_DF_CAP = 10
+#: The cap is a document-frequency FRACTION of the corpus (with a small-corpus
+#: floor), not an absolute count: an absolute cap degenerates at scale — once
+#: corpus growth makes the average shingle df exceed it, every shingle is
+#: "hot" and all sets empty out (measured: SCALE_PROBE_r03 found 110 pairs at
+#: x1 and 0 at x4+ with the old `df > 10`).  A fraction tracks corpus size, so
+#: "boilerplate" keeps meaning "appears in >0.2% of documents" at any N.
+_DF_CAP_FRAC = 0.002
+_DF_CAP_MIN = 5
 
 _ORACLE_JACCARD_CAPPED = rf"""
 WITH t AS (
@@ -1034,10 +1041,15 @@ sh AS (
            AS shingles
   FROM t
 ),
+nd AS (
+  SELECT greatest({_DF_CAP_MIN}, CAST(ceil({_DF_CAP_FRAC} * COUNT(*)) AS BIGINT)) AS cap
+  FROM documents
+),
 posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 kept AS (
   SELECT doc_id, shingle FROM posting
-  QUALIFY COUNT(DISTINCT doc_id) OVER (PARTITION BY shingle) <= {_DF_CAP}
+  QUALIFY COUNT(DISTINCT doc_id) OVER (PARTITION BY shingle)
+          <= (SELECT cap FROM nd)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM kept GROUP BY doc_id),
 inter AS (
@@ -1064,17 +1076,21 @@ WHERE round(CAST(i.n_inter AS DOUBLE)
     oracle=_ORACLE_JACCARD_CAPPED,
     tags=("dedup", "north-star", "skew"),
     doc=(
-        f"Jaccard near-dup over FREQUENCY-CAPPED shingle sets: shingles "
-        f"appearing in more than {_DF_CAP} documents (boilerplate, stop "
-        "phrases) are dropped from every document's set before the posting "
-        "join, so the per-shingle pair work is bounded by cap² no matter "
-        "how hot the phrase — the skew mitigation SCALE.md prescribes for "
-        "the posting-join family, as code. Semantics are deterministic "
-        "(similarity over the capped sets, both sizes and intersections "
-        "consistently capped), so the whole result is value-exact against "
-        "SQL; at web scale this is the standard stopword-capping knob that "
-        "keeps a 10M-document boilerplate phrase from generating 10M² "
-        "candidate pairs."
+        "Jaccard near-dup over FREQUENCY-CAPPED shingle sets: shingles "
+        f"appearing in more than max({_DF_CAP_MIN}, {_DF_CAP_FRAC:.1%} of "
+        "documents) — boilerplate, stop phrases — are dropped from every "
+        "document's set before pair generation, so per-shingle pair work "
+        "is bounded by cap² no matter how hot the phrase: the skew "
+        "mitigation SCALE.md prescribes for the posting-join family, as "
+        "code. The cap is a df FRACTION (scale-stable: an absolute cap "
+        "empties every set once corpus growth makes the whole vocabulary "
+        "hot — measured in SCALE_PROBE_r03). Pair generation aggregates "
+        "each cold shingle's ≤cap posting list and expands i<j pairs "
+        "locally — one shuffle of the postings, never a posting self-join, "
+        "and no broadcast of the (possibly huge at 100 TB) hot set. "
+        "Semantics are deterministic (similarity over the capped sets, "
+        "sizes and intersections consistently capped), so the whole "
+        "result is value-exact against SQL."
     ),
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1086,24 +1102,37 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", word_shingles("text", 3).alias("shingles")
     )
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    hot = (
+    cap_row = docs.agg(
+        F.greatest(
+            F.lit(_DF_CAP_MIN).cast("long"),
+            F.ceil(F.lit(_DF_CAP_FRAC) * F.count(F.lit(1))),
+        ).alias("cap")
+    )
+    # Two passes so no unbounded per-shingle state ever materializes: pass 1
+    # is a map-side-combinable df count; pass 2 keeps only cold shingles via
+    # a shuffle equi-join (NOT a broadcast — at 100 TB either side of the
+    # hot/cold split can exceed broadcast limits).
+    cold = (
         posting.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") > _DF_CAP)
+        .agg(F.count(F.lit(1)).alias("df"))  # postings are distinct per doc
+        .crossJoin(F.broadcast(cap_row))
+        .where(F.col("df") <= F.col("cap"))
         .select("shingle")
     )
-    # Broadcast anti-join: the hot set is tiny by construction (few
-    # phrases exceed the cap), so capping costs one map-side probe.
-    kept = posting.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    kept = posting.join(cold, "shingle").persist()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = kept.alias("a"), kept.alias("b")
+    # Cold posting lists are ≤ cap entries, so collect_list is bounded and
+    # the i<j expansion is local per shingle — cap² pairs worst case.
+    pair_expand = F.expr(
+        "flatten(transform(docs, (a, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "b -> struct(a AS doc_a, b AS doc_b))))"
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        kept.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .select(F.explode(pair_expand).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))

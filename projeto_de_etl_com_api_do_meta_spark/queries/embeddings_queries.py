@@ -198,15 +198,62 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "pos")
 
 
+_ORACLE_ANN_INT8 = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q8 AS (
+  -- round(unit-vector component * 127): same IEEE op order as Spark's
+  -- unit_vectors + quantize_int8 (sequential-fold norm, then /nrm, *127),
+  -- so the integer codes are bit-identical cross-engine
+  SELECT vec_id, i - 1 AS pos,
+         CAST(round(v[i] / sqrt(list_dot_product(v, v)) * 127) AS BIGINT)
+           AS qv
+  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+),
+pdot AS (
+  -- exact integer dot (|qv| <= 127, 64 dims -> |pd| <= 2^20; DuckDB SUM
+  -- promotes to HUGEINT, Spark folds in int64 — both exact)
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.qv * b.qv) AS pd
+  FROM q8 a JOIN q8 b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY pd DESC, neighbor_id) AS srn
+    FROM pdot) WHERE srn <= 20
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos_sim
+  FROM short s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ce ON ce.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 @register(
     "embed_ann_int8",
+    oracle=_ORACLE_ANN_INT8,
     tags=("embedding", "quantize", "ann", "north-star"),
     doc=(
         "Two-stage ANN on quantized vectors: int8 integer dot products "
         "shortlist k*4 candidates per query, exact float cosine re-ranks "
-        "the shortlist. Approximate (quantization can reorder distant "
-        "neighbors) -> rows-only; recall vs the exact brute-force baseline "
-        "is pinned in tests/test_similarity_ops.py."
+        "the shortlist. VALUE-EXACT oracle (upgraded from rows-only in r4): "
+        "the int8 codes are round(unit*127) — the construction "
+        "embed_quantize_int8's green oracle already proved bit-identical "
+        "cross-engine — and the shortlist rule is an exact integer dot "
+        "with (pd DESC, id) tie-break, so the full two-stage result "
+        "is deterministic and value-verified. Recall vs the exact "
+        "brute-force baseline additionally pinned in "
+        "tests/test_similarity_ops.py."
     ),
 )
 def embed_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,12 +547,16 @@ _SRP_MD5_SHORTLIST = 50
 
 _ORACLE_ANN_SRP_MD5 = f"""
 WITH {_oracle_yfp_cte("srp", _SRP_MD5_M)},
-sig AS (SELECT vec_id, list(y_fp ORDER BY j) AS s FROM y GROUP BY vec_id),
 pdot AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(list_dot_product(q.s, c.s) AS BIGINT) AS pd
-  FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
-  WHERE q.vec_id < 10
+  -- exact integer dot: per-component BIGINT products (|y_fp| <= 2^26, so
+  -- each term <= 2^52) summed in DuckDB's HUGEINT SUM — bit-identical to
+  -- Spark's int64 aggregate at any magnitude, unlike list_dot_product
+  -- whose DOUBLE accumulator rounds past 2^53
+  SELECT qy.vec_id AS query_id, cy.vec_id AS neighbor_id,
+         SUM(qy.y_fp * cy.y_fp) AS pd
+  FROM y qy JOIN y cy ON qy.j = cy.j AND qy.vec_id <> cy.vec_id
+  WHERE qy.vec_id < 10
+  GROUP BY 1, 2
 ),
 short AS (
   SELECT query_id, neighbor_id FROM (
@@ -814,6 +865,184 @@ def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return pq_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+# -- PQ ANN oracle twin (fixed-point codebooks, exact ADC) --------------------
+
+_PQ_FP_NSUB = 8    # subspaces (d=64 -> 8 dims each)
+_PQ_FP_KSUB = 16   # codes per subspace codebook
+_PQ_FP_SHORTLIST = 240  # k * rerank_factor, matching pq_topk's 5 * 48
+
+_ORACLE_ANN_PQ_FP = f"""
+WITH x AS (
+  SELECT vec_id, i - 1 AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP20}) AS BIGINT) AS xfp
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+xs AS (SELECT vec_id, pos // 8 AS sub, pos % 8 AS r, xfp FROM x),
+cb AS (
+  -- codebooks = subvectors of vectors 0..{_PQ_FP_KSUB - 1} in fixed point
+  SELECT vec_id AS code, sub, r, xfp AS cf FROM xs WHERE vec_id < {_PQ_FP_KSUB}
+),
+dist AS (
+  SELECT v.vec_id, v.sub, c.code, SUM((v.xfp - c.cf) * (v.xfp - c.cf)) AS dd
+  FROM xs v JOIN cb c ON v.sub = c.sub AND v.r = c.r
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, sub, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dd ASC, code ASC) AS rn
+    FROM dist) WHERE rn = 1
+),
+tab AS (
+  -- per-query ADC lookup table: (sub, code) -> exact integer partial dot
+  SELECT q.vec_id AS query_id, q.sub, c.code, SUM(q.xfp * c.cf) AS part
+  FROM xs q JOIN cb c ON q.sub = c.sub AND q.r = c.r
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT t.query_id, n.neighbor_id, SUM(t.part) AS adc
+  FROM codes n JOIN tab t ON n.sub = t.sub AND n.code = t.code
+  WHERE n.neighbor_id <> t.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc DESC, neighbor_id) AS srn
+    FROM adc) WHERE srn <= {_PQ_FP_SHORTLIST}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos_sim
+  FROM short s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ce ON ce.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register(
+    "embed_ann_pq_fp",
+    oracle=_ORACLE_ANN_PQ_FP,
+    tags=("embedding", "quantize", "ann", "north-star"),
+    doc=(
+        "Product-quantization ANN with a VALUE-EXACT oracle: 2^20 "
+        "fixed-point subvector codebooks (codes = vectors 0..15's "
+        "subvectors — the deterministic seed stage of Lloyd, same trick as "
+        "embed_ann_ivf_md5), corpus assigned per subspace by exact integer "
+        "L2 argmin (dd ASC, code ASC tie-break), per-query ADC lookup "
+        "tables of exact integer partial dots, approximate score = sum of "
+        "nsub table lookups via the (sub, code) equi-join — never a "
+        "full-dimension product — then exact cosine re-ranks the top-240 "
+        "shortlist to top-5. Every stage is integer arithmetic, so the "
+        "full PQ structure (codebooks, code assignment, ADC scores, "
+        "shortlist) is verified cross-engine — the oracle twin of "
+        "embed_ann_pq, whose float-Lloyd codebooks stay rows-only."
+    ),
+)
+def embed_ann_pq_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, unit_vectors
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    nsub, ksub, dsub = _PQ_FP_NSUB, _PQ_FP_KSUB, d // _PQ_FP_NSUB
+    xfp = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * F.lit(_FP20)).cast("long"),
+    )
+    sub_arr = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("sub"),
+                F.slice("xf", s * dsub + 1, dsub).alias("sv"),
+            )
+            for s in range(nsub)
+        ]
+    )
+    xs = (
+        emb.select("vec_id", xfp.alias("xf"))
+        .select("vec_id", F.inline(sub_arr))
+    )
+    cb = xs.where(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("code"), "sub", F.col("sv").alias("cv")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    rn_code = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("dd").asc(), F.col("code").asc()
+    )
+    codes = (
+        xs.join(F.broadcast(cb), "sub")
+        .select("vec_id", "sub", "code", l2.alias("dd"))
+        .withColumn("rn", F.row_number().over(rn_code))
+        .where(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "sub", "code")
+    )
+    part = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    table = (
+        xs.where(F.col("vec_id") < 10)
+        .join(F.broadcast(cb), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"), "sub", "code", part.alias("part")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(table), ["sub", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("part").alias("adc"))
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    short = (
+        adc.withColumn("srn", F.row_number().over(sw))
+        .where(F.col("srn") <= _PQ_FP_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    uv = unit_vectors(emb, "vec_id", "embedding", "vec_id", "uv")
+    qe = uv.select(F.col("vec_id").alias("query_id"), F.col("uv").alias("qv"))
+    ce = uv.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("uv").alias("cv")
+    )
+    scored = (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
 
 
 # -- kNN majority-vote classification ------------------------------------------

@@ -39,18 +39,21 @@ from .registry import register
 
 
 def _fresh_run_dir(prefix: str, sf_dir: str) -> str:
-    """Stable per-(prefix, sf_dir) scratch dir, WIPED at the start of each
-    call.  The incremental-streaming queries write their persistent stores
-    here and return parquet-backed DataFrames, so the dir must outlive the
-    query function (cleanup happens lazily on the next invocation instead of
-    eagerly before return — the fix for the driver-collect round-trip)."""
+    """Stable per-(prefix, sf_dir, pid) scratch dir, WIPED at the start of
+    each call.  The incremental-streaming queries write their persistent
+    stores here and return parquet-backed DataFrames, so the dir must outlive
+    the query function (cleanup happens lazily on the next invocation instead
+    of eagerly before return — the fix for the driver-collect round-trip).
+    The pid in the key scopes the wipe-on-next-call lifetime to ONE process:
+    without it, concurrent sessions probing the same sf_dir (parallel test /
+    bench runs) would delete each other's store and checkpoint mid-run."""
     import hashlib
     import os
     import shutil
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}_{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d

@@ -92,6 +92,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("window_range_frame_7d", "GLOBAL_WINDOW"): "input pre-reduced to the daily series (calendar-bounded rows)",
     ("window_distribution_funcs", "GLOBAL_WINDOW"): "cume_dist/percent_rank over a total order by W1 contract; approx-quantile twin pattern documented in SCALE.md",
     ("events_daily_anomaly", "GLOBAL_WINDOW"): "input pre-reduced to daily series",
+    ("dedup_ngram_jaccard_capped", "CARTESIAN"): "scalar df-cap broadcast (1-row greatest(floor, frac*N) aggregate)",
     ("corpus_inverted_index", "GLOBAL_WINDOW"): "vocabulary-bounded df ranking",
     ("events_rfm_segments", "GLOBAL_WINDOW"): "exact NTILE contract at user grain (approx twin exists)",
     ("agg_histogram_equidepth", "GLOBAL_WINDOW"): "exact equi-depth contract (approx twin exists)",

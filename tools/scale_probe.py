@@ -44,18 +44,41 @@ _LANGS = ["en", "de", "zh", "fr", "es"]
 _LANG_P = [0.41, 0.14, 0.15, 0.15, 0.15]
 
 
-def gen_corpus(out_dir: str, mult: int, seed: int = 7) -> None:
+def gen_corpus(
+    out_dir: str, mult: int, seed: int = 7, realistic_vocab: bool = False
+) -> None:
     """Write documents.parquet + embeddings.parquet at ``mult`` x sf0.1 and
-    symlink every other sf0.1 table into ``out_dir``."""
+    symlink every other sf0.1 table into ``out_dir``.
+
+    ``realistic_vocab`` swaps the fixture-mirroring 31-word vocabulary for a
+    2000-word zipf-ish one plus a fixed boilerplate sentence appended to 30%
+    of documents — the regime that exposed the absolute df-cap bug (r3 probe:
+    tiny vocab made EVERY shingle hot at x4+, emptying all capped sets).
+    With a realistic vocab, content shingles stay cold at any corpus size
+    while the boilerplate shingles are genuinely hot (df ≈ 0.3·N), so a
+    correct fraction cap must keep the former and drop the latter."""
     rng = np.random.default_rng(seed + mult)
     n_docs, n_vecs = BASE_DOCS * mult, BASE_VECS * mult
     os.makedirs(out_dir, exist_ok=True)
 
+    vocab = (
+        np.array([f"w{i:04d}" for i in range(2000)])
+        if realistic_vocab
+        else np.array(_VOCAB)
+    )
+    vp = None
+    if realistic_vocab:  # zipf-ish frequencies over the 2000-word vocab
+        vp = 1.0 / np.arange(1, len(vocab) + 1)
+        vp /= vp.sum()
     lens = rng.integers(44, 65, size=n_docs)
     texts: list[str] = []
     for i in range(n_docs):
-        words = rng.choice(_VOCAB, size=lens[i])
+        words = rng.choice(vocab, size=lens[i], p=vp)
         texts.append(" ".join(words))
+    if realistic_vocab:
+        boiler = "subscribe to our newsletter terms and conditions apply"
+        for j in rng.choice(n_docs, int(n_docs * 0.3), replace=False):
+            texts[int(j)] = texts[int(j)] + " " + boiler
     # planted duplication mirroring the fixture: ~0.2% exact, ~2% near
     # (near-dup = earlier doc with a few words swapped)
     n_exact = max(1, n_docs // 500)
@@ -130,6 +153,11 @@ def main() -> int:
     ap.add_argument("--sizes", default="1,2,4")
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument("--queries", default=None, help="comma list; default all")
+    ap.add_argument(
+        "--realistic-vocab",
+        action="store_true",
+        help="2000-word zipf vocab + 30%%-of-docs boilerplate sentence",
+    )
     a = ap.parse_args()
     sizes = [int(s) for s in a.sizes.split(",")]
     wanted = set(a.queries.split(",")) if a.queries else None
@@ -144,11 +172,12 @@ def main() -> int:
     spark = get_spark(app_name="scale-probe")
     results: dict[str, dict[str, float]] = {}
     for mult in sizes:
-        d = os.path.join(a.out, f"x{mult}")
+        suffix = "rv" if a.realistic_vocab else ""
+        d = os.path.join(a.out, f"x{mult}{suffix}")
         if not os.path.exists(os.path.join(d, "embeddings.parquet")):
             t0 = time.time()
-            gen_corpus(d, mult)
-            print(f"[gen] x{mult}: {time.time()-t0:.1f}s", flush=True)
+            gen_corpus(d, mult, realistic_vocab=a.realistic_vocab)
+            print(f"[gen] x{mult}{suffix}: {time.time()-t0:.1f}s", flush=True)
         names = list(wanted) if wanted else [n for n, _ in PROBES]
         for name in names:
             if name not in QUERIES:
