@@ -153,6 +153,12 @@ def md5_lsh_bands(sig: DataFrame) -> DataFrame:
 def dedup_minhash_md5_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
+    return md5_lsh_pairs(docs)
+
+
+def md5_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_match) MinHash-LSH near-dup pairs, md5 family:
+    banded equi-join candidates verified by signature match >= 8/16."""
     sig = md5_lsh_signatures(docs).persist()
 
     banded = md5_lsh_bands(sig)
@@ -488,4 +494,130 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding precision/recall evaluation (md5 family vs exact Jaccard).
+# ---------------------------------------------------------------------------
+
+_ORACLE_LSH_RECALL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingles
+  FROM t
+),
+posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shl),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM posting a JOIN posting b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(CAST(i.n_inter AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.5
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+       unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id, r.i AS hi,
+         MIN(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || s), 1, 8))::BIGINT)
+           AS h
+  FROM sh, unnest(range(0, {_K})) AS r(i)
+  GROUP BY doc_id, r.i
+),
+sig AS (
+  SELECT doc_id, list(h ORDER BY hi) AS sig FROM mh GROUP BY doc_id
+),
+band AS (
+  SELECT doc_id, b.j AS band_id,
+         md5(array_to_string(sig[b.j * {_ROWS} + 1 : b.j * {_ROWS} + {_ROWS}],
+                             ':')) AS bh
+  FROM sig, unnest(range(0, {_BANDS})) AS b(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM band a
+  JOIN band b2 ON a.band_id = b2.band_id AND a.bh = b2.bh
+              AND a.doc_id < b2.doc_id
+),
+lsh AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE len(list_filter(range(1, {_K} + 1), k -> sa.sig[k] = sb.sig[k]))
+        >= {_MIN_MATCH}
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM lsh) AS n_detected,
+       (SELECT COUNT(*) FROM truth JOIN lsh USING (doc_a, doc_b)) AS n_hit,
+       (SELECT COUNT(*) FROM truth JOIN lsh USING (doc_a, doc_b)) * 10000
+         // greatest((SELECT COUNT(*) FROM lsh), 1) AS precision_bp,
+       (SELECT COUNT(*) FROM truth JOIN lsh USING (doc_a, doc_b)) * 10000
+         // greatest((SELECT COUNT(*) FROM truth), 1) AS recall_bp
+"""
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=_ORACLE_LSH_RECALL,
+    tags=("dedup", "minhash", "lsh", "eval", "north-star"),
+    doc=(
+        "LSH banding quality evaluation, value-exact cross-engine: ground "
+        "truth = exact 3-gram Jaccard pairs >= 0.5 (posting join), "
+        "detected = md5-family MinHash-LSH pairs (4x4 bands, signature "
+        "verify >= 8/16), output = one summary row of n_truth/n_detected/"
+        "n_hit plus integer basis-point precision and recall. This is the "
+        "calibration artifact read before trusting the lossy path on a new "
+        "corpus: dedup_minhash_estimate_error measures the SIGNATURE's "
+        "Jaccard error, this measures the end-to-end PAIR retrieval. At "
+        "100 TB the truth side runs on a sampled slice (the posting join "
+        "is the audit path); both sides here are full-corpus so the "
+        "numbers are exact."
+    ),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    lsh = md5_lsh_pairs(docs).select("doc_a", "doc_b")
+    tr = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    de = lsh.agg(F.count(F.lit(1)).alias("n_detected"))
+    hi = truth.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        tr.crossJoin(de)
+        .crossJoin(hi)
+        .select(
+            "n_truth",
+            "n_detected",
+            "n_hit",
+            F.expr("n_hit * 10000 div greatest(n_detected, 1)").alias(
+                "precision_bp"
+            ),
+            F.expr("n_hit * 10000 div greatest(n_truth, 1)").alias(
+                "recall_bp"
+            ),
+        )
     )

@@ -1393,3 +1393,108 @@ def embed_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# -- ANN recall evaluation (LSH md5 vs exact, value-exact) --------------------
+
+_ORACLE_ANN_RECALL = f"""
+WITH {_oracle_yfp_cte("lsh", _LSH_MD5_M)},
+b AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN y_fp > 0 THEN (1::BIGINT << j) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM y GROUP BY vec_id
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+lsh_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos_sim
+  FROM b q
+  JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  JOIN e qe ON qe.vec_id = q.vec_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+  WHERE q.vec_id < 10
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM lsh_scored) WHERE rank <= 5
+),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+  FROM e q CROSS JOIN e c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM exact_scored) WHERE rank <= 5
+),
+n_ann AS (
+  SELECT query_id, COUNT(*) AS n FROM ann GROUP BY query_id
+)
+SELECT x.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COALESCE(MAX(n_ann.n), 0) AS BIGINT) AS n_ann,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_overlap,
+       COUNT(a.neighbor_id) * 10000 // COUNT(*) AS recall_bp
+FROM exact x
+LEFT JOIN ann a
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+LEFT JOIN n_ann ON n_ann.query_id = x.query_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+"""
+
+
+@register(
+    "embed_ann_recall_eval",
+    oracle=_ORACLE_ANN_RECALL,
+    tags=("embedding", "ann", "eval", "north-star"),
+    doc=(
+        "ANN recall@5 evaluation, value-exact cross-engine: per anchor "
+        "(vec_id < 10), how many of the exact cosine top-5 the md5-family "
+        "sign-bucket LSH ANN (embed_ann_lsh_md5's exact pipeline) returns, "
+        "plus the candidate count the bucket actually yielded — the "
+        "index-quality report read before routing production traffic to a "
+        "lossy ANN path (low n_ann = buckets too fine; low recall with "
+        "full n_ann = too few planes). Both rankings share the repo-wide "
+        "(rounded cosine DESC, id) tie-break so the overlap count is "
+        "deterministic. The eval twin of the recall unit tests, as a "
+        "registry query the driver value-verifies."
+    ),
+)
+def embed_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = embed_ann_lsh_md5(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = brute_force_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5
+    ).select("query_id", "neighbor_id")
+    n_ann = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n_ann"))
+    return (
+        exact.join(
+            ann.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_overlap"),
+        )
+        .join(n_ann, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("_n_ann", F.lit(0)).cast("long").alias("n_ann"),
+            "n_overlap",
+            F.expr("n_overlap * 10000 div n_exact").alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )

@@ -82,11 +82,15 @@ FROM scored
 @register(
     "events_rfm_segments",
     oracle=_ORACLE_RFM,
-    tags=("events", "window", "segmentation"),
+    tags=("events", "window", "segmentation", "scale-audit-only"),
     doc=(
         "RFM quartile segmentation: one-pass user-grain aggregate, then "
         "NTILE(4) quartile scores over totally-ordered (metric, user_id). "
-        "Bucket 1 = most recent / least frequent / lowest spend."
+        "Bucket 1 = most recent / least frequent / lowest spend. "
+        "SCALE-AUDIT-ONLY: the exact NTILE funnels the user-grain table "
+        "through one partition by construction — at corpus scale use "
+        "events_rfm_segments_approx (percentile_approx thresholds, also "
+        "oracle-verified), and keep this exact form for bounded audits."
     ),
 )
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,11 +328,15 @@ GROUP BY bucket
 @register(
     "agg_histogram_equidepth",
     oracle=_ORACLE_EQUIDEPTH,
-    tags=("agg", "histogram"),
+    tags=("agg", "histogram", "scale-audit-only"),
     doc=(
         "Exact equal-population deciles of l_extendedprice via NTILE over "
-        "a totally-ordered sort; min/max bounds per bucket. Scale path for "
-        "approximate needs is agg_percentiles (percentile_approx)."
+        "a totally-ordered sort; min/max bounds per bucket. "
+        "SCALE-AUDIT-ONLY: the exact NTILE funnels every row through one "
+        "partition by construction — at corpus scale use "
+        "agg_histogram_equidepth_approx (percentile_approx boundaries, "
+        "also oracle-verified), and keep this exact form for bounded "
+        "audits."
     ),
 )
 def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -808,3 +808,123 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive / recsys training pairs).
+# ---------------------------------------------------------------------------
+
+_NEG_PER_USER = 8
+
+_ORACLE_NEG_SAMPLING = f"""
+WITH pos AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+    AND json_extract(props, '$.k') IS NOT NULL
+),
+items AS (
+  SELECT item, ROW_NUMBER() OVER (ORDER BY item) - 1 AS idx
+  FROM (SELECT DISTINCT item FROM pos)
+),
+n AS (SELECT COUNT(*) AS n_items FROM items),
+cand AS (
+  SELECT u.user_id, j.j,
+         ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':'
+                             || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT
+           % (SELECT n_items FROM n) AS idx
+  FROM (SELECT DISTINCT user_id FROM pos) u,
+       unnest(range(0, {_NEG_PER_USER})) AS j(j)
+)
+SELECT c.user_id, CAST(c.j AS BIGINT) AS sample_j, i.item AS neg_item
+FROM cand c
+JOIN items i ON c.idx = i.idx
+LEFT JOIN pos p ON p.user_id = c.user_id AND p.item = i.item
+WHERE p.user_id IS NULL
+ORDER BY c.user_id, sample_j
+"""
+
+
+@register(
+    "train_negative_sampling",
+    oracle=_ORACLE_NEG_SAMPLING,
+    tags=("training", "sampling", "north-star"),
+    doc=(
+        f"Deterministic uniform negative sampling for contrastive/recsys "
+        f"training: positives = distinct (user, item) interactions (item = "
+        f"props JSON key, the reference's field_data JSONB analog); each "
+        f"user draws {_NEG_PER_USER} candidate negatives via the md5 "
+        "cross-engine family (md5(user:j) mod |items|), and candidates "
+        "that collide with a true positive are dropped (deterministic "
+        "rejection — per-user counts may be < m, exactly as both engines "
+        "compute it). 100 TB shape: the item index is vocabulary-bounded "
+        "(ranking it is a bounded global window), candidate generation is "
+        "a stateless per-row expression over the user spine, and the "
+        "rejection is an equi-join on (user, item) — no RNG state, no "
+        "driver sampling, rerun-stable across the cluster."
+    ),
+)
+def train_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pos = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    # Item vocabulary with dense 0-based index — bounded global window
+    # (|items| ~ O(100) here; at corpus scale swap for global_dense_ids).
+    items = (
+        pos.select("item")
+        .distinct()
+        .withColumn(
+            "idx", F.row_number().over(W.orderBy("item")).cast("long") - 1
+        )
+    )
+    n_items = items.agg(F.count(F.lit(1)).alias("n_items"))
+    users = pos.select("user_id").distinct()
+    cand = (
+        users.crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_NEG_PER_USER - 1))
+            ).alias("sample_j"),
+            "n_items",
+        )
+        .select(
+            "user_id",
+            F.col("sample_j").cast("long").alias("sample_j"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("user_id").cast("string"),
+                                F.col("sample_j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_items")
+            ).alias("idx"),
+        )
+    )
+    return (
+        cand.join(F.broadcast(items), "idx")
+        .join(pos, ["user_id", "item"], "left_anti")
+        .select("user_id", "sample_j", F.col("item").alias("neg_item"))
+        .orderBy("user_id", "sample_j")
+    )

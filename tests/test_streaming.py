@@ -232,3 +232,67 @@ def test_incremental_neardup_multiple_batches_and_store_bounded(
     assert res.select("doc_id").distinct().count() == n_docs
     # Suppressors point strictly backwards.
     assert res.where("suppressor >= doc_id").count() == 0
+
+
+def test_compact_store_preserves_content_and_bounds_files(spark, tmp_path):
+    """compact_store: identical rows after the rewrite, file count capped,
+    and the TTL predicate drops exactly the filtered rows."""
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.streaming.windows import (
+        compact_store,
+    )
+
+    store = str(tmp_path / "store.parquet")
+    # Simulate 10 per-batch appends (the incremental operators' pattern).
+    for b in range(10):
+        spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("k"), F.lit(b).alias("batch_seen")
+        ).write.mode("append").parquet(store)
+    import glob
+
+    assert len(glob.glob(f"{store}/part-*.parquet")) >= 10
+    before = sorted(r.k for r in spark.read.parquet(store).collect())
+
+    compact_store(spark, store, target_files=3)
+    assert len(glob.glob(f"{store}/part-*.parquet")) <= 3
+    after = sorted(r.k for r in spark.read.parquet(store).collect())
+    assert after == before  # semantics-preserving
+
+    compact_store(spark, store, keep_predicate=F.col("batch_seen") >= 7)
+    kept = spark.read.parquet(store)
+    assert kept.count() == 300
+    assert kept.agg(F.min("batch_seen")).first()[0] == 7
+
+
+def test_incremental_neardup_with_compaction_matches_uncompacted(
+    spark, sf_dir, tmp_path
+):
+    """Compaction every 2 batches must not change a single suppression
+    decision (it only rewrites files) — run the 5-batch replay both ways
+    and compare the full results."""
+    from projeto_de_etl_com_api_do_meta_spark.streaming.windows import (
+        chunked_docs_stream_dir,
+        incremental_neardup_suppress,
+    )
+
+    stream_dir = chunked_docs_stream_dir(spark, sf_dir, n_chunks=5)
+
+    def run(tag, compact_every):
+        store = str(tmp_path / f"buckets_{tag}.parquet")
+        results = str(tmp_path / f"results_{tag}.parquet")
+        q = incremental_neardup_suppress(
+            spark,
+            stream_dir,
+            store,
+            results,
+            str(tmp_path / f"ckpt_{tag}"),
+            compact_every=compact_every,
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.doc_id, r.is_kept, r.suppressor)
+            for r in spark.read.parquet(results).collect()
+        )
+
+    assert run("compacted", 2) == run("plain", 0)

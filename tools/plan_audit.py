@@ -93,6 +93,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("window_distribution_funcs", "GLOBAL_WINDOW"): "cume_dist/percent_rank over a total order by W1 contract; approx-quantile twin pattern documented in SCALE.md",
     ("events_daily_anomaly", "GLOBAL_WINDOW"): "input pre-reduced to daily series",
     ("dedup_ngram_jaccard_capped", "CARTESIAN"): "scalar df-cap broadcast (1-row greatest(floor, frac*N) aggregate)",
+    ("dedup_lsh_recall_eval", "CARTESIAN"): "three 1x1 scalar-count crossjoins building the summary row (truth join is the audit path by contract)",
+    ("embed_ann_recall_eval", "CARTESIAN"): "exact top-5 side is the bounded 10-anchor brute-force baseline being evaluated (same contract as embed_knn_bruteforce)",
+    ("train_negative_sampling", "CARTESIAN"): "scalar |items| broadcast (1 row) feeding the per-user candidate expression",
+    ("train_negative_sampling", "GLOBAL_WINDOW"): "dense index over the item VOCABULARY (bounded ~1e2 here; swap for global_dense_ids at vocab scale)",
     ("corpus_inverted_index", "GLOBAL_WINDOW"): "vocabulary-bounded df ranking",
     ("events_rfm_segments", "GLOBAL_WINDOW"): "exact NTILE contract at user grain (approx twin exists)",
     ("agg_histogram_equidepth", "GLOBAL_WINDOW"): "exact equi-depth contract (approx twin exists)",
