@@ -806,3 +806,98 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- Near-dup (LSH) train/eval decontamination --------------------------------
+
+_ORACLE_DECONTAM_LSH = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+       unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id, r.i AS hi,
+         MIN(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || s), 1, 8))::BIGINT)
+           AS h
+  FROM sh, unnest(range(0, 16)) AS r(i)
+  GROUP BY doc_id, r.i
+),
+sig AS (
+  SELECT doc_id, list(h ORDER BY hi) AS sig FROM mh GROUP BY doc_id
+),
+band AS (
+  SELECT doc_id, b.j AS band_id,
+         md5(array_to_string(sig[b.j * 4 + 1 : b.j * 4 + 4], ':')) AS bh
+  FROM sig, unnest(range(0, 4)) AS b(j)
+),
+cand AS (
+  SELECT DISTINCT tr.doc_id, ev.doc_id AS eval_doc_id
+  FROM band tr
+  JOIN band ev ON tr.band_id = ev.band_id AND tr.bh = ev.bh
+  WHERE tr.doc_id % 20 <> 0 AND ev.doc_id % 20 = 0
+)
+SELECT c.doc_id, c.eval_doc_id,
+       CAST(len(list_filter(range(1, 17), k -> st.sig[k] = se.sig[k]))
+            AS BIGINT) AS n_match
+FROM cand c
+JOIN sig st ON st.doc_id = c.doc_id
+JOIN sig se ON se.doc_id = c.eval_doc_id
+WHERE len(list_filter(range(1, 17), k -> st.sig[k] = se.sig[k])) >= 8
+ORDER BY c.doc_id, c.eval_doc_id
+"""
+
+
+@register(
+    "text_decontaminate_lsh",
+    oracle=_ORACLE_DECONTAM_LSH,
+    tags=("text", "dedup", "minhash", "training", "north-star"),
+    doc=(
+        "NEAR-DUP train/eval decontamination: flag training documents "
+        "(doc_id % 20 <> 0) that are MinHash-LSH near-duplicates of any "
+        "held-out eval document (doc_id % 20 = 0) — the paraphrase-level "
+        "contamination that text_decontaminate_ngram's exact 4-gram match "
+        "misses (a reworded benchmark item shares few exact 4-grams but "
+        "most of its shingle set). md5 cross-engine family: 16-min "
+        "signatures, 4x4 bands, candidates from the train-band x eval-band "
+        "equi-join (never all-pairs; the eval side is tiny so its band "
+        "table broadcasts at scale), verified at signature match >= 8/16 "
+        "(est. Jaccard >= 0.5). Output = (train doc, eval doc, n_match) "
+        "pairs, value-exact cross-engine."
+    ),
+)
+def text_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_crossengine import md5_lsh_bands, md5_lsh_signatures
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sig = md5_lsh_signatures(docs).persist()
+    bands = md5_lsh_bands(sig)
+    tr = bands.where(F.col("doc_id") % 20 != 0)
+    ev = bands.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "band_id", "bh"
+    )
+    cand = (
+        tr.join(F.broadcast(ev), ["band_id", "bh"])
+        .select("doc_id", "eval_doc_id")
+        .distinct()
+    )
+    st = sig.select("doc_id", F.col("sig").alias("sig_t"))
+    se = sig.select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("sig").alias("sig_e")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_t", "sig_e", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ).cast("long")
+    return (
+        cand.join(st, "doc_id")
+        .join(F.broadcast(se), "eval_doc_id")
+        .select("doc_id", "eval_doc_id", n_match.alias("n_match"))
+        .where(F.col("n_match") >= 8)
+        .orderBy("doc_id", "eval_doc_id")
+    )

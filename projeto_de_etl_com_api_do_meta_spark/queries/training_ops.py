@@ -928,3 +928,116 @@ def train_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "sample_j", F.col("item").alias("neg_item"))
         .orderBy("user_id", "sample_j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/test split (split by near-dup cluster, not document).
+# ---------------------------------------------------------------------------
+
+_ORACLE_LEAKAGE_SAFE_SPLIT = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingles
+  FROM t
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(CAST(i.n_inter AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - i.n_inter), 6) >= 0.12
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+g AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+b AS (
+  SELECT doc_id, group_id,
+         ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM g
+)
+SELECT doc_id, group_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id
+"""
+
+
+@register(
+    "train_split_leakage_safe",
+    oracle=_ORACLE_LEAKAGE_SAFE_SPLIT,
+    tags=("training", "dedup", "north-star"),
+    doc=(
+        "LEAKAGE-SAFE train/validation/test split: documents are split by "
+        "their near-dup CLUSTER (connected components over the "
+        "Jaccard>=0.12 pair graph, singletons = themselves), hashed on the "
+        "cluster's canonical min id — so two near-duplicate documents can "
+        "NEVER land on opposite sides of the split (the eval-set "
+        "contamination sample_hash_split's per-document hash cannot "
+        "prevent). The standard protocol for honest held-out sets over "
+        "crawled corpora. Same 80/10/10 md5 rule as sample_hash_split, "
+        "applied to group_id; components via iterative min-label "
+        "propagation (the dedup_cluster_components operator), oracle via "
+        "recursive CTE. At 100 TB the pair graph comes from the LSH "
+        "candidate path instead of the exact posting join; the grouping "
+        "and hash stages are unchanged."
+    ),
+)
+def train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, jaccard_pairs
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs.select("doc_id", "text"), threshold=0.12
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    g = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("group_id"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("group_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    return g.select(
+        "doc_id",
+        "group_id",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
