@@ -53,8 +53,10 @@ _ITERS = 2
 _SCALE = 65536.0  # 2^16: exact in binary floating point
 
 
-def _oracle_kmeans() -> str:
-    """Unrolled-CTE DuckDB oracle mirroring the Spark iterations exactly."""
+def _kmeans_ctes() -> list[str]:
+    """Unrolled Lloyd-iteration CTE chain (fixed-point, bit-exact), shared
+    by the k-means oracle and the SemDeDup oracle: ends with ``a{_ITERS}``
+    holding each vec_id's final combined argmin key (``key % k`` = cid)."""
     assign = """
 a{i} AS (
   SELECT vec_id, MIN(key) AS key FROM (
@@ -83,8 +85,12 @@ c0 AS (SELECT vec_id AS cid, pos, qv AS cq FROM pts WHERE vec_id < {_K})"""
         parts.append(assign.format(i=i, j=i - 1, k=_K))
         if i < _ITERS:
             parts.append(update.format(i=i, k=_K))
+    return parts
+
+
+def _oracle_kmeans() -> str:
     return (
-        "WITH " + ",".join(parts) + f"""
+        "WITH " + ",".join(_kmeans_ctes()) + f"""
 SELECT vec_id,
        CAST(key % {_K} AS BIGINT) AS cid,
        CAST(key // {_K} AS BIGINT) AS dist_q
@@ -377,4 +383,126 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         u2.crossJoin(F.broadcast(s2))
         .select(F.col("i").alias("pos"), F.expr("u div s").cast("long").alias("v"))
         .orderBy("pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup restricted to k-means clusters
+# --------------------------------------------------------------------------
+
+_SD_SCALE = 1024  # 2^10 fixed point: |dot| <= 64 * 2^20, 400*dot^2 < 2^63
+_SD_NUM = 49      # tau = 0.35 -> tau^2 = 49/400 (exact rational compare;
+_SD_DEN = 400     # 0.35 is the fixture corpus's 99.9th pairwise percentile —
+#                   the synthetic vectors have no true near-dups, so the
+#                   production-style 0.9x threshold would select nothing)
+
+
+def _oracle_semdedup() -> str:
+    return (
+        "WITH " + ",".join(_kmeans_ctes()) + f""",
+asg AS (SELECT vec_id, key % {_K} AS cid FROM a{_ITERS}),
+q AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {_SD_SCALE}) AS BIGINT)
+           AS sv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+nrm AS (SELECT vec_id, CAST(SUM(sv * sv) AS BIGINT) AS nrm
+        FROM q GROUP BY vec_id),
+cand AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.cid
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.ia, c.ib, c.cid, CAST(SUM(qa.sv * qb.sv) AS BIGINT) AS dot
+  FROM cand c
+  JOIN q qa ON qa.vec_id = c.ia
+  JOIN q qb ON qb.vec_id = c.ib AND qb.pos = qa.pos
+  GROUP BY c.ia, c.ib, c.cid
+),
+dups AS (
+  SELECT d.ia, d.ib, d.cid
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.ia
+  JOIN nrm nb ON nb.vec_id = d.ib
+  WHERE d.dot >= 0
+    AND {_SD_DEN} * d.dot * d.dot >= {_SD_NUM} * na.nrm * nb.nrm
+)
+SELECT ib AS vec_id, CAST(cid AS BIGINT) AS cid,
+       MIN(ia) AS canonical_id, COUNT(*) AS n_matches
+FROM dups GROUP BY ib, cid ORDER BY vec_id"""
+    )
+
+
+@register(
+    "dedup_semantic_clustered",
+    oracle=_oracle_semdedup(),
+    tags=("dedup", "embedding", "north-star"),
+    doc=(
+        "SemDeDup (Abbas et al. 2023): semantic near-duplicate detection "
+        "restricted to within-k-means-cluster pairs — the published trick "
+        "that turns O(N^2) embedding dedup into sum-of-cluster-sizes^2, "
+        "with k grown proportionally to N so cluster size stays bounded. "
+        "Cluster ids come from the bit-exact fixed-point Lloyd rounds "
+        "(embed_kmeans_lloyd); similarity is an exact integer comparison "
+        "on 2^10 fixed-point vectors (tau^2 as a rational, no float in "
+        "the decision), so dup/keep flags are identical at any "
+        "partitioning and cross-engine. Duplicates report the min-id "
+        "in-cluster match as canonical. The self-join is an equi-join on "
+        "cid (never all-pairs across clusters); per-vector norms are "
+        "precomputed in one hash aggregate."
+    ),
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    asg = embed_kmeans_lloyd(spark, sf_dir).select("vec_id", "cid")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _SD_SCALE).cast("long"),
+        ).alias("sv"),
+    )
+    qv = qv.withColumn(
+        "nrm",
+        F.aggregate(
+            F.zip_with("sv", "sv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    v = qv.join(asg, "vec_id")
+    a = v.select(
+        F.col("vec_id").alias("ia"),
+        F.col("sv").alias("sv_a"),
+        F.col("nrm").alias("nrm_a"),
+        "cid",
+    )
+    b = v.select(
+        F.col("vec_id").alias("ib"),
+        F.col("sv").alias("sv_b"),
+        F.col("nrm").alias("nrm_b"),
+        "cid",
+    )
+    pairs = a.join(b, "cid").where(F.col("ia") < F.col("ib"))
+    dot = F.aggregate(
+        F.zip_with("sv_a", "sv_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dups = pairs.withColumn("dot", dot).where(
+        (F.col("dot") >= 0)
+        & (
+            F.lit(_SD_DEN) * F.col("dot") * F.col("dot")
+            >= F.lit(_SD_NUM) * F.col("nrm_a") * F.col("nrm_b")
+        )
+    )
+    return (
+        dups.groupBy(F.col("ib").alias("vec_id"), F.col("cid").cast("long").alias("cid"))
+        .agg(
+            F.min("ia").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+        .orderBy("vec_id")
     )

@@ -901,3 +901,221 @@ def text_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_match") >= 8)
         .orderBy("doc_id", "eval_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule battery (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1).
+# ---------------------------------------------------------------------------
+
+#: The published battery's stopword-presence rule uses a tiny fixed list;
+#: thresholds below are config (the paper's 50..100k word bounds would
+#: reject the entire ~30-word fixture corpus, so fixture-visible values are
+#: pinned here — the STRUCTURE of the battery is the operator contract).
+_GOPHER_STOPS = ("the", "a", "and", "of", "to", "in", "is", "on", "that", "with")
+_GOPHER_MIN_WORDS = 10
+_GOPHER_MAX_WORDS = 1000
+_GOPHER_MIN_MWL_BP = 20_000  # mean word length >= 2.0 chars
+_GOPHER_MAX_MWL_BP = 80_000  # mean word length <= 8.0 chars
+_GOPHER_MIN_STOPS = 2
+_GOPHER_MIN_DISTINCT_BP = 2_000  # >= 20% distinct words (repetition gate)
+
+_ORACLE_GOPHER = f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS words,
+         length(replace(text, ' ', '')) AS n_chars_ns
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         (10000 * n_chars_ns) // greatest(len(words), 1) AS mean_wordlen_bp,
+         len(list_filter(words,
+             x -> list_contains({list(_GOPHER_STOPS)!r}, x))) AS stop_hits,
+         (10000 * len(list_distinct(words)))
+             // greatest(len(words), 1) AS distinct_ratio_bp
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(mean_wordlen_bp AS BIGINT) AS mean_wordlen_bp,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       CAST(distinct_ratio_bp AS BIGINT) AS distinct_ratio_bp,
+       CAST(CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                  AND mean_wordlen_bp
+                      BETWEEN {_GOPHER_MIN_MWL_BP} AND {_GOPHER_MAX_MWL_BP}
+                  AND stop_hits >= {_GOPHER_MIN_STOPS}
+                  AND distinct_ratio_bp >= {_GOPHER_MIN_DISTINCT_BP}
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=_ORACLE_GOPHER,
+    tags=("text", "quality", "north-star"),
+    doc=(
+        "Gopher-style quality rule battery (Rae et al. 2021 App. A1.1): "
+        "word-count bounds, mean-word-length bounds, minimum stopword "
+        "hits, and a distinct-word-ratio repetition gate, each emitted as "
+        "an inspectable metric plus a combined keep flag. All ratios are "
+        "integer basis points (floor division of exact int counts) so the "
+        "flags are bit-identical cross-engine. Pure per-row JVM array "
+        "expressions — no UDF, no shuffle except the presentation sort; "
+        "at 100 TB this is a stateless map over the corpus scan."
+    ),
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        words.alias("words"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_chars_ns"),
+    )
+    n_words = F.size("words").cast("long")
+    denom = F.greatest(n_words, F.lit(1))
+    mwl = F.expr("(10000 * n_chars_ns) div greatest(size(words), 1)")
+    stop_hits = F.size(
+        F.filter("words", lambda w: F.array_contains(stops, w))
+    ).cast("long")
+    distinct_bp = F.expr(
+        "(10000 * size(array_distinct(words))) div greatest(size(words), 1)"
+    )
+    m = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_wordlen_bp"),
+        stop_hits.alias("stop_hits"),
+        distinct_bp.alias("distinct_ratio_bp"),
+    )
+    keep = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mean_wordlen_bp").between(_GOPHER_MIN_MWL_BP, _GOPHER_MAX_MWL_BP)
+        & (F.col("stop_hits") >= _GOPHER_MIN_STOPS)
+        & (F.col("distinct_ratio_bp") >= _GOPHER_MIN_DISTINCT_BP)
+    )
+    return m.withColumn("keep", keep.cast("int")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + per-URL dedup (the web-crawl ingestion step).
+# ---------------------------------------------------------------------------
+
+_ORACLE_URL_DEDUP = """
+WITH u AS (
+  -- synthetic raw URLs (corpus has none): case noise, default port, a
+  -- dot-segment path, unsorted query params, and a unique fragment — the
+  -- exact denormalizations the canonicalizer must erase
+  SELECT doc_id,
+         'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.COM:80/a/./b' || CAST(doc_id % 13 AS VARCHAR)
+           || '/skip/../c?z=1&a=' || CAST(doc_id % 3 AS VARCHAR)
+           || '&m=2#frag' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+             '^www\\.', ''),
+           ':(80|443)$', '') AS host,
+         regexp_replace(
+           replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                   '/./', '/'),
+           '/[^/]+/\\.\\./', '/') AS path,
+         array_to_string(
+           list_sort(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&')),
+           '&') AS query
+  FROM u
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || path || '?' || query AS canonical_url
+  FROM parts
+)
+SELECT canonical_url,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_doc_id
+FROM canon
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
+@register(
+    "web_url_canonical_dedup",
+    oracle=_ORACLE_URL_DEDUP,
+    tags=("text", "dedup", "web", "north-star"),
+    doc=(
+        "URL canonicalization + per-URL dedup, the first dedup pass of "
+        "every web-crawl pipeline (cheaper than any content hash): "
+        "lowercase scheme/host, strip leading www. and default ports, "
+        "resolve ./ and x/../ dot segments, sort query parameters, drop "
+        "the fragment, then keep the min doc_id per canonical URL. The "
+        "corpus has no URLs, so deterministic raw URLs are synthesized "
+        "from doc_id (same augment-then-operate contract as "
+        "text_scrub_pii) and the oracle applies the identical augmentation "
+        "— the regex/normalize/dedup semantics are value-verified. "
+        "Stateless per-row string expressions + one hash aggregate; "
+        "group count is bounded by the canonical-URL space."
+    ),
+)
+def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://WWW.Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80/a/./b"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("/skip/../c?z=1&a="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&m=2#frag"),
+        F.col("doc_id").cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", "^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", "^[A-Za-z]+://([^/?#]+)", 1)),
+            "^www\\.",
+            "",
+        ),
+        ":(80|443)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract("url", "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            "/\\./",
+            "/",
+        ),
+        "/[^/]+/\\.\\./",
+        "/",
+    )
+    query = F.array_join(
+        F.array_sort(F.split(F.regexp_extract("url", "\\?([^#]*)", 1), "&")),
+        "&",
+    )
+    canon = u.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, path, F.lit("?"), query).alias(
+            "canonical_url"
+        ),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -1041,3 +1041,116 @@ def train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     ).orderBy("doc_id")
+
+
+# -- Temperature-scaled mixture (multilingual-LM alpha sampling) -------------
+
+_TEMP_TARGET = 2000  # target total sampled docs
+
+
+_ORACLE_TEMP_MIX = f"""
+WITH n AS (
+  SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+),
+w AS (
+  -- alpha = 0.5 temperature: weight = floor(1e6 * n^alpha). sqrt is
+  -- correctly rounded in IEEE 754, the 1e6 multiply and floor are exact,
+  -- so the integer weights are bit-identical cross-engine; every later
+  -- step is pure integer arithmetic.
+  SELECT source, n_total,
+         CAST(floor(1000000.0 * sqrt(CAST(n_total AS DOUBLE))) AS BIGINT)
+           AS weight
+  FROM n
+),
+t AS (SELECT SUM(weight) AS w_sum FROM w),
+r AS (
+  SELECT w.source, w.n_total, w.weight,
+         least(10000, (10000 * {_TEMP_TARGET} * w.weight)
+                        // (t.w_sum * w.n_total)) AS rate_bp
+  FROM w, t
+),
+k AS (
+  SELECT d.source,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                            || ':temp'), 1, 8))::BIGINT
+                            % 10000 < r.rate_bp
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM documents d JOIN r ON d.source = r.source
+  GROUP BY d.source
+)
+SELECT r.source, r.n_total, r.weight, CAST(r.rate_bp AS BIGINT) AS rate_bp,
+       k.n_kept
+FROM r JOIN k ON r.source = k.source
+ORDER BY r.source
+"""
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle=_ORACLE_TEMP_MIX,
+    tags=("sampling", "training", "north-star"),
+    doc=(
+        "Temperature-scaled corpus mixture (the multilingual-LM alpha-"
+        "sampling scheme, alpha=0.5): per-source weights n^alpha flatten "
+        "the source distribution so big crawls stop drowning small curated "
+        "sources; weights become integer per-source keep rates targeting a "
+        "fixed sampled-doc budget, and each document keeps/drops by a "
+        "salted md5 bucket vs its source's rate. Unlike "
+        "sample_corpus_mixture's static config rates, the rates here are "
+        "DERIVED from the observed source counts. Everything after the "
+        "correctly-rounded sqrt is integer arithmetic, so the plan is "
+        "bit-exact at any partitioning: two hash aggregates plus a "
+        "broadcast of the tiny per-source rate table — no rng, no wide "
+        "shuffle at 100 TB."
+    ),
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    per_src = per_src.withColumn(
+        "weight",
+        F.floor(F.lit(1000000.0) * F.sqrt(F.col("n_total").cast("double"))).cast(
+            "long"
+        ),
+    )
+    # scalar total weight: broadcast one row, a no-shuffle cross join
+    tot = per_src.agg(F.sum("weight").alias("w_sum"))
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_total",
+        "weight",
+        F.least(
+            F.lit(10000),
+            F.expr(
+                f"(10000 * {_TEMP_TARGET} * weight) div (w_sum * n_total)"
+            ),
+        ).alias("rate_bp"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    kept = (
+        docs.select("source", bucket.alias("bucket"))
+        .join(F.broadcast(rates.select("source", "rate_bp")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("bucket") < F.col("rate_bp")).cast("long")).alias(
+                "n_kept"
+            )
+        )
+    )
+    return (
+        rates.join(kept, "source")
+        .select("source", "n_total", "weight", "rate_bp", "n_kept")
+        .orderBy("source")
+    )
