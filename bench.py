@@ -85,6 +85,11 @@ HEADLINE: tuple[str, ...] = (
     # round-3 session additions (corpus-scale north-stars):
     "train_shuffle_epochs",
     "text_bigram_perplexity",
+    # round-4 additions: the end-to-end curation funnel (flagship
+    # composition) and the per-stage ops it introduced
+    "pipeline_training_funnel",
+    "text_gopher_quality_rules",
+    "dedup_semantic_clustered",
 )
 
 

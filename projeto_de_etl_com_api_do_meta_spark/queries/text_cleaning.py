@@ -971,6 +971,13 @@ ORDER BY doc_id
 def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
+    return gopher_metrics(docs).orderBy("doc_id")
+
+
+def gopher_metrics(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, mean_wordlen_bp, stop_hits, distinct_ratio_bp,
+    keep) Gopher rule metrics — shared by the standalone battery query and
+    the end-to-end training funnel."""
     stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
     words = F.split(F.col("text"), " ")
     base = docs.select(
@@ -979,7 +986,6 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", " ", "")).alias("n_chars_ns"),
     )
     n_words = F.size("words").cast("long")
-    denom = F.greatest(n_words, F.lit(1))
     mwl = F.expr("(10000 * n_chars_ns) div greatest(size(words), 1)")
     stop_hits = F.size(
         F.filter("words", lambda w: F.array_contains(stops, w))
@@ -1000,7 +1006,7 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stop_hits") >= _GOPHER_MIN_STOPS)
         & (F.col("distinct_ratio_bp") >= _GOPHER_MIN_DISTINCT_BP)
     )
-    return m.withColumn("keep", keep.cast("int")).orderBy("doc_id")
+    return m.withColumn("keep", keep.cast("int"))
 
 
 # ---------------------------------------------------------------------------

@@ -1154,3 +1154,215 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_total", "weight", "rate_bp", "n_kept")
         .orderBy("source")
     )
+
+
+# -- End-to-end training-data funnel -----------------------------------------
+
+
+def _oracle_funnel() -> str:
+    from .dedup_crossengine import _BANDS, _K, _MIN_MATCH, _ROWS
+    from .text_cleaning import (
+        _GOPHER_MAX_MWL_BP,
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_DISTINCT_BP,
+        _GOPHER_MIN_MWL_BP,
+        _GOPHER_MIN_STOPS,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_STOPS,
+    )
+
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words,
+         length(replace(text, ' ', '')) AS nc
+  FROM documents
+),
+k1 AS (
+  SELECT doc_id, text FROM m
+  WHERE len(words) BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+    AND (10000 * nc) // greatest(len(words), 1)
+        BETWEEN {_GOPHER_MIN_MWL_BP} AND {_GOPHER_MAX_MWL_BP}
+    AND len(list_filter(words,
+        x -> list_contains({list(_GOPHER_STOPS)!r}, x))) >= {_GOPHER_MIN_STOPS}
+    AND (10000 * len(list_distinct(words))) // greatest(len(words), 1)
+        >= {_GOPHER_MIN_DISTINCT_BP}
+),
+k2 AS (SELECT MIN(doc_id) AS doc_id FROM k1 GROUP BY md5(text)),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+sh2base AS (SELECT tok.doc_id, t FROM tok JOIN k2 USING (doc_id)),
+sh2 AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS s
+  FROM sh2base, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id, r.i AS hi,
+         MIN(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || s), 1, 8))::BIGINT)
+           AS h
+  FROM sh2, unnest(range(0, {_K})) AS r(i)
+  GROUP BY doc_id, r.i
+),
+sig AS (SELECT doc_id, list(h ORDER BY hi) AS sig FROM mh GROUP BY doc_id),
+band AS (
+  SELECT doc_id, b.j AS band_id,
+         md5(array_to_string(sig[b.j * {_ROWS} + 1 : b.j * {_ROWS} + {_ROWS}],
+                             ':')) AS bh
+  FROM sig, unnest(range(0, {_BANDS})) AS b(j)
+),
+dup AS (
+  SELECT DISTINCT b2.doc_id
+  FROM band a
+  JOIN band b2 ON a.band_id = b2.band_id AND a.bh = b2.bh
+              AND a.doc_id < b2.doc_id
+  JOIN sig sa ON sa.doc_id = a.doc_id
+  JOIN sig sb ON sb.doc_id = b2.doc_id
+  WHERE len(list_filter(range(1, {_K} + 1), k -> sa.sig[k] = sb.sig[k]))
+        >= {_MIN_MATCH}
+),
+k3 AS (SELECT doc_id FROM k2
+       WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+evsh AS (
+  SELECT DISTINCT array_to_string(t[i : i + 2], ' ') AS s
+  FROM (SELECT t FROM tok WHERE doc_id % 20 = 0) ev,
+       unnest(range(1, len(ev.t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+cont AS (
+  SELECT DISTINCT sh2.doc_id
+  FROM sh2 JOIN k3 USING (doc_id) JOIN evsh USING (s)
+),
+k4 AS (SELECT doc_id FROM k3
+       WHERE doc_id % 20 <> 0
+         AND doc_id NOT IN (SELECT doc_id FROM cont)),
+k5 AS (SELECT doc_id FROM k4
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 < 80),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n0,
+         (SELECT COUNT(*) FROM k1) AS n1,
+         (SELECT COUNT(*) FROM k2) AS n2,
+         (SELECT COUNT(*) FROM k3) AS n3,
+         (SELECT COUNT(*) FROM k4) AS n4,
+         (SELECT COUNT(*) FROM k5) AS n5
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_id, 'quality' AS stage,
+         n0 AS n_in, n1 AS n_out FROM agg
+  UNION ALL SELECT 2, 'exact_dedup', n1, n2 FROM agg
+  UNION ALL SELECT 3, 'near_dedup', n2, n3 FROM agg
+  UNION ALL SELECT 4, 'decontaminate', n3, n4 FROM agg
+  UNION ALL SELECT 5, 'train_split', n4, n5 FROM agg
+) ORDER BY stage_id
+"""
+
+
+_FUNNEL_STAGES = (
+    "quality",
+    "exact_dedup",
+    "near_dedup",
+    "decontaminate",
+    "train_split",
+)
+
+
+@register(
+    "pipeline_training_funnel",
+    oracle=_oracle_funnel(),
+    tags=("training", "pipeline", "north-star"),
+    doc=(
+        "End-to-end training-data curation funnel, each stage feeding the "
+        "next with per-stage survivor counts: Gopher quality rules -> "
+        "exact text dedup (min-id per md5) -> MinHash-LSH near-dup "
+        "suppression (md5 family, verified >= 8/16) -> n-gram "
+        "decontamination against the held-out eval slice (doc_id%20==0) "
+        "-> 80% deterministic hash train split. Composes five "
+        "independently-verified operators into the pipeline a real "
+        "pretraining corpus goes through; the funnel counts are the "
+        "value-exact contract. Stage survivors are id-only DataFrames "
+        "tagged and union-counted in one hash aggregate — no scalar "
+        "cartesians, no global windows; at 100 TB the exact "
+        "decontamination join swaps for the bloom-gated form "
+        "(text_decontaminate_bloom) and everything else is already "
+        "posting-list/banded."
+    ),
+)
+def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import spread, word_shingles
+    from ..operators.text import tokens
+    from .dedup_crossengine import md5_lsh_pairs
+    from .text_cleaning import gopher_metrics
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # each stage's id set is reused by the next stage AND the tagged
+    # count union below; persisting the (tiny, id-only) sets keeps the
+    # expensive LSH/shingle lineages from re-executing per branch
+    q_ids = (
+        gopher_metrics(docs).where(F.col("keep") == 1).select("doc_id").persist()
+    )
+    k1 = docs.join(q_ids, "doc_id")
+    k2_ids = (
+        k1.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .persist()
+    )
+    k2 = docs.join(k2_ids, "doc_id")
+    dup_ids = (
+        md5_lsh_pairs(k2).select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    k3_ids = k2_ids.join(dup_ids, "doc_id", "left_anti").persist()
+    tr_sh = (
+        spread(docs.join(k3_ids, "doc_id"), "doc_id")
+        .where(F.size(tokens("text")) >= 3)
+        .select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
+        .distinct()
+    )
+    ev_sh = (
+        spread(docs.where(F.col("doc_id") % 20 == 0), "doc_id")
+        .where(F.size(tokens("text")) >= 3)
+        .select(F.explode(word_shingles("text", 3)).alias("s"))
+        .distinct()
+    )
+    cont_ids = tr_sh.join(ev_sh, "s").select("doc_id").distinct()
+    k4_ids = (
+        k3_ids.where(F.col("doc_id") % 20 != 0)
+        .join(cont_ids, "doc_id", "left_anti")
+        .persist()
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    k5_ids = k4_ids.where(bucket < 80)
+
+    tagged = (
+        docs.select(F.lit(0).alias("st"), "doc_id")
+        .unionByName(q_ids.select(F.lit(1).alias("st"), "doc_id"))
+        .unionByName(k2_ids.select(F.lit(2).alias("st"), "doc_id"))
+        .unionByName(k3_ids.select(F.lit(3).alias("st"), "doc_id"))
+        .unionByName(k4_ids.select(F.lit(4).alias("st"), "doc_id"))
+        .unionByName(k5_ids.select(F.lit(5).alias("st"), "doc_id"))
+    )
+    counts = tagged.groupBy("st").agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(1, 6).select(F.col("id").cast("int").alias("st"))
+    names = F.array(*[F.lit(s) for s in _FUNNEL_STAGES])
+    n_in = counts.select((F.col("st") + 1).alias("st"), F.col("n").alias("n_in"))
+    n_out = counts.select("st", F.col("n").alias("n_out"))
+    return (
+        spine.join(F.broadcast(n_in), "st", "left")
+        .join(F.broadcast(n_out), "st", "left")
+        .select(
+            F.col("st").cast("long").alias("stage_id"),
+            F.element_at(names, F.col("st")).alias("stage"),
+            F.coalesce("n_in", F.lit(0)).alias("n_in"),
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
+        )
+        .orderBy("stage_id")
+    )
