@@ -62,84 +62,99 @@ _LOADED = False
 #: rows-only (no-oracle) queries go last where a scored slot can never earn a
 #: hash match anyway.
 _PRIORITY: tuple[str, ...] = (
-    # r02's only red (oracle HUGEINT cast, now fixed) + r02's slot-51 cutoff
-    "q12_priority_by_status",
-    "window_distribution_funcs",
-    # scalar-function families (SURVEY §2.6 R4-R6) — widest untested block
-    "fn_string_family",
-    "fn_date_family",
-    "fn_math_family",
-    "fn_array_family",
-    "fn_json_family",
-    "fn_map_family",
-    "fn_conditional_family",
-    "fn_variant_json",
-    "fn_bitwise_family",
-    "fn_lateral_view_explode",
-    "fn_try_family",
-    "fn_calendar_family",
-    "fn_hash_family",
-    "fn_regex_family",
-    # Python-interop surface (SURVEY §2.9)
-    "agg_udaf_pandas",
-    "udtf_applyinpandas",
-    "fn_scalar_udfs",
-    "udtf_cogroup_pandas",
-    "map_in_arrow_batches",
-    "fn_python_udtf_lateral",
-    # reference parity pipelines (SURVEY §2.10 X1/X2) + DSv2/stream ingest
-    "meta_dimension_pipeline",
-    "meta_performance_pipeline",
-    "meta_leads_pipeline",
-    "meta_raw_leads_pipeline",
-    "meta_dsv2_dimension_scan",
-    "meta_stream_insights_ingest",
-    # remaining streaming queries
-    "stream_chained_windows",
-    "stream_incremental_dedup",
-    "stream_incremental_neardup",
-    # data-quality battery
-    "dq_null_rates",
-    "dq_referential_integrity",
-    "dq_snapshot_diff",
-    "dq_column_stats",
-    "dq_outliers_iqr",
-    "dq_expectations_summary",
-    # warehouse / CDC / SCD2
-    "warehouse_cdc_apply",
-    "warehouse_scd2_build",
-    "warehouse_incremental_agg_merge",
-    "join_scd2_point_in_time",
-    # skew mitigation as queries
-    "join_salted_skew",
-    "agg_skew_safe_distinct",
-    # oracle-backed ANN twins (md5 cross-engine family, new r3)
-    "embed_ann_lsh_md5",
-    "embed_ann_srp_md5",
-    # north-star dedup stack (cross-engine md5 oracles + posting joins)
-    "dedup_minhash_md5_lsh",
-    "dedup_simhash_md5",
-    "dedup_simhash_md5_pairs",
-    "dedup_containment_pairs",
-    "dedup_jaccard_prefix_filter",
+    # ---- round-4 additions: flagship training-data-curation queries.  A
+    # driver-green row for these is worth more than one for a generic agg
+    # shape, so they head the window; already-green names auto-skip. ----
+    "pipeline_training_funnel",
+    "text_gopher_quality_rules",
+    "web_url_canonical_dedup",
+    "corpus_temperature_mixture",
+    "dedup_semantic_clustered",
+    "train_split_leakage_safe",
+    "text_decontaminate_lsh",
+    "train_shuffle_epochs",
+    "train_curriculum_stages",
+    "sample_quality_weighted",
+    "train_negative_sampling",
+    "text_bigram_perplexity",
+    # md5 / fixed-point ANN oracle twins (r3 verdict item 4: int8 + PQ new)
+    "embed_ann_int8",
+    "embed_ann_pq_fp",
+    "embed_ann_ivf_md5",
+    # sketch / index calibration evals
+    "dedup_minhash_estimate_error",
+    "dedup_lsh_recall_eval",
+    "embed_ann_recall_eval",
+    "embed_matryoshka_recall",
+    "embed_pair_sim_histogram",
+    "train_hard_negatives",
+    # fraction-based df cap (r3 verdict item 3) — green row proves the fix
     "dedup_ngram_jaccard_capped",
-    # north-star text stack
+    # ---- widest still-unverified r3 blocks (all pass local exact-value
+    # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",
     "text_scrub_pii",
     "text_substring_dup_winnow",
     "text_lang_confusion_matrix",
-    # training-data ops
     "sample_hash_split",
     "sample_corpus_mixture",
     "ids_global_dense",
     "pack_sequences_chunked",
     "train_corpus_manifest",
-    # graph / ML / SQL interface
+    "train_length_bucket_batches",
     "graph_pagerank_purchases",
     "graph_triangle_count",
     "ml_target_encode_status",
     "sql_interface_demo",
     "sql_recursive_cte",
+    "agg_median_mode",
+    "agg_bivariate_moments",
+    "agg_conditional_battery",
+    "agg_string_concat_ordered",
+    "restructure_sql_pivot",
+    "corpus_countmin_sketch",
+    "corpus_bpe_pair_stats",
+    "corpus_vocab_coverage",
+    "dedup_sorted_neighborhood",
+    "dedup_canonical_selection",
+    "dedup_containment_prefix_filter",
+    "embed_knn_classify",
+    "embed_kmeans_lloyd",
+    # ---- round-5 tail (overflow past the ~50-slot window) ----
+    "text_substring_dup_spans",
+    "text_repetition_quality",
+    "text_quality_filter_quantile",
+    "text_unigram_surprisal",
+    "text_feature_hashing",
+    "text_chunk_overlap",
+    "text_decontaminate_ngram",
+    "corpus_heavy_hitters",
+    "corpus_inverted_index",
+    "corpus_boolean_search",
+    "corpus_token_budget",
+    "corpus_top_bigrams",
+    "sample_topk_per_stratum",
+    "graph_degree_distribution",
+    "embed_power_iteration",
+    "events_session_window_builtin",
+    "events_time_rollup_ymd",
+    "events_interpolate_linear",
+    "events_last_touch_attribution",
+    "events_behavior_ngrams",
+    "events_incremental_rollup",
+    "events_rfm_segments",
+    "events_rfm_segments_approx",
+    "basket_association_rules",
+    "join_asof_forward",
+    "agg_histogram_equidepth",
+    "agg_histogram_equidepth_approx",
+    "layout_zorder_roundtrip",
+    "layout_partition_prune_roundtrip",
+    "layout_compact_roundtrip",
+    "window_share_of_total",
+    "window_first_last_nth",
+    "window_rolling_median",
+    "setop_intersect_except_all",
 )
 
 #: Driver-verified green in CORRECTNESS_r01 + r02 — re-scoring these wastes
