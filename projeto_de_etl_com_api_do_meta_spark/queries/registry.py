@@ -90,6 +90,11 @@ _PRIORITY: tuple[str, ...] = (
     "train_hard_negatives",
     # fraction-based df cap (r3 verdict item 3) — green row proves the fix
     "dedup_ngram_jaccard_capped",
+    # web-crawl curation trio (new r4): C4 line dedup, per-host
+    # boilerplate strip, host-level quality gating
+    "web_line_dedup_rebuild",
+    "web_boilerplate_strip_host",
+    "web_host_quality_filter",
     # ---- widest still-unverified r3 blocks (all pass local exact-value
     # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",
@@ -117,10 +122,10 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_vocab_coverage",
     "dedup_sorted_neighborhood",
     "dedup_canonical_selection",
+    # ---- round-5 tail (overflow past the ~50-slot window) ----
     "dedup_containment_prefix_filter",
     "embed_knn_classify",
     "embed_kmeans_lloyd",
-    # ---- round-5 tail (overflow past the ~50-slot window) ----
     "text_substring_dup_spans",
     "text_repetition_quality",
     "text_quality_filter_quantile",
@@ -278,6 +283,7 @@ def _load_all() -> None:
         tpch_remaining,
         training_ops,
         warehouse_ops,
+        web_queries,
         windows_setops,
     )
 

@@ -1,0 +1,135 @@
+"""Semantics tests for the web-crawl curation operators (web_queries.py):
+hand-built corpora with known duplicate segments / boilerplate, so every
+assertion is against a value derived by hand, not by re-running the code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projeto_de_etl_com_api_do_meta_spark.queries.web_queries import (
+    _BOILER_MIN_DOCS,
+    first_occurrence_only,
+    rebuild_docs,
+    segment_words,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestSegmentWords:
+    def test_widths_and_positions(self, spark):
+        # 23 words -> segments of 10/10/3, 1-based positions
+        words = [f"w{i}" for i in range(23)]
+        df = segment_words(_docs(spark, [(1, " ".join(words))]))
+        rows = {r.seg_pos: r for r in df.collect()}
+        assert set(rows) == {1, 2, 3}
+        assert all(r.n_segs == 3 for r in rows.values())
+        assert rows[1].seg == " ".join(words[:10])
+        assert rows[2].seg == " ".join(words[10:20])
+        assert rows[3].seg == " ".join(words[20:])
+
+    def test_short_doc_is_one_segment(self, spark):
+        df = segment_words(_docs(spark, [(1, "a b c")]))
+        [r] = df.collect()
+        assert (r.seg_pos, r.n_segs, r.seg) == (1, 1, "a b c")
+
+
+class TestLineDedup:
+    def test_first_occurrence_wins(self, spark):
+        shared = " ".join(f"s{i}" for i in range(10))
+        uniq_a = " ".join(f"a{i}" for i in range(10))
+        uniq_b = " ".join(f"b{i}" for i in range(10))
+        segs = segment_words(
+            _docs(
+                spark,
+                [(1, f"{shared} {uniq_a}"), (2, f"{shared} {uniq_b}")],
+            )
+        ).drop("n_segs")
+        kept = first_occurrence_only(segs)
+        got = {(r.doc_id, r.seg) for r in kept.collect()}
+        # doc 1 keeps both of its segments; doc 2 loses the shared one
+        assert got == {(1, shared), (1, uniq_a), (2, uniq_b)}
+
+    def test_rebuild_preserves_order(self, spark):
+        shared = " ".join(f"s{i}" for i in range(10))
+        uniq_b = " ".join(f"b{i}" for i in range(10))
+        # doc 2's SECOND segment survives, its first does not: the rebuilt
+        # text must be just the survivor, not a reordering artifact
+        segs = segment_words(
+            _docs(spark, [(1, shared), (2, f"{shared} {uniq_b}")])
+        ).drop("n_segs")
+        reb = {
+            r.doc_id: r.rebuilt
+            for r in rebuild_docs(first_occurrence_only(segs)).collect()
+        }
+        assert reb == {1: shared, 2: uniq_b}
+
+    def test_duplicate_within_one_doc_collapses(self, spark):
+        seg = " ".join(f"x{i}" for i in range(10))
+        segs = segment_words(_docs(spark, [(1, f"{seg} {seg}")])).drop("n_segs")
+        kept = first_occurrence_only(segs).collect()
+        assert [(r.seg_pos, r.seg) for r in kept] == [(1, seg)]
+
+
+class TestBoilerplateStrip:
+    def test_synthetic_boilerplate_removed_everywhere(self, spark, sf_dir):
+        from projeto_de_etl_com_api_do_meta_spark.queries.web_queries import (
+            web_boilerplate_strip_host,
+        )
+
+        out = web_boilerplate_strip_host(spark, sf_dir)
+        rows = out.collect()
+        assert len(rows) > 0
+        # the two appended boilerplate lines are shared by every doc of the
+        # host (fixture hosts hold >= _BOILER_MIN_DOCS docs each), so every
+        # doc loses at least those two segments
+        assert all(r.n_boiler_removed >= 2 for r in rows)
+        # stripping is selective: most docs keep their natural segments
+        assert any(r.n_segs > r.n_boiler_removed for r in rows)
+
+    def test_threshold_is_per_host(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries import web_queries
+
+        # one host with _BOILER_MIN_DOCS docs sharing a segment (stripped),
+        # another host with the SAME shared segment in fewer docs (kept):
+        # counting must be per (host, segment), not global
+        shared = " ".join(f"s{i}" for i in range(10))
+        rows = []
+        # host = doc_id % 7: docs 0,7,14,21,28 -> host site0 (5 = threshold)
+        for d in range(0, 7 * _BOILER_MIN_DOCS, 7):
+            rows.append((d, f"{shared} doc{d}" + " pad" * 8))
+        # docs 1,8 -> host site1 (2 < threshold)
+        for d in (1, 8):
+            rows.append((d, f"{shared} doc{d}" + " pad" * 8))
+        docs = _docs(spark, rows)
+        host = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"))
+        segs = segment_words(docs).withColumn("host", host)
+        hs = segs.groupBy("host", "seg").agg(
+            F.countDistinct("doc_id").alias("nd")
+        )
+        nd = {
+            (r.host, r.seg): r.nd
+            for r in hs.where(F.col("seg") == shared).collect()
+        }
+        assert nd[("site0", shared)] == _BOILER_MIN_DOCS  # stripped
+        assert nd[("site1", shared)] == 2  # kept
+
+
+class TestHostQuality:
+    def test_flag_and_rates_consistent(self, spark, sf_dir):
+        from projeto_de_etl_com_api_do_meta_spark.queries.web_queries import (
+            web_host_quality_filter,
+        )
+
+        rows = web_host_quality_filter(spark, sf_dir).collect()
+        assert len(rows) == 7
+        all_docs = sum(r.n_docs for r in rows)
+        all_keep = sum(r.n_keep for r in rows)
+        corpus_bp = 10000 * all_keep // all_docs
+        for r in rows:
+            assert r.corpus_keep_bp == corpus_bp
+            assert r.keep_bp == 10000 * r.n_keep // r.n_docs
+            assert r.below_avg == int(r.keep_bp < corpus_bp)

@@ -58,6 +58,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("graph_triangle_count", "CARTESIAN"): "three 1x1 scalar-aggregate crossjoins in the summary row",
     ("corpus_token_budget", "CARTESIAN"): "corpus-total scalar broadcast (1 row)",
     ("corpus_temperature_mixture", "CARTESIAN"): "total-weight scalar broadcast (1 row) onto the per-source rate table",
+    ("web_host_quality_filter", "CARTESIAN"): "corpus keep-rate scalar broadcast (1 row) onto the 7-row host table",
     ("basket_association_rules", "CARTESIAN"): "order-total scalar broadcast (1 row)",
     ("corpus_token_budget", "GLOBAL_WINDOW"): "cumulative share over the (source x lang) grid — input pre-reduced to ~|sources|*|langs| rows",
     ("dedup_embedding_cosine", "CARTESIAN"): "scalar-threshold crossJoin of two single-row aggregates",
