@@ -90,6 +90,7 @@ HEADLINE: tuple[str, ...] = (
     "pipeline_training_funnel",
     "text_gopher_quality_rules",
     "dedup_semantic_clustered",
+    "web_line_dedup_rebuild",
 )
 
 

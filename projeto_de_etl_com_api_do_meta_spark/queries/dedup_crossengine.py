@@ -156,10 +156,18 @@ def dedup_minhash_md5_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return md5_lsh_pairs(docs)
 
 
-def md5_lsh_pairs(docs: DataFrame) -> DataFrame:
+def md5_lsh_pairs(
+    docs: DataFrame,
+    posting: DataFrame | None = None,
+    sort: bool = True,
+) -> DataFrame:
     """(doc_a, doc_b, n_match) MinHash-LSH near-dup pairs, md5 family:
-    banded equi-join candidates verified by signature match >= 8/16."""
-    sig = md5_lsh_signatures(docs).persist()
+    banded equi-join candidates verified by signature match >= 8/16.
+    ``posting`` reuses an already-shingled (doc_id, s) stream (see
+    md5_lsh_signatures); ``sort=False`` drops the presentation sort for
+    callers that immediately re-aggregate the pairs (a funnel stage
+    doesn't need a corpus-wide range-partition sort in the middle)."""
+    sig = md5_lsh_signatures(docs, posting=posting).persist()
 
     banded = md5_lsh_bands(sig)
     a, b = banded.alias("a"), banded.alias("b")
@@ -181,13 +189,13 @@ def md5_lsh_pairs(docs: DataFrame) -> DataFrame:
             lambda v: v == 1,
         )
     ).cast("long")
-    return (
+    out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", n_match.alias("n_match"))
         .where(F.col("n_match") >= _MIN_MATCH)
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 # ---------------------------------------------------------------------------

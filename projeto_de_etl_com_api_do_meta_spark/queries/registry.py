@@ -95,6 +95,8 @@ _PRIORITY: tuple[str, ...] = (
     "web_line_dedup_rebuild",
     "web_boilerplate_strip_host",
     "web_host_quality_filter",
+    "text_pii_pseudonymize",
+    "text_quality_classifier_linear",
     # ---- widest still-unverified r3 blocks (all pass local exact-value
     # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",
@@ -120,9 +122,9 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_countmin_sketch",
     "corpus_bpe_pair_stats",
     "corpus_vocab_coverage",
+    # ---- round-5 tail (overflow past the ~50-slot window) ----
     "dedup_sorted_neighborhood",
     "dedup_canonical_selection",
-    # ---- round-5 tail (overflow past the ~50-slot window) ----
     "dedup_containment_prefix_filter",
     "embed_knn_classify",
     "embed_kmeans_lloyd",

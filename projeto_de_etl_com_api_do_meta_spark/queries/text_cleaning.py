@@ -1125,3 +1125,191 @@ def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent PII pseudonymization (referential-integrity-preserving redaction).
+# ---------------------------------------------------------------------------
+
+_ORACLE_PSEUDONYMIZE = """
+WITH augmented AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id % 50 AS VARCHAR)
+              || '@mail.example.com and user' || CAST(doc_id % 37 AS VARCHAR)
+              || '@mail.example.com' AS raw
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, raw,
+         list_sort(list_distinct(regexp_extract_all(raw,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS ems
+  FROM augmented
+),
+ps AS (
+  SELECT doc_id, ems,
+         list_reduce(
+           list_prepend(raw, ems),
+           (acc, e) -> replace(acc, e,
+             'u' || substr(md5(e), 1, 8) || '@redacted.example')) AS clean
+  FROM ex
+)
+SELECT doc_id,
+       CAST(len(ems) AS BIGINT) AS n_pii,
+       'u' || substr(md5(ems[1]), 1, 8) AS first_token,
+       md5(clean) AS clean_hash
+FROM ps
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_pii_pseudonymize",
+    oracle=_ORACLE_PSEUDONYMIZE,
+    tags=("text", "cleaning", "north-star"),
+    doc=(
+        "Consistent PII pseudonymization: every email is replaced by a "
+        "STABLE token derived from its md5 (u<md5[:8]>@redacted.example), "
+        "so the same address maps to the same token in every document — "
+        "unlike text_scrub_pii's <EMAIL> blanket, downstream joins and "
+        "frequency analyses on the redacted corpus still work. The "
+        "synthetic emails are shared across documents (doc_id % 50 / % 37 "
+        "address pools) precisely so cross-document consistency is part "
+        "of what the oracle verifies. Extraction is regexp_extract_all, "
+        "replacement is a fold (aggregate) over the sorted distinct "
+        "matches — pure JVM expressions, stateless per row, no shuffle "
+        "except the presentation sort."
+    ),
+)
+def text_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("@mail.example.com and user"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit("@mail.example.com"),
+    )
+    ex = docs.select(
+        "doc_id",
+        raw.alias("raw"),
+        F.array_sort(
+            F.array_distinct(
+                F.regexp_extract_all("raw", F.lit(EMAIL_RE), 0)
+            )
+        ).alias("ems"),
+    )
+
+    def _pseudo(e):
+        return F.concat(
+            F.lit("u"), F.substring(F.md5(e), 1, 8), F.lit("@redacted.example")
+        )
+
+    ps = ex.select(
+        "doc_id",
+        "ems",
+        F.aggregate(
+            "ems", F.col("raw"), lambda acc, e: F.replace(acc, e, _pseudo(e))
+        ).alias("clean"),
+    )
+    return ps.select(
+        "doc_id",
+        F.size("ems").cast("long").alias("n_pii"),
+        F.concat(
+            F.lit("u"), F.substring(F.md5(F.element_at("ems", 1)), 1, 8)
+        ).alias("first_token"),
+        F.md5("clean").alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style scoring pass).
+# ---------------------------------------------------------------------------
+
+#: Hashing-trick dimensionality and the deterministic stand-in weights.
+#: Real weights come out of training and arrive as a (bucket, w) table —
+#: the stand-in derives them from the bucket id (Knuth multiplicative hash
+#: onto [-1000, 1000]) so the oracle can rebuild the identical table.
+_CLS_BUCKETS = 1024
+_CLS_WEIGHT_EXPR = "(bucket * 2654435761) % 2147483648 % 2001 - 1000"
+
+_ORACLE_QUALITY_CLASSIFIER = f"""
+WITH weights AS (
+  SELECT i AS bucket,
+         (i * 2654435761) % 2147483648 % 2001 - 1000 AS w
+  FROM unnest(range(0, {_CLS_BUCKETS})) AS r(i)
+),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+bt AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_CLS_BUCKETS} AS bucket
+  FROM toks
+)
+SELECT bt.doc_id,
+       COUNT(*) AS n_toks,
+       CAST(SUM(w.w) AS BIGINT) AS score,
+       CAST(CASE WHEN SUM(w.w) > 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM bt JOIN weights w USING (bucket)
+GROUP BY bt.doc_id
+ORDER BY bt.doc_id
+"""
+
+
+@register(
+    "text_quality_classifier_linear",
+    oracle=_ORACLE_QUALITY_CLASSIFIER,
+    tags=("text", "quality", "ml", "north-star"),
+    doc=(
+        "fastText-style hashed linear quality classifier — the scoring "
+        "pass CCNet/DCLM-class pipelines run with a trained model: tokens "
+        f"hash into {_CLS_BUCKETS} buckets (hashing trick, md5 family), a "
+        "(bucket, weight) table joins in BROADCAST (that is the real "
+        "plumbing — learned weights arrive as a table, not code), and the "
+        "per-document score is one map-side-combinable integer sum with a "
+        "sign gate. Weights here are a deterministic stand-in derived "
+        "from the bucket id so the oracle rebuilds the identical table; "
+        "swapping in trained weights changes one DataFrame, not the "
+        "plan. At 100 TB: stateless token map + broadcast join + hash "
+        "aggregate — no shuffle wider than the per-doc reduce."
+    ),
+)
+def text_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_crossengine import _md5_u32
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
+    weights = (
+        spark.range(_CLS_BUCKETS)
+        .select(F.col("id").alias("bucket"))
+        .select("bucket", F.expr(_CLS_WEIGHT_EXPR).cast("long").alias("w"))
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    bt = toks.select(
+        "doc_id", (_md5_u32(F.col("tok")) % _CLS_BUCKETS).alias("bucket")
+    )
+    return (
+        bt.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("w").cast("long").alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "score",
+            (F.col("score") > 0).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

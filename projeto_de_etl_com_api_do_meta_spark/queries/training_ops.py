@@ -1312,8 +1312,17 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     k2 = docs.join(k2_ids, "doc_id")
+    # each stage re-shingles its own (shrinking) slice rather than sharing
+    # one persisted corpus-wide posting: measured, materializing the
+    # exploded 200x posting costs more than re-running the codegen'd
+    # tokenize+slide fused into each stage's scan. sort=False drops
+    # md5_lsh_pairs' presentation sort — the pairs feed straight into a
+    # re-aggregating distinct, so a corpus-wide range sort mid-funnel is
+    # pure overhead.
     dup_ids = (
-        md5_lsh_pairs(k2).select(F.col("doc_b").alias("doc_id")).distinct()
+        md5_lsh_pairs(k2, sort=False)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
     )
     k3_ids = k2_ids.join(dup_ids, "doc_id", "left_anti").persist()
     tr_sh = (
