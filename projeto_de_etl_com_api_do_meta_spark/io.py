@@ -104,3 +104,28 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema_ddl: str
+) -> DataFrame:
+    """PERMISSIVE JSONL read with a quarantine column: rows that fail to
+    parse against ``schema_ddl`` come back with their raw line in
+    ``_corrupt_record`` and every typed field NULL, instead of failing the
+    job (FAILFAST) or silently vanishing (DROPMALFORMED).  This is the
+    ingestion contract for web-crawl JSONL at scale, where a 100 TB batch
+    WILL contain truncated/mangled lines and one bad record must cost one
+    quarantined row, not a task retry storm.
+
+    The returned frame carries ``_corrupt_record string`` appended to the
+    caller's schema; route ``_corrupt_record IS NOT NULL`` rows to a
+    quarantine sink and the rest onward.  (Spark refuses plans that
+    reference ONLY the corrupt column — always select it alongside a data
+    column, as the quarantine split naturally does.)
+    """
+    return (
+        spark.read.schema(schema_ddl + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "web_host_quality_filter",
     "text_pii_pseudonymize",
     "text_quality_classifier_linear",
+    "io_jsonl_quarantine_roundtrip",
     # ---- widest still-unverified r3 blocks (all pass local exact-value
     # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",
@@ -120,9 +121,9 @@ _PRIORITY: tuple[str, ...] = (
     "agg_string_concat_ordered",
     "restructure_sql_pivot",
     "corpus_countmin_sketch",
-    "corpus_bpe_pair_stats",
     "corpus_vocab_coverage",
     # ---- round-5 tail (overflow past the ~50-slot window) ----
+    "corpus_bpe_pair_stats",
     "dedup_sorted_neighborhood",
     "dedup_canonical_selection",
     "dedup_containment_prefix_filter",

@@ -542,3 +542,63 @@ def warehouse_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-tolerant JSONL ingestion (PERMISSIVE + quarantine).
+# ---------------------------------------------------------------------------
+
+_JSONL_QUARANTINE_ORACLE = """
+SELECT lang, COUNT(*) AS n
+FROM documents WHERE doc_id % 37 <> 0 GROUP BY lang
+UNION ALL
+SELECT '__corrupt__' AS lang, COUNT(*) AS n
+FROM documents WHERE doc_id % 37 = 0
+ORDER BY lang
+"""
+
+
+@register(
+    "io_jsonl_quarantine_roundtrip",
+    oracle=_JSONL_QUARANTINE_ORACLE,
+    tags=("io", "ingestion", "north-star"),
+    doc=(
+        "Corrupt-tolerant JSONL ingestion: documents are serialized to "
+        "JSON lines with every doc_id % 37 == 0 line deterministically "
+        "mangled (unclosed-brace prefix), read back PERMISSIVE with a "
+        "_corrupt_record quarantine column, and summarized as per-lang "
+        "good counts plus a __corrupt__ bucket. A 100 TB crawl batch WILL "
+        "contain truncated lines; the contract is one quarantined row per "
+        "bad line — never a failed job (FAILFAST) or a silent drop "
+        "(DROPMALFORMED). The oracle recomputes the expected split from "
+        "the mangling rule, so the parse/quarantine boundary itself is "
+        "value-verified."
+    ),
+)
+def io_jsonl_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import read_jsonl_quarantine
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    payload = F.to_json(F.struct("doc_id", "lang", "source"))
+    line = F.when(
+        F.col("doc_id") % 37 == 0, F.concat(F.lit('{"broken'), payload)
+    ).otherwise(payload)
+    target = tempfile.mkdtemp(prefix="jsonl_q_") + "/docs_jsonl"
+    docs.select(line.alias("value")).write.mode("overwrite").text(target)
+
+    parsed = read_jsonl_quarantine(
+        spark, target, "doc_id long, lang string, source string"
+    )
+    return (
+        parsed.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "__corrupt__")
+            .otherwise(F.col("lang"))
+            .alias("lang")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
