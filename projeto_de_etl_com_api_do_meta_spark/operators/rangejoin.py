@@ -53,3 +53,52 @@ def binned_interval_join(
         .drop("_bin", "_l_us", "_r_us")
     )
     return refined
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_span: tuple[str, str],
+    right_span: tuple[str, str],
+    bucket_width: int,
+) -> DataFrame:
+    """All (left, right) pairs whose closed integer intervals overlap:
+    ``l.s <= r.e AND r.s <= l.e`` — interval x interval, the general form
+    of :func:`binned_interval_join`'s point-in-window.
+
+    Scale shape: each side is replicated to every ``bucket_width``-wide
+    bucket its interval touches (``explode(sequence(s div w, e div w))``)
+    and the join is an EQUI-join on the bucket — O(matches + replication),
+    never the O(|L| x |R|) nested loop a bare conjunction of inequalities
+    plans. A pair overlapping several shared buckets would match once per
+    bucket; instead of a distinct (an extra corpus-wide shuffle), each
+    pair is emitted ONLY in the bucket containing its overlap start
+    (``bucket == greatest(l.s, r.s) div w``) — exactly-once by
+    construction. Pick ``bucket_width`` near the typical interval length:
+    replication factor is ``len/width + 1`` per row.
+
+    Column names must be pre-disambiguated; span columns must be
+    non-negative integers (cast timestamps to epoch micros first).
+    """
+    ls, le = left_span
+    rs, re_ = right_span
+    w = F.lit(bucket_width)
+    def _buckets(s: str, e: str):
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(s) / w).cast("long"),
+                F.floor(F.col(e) / w).cast("long"),
+            )
+        )
+
+    l = left.withColumn("_b", _buckets(ls, le))
+    r = right.withColumn("_b", _buckets(rs, re_))
+    return (
+        l.join(r, "_b")
+        .where(
+            (F.col(ls) <= F.col(re_))
+            & (F.col(rs) <= F.col(le))
+            & (F.col("_b") == F.floor(F.greatest(ls, rs) / w))
+        )
+        .drop("_b")
+    )

@@ -546,3 +546,78 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["purchase_id", "purchase_value"],
         direction="forward",
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval x interval overlap join (binned, exactly-once per pair).
+# ---------------------------------------------------------------------------
+
+#: Campaign flight windows: 10 campaigns, campaign i live for 5 days from
+#: 2024-01-01 + 3i days (microsecond epochs; deliberately overlapping).
+_IV_BASE_US = 1_704_067_200_000_000  # epoch_us('2024-01-01 00:00:00 UTC')
+_IV_DAY_US = 86_400_000_000
+_IV_N_CAMPAIGNS = 10
+
+_ORACLE_INTERVAL_OVERLAP = f"""
+WITH act AS (
+  SELECT user_id, CAST(ts AS DATE) AS event_date,
+         MIN(epoch_us(ts)) AS s1, MAX(epoch_us(ts)) AS e1
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+camp AS (
+  SELECT i AS campaign_id,
+         {_IV_BASE_US} + i * 3 * {_IV_DAY_US} AS s2,
+         {_IV_BASE_US} + i * 3 * {_IV_DAY_US} + 5 * {_IV_DAY_US} AS e2
+  FROM unnest(range(0, {_IV_N_CAMPAIGNS})) AS r(i)
+)
+SELECT a.user_id, a.event_date, c.campaign_id,
+       least(a.e1, c.e2) - greatest(a.s1, c.s2) AS overlap_us
+FROM act a JOIN camp c ON a.s1 <= c.e2 AND c.s2 <= a.e1
+ORDER BY a.user_id, a.event_date, c.campaign_id
+"""
+
+
+@register(
+    "join_interval_overlap",
+    oracle=_ORACLE_INTERVAL_OVERLAP,
+    tags=("join", "range", "scale", "north-star"),
+    doc=(
+        "Interval x interval OVERLAP join: per-(user, day) activity spans "
+        "against overlapping 5-day campaign flight windows, reporting "
+        "every overlapping pair with its overlap length. The general form "
+        "of the point-in-window bin join (J5): both sides replicate to "
+        "the day buckets their interval touches, the join is an equi-join "
+        "on the bucket, and each pair is emitted only in the bucket "
+        "holding its overlap start — exactly-once WITHOUT a distinct, so "
+        "no second corpus-wide shuffle. Oracle: the naive inequality "
+        "join. At 100 TB the replication factor is interval/bucket + 1 "
+        "per row and the bucket key spreads uniformly."
+    ),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import interval_overlap_join
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("event_date")
+    ).agg(
+        F.min(F.unix_micros("ts")).alias("s1"),
+        F.max(F.unix_micros("ts")).alias("e1"),
+    )
+    camp = spark.range(_IV_N_CAMPAIGNS).select(
+        F.col("id").alias("campaign_id"),
+        (F.lit(_IV_BASE_US) + F.col("id") * 3 * _IV_DAY_US).alias("s2"),
+        (
+            F.lit(_IV_BASE_US) + F.col("id") * 3 * _IV_DAY_US + 5 * _IV_DAY_US
+        ).alias("e2"),
+    )
+    pairs = interval_overlap_join(
+        act, camp, ("s1", "e1"), ("s2", "e2"), _IV_DAY_US
+    )
+    return pairs.select(
+        "user_id",
+        "event_date",
+        "campaign_id",
+        (F.least("e1", "e2") - F.greatest("s1", "s2")).alias("overlap_us"),
+    ).orderBy("user_id", "event_date", "campaign_id")

@@ -48,3 +48,42 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     ).first()
     assert fresh.rid == 100
     assert stale.rid is None
+
+
+class TestIntervalOverlapJoin:
+    def test_exactly_once_across_shared_buckets(self, spark):
+        """A pair overlapping across MANY shared buckets must be emitted
+        once — the report-at-overlap-start rule replaces a distinct."""
+        from projeto_de_etl_com_api_do_meta_spark.operators.rangejoin import (
+            interval_overlap_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 0, 1000), (2, 350, 420), (3, 2000, 2100)],
+            "lid long, s1 long, e1 long",
+        )
+        right = spark.createDataFrame(
+            [(10, 100, 900), (11, 950, 1050)],
+            "rid long, s2 long, e2 long",
+        )
+        out = interval_overlap_join(
+            left, right, ("s1", "e1"), ("s2", "e2"), bucket_width=100
+        )
+        got = sorted((r.lid, r.rid) for r in out.collect())
+        # (1,10) shares 9 buckets -> once; (1,11) overlaps at bucket 9;
+        # (2,10) nested interval; (3,*) no overlap
+        assert got == [(1, 10), (1, 11), (2, 10)]
+
+    def test_touching_endpoints_count_as_overlap(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.operators.rangejoin import (
+            interval_overlap_join,
+        )
+
+        left = spark.createDataFrame([(1, 0, 100)], "lid long, s1 long, e1 long")
+        right = spark.createDataFrame(
+            [(10, 100, 200), (11, 101, 200)], "rid long, s2 long, e2 long"
+        )
+        out = interval_overlap_join(
+            left, right, ("s1", "e1"), ("s2", "e2"), bucket_width=50
+        )
+        assert [(r.lid, r.rid) for r in out.collect()] == [(1, 10)]
