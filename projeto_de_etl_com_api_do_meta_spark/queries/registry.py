@@ -98,6 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_pii_pseudonymize",
     "text_quality_classifier_linear",
     "io_jsonl_quarantine_roundtrip",
+    "join_interval_overlap",
+    "lakehouse_time_travel_diff",
     # ---- widest still-unverified r3 blocks (all pass local exact-value
     # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",
@@ -121,8 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_string_concat_ordered",
     "restructure_sql_pivot",
     "corpus_countmin_sketch",
-    "corpus_vocab_coverage",
     # ---- round-5 tail (overflow past the ~50-slot window) ----
+    "corpus_vocab_coverage",
     "corpus_bpe_pair_stats",
     "dedup_sorted_neighborhood",
     "dedup_canonical_selection",

@@ -602,3 +602,74 @@ def io_jsonl_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-based snapshot versioning (time travel without table-format jars).
+# ---------------------------------------------------------------------------
+
+_TIME_TRAVEL_ORACLE = """
+SELECT 'changed' AS status, COUNT(*) AS n
+FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+UNION ALL
+SELECT 'deleted' AS status, COUNT(*) AS n
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT 'unchanged' AS status, COUNT(*) AS n
+FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0
+ORDER BY status
+"""
+
+
+@register(
+    "lakehouse_time_travel_diff",
+    oracle=_TIME_TRAVEL_ORACLE,
+    tags=("warehouse", "lakehouse", "north-star"),
+    doc=(
+        "Snapshot versioning + time travel on plain parquet "
+        "(operators/lakehouse.py): commit v1 of the documents dimension, "
+        "commit v2 with deterministic deletes (doc_id % 5 == 0) and "
+        "updates (lang rewritten where doc_id % 7 == 0), then read BOTH "
+        "snapshots back through their manifests and diff them — the "
+        "deleted/changed/unchanged audit a table format gives you, built "
+        "from a manifest-rename commit protocol (no delta/iceberg jars in "
+        "this environment; the manifest IS the mechanism theirs use). "
+        "Reading v1 after v2's commit is the snapshot-isolation check. "
+        "The oracle recomputes the expected split from the same modulo "
+        "rules. Manifests carry file paths only — megabytes at 100 TB."
+    ),
+)
+def lakehouse_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lakehouse import commit_version, read_version
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    table = tempfile.mkdtemp(prefix="lakehouse_tt_") + "/dim_documents"
+
+    commit_version(docs, table)
+    v2_df = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+    )
+    commit_version(v2_df, table)
+
+    v1 = read_version(spark, table, 1).select(
+        "doc_id", F.col("lang").alias("lang_v1")
+    )
+    v2 = read_version(spark, table, 2).select(
+        "doc_id", F.col("lang").alias("lang_v2")
+    )
+    status = (
+        F.when(F.col("lang_v2").isNull(), "deleted")
+        .when(F.col("lang_v1") != F.col("lang_v2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v2, "doc_id", "left")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )

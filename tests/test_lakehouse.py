@@ -1,0 +1,68 @@
+"""Manifest-versioning semantics: snapshot isolation, time travel, and
+crash invisibility — each against hand-built tables."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+    commit_version,
+    read_version,
+    versions,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_commit_read_latest_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    assert commit_version(_df(spark, [(1, "a"), (2, "b")]), t) == 1
+    assert commit_version(_df(spark, [(1, "a2")]), t) == 2
+    assert versions(t) == [1, 2]
+    latest = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    assert latest == {(1, "a2")}
+    v1 = {(r.k, r.v) for r in read_version(spark, t, 1).collect()}
+    assert v1 == {(1, "a"), (2, "b")}
+
+
+def test_snapshot_isolation_under_later_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_version(_df(spark, [(1, "a")]), t)
+    v1 = read_version(spark, t, 1)  # resolve the snapshot FIRST
+    commit_version(_df(spark, [(9, "z")]), t)
+    # the already-resolved v1 reader must not see v2's files
+    assert {(r.k, r.v) for r in v1.collect()} == {(1, "a")}
+
+
+def test_uncommitted_data_is_invisible(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_version(_df(spark, [(1, "a")]), t)
+    # simulate a crashed writer: data files exist, manifest never published
+    orphan = os.path.join(t, "data", "v2-deadbeef")
+    _df(spark, [(666, "boom")]).write.parquet(orphan)
+    assert versions(t) == [1]
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {(1, "a")}
+
+
+def test_missing_version_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, t)
+    commit_version(_df(spark, [(1, "a")]), t)
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, t, 7)
+
+
+def test_manifest_lists_exactly_the_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_version(_df(spark, [(i, "x") for i in range(100)]).repartition(4), t)
+    with open(os.path.join(t, "_manifests", "v1.json")) as f:
+        m = json.load(f)
+    assert m["version"] == 1
+    assert len(m["files"]) == 4
+    assert all(p.endswith(".parquet") and os.path.exists(p) for p in m["files"])
