@@ -503,13 +503,33 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         m = np.array(pdf["sv"].tolist(), dtype=np.int64)
         nrm = (m * m).sum(axis=1)
-        g = m @ m.T
-        ok = (g >= 0) & (_SD_DEN * g * g >= _SD_NUM * np.outer(nrm, nrm))
-        iu, ju = np.triu_indices(n, k=1)
-        hit = ok[iu, ju]
-        if not hit.any():
+        # GEMM in float64 BLAS, not int64: numpy has no BLAS kernel for
+        # integer matmul and falls back to a naive C loop (measured 78 s
+        # at 32 k vectors vs seconds of dgemm). Exactness survives the
+        # detour: every product |a*b| <= 2^26 and every dot |sum| <= 2^32
+        # is an integer below 2^53, so float64 holds them exactly;
+        # rint+cast recovers the exact int64 dot, and the threshold
+        # comparison (operands up to 400*2^52 ~ 2^61) runs in int64.
+        # Blocked over rows so per-task memory is O(block * cluster), not
+        # O(cluster^2) — a fixture-k probe run grows clusters linearly
+        # with the corpus and an unblocked Gram matrix with its square.
+        mf = m.astype(np.float64)
+        blk = 1024
+        ia_parts, ib_parts = [], []
+        for i0 in range(0, n, blk):
+            i1 = min(i0 + blk, n)
+            gb = np.rint(mf[i0:i1] @ mf.T).astype(np.int64)
+            okb = (gb >= 0) & (
+                _SD_DEN * gb * gb >= _SD_NUM * np.outer(nrm[i0:i1], nrm)
+            )
+            ri, ci = np.nonzero(okb)
+            keep = ci > ri + i0  # strict upper triangle: ia < ib
+            ia_parts.append(ids[ri[keep] + i0])
+            ib_parts.append(ids[ci[keep]])
+        ia = np.concatenate(ia_parts) if ia_parts else np.empty(0, np.int64)
+        ib = np.concatenate(ib_parts) if ib_parts else np.empty(0, np.int64)
+        if len(ib) == 0:
             return empty
-        ia, ib = ids[iu[hit]], ids[ju[hit]]
         res = (
             pd.DataFrame({"ib": ib, "ia": ia})
             .groupby("ib", sort=False)
