@@ -54,21 +54,17 @@ def versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def commit_version(df: DataFrame, table_dir: str) -> int:
-    """Write ``df`` as the next table version and publish its manifest.
-
-    The data lands under ``data/v{N}-{uuid}/`` (unique prefix, so a
-    concurrent or crashed writer can never collide with published files),
-    then the manifest is renamed into place as the commit point.
-    """
-    n = (versions(table_dir)[-1] + 1) if versions(table_dir) else 1
+def _write_files(df: DataFrame, table_dir: str, n: int) -> list[str]:
     data_dir = os.path.join(table_dir, "data", f"v{n}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
-    files = sorted(
+    return sorted(
         os.path.join(data_dir, f)
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
+
+
+def _publish(table_dir: str, n: int, files: list[str]) -> int:
     md = _manifest_dir(table_dir)
     os.makedirs(md, exist_ok=True)
     manifest = {"version": n, "files": files}
@@ -77,6 +73,87 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
         json.dump(manifest, f)
     os.rename(tmp, os.path.join(md, f"v{n}.json"))  # the commit point
     return n
+
+
+def manifest_files(table_dir: str, version: int) -> list[str]:
+    """File list of a committed version's manifest."""
+    vs = versions(table_dir)
+    if version not in vs:
+        raise FileNotFoundError(f"version {version} not in {vs}")
+    with open(os.path.join(_manifest_dir(table_dir), f"v{version}.json")) as f:
+        return json.load(f)["files"]
+
+
+def commit_version(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the next table version (full overwrite semantics)
+    and publish its manifest.
+
+    The data lands under ``data/v{N}-{uuid}/`` (unique prefix, so a
+    concurrent or crashed writer can never collide with published files),
+    then the manifest is renamed into place as the commit point.
+    """
+    n = (versions(table_dir)[-1] + 1) if versions(table_dir) else 1
+    return _publish(table_dir, n, _write_files(df, table_dir, n))
+
+
+def commit_append(df: DataFrame, table_dir: str) -> int:
+    """Append ``df`` as the next version: the new manifest lists the
+    previous version's files PLUS the newly-written ones. Old files are
+    never rewritten — an append commit costs O(new data), regardless of
+    table size, which is what makes hourly ingest into a 100 TB table
+    viable."""
+    vs = versions(table_dir)
+    n = (vs[-1] + 1) if vs else 1
+    prev = manifest_files(table_dir, vs[-1]) if vs else []
+    return _publish(table_dir, n, prev + _write_files(df, table_dir, n))
+
+
+def added_files(table_dir: str, from_version: int, to_version: int) -> list[str]:
+    """Files present in ``to_version``'s manifest but not
+    ``from_version``'s — the change set an incremental consumer reads."""
+    base = set(manifest_files(table_dir, from_version))
+    return [f for f in manifest_files(table_dir, to_version) if f not in base]
+
+
+def read_changes(
+    spark: SparkSession, table_dir: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Read ONLY the rows appended between two versions (the files added
+    by append commits in that range). This is the incremental-consumption
+    primitive: a downstream job that checkpointed ``from_version`` scans
+    the delta, never the table. Only meaningful across append commits —
+    an overwrite commit replaces the file set, so its delta is the whole
+    new version."""
+    new = added_files(table_dir, from_version, to_version)
+    if not new:
+        raise FileNotFoundError(
+            f"no files added between v{from_version} and v{to_version}"
+        )
+    return spark.read.parquet(*new)
+
+
+def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
+    """Retention cleanup: keep the newest ``keep_last`` versions, delete
+    every data file referenced ONLY by older manifests, then drop the old
+    manifests. Returns the deleted file paths. Files shared with a
+    retained version (append lineage) survive. Time travel to vacuumed
+    versions is gone — that is the retention trade every table format
+    makes; run with the widest retention storage allows."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = versions(table_dir)
+    retained = set(vs[-keep_last:])
+    keep_files = {f for v in retained for f in manifest_files(table_dir, v)}
+    deleted = []
+    for v in vs:
+        if v in retained:
+            continue
+        for f in manifest_files(table_dir, v):
+            if f not in keep_files and os.path.exists(f):
+                os.remove(f)
+                deleted.append(f)
+        os.remove(os.path.join(_manifest_dir(table_dir), f"v{v}.json"))
+    return deleted
 
 
 def read_version(

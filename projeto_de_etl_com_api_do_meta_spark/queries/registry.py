@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_jsonl_quarantine_roundtrip",
     "join_interval_overlap",
     "lakehouse_time_travel_diff",
+    "lakehouse_incremental_scan",
     # ---- widest still-unverified r3 blocks (all pass local exact-value
     # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",

@@ -673,3 +673,49 @@ def lakehouse_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+_INCREMENTAL_SCAN_ORACLE = """
+SELECT lang, COUNT(*) AS n, SUM(CAST(n_chars AS BIGINT)) AS chars
+FROM documents WHERE doc_id % 3 = 2
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "lakehouse_incremental_scan",
+    oracle=_INCREMENTAL_SCAN_ORACLE,
+    tags=("warehouse", "lakehouse", "incremental", "north-star"),
+    doc=(
+        "Incremental consumption off append commits "
+        "(operators/lakehouse.py: commit_append/read_changes): the "
+        "documents corpus arrives as three append batches (doc_id % 3); a "
+        "downstream job that checkpointed after batch 2 reads ONLY the "
+        "files batch 3 added — never rescanning the table — and "
+        "aggregates the delta. Append commits reference the previous "
+        "manifest's files instead of rewriting them, so ingest cost is "
+        "O(new data) on a table of any size, and the change set between "
+        "two versions is an exact file-list difference, not a "
+        "timestamp-column guess. Oracle recomputes the batch-3 aggregate "
+        "from the same modulo rule."
+    ),
+)
+def lakehouse_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lakehouse import commit_append, read_changes
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="lakehouse_incr_") + "/documents"
+    for batch in range(3):
+        commit_append(docs.where(F.col("doc_id") % 3 == batch), table)
+    delta = read_changes(spark, table, from_version=2, to_version=3)
+    return (
+        delta.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_chars").cast("long")).alias("chars"),
+        )
+        .orderBy("lang")
+    )

@@ -9,8 +9,13 @@ import os
 import pytest
 
 from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+    added_files,
+    commit_append,
     commit_version,
+    manifest_files,
+    read_changes,
     read_version,
+    vacuum,
     versions,
 )
 
@@ -66,3 +71,51 @@ def test_manifest_lists_exactly_the_files(spark, tmp_path):
     assert m["version"] == 1
     assert len(m["files"]) == 4
     assert all(p.endswith(".parquet") and os.path.exists(p) for p in m["files"])
+
+
+def test_append_shares_previous_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_version(_df(spark, [(1, "a")]), t)
+    commit_append(_df(spark, [(2, "b")]), t)
+    commit_append(_df(spark, [(3, "c")]), t)
+    v1, v2, v3 = (set(manifest_files(t, v)) for v in (1, 2, 3))
+    assert v1 < v2 < v3  # append = strict superset lineage, no rewrites
+    latest = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    assert latest == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_read_changes_sees_only_the_delta(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(_df(spark, [(1, "a"), (2, "b")]), t)
+    commit_append(_df(spark, [(3, "c")]), t)
+    delta = {(r.k, r.v) for r in read_changes(spark, t, 1, 2).collect()}
+    assert delta == {(3, "c")}
+    assert added_files(t, 2, 2) == []
+    with pytest.raises(FileNotFoundError):
+        read_changes(spark, t, 2, 2)
+
+
+def test_vacuum_drops_old_overwrite_keeps_latest(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_version(_df(spark, [(1, "a")]), t)
+    old_files = manifest_files(t, 1)
+    commit_version(_df(spark, [(2, "b")]), t)  # overwrite: disjoint files
+    deleted = vacuum(t, keep_last=1)
+    assert set(deleted) == set(old_files)
+    assert all(not os.path.exists(f) for f in old_files)
+    assert versions(t) == [2]
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {(2, "b")}
+
+
+def test_vacuum_preserves_files_shared_via_append_lineage(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(_df(spark, [(1, "a")]), t)
+    commit_append(_df(spark, [(2, "b")]), t)
+    deleted = vacuum(t, keep_last=1)
+    # v2's manifest still references v1's files: nothing may be deleted
+    assert deleted == []
+    assert versions(t) == [2]
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
