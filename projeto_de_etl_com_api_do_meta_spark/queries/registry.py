@@ -101,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_interval_overlap",
     "lakehouse_time_travel_diff",
     "lakehouse_incremental_scan",
+    "web_domain_blocklist_filter",
     # ---- widest still-unverified r3 blocks (all pass local exact-value
     # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",

@@ -448,3 +448,102 @@ def _bind_host_quality_oracle() -> None:
 
 
 _bind_host_quality_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filtering (suffix match on registrable-domain boundaries).
+# ---------------------------------------------------------------------------
+
+#: Blocked domains: a host is blocked when it equals an entry or is a
+#: subdomain of one (match on a full dot boundary, never substring — the
+#: bug class where "site1.com" blocks "notsite1.com").
+_BLOCKLIST = ("site3.com", "site1.co.uk", "sub2.site5.co.uk")
+
+_ORACLE_BLOCKLIST = """
+WITH docs_h AS (
+  SELECT doc_id,
+         'sub' || CAST(doc_id % 5 AS VARCHAR) || '.site' ||
+         CAST(doc_id % 7 AS VARCHAR) ||
+         CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END AS host
+  FROM documents
+),
+bl AS (SELECT * FROM (VALUES ('site3.com'), ('site1.co.uk'),
+                             ('sub2.site5.co.uk')) AS t(entry)),
+matched AS (
+  SELECT d.doc_id, b.entry,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                            ORDER BY LENGTH(b.entry) DESC, b.entry) AS rn
+  FROM docs_h d JOIN bl b
+    ON d.host = b.entry OR d.host LIKE '%.' || b.entry
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(m.entry, '(kept)') AS verdict
+  FROM docs_h d LEFT JOIN (SELECT doc_id, entry FROM matched WHERE rn = 1) m
+    ON d.doc_id = m.doc_id
+)
+SELECT verdict, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM lab GROUP BY verdict ORDER BY verdict
+"""
+
+
+@register(
+    "web_domain_blocklist_filter",
+    oracle=_ORACLE_BLOCKLIST,
+    tags=("text", "web", "quality", "north-star"),
+    doc=(
+        "Domain-blocklist gating, the cheapest host-level filter of a "
+        "crawl pipeline: a host is blocked iff it equals a blocklist "
+        "entry or sits under one on a full dot boundary (subdomain), "
+        "never by substring. Scale shape: each host explodes into its "
+        "dot-suffixes (bounded by label count, ~4-6 per host — NOT a "
+        "per-entry scan), the blocklist joins as a broadcast equi-join "
+        "on the suffix, and the most-specific (longest) match wins via "
+        "one max(struct) aggregate per doc. The corpus has no hosts, so "
+        "deterministic hosts are synthesized from doc_id (same "
+        "augment-then-operate contract as web_url_canonical_dedup); the "
+        "oracle recomputes the match with LIKE on the same fixture."
+    ),
+)
+def web_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("sub"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, ".com").otherwise(".co.uk"),
+    )
+    d = docs.select("doc_id", host.alias("host"))
+    labels = F.split("host", "\\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+    exploded = d.select("doc_id", F.explode(suffixes).alias("sfx"))
+    bl = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(e,) for e in _BLOCKLIST], "entry string"
+        )
+    )
+    best = (
+        exploded.join(bl, exploded.sfx == bl.entry)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.struct(F.length("entry").alias("l"), F.col("entry").alias("e")))
+            .getField("e")
+            .alias("entry")
+        )
+    )
+    return (
+        d.join(best, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("entry", F.lit("(kept)")).alias("verdict")
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("verdict")
+    )
