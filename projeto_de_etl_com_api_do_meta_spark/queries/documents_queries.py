@@ -1236,3 +1236,153 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# -- WordPiece tokenizer application ------------------------------------------
+
+#: WordPiece vocabulary: start pieces match only at word start, "##"
+#: continuation pieces only mid-word.  Deliberately includes greedy traps
+#: (##t vs ##tch, va vs val) and omits 'q' entirely so 'query' exercises
+#: the whole-word [UNK] rule.  One constant feeds BOTH the Spark encoder
+#: and the generated DuckDB oracle — they cannot drift.
+_WP_VOCAB: tuple[str, ...] = tuple(
+    [c for c in "abcdfghjklmoprstvw"]
+    + ["##" + c for c in "abcdefghijklmnoprstuvwxyz"]
+    + [
+        "jo", "##in", "ha", "##sh", "ba", "##tch", "sc", "##an",
+        "cu", "##stomer", "co", "##lumn", "fi", "##lter", "sm", "##all",
+        "me", "##rge", "sl", "##ow", "or", "##der", "ve", "##ctor",
+        "li", "##ne", "da", "##ta", "ta", "##ble", "va", "val", "##ue",
+        "key", "st", "##ream", "wi", "##ndow", "sp", "##ark", "gr",
+        "##oup", "pa", "##rt", "bi", "##g", "so", "fa", "##st", "th",
+        "##e", "du", "##p", "row", "agg", "##t",
+    ]
+)
+_WP_SET = frozenset(_WP_VOCAB)
+
+_ORACLE_WORDPIECE = f"""
+WITH RECURSIVE
+vocab(piece) AS (VALUES {", ".join("('" + p + "')" for p in sorted(_WP_SET))}),
+w0 AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+wcnt AS (
+  SELECT word, COUNT(*) AS n_occurrences FROM w0 WHERE word <> ''
+  GROUP BY word
+),
+words AS (SELECT word FROM wcnt),
+cand AS (
+  SELECT w.word, CAST(t.pos AS INTEGER) AS pos, v.piece,
+         CASE WHEN v.piece LIKE '##%' THEN length(v.piece) - 2
+              ELSE length(v.piece) END AS consumed
+  FROM words w,
+       unnest(range(1, length(w.word) + 1)) AS t(pos),
+       vocab v
+  WHERE (t.pos = 1 AND v.piece NOT LIKE '##%'
+         AND substr(w.word, 1, length(v.piece)) = v.piece)
+     OR (t.pos > 1 AND v.piece LIKE '##%'
+         AND substr(w.word, CAST(t.pos AS INTEGER), length(v.piece) - 2)
+             = substr(v.piece, 3))
+),
+best AS (
+  SELECT word, pos, MAX_BY(piece, consumed) AS piece,
+         MAX(consumed) AS consumed
+  FROM cand GROUP BY word, pos
+),
+walk AS (
+  SELECT word, 1 AS pos, 0 AS n_wp, CAST('' AS VARCHAR) AS pieces,
+         FALSE AS is_unk
+  FROM words
+  UNION ALL
+  SELECT s.word,
+         CASE WHEN b.piece IS NULL THEN length(s.word) + 1
+              ELSE s.pos + b.consumed END,
+         CASE WHEN b.piece IS NULL THEN 1 ELSE s.n_wp + 1 END,
+         CASE WHEN b.piece IS NULL THEN '[UNK]'
+              WHEN s.pieces = '' THEN b.piece
+              ELSE s.pieces || ' ' || b.piece END,
+         s.is_unk OR b.piece IS NULL
+  FROM walk s LEFT JOIN best b ON b.word = s.word AND b.pos = s.pos
+  WHERE s.pos <= length(s.word)
+),
+tok AS (
+  SELECT word, n_wp, pieces, CAST(is_unk AS INT) AS unk
+  FROM walk WHERE pos = length(word) + 1
+)
+SELECT c.word, t.pieces, CAST(t.n_wp AS BIGINT) AS n_wp, t.unk,
+       CAST(c.n_occurrences AS BIGINT) AS n_occurrences
+FROM wcnt c JOIN tok t ON c.word = t.word
+ORDER BY c.word
+"""
+
+
+@register(
+    "corpus_wordpiece_tokenize",
+    oracle=_ORACLE_WORDPIECE,
+    tags=("text", "tokenizer", "north-star"),
+    doc=(
+        "WordPiece tokenizer APPLICATION (greedy longest-match-first, "
+        "'##' continuation pieces, whole-word [UNK] on any dead end — "
+        "the BERT inference-side algorithm): every distinct corpus word "
+        "is encoded against a fixed vocabulary and joined back to its "
+        "occurrence count. The scale trick is the same one BPE counting "
+        "uses: tokenize the DISTINCT-WORD table (vocabulary-scale, here "
+        "31 rows; bounded by |vocab| at any corpus size), never the "
+        "token stream — the corpus-scale work is one word-count hash "
+        "aggregate, and the encoded vocab broadcasts back onto it. The "
+        "Python encoder runs only on the distinct words (Arrow-batched "
+        "mapInPandas). Oracle: a recursive-CTE walk over a "
+        "precomputed (word, pos) -> longest-piece table, generated from "
+        "the SAME vocabulary constant, verifying exact piece sequences, "
+        "token counts, and the [UNK] rule."
+    ),
+)
+def corpus_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    wcnt = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+    def encode_batches(batches):
+        def enc(word: str):
+            pos, out, n = 0, [], len(word)
+            while pos < n:
+                for ln in range(n - pos, 0, -1):
+                    piece = (
+                        word[pos : pos + ln]
+                        if pos == 0
+                        else "##" + word[pos : pos + ln]
+                    )
+                    if piece in _WP_SET:
+                        out.append(piece)
+                        pos += ln
+                        break
+                else:
+                    return "[UNK]", 1, 1
+            return " ".join(out), len(out), 0
+        for pdf in batches:
+            enc_cols = pdf["word"].map(enc)
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "pieces": enc_cols.map(lambda t: t[0]),
+                    "n_wp": enc_cols.map(lambda t: t[1]).astype("int64"),
+                    "unk": enc_cols.map(lambda t: t[2]).astype("int32"),
+                }
+            )
+
+    vocab_tok = wcnt.select("word").mapInPandas(
+        encode_batches, "word string, pieces string, n_wp long, unk int"
+    )
+    return (
+        wcnt.join(F.broadcast(vocab_tok), "word")
+        .select("word", "pieces", "n_wp", "unk", "n_occurrences")
+        .orderBy("word")
+    )

@@ -156,3 +156,31 @@ def test_funnel_agrees_with_standalone_stage_ops(spark, sf_dir, funnel_rows):
     assert funnel_rows[0].n_out == n_keep
     # eval slice (doc_id%20==0) can never survive decontamination
     assert funnel_rows[3].n_out <= funnel_rows[3].n_in
+
+
+# -- WordPiece tokenizer application ------------------------------------------
+
+
+def test_wordpiece_hand_derived_pieces(spark, sf_dir):
+    """Greedy longest-match, ## continuation, and whole-word [UNK] on
+    hand-derived words — including the greedy traps the vocab plants."""
+    rows = {
+        r.word: r
+        for r in _run("corpus_wordpiece_tokenize", spark, sf_dir).collect()
+    }
+    # greedy start: 'val' (len 3) beats 'va'; then '##ue'
+    assert rows["value"].pieces == "val ##ue"
+    # '##tch' beats '##t' mid-word
+    assert rows["batch"].pieces == "ba ##tch"
+    assert rows["customer"].pieces == "cu ##stomer"
+    # no 'q' piece anywhere -> whole word is one [UNK], n_wp == 1
+    assert rows["query"].pieces == "[UNK]"
+    assert rows["query"].n_wp == 1 and rows["query"].unk == 1
+    # single-char word
+    assert rows["a"].pieces == "a" and rows["a"].n_wp == 1
+    for r in rows.values():
+        assert r.unk in (0, 1)
+        assert r.n_wp >= 1
+        if not r.unk:
+            # pieces reassemble the word exactly (boundary correctness)
+            assert "".join(p.lstrip("#") for p in r.pieces.split(" ")) == r.word
