@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "lakehouse_incremental_scan",
     "web_domain_blocklist_filter",
     "corpus_wordpiece_tokenize",
+    "warehouse_incremental_agg_retract",
     # ---- widest still-unverified r3 blocks (all pass local exact-value
     # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",

@@ -719,3 +719,99 @@ def lakehouse_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retraction-aware incremental aggregation (changelog / +I -D maintenance).
+# ---------------------------------------------------------------------------
+
+def changelog_agg_merge(
+    view: DataFrame, delta: DataFrame, key: str, count_col: str
+) -> DataFrame:
+    """Merge a signed delta partial aggregate into a maintained view:
+    full-outer join on ``key``, add every non-key column positionally,
+    drop groups whose maintained ``count_col`` reached zero. Both inputs
+    must share the schema ``(key, count_col, addends...)``."""
+    cols = [c for c in view.columns if c != key]
+    v, d = view.alias("v"), delta.alias("d")
+    merged = v.join(d, F.col(f"v.{key}") == F.col(f"d.{key}"), "full_outer").select(
+        F.coalesce(F.col(f"v.{key}"), F.col(f"d.{key}")).alias(key),
+        *[
+            (
+                F.coalesce(F.col(f"v.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+            ).alias(c)
+            for c in cols
+        ],
+    )
+    return merged.where(F.col(count_col) > 0)
+
+
+_ORACLE_IVM_RETRACT = """
+WITH final_rows AS (
+  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM orders
+  WHERE o_orderkey % 17 <> 0
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38, 10))) * 100, 0)
+            AS BIGINT) AS total_cents
+FROM final_rows
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "warehouse_incremental_agg_retract",
+    oracle=_ORACLE_IVM_RETRACT,
+    tags=("warehouse", "incremental", "cdc", "north-star"),
+    doc=(
+        "RETRACTION-aware incremental view maintenance (the Flink "
+        "changelog model): the materialized aggregate absorbs a +I/-D "
+        "changelog batch — deletes retract (-D old), updates retract-"
+        "then-insert (-D old, +I new) — via one SIGNED partial aggregate "
+        "over the delta merged into the view with a full-outer additive "
+        "combine; groups whose maintained count reaches zero drop out of "
+        "the view entirely. Insert-only maintenance "
+        "(warehouse_incremental_agg_merge) cannot express updates or "
+        "deletes; this is the general form, still O(delta) — history is "
+        "never rescanned. Fixture changelog from modulo rules: "
+        "o_orderkey % 17 == 0 deleted, else % 10 == 0 status -> 'X'. "
+        "Oracle recomputes the final state directly from the same rules, "
+        "proving maintained == recomputed."
+    ),
+)
+def warehouse_incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    # Materialized view state: aggregate over the full base (built once;
+    # in production this is the stored view, not a recompute).
+    def signed_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.sum("sign").cast("long").alias("n_orders"),
+            F.round(F.sum(dec("o_totalprice") * F.col("sign")) * 100, 0)
+            .cast("long")
+            .alias("total_cents"),
+        )
+
+    view = signed_agg(orders.withColumn("sign", F.lit(1)))
+
+    deleted = F.col("o_orderkey") % 17 == 0
+    updated = F.col("o_orderkey") % 10 == 0
+    retract = orders.where(deleted | updated).withColumn("sign", F.lit(-1))
+    insert = (
+        orders.where(~deleted & updated)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("sign", F.lit(1))
+    )
+    delta = signed_agg(retract.unionByName(insert))
+    return changelog_agg_merge(
+        view, delta, key="o_orderstatus", count_col="n_orders"
+    ).orderBy("o_orderstatus")

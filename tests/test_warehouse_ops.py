@@ -140,3 +140,41 @@ def test_cdc_apply_semantics(tmp_path, spark):
     assert out[14].o_orderstatus == "U2" and out[14].o_totalprice == 10.0
     assert out[18].o_orderstatus == "NEW" and out[18].o_custkey == 3
     assert out[11].o_orderstatus == "F"
+
+
+# -- Changelog (retraction) aggregate maintenance -----------------------------
+
+
+class TestChangelogAggMerge:
+    def test_fully_retracted_group_drops_out(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.warehouse_ops import (
+            changelog_agg_merge,
+        )
+
+        view = spark.createDataFrame(
+            [("a", 2, 300), ("b", 1, 50)], "k string, n long, cents long"
+        )
+        # -D both 'a' rows, +I one 'c' row: 'a' must VANISH, not linger at 0
+        delta = spark.createDataFrame(
+            [("a", -2, -300), ("c", 1, 75)], "k string, n long, cents long"
+        )
+        out = {
+            r.k: (r.n, r.cents)
+            for r in changelog_agg_merge(view, delta, "k", "n").collect()
+        }
+        assert out == {"b": (1, 50), "c": (1, 75)}
+
+    def test_update_as_retract_insert_moves_between_groups(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.warehouse_ops import (
+            changelog_agg_merge,
+        )
+
+        view = spark.createDataFrame([("a", 3, 900)], "k string, n long, cents long")
+        delta = spark.createDataFrame(
+            [("a", -1, -300), ("b", 1, 300)], "k string, n long, cents long"
+        )
+        out = {
+            r.k: (r.n, r.cents)
+            for r in changelog_agg_merge(view, delta, "k", "n").collect()
+        }
+        assert out == {"a": (2, 600), "b": (1, 300)}
