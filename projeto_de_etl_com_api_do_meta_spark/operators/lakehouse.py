@@ -157,11 +157,17 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
 
 
 def read_version(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a committed snapshot (default: latest). Only the manifest's
     files reach the scan — concurrently-written newer versions are
-    invisible to this reader."""
+    invisible to this reader. ``merge_schema=True`` unions the schemas of
+    the listed files (schema evolution across append batches: files
+    missing a column yield NULLs), at the cost of a footer read per file
+    at planning time — leave it off when the schema is known stable."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no committed versions in {table_dir}")
@@ -170,4 +176,7 @@ def read_version(
         raise FileNotFoundError(f"version {n} not in {vs}")
     with open(os.path.join(_manifest_dir(table_dir), f"v{n}.json")) as f:
         manifest = json.load(f)
-    return spark.read.parquet(*manifest["files"])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*manifest["files"])

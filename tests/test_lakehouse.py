@@ -119,3 +119,18 @@ def test_vacuum_preserves_files_shared_via_append_lineage(spark, tmp_path):
         (1, "a"),
         (2, "b"),
     }
+
+
+def test_schema_evolution_across_append_versions(spark, tmp_path):
+    """An append batch may ADD columns: readers of the merged table see
+    the union schema with NULL backfill for old files (mergeSchema)."""
+    t = str(tmp_path / "t")
+    commit_append(_df(spark, [(1, "a")]), t)
+    wide = spark.createDataFrame([(2, "b", 99)], "k long, v string, extra long")
+    commit_append(wide, t)
+    out = read_version(spark, t, merge_schema=True)
+    assert set(out.columns) == {"k", "v", "extra"}
+    rows = {(r.k, r.v, r.extra) for r in out.collect()}
+    assert rows == {(1, "a", None), (2, "b", 99)}
+    # narrow read of v1 is unchanged
+    assert set(read_version(spark, t, 1).columns) == {"k", "v"}
