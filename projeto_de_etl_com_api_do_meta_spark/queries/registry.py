@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "web_domain_blocklist_filter",
     "corpus_wordpiece_tokenize",
     "warehouse_incremental_agg_retract",
+    "text_badwords_filter",
     # ---- widest still-unverified r3 blocks (all pass local exact-value
     # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",

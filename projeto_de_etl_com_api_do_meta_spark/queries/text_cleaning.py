@@ -1313,3 +1313,95 @@ def text_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase-blocklist document filter (C4's "bad words" gate, phrase-aware).
+# ---------------------------------------------------------------------------
+
+#: Blocked phrases (word-boundary, 1-2 words). Multi-word entries are why
+#: a LIKE/contains scan is the wrong shape: matching must respect word
+#: boundaries and the list is consulted per N-GRAM, not per entry.
+_BAD_PHRASES = ("slow scan", "hash join", "dup")
+
+_ORACLE_BADWORDS = """
+WITH bl AS (
+  SELECT * FROM (VALUES ('slow scan'), ('hash join'), ('dup')) AS t(phrase)
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, w[CAST(i AS INTEGER)] AS g1,
+         CASE WHEN i < len(w)
+              THEN w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+              END AS g2
+  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+),
+hits AS (
+  SELECT doc_id, phrase FROM grams JOIN bl ON bl.phrase = grams.g1
+  UNION ALL
+  SELECT doc_id, phrase FROM grams JOIN bl ON bl.phrase = grams.g2
+)
+SELECT doc_id, COUNT(*) AS n_hits,
+       array_to_string(list_sort(list(DISTINCT phrase)), ',') AS phrases
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "text_badwords_filter",
+    oracle=_ORACLE_BADWORDS,
+    tags=("text", "quality", "cleaning", "north-star"),
+    doc=(
+        "Phrase-blocklist gate (C4's bad-words filter, phrase-aware): "
+        "flag every document containing a blocked word or phrase on WORD "
+        "boundaries — substring scans both over-match (a block entry "
+        "inside a longer word) and cannot express multi-word phrases. "
+        "Shape: each doc explodes into word 1- and 2-grams (bounded by "
+        "the longest blocked phrase, NOT by blocklist size), the phrase "
+        "list joins as a broadcast equi-join on the gram, and one "
+        "per-doc aggregate yields hit count + distinct offending "
+        "phrases. Per-entry scanning (LIKE loops) is O(docs x entries); "
+        "this is O(tokens) regardless of list size — the shape that "
+        "holds with a 10k-entry list at 100 TB. Oracle builds the same "
+        "grams in DuckDB."
+    ),
+)
+def text_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.array(
+                    F.col("w"),
+                    F.expr(
+                        "transform(sequence(1, size(w) - 1),"
+                        " i -> concat(w[i-1], ' ', w[i]))"
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    bl = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(p,) for p in _BAD_PHRASES], "phrase string"
+        )
+    )
+    return (
+        grams.join(bl, grams.gram == bl.phrase)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.array_join(F.array_sort(F.collect_set("phrase")), ",").alias(
+                "phrases"
+            ),
+        )
+        .orderBy("doc_id")
+    )
