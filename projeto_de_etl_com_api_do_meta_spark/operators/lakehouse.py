@@ -64,10 +64,14 @@ def _write_files(df: DataFrame, table_dir: str, n: int) -> list[str]:
     )
 
 
-def _publish(table_dir: str, n: int, files: list[str]) -> int:
+def _publish(
+    table_dir: str, n: int, files: list[str], txn_id: str | None = None
+) -> int:
     md = _manifest_dir(table_dir)
     os.makedirs(md, exist_ok=True)
     manifest = {"version": n, "files": files}
+    if txn_id is not None:
+        manifest["txn_id"] = txn_id
     fd, tmp = tempfile.mkstemp(dir=md, suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
@@ -75,13 +79,17 @@ def _publish(table_dir: str, n: int, files: list[str]) -> int:
     return n
 
 
+def _manifest(table_dir: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(table_dir), f"v{version}.json")) as f:
+        return json.load(f)
+
+
 def manifest_files(table_dir: str, version: int) -> list[str]:
     """File list of a committed version's manifest."""
     vs = versions(table_dir)
     if version not in vs:
         raise FileNotFoundError(f"version {version} not in {vs}")
-    with open(os.path.join(_manifest_dir(table_dir), f"v{version}.json")) as f:
-        return json.load(f)["files"]
+    return _manifest(table_dir, version)["files"]
 
 
 def commit_version(df: DataFrame, table_dir: str) -> int:
@@ -96,16 +104,31 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
     return _publish(table_dir, n, _write_files(df, table_dir, n))
 
 
-def commit_append(df: DataFrame, table_dir: str) -> int:
+def commit_append(
+    df: DataFrame, table_dir: str, txn_id: str | None = None
+) -> int:
     """Append ``df`` as the next version: the new manifest lists the
     previous version's files PLUS the newly-written ones. Old files are
     never rewritten — an append commit costs O(new data), regardless of
     table size, which is what makes hourly ingest into a 100 TB table
-    viable."""
+    viable.
+
+    ``txn_id`` makes the commit IDEMPOTENT (the exactly-once sink
+    contract for streaming foreachBatch, where a failed micro-batch is
+    re-run with the same batch id): if any committed manifest already
+    records this ``txn_id``, the call is a no-op returning that version
+    — the retried batch can never double-append. Same mechanism as
+    Delta's txn appId/version and Iceberg's snapshot dedup."""
     vs = versions(table_dir)
+    if txn_id is not None:
+        for v in vs:
+            if _manifest(table_dir, v).get("txn_id") == txn_id:
+                return v
     n = (vs[-1] + 1) if vs else 1
     prev = manifest_files(table_dir, vs[-1]) if vs else []
-    return _publish(table_dir, n, prev + _write_files(df, table_dir, n))
+    return _publish(
+        table_dir, n, prev + _write_files(df, table_dir, n), txn_id=txn_id
+    )
 
 
 def added_files(table_dir: str, from_version: int, to_version: int) -> list[str]:

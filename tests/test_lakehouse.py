@@ -134,3 +134,20 @@ def test_schema_evolution_across_append_versions(spark, tmp_path):
     assert rows == {(1, "a", None), (2, "b", 99)}
     # narrow read of v1 is unchanged
     assert set(read_version(spark, t, 1).columns) == {"k", "v"}
+
+
+def test_txn_id_makes_append_idempotent(spark, tmp_path):
+    """Retrying a failed micro-batch with the same txn_id must be a
+    no-op returning the already-committed version (exactly-once sink)."""
+    t = str(tmp_path / "t")
+    v1 = commit_append(_df(spark, [(1, "a")]), t, txn_id="batch-0")
+    v_retry = commit_append(_df(spark, [(1, "a")]), t, txn_id="batch-0")
+    assert v1 == v_retry == 1
+    assert versions(t) == [1]
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {(1, "a")}
+    # a NEW batch id commits normally
+    assert commit_append(_df(spark, [(2, "b")]), t, txn_id="batch-1") == 2
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }

@@ -127,9 +127,44 @@ def gen_corpus(
     )
     pq.write_table(vecs, os.path.join(out_dir, "embeddings.parquet"))
 
+    # events: mult x rows AND mult x users over the same Jan-2024 span, so
+    # per-(user, day) span counts -- the left side of the interval/session
+    # queries -- grow linearly instead of just densifying fixed spans.
+    n_events = 100_000 * mult
+    n_users = 1500 * mult
+    base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+    ts_us = base_us + rng.integers(0, 30 * 86_400_000_000, size=n_events)
+    events = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_events), pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n_events), pa.int64()
+            ),
+            "event_type": pa.array(
+                [
+                    ["view", "click", "cart", "purchase", "refund"][int(i)]
+                    for i in rng.integers(0, 5, size=n_events)
+                ],
+                pa.string(),
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(0, 200, size=n_events), 4), pa.float64()
+            ),
+            "props": pa.array(
+                [f'{{"k":{int(i)}}}' for i in rng.integers(0, 9, size=n_events)],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(events, os.path.join(out_dir, "events.parquet"))
+
     for f in os.listdir(BASE_SF):
         dst = os.path.join(out_dir, f)
-        if f.startswith(("documents", "embeddings")) or os.path.exists(dst):
+        if (
+            f.startswith(("documents", "embeddings", "events"))
+            or os.path.exists(dst)
+        ):
             continue
         os.symlink(os.path.join(BASE_SF, f), dst)
 
