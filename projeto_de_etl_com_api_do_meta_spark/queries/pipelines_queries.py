@@ -1007,3 +1007,74 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "is_kept", "suppressor")
             .orderBy("doc_id")
         )
+
+
+_ORACLE_LAKE_SINK = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+         AS total_value_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "stream_lakehouse_append_sink",
+    oracle=_ORACLE_LAKE_SINK,
+    tags=("streaming", "lakehouse", "sink", "north-star"),
+    doc=(
+        "Exactly-once streaming ingest into the manifest-versioned table "
+        "(operators/lakehouse.py): the events corpus streams in 4 "
+        "micro-batches (maxFilesPerTrigger=1), each foreachBatch commits "
+        "an APPEND version keyed by the micro-batch id — and then "
+        "deliberately commits AGAIN with the same txn_id, simulating the "
+        "failure-retry Structured Streaming guarantees will happen. The "
+        "idempotent-commit protocol makes the retry a no-op, so the "
+        "final table read back through its manifest aggregates to "
+        "exactly the batch answer — the oracle's value equality IS the "
+        "proof that no micro-batch was lost or double-applied. Append "
+        "commits cost O(batch); the table is never rewritten."
+    ),
+)
+def stream_lakehouse_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.safe_math import dec
+    from ..operators.lakehouse import commit_append, read_version
+
+    pin_query_session_conf(spark)
+    run = _fresh_run_dir("lake_sink", sf_dir)
+    src = f"{run}/src"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.repartitionByRange(4, "event_id").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    table = f"{run}/table"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_append(batch_df, table, txn_id=f"b{batch_id}")
+        commit_append(batch_df, table, txn_id=f"b{batch_id}")  # retried batch
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_version(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value", "decimal(18,4)")) * 100, 0)
+            .cast("long")
+            .alias("total_value_cents"),
+        )
+        .orderBy("event_type")
+    )

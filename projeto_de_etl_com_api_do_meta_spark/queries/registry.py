@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "warehouse_incremental_agg_retract",
     "text_badwords_filter",
     "er_customer_resolution",
+    "stream_lakehouse_append_sink",
     # ---- widest still-unverified r3 blocks (all pass local exact-value
     # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",
