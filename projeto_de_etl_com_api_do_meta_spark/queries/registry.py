@@ -107,6 +107,11 @@ _PRIORITY: tuple[str, ...] = (
     "text_badwords_filter",
     "er_customer_resolution",
     "stream_lakehouse_append_sink",
+    # pretraining extras (late r4): canonicalize / tokenize / sample / shard
+    "text_unicode_normalize",
+    "corpus_bpe_apply",
+    "sample_weighted_reservoir",
+    "train_rendezvous_sharding",
     # ---- widest still-unverified r3 blocks (all pass local exact-value
     # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",
@@ -285,6 +290,7 @@ def _load_all() -> None:
         ml_queries,
         pandas_interop,
         pipelines_queries,
+        pretrain_extra,
         quality_queries,
         relational,
         scalar_funcs,

@@ -1,0 +1,138 @@
+"""Pretraining extras: unicode normalize, BPE apply, weighted reservoir,
+rendezvous sharding, compression ratio."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+import zlib
+
+from projeto_de_etl_com_api_do_meta_spark.io import load_table
+from projeto_de_etl_com_api_do_meta_spark.queries.pretrain_extra import _BPE_MERGES
+from projeto_de_etl_com_api_do_meta_spark.queries.registry import QUERIES, _load_all
+
+_load_all()
+
+
+def _clean_ref(dirty: str) -> str:
+    s = unicodedata.normalize("NFC", dirty).replace(" ", " ")
+    s = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "", s)
+    return re.sub(r" +", " ", s).strip()
+
+
+def test_unicode_normalize_matches_reference_impl(spark, sf_dir):
+    out = {r.doc_id: r for r in QUERIES["text_unicode_normalize"].fn(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        if doc_id % 3 == 0:
+            dirty = text.replace("a", "á")
+        elif doc_id % 3 == 1:
+            dirty = text.replace("e", "é") + "\x07"
+        else:
+            dirty = text.replace(" ", " ")
+        clean = _clean_ref(dirty)
+        r = out[doc_id]
+        assert r.n_dirty == len(dirty)
+        assert r.n_clean == len(clean)
+        assert r.fp == hashlib.md5(clean.encode("utf-8")).hexdigest()
+        # NFC composes each a/e + combining acute into one precomposed char,
+        # the BEL is stripped, and NBSP-damaged docs round-trip exactly
+        if doc_id % 3 == 2:
+            assert clean == text
+        else:
+            assert len(clean) < len(dirty)
+
+
+def _bpe_ref(word: str) -> list[str]:
+    rank = {p: i for i, p in enumerate(_BPE_MERGES)}
+    toks = list(word)
+    while len(toks) > 1:
+        cands = [
+            (rank[(toks[i], toks[i + 1])], i)
+            for i in range(len(toks) - 1)
+            if (toks[i], toks[i + 1]) in rank
+        ]
+        if not cands:
+            break
+        best = _BPE_MERGES[min(r for r, _ in cands)]
+        out, i = [], 0
+        while i < len(toks):
+            if i < len(toks) - 1 and (toks[i], toks[i + 1]) == best:
+                out.append(toks[i] + toks[i + 1])
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_bpe_apply_pins_known_words(spark, sf_dir):
+    rows = {r.word: r for r in QUERIES["corpus_bpe_apply"].fn(spark, sf_dir).collect()}
+    # bottom-up merge chains collapse whole known words to one token
+    for word, want in [
+        ("table", ["table"]),
+        ("scan", ["scan"]),
+        ("row", ["row"]),
+        ("customer", ["c", "u", "s", "t", "o", "m", "er"]),
+    ]:
+        if word in rows:
+            assert rows[word].tokens.split(" ") == want, word
+            assert rows[word].n_tokens == len(want)
+    # every word's encoding matches the reference algorithm exactly
+    for word, r in rows.items():
+        assert r.tokens.split(" ") == _bpe_ref(word), word
+        assert "".join(r.tokens.split(" ")) == word  # lossless
+
+
+def test_weighted_reservoir_deterministic_topk(spark, sf_dir):
+    fn = QUERIES["sample_weighted_reservoir"].fn
+    a = [(r.doc_id, r.weight, r.sample_key) for r in fn(spark, sf_dir).collect()]
+    b = [(r.doc_id, r.weight, r.sample_key) for r in fn(spark, sf_dir).collect()]
+    assert a == b  # reproducible sample
+    assert len(a) == 25
+    keys = [k for _, _, k in a]
+    assert keys == sorted(keys, reverse=True)
+    assert all(0.0 < k <= 1.0 for k in keys)
+    # A-ES keys recompute exactly from the doc_id hash and the weight
+    for doc_id, w, key in a[:5]:
+        h = hashlib.md5(f"{doc_id}:res".encode()).hexdigest()
+        u = (int(h[:13], 16) + 0.5) / 2**52
+        assert round(u ** (1.0 / w), 6) == key
+
+
+def test_rendezvous_sharding_stability(spark, sf_dir):
+    rows = QUERIES["train_rendezvous_sharding"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    moved = sum(r.moved for r in rows)
+    # growing 8 -> 9 shards should move ~1/9 of docs; generous bounds
+    assert 0.02 * n <= moved <= 0.30 * n
+    for r in rows[:50]:
+        scores8 = {
+            s: hashlib.md5(f"{r.doc_id}#{s}".encode()).hexdigest() for s in range(8)
+        }
+        assert r.shard8 == max(scores8, key=scores8.get)
+        scores9 = dict(scores8)
+        scores9[8] = hashlib.md5(f"{r.doc_id}#8".encode()).hexdigest()
+        assert r.shard9 == max(scores9, key=scores9.get)
+        # minimal disruption: a doc moves only when the NEW shard wins
+        if r.moved:
+            assert r.shard9 == 8
+        else:
+            assert r.shard8 == r.shard9
+
+
+def test_compression_ratio_pins_zlib(spark, sf_dir):
+    out = {r.doc_id: r for r in QUERIES["text_compression_ratio"].fn(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        raw = text.encode("utf-8")
+        r = out[doc_id]
+        assert r.raw_len == len(raw)
+        assert r.compressed_len == len(zlib.compress(raw, 6))
+        assert r.ratio == round(r.compressed_len / r.raw_len, 6)
+        assert r.low_quality == int(r.ratio < 0.35)

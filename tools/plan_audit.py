@@ -44,6 +44,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001")
 #: (query, flag) -> reason the pattern is acceptable THERE.
 ALLOWLIST: dict[tuple[str, str], str] = {
     ("join_cross_small", "CARTESIAN"): "deliberate 5x5x5 dim cross join (J3)",
+    ("train_rendezvous_sharding", "CARTESIAN"): "broadcast 9-row shard spine (HRW candidate expand; map-only)",
     ("join_theta_ineq", "CARTESIAN"): "deliberate pure theta-join demo (J5); bounded filtered sides — join_range_binned is the scale path",
     ("q11_important_parts", "CARTESIAN"): "TPC-H q11 global value-threshold scalar broadcast (1 row)",
     ("q22_dormant_customers", "CARTESIAN"): "TPC-H q22 avg-acctbal scalar broadcast (1 row)",
