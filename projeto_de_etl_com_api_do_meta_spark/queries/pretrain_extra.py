@@ -467,3 +467,288 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "low_quality", (F.col("ratio") < 0.35).cast("int")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_c4_line_rules
+# ---------------------------------------------------------------------------
+# The C4 line-level cleaning rules (Raffel et al. 2020, "Exploring the
+# Limits of Transfer Learning", section 2.2): keep only lines that end in
+# terminal punctuation AND have >= 5 words AND don't mention javascript;
+# drop whole pages containing "lorem ipsum" or a curly brace, or with
+# fewer than 3 surviving lines.  The punctuation-free fixture is first
+# deterministically DECORATED (keyed on (doc_id, seg_pos)) so every rule
+# has real positive and negative cases, and two page-poison lines are
+# injected on doc_id residues — the oracle applies the same decoration, so
+# the diff verifies the RULES, not the fixture.
+
+_C4_SEG_WORDS = 8
+_C4_JS_LINE = " requires javascript enabled."
+_C4_LOREM_LINE = "lorem ipsum dolor sit amet."
+_C4_BRACE_LINE = "body { margin: 0; } done."
+
+_ORACLE_C4_LINE_RULES = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+t AS (
+  SELECT doc_id, CAST(ceil(len(ws) / {_C4_SEG_WORDS}.0) AS BIGINT) AS n_segs, ws
+  FROM w
+),
+seg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS seg_pos,
+         array_to_string(
+           ws[(i - 1) * {_C4_SEG_WORDS} + 1 : i * {_C4_SEG_WORDS}], ' ') AS seg
+  FROM t, unnest(range(1, n_segs + 1)) AS r(i)
+),
+lines AS (
+  SELECT doc_id, seg_pos,
+         CASE (doc_id * 31 + seg_pos) % 5
+           WHEN 0 THEN seg || '{_C4_JS_LINE}'
+           WHEN 1 THEN seg
+           WHEN 2 THEN seg || '!'
+           WHEN 3 THEN seg || '?'
+           ELSE seg || '.'
+         END AS line
+  FROM seg
+  UNION ALL
+  SELECT doc_id, 1000001, '{_C4_LOREM_LINE}' FROM documents WHERE doc_id % 41 = 0
+  UNION ALL
+  SELECT doc_id, 1000002, '{_C4_BRACE_LINE}' FROM documents WHERE doc_id % 43 = 1
+),
+judged AS (
+  SELECT doc_id, seg_pos, line,
+         (regexp_matches(line, '[.!?"]$')
+          AND len(string_split(line, ' ')) >= 5
+          AND NOT contains(line, 'javascript')) AS line_keep,
+         contains(line, 'lorem ipsum') AS has_lorem,
+         (contains(line, '{{') OR contains(line, '}}')) AS has_brace
+  FROM lines
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_lines,
+         COUNT(*) FILTER (WHERE line_keep) AS n_kept,
+         bool_or(has_lorem) AS any_lorem,
+         bool_or(has_brace) AS any_brace,
+         md5(COALESCE(string_agg(line, ' ' ORDER BY seg_pos)
+                        FILTER (WHERE line_keep), '')) AS fp
+  FROM judged GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(CASE WHEN NOT any_lorem AND NOT any_brace AND n_kept >= 3
+                 THEN 1 ELSE 0 END AS INT) AS page_keep,
+       fp
+FROM agg
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_c4_line_rules",
+    oracle=_ORACLE_C4_LINE_RULES,
+    tags=("text", "quality", "cleaning", "north-star"),
+    doc=(
+        "The C4 line-level cleaning battery (Raffel et al. 2020 sec 2.2): "
+        "a line survives iff it ends in terminal punctuation, has >= 5 "
+        "words, and doesn't mention javascript; the whole page is dropped "
+        "if any line contains 'lorem ipsum' or a curly brace, or fewer "
+        "than 3 lines survive. Lines are fixed-8-word segments of the "
+        "punctuation-free fixture, deterministically decorated keyed on "
+        "(doc_id, seg_pos) so every rule fires both ways, plus injected "
+        "lorem-ipsum / brace poison lines on doc_id residues. Rebuilt "
+        "kept-text md5 is part of the verified output. Scale shape: "
+        "segment explode is a per-row array expression, rules are JVM "
+        "string predicates, and the per-doc verdict is ONE hash aggregate "
+        "(array_sort(collect_list) rebuild, no window) — the only shuffle "
+        "keys on doc_id."
+    ),
+)
+def text_c4_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .web_queries import segment_words
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    segs = segment_words(spread(docs, "doc_id"), _C4_SEG_WORDS)
+
+    k = (F.col("doc_id") * 31 + F.col("seg_pos")) % 5
+    decorated = segs.select(
+        "doc_id",
+        "seg_pos",
+        F.when(k == 0, F.concat("seg", F.lit(_C4_JS_LINE)))
+        .when(k == 1, F.col("seg"))
+        .when(k == 2, F.concat("seg", F.lit("!")))
+        .when(k == 3, F.concat("seg", F.lit("?")))
+        .otherwise(F.concat("seg", F.lit(".")))
+        .alias("line"),
+    )
+    poison = docs.where(F.col("doc_id") % 41 == 0).select(
+        "doc_id", F.lit(1000001).cast("long").alias("seg_pos"),
+        F.lit(_C4_LOREM_LINE).alias("line"),
+    ).unionAll(
+        docs.where(F.col("doc_id") % 43 == 1).select(
+            "doc_id", F.lit(1000002).cast("long").alias("seg_pos"),
+            F.lit(_C4_BRACE_LINE).alias("line"),
+        )
+    )
+    lines = decorated.unionAll(poison)
+
+    judged = lines.select(
+        "doc_id",
+        "seg_pos",
+        "line",
+        (
+            F.col("line").rlike('[.!?"]$')
+            & (F.size(F.split("line", " ")) >= 5)
+            & ~F.col("line").contains("javascript")
+        ).alias("line_keep"),
+        F.col("line").contains("lorem ipsum").alias("has_lorem"),
+        (F.col("line").contains("{") | F.col("line").contains("}")).alias(
+            "has_brace"
+        ),
+    )
+    agg = judged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("line_keep").cast("long")).alias("n_kept"),
+        F.max("has_lorem").alias("any_lorem"),
+        F.max("has_brace").alias("any_brace"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("line_keep"),
+                                F.struct("seg_pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            )
+        ).alias("fp"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.when(
+            ~F.col("any_lorem") & ~F.col("any_brace") & (F.col("n_kept") >= 3),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("page_keep"),
+        "fp",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_mojibake_repair
+# ---------------------------------------------------------------------------
+# ftfy-style double-encoding repair: UTF-8 bytes decoded as Latin-1 leave
+# telltale sequences (e 'Ã©', o-circumflex 'Ã´', right-quote 'â€™',
+# em-dash 'â€”').  The ASCII fixture is deterministically damaged (keyed
+# on doc_id % 4, one residue left CLEAN as the control group), then both
+# engines count hits per pattern and repair by reverse substitution —
+# md5 of the repaired text is value-verified.
+
+_MOJIBAKE_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("Ã©", "é"),  # 'Ã©' -> 'é'
+    ("Ã´", "ô"),  # 'Ã´' -> 'ô'
+    ("â€™", "’"),  # 'â€™' -> right single quote
+    ("â€”", "—"),  # 'â€”' -> em dash
+)
+_MOJIBAKE_SUFFIX = " itâ€™s broken â€” badly"
+
+
+def _mojibake_oracle() -> str:
+    pats = _MOJIBAKE_PATTERNS
+    dirty = (
+        "CASE doc_id % 4 "
+        f"WHEN 0 THEN replace(text, 'e', '{pats[0][0]}') "
+        f"WHEN 1 THEN replace(text, 'o', '{pats[1][0]}') "
+        f"WHEN 2 THEN text || '{_MOJIBAKE_SUFFIX}' "
+        "ELSE text END"
+    )
+    hits = " + ".join(
+        f"(length(dirty) - length(replace(dirty, '{p}', ''))) / {len(p)}"
+        for p, _ in pats
+    )
+    repaired = "dirty"
+    for p, r in pats:
+        repaired = f"replace({repaired}, '{p}', '{r}')"
+    return f"""
+WITH damaged AS (
+  SELECT doc_id, {dirty} AS dirty FROM documents
+)
+SELECT doc_id,
+       CAST({hits} AS BIGINT) AS n_hits,
+       CAST(CASE WHEN {hits} > 0 THEN 1 ELSE 0 END AS INT) AS mojibake,
+       md5({repaired}) AS fp
+FROM damaged
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_mojibake_repair",
+    oracle=_mojibake_oracle(),
+    tags=("text", "cleaning", "north-star"),
+    doc=(
+        "Mojibake (UTF-8-decoded-as-Latin-1) detection and repair, the "
+        "ftfy pass of web-text curation: count telltale double-encoding "
+        "sequences per document and reverse-substitute them. The ASCII "
+        "fixture is deterministically damaged keyed on doc_id % 4 (one "
+        "residue stays clean as the control), so hit counts, the flag, "
+        "and the repaired-text md5 are all differentially verified. "
+        "Map-only JVM string expressions — no UDF, no shuffle; at 100 TB "
+        "this fuses into the scan's projection."
+    ),
+)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    pats = _MOJIBAKE_PATTERNS
+    dirty = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.replace(F.col("text"), F.lit("e"), F.lit(pats[0][0])),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.replace(F.col("text"), F.lit("o"), F.lit(pats[1][0])),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.col("text"), F.lit(_MOJIBAKE_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+    )
+    d = docs.select("doc_id", dirty.alias("dirty"))
+
+    n_hits = None
+    for p, _ in pats:
+        term = (
+            (
+                F.length("dirty")
+                - F.length(F.replace(F.col("dirty"), F.lit(p), F.lit("")))
+            )
+            / F.lit(len(p))
+        ).cast("long")
+        n_hits = term if n_hits is None else n_hits + term
+
+    repaired = F.col("dirty")
+    for p, r in pats:
+        repaired = F.replace(repaired, F.lit(p), F.lit(r))
+
+    return d.select(
+        "doc_id",
+        n_hits.alias("n_hits"),
+        (n_hits > 0).cast("int").alias("mojibake"),
+        F.md5(repaired).alias("fp"),
+    ).orderBy("doc_id")

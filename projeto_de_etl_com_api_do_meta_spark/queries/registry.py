@@ -112,6 +112,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_bpe_apply",
     "sample_weighted_reservoir",
     "train_rendezvous_sharding",
+    "text_c4_line_rules",
+    "text_mojibake_repair",
     # ---- widest still-unverified r3 blocks (all pass local exact-value
     # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",

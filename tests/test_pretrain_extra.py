@@ -136,3 +136,76 @@ def test_compression_ratio_pins_zlib(spark, sf_dir):
         assert r.compressed_len == len(zlib.compress(raw, 6))
         assert r.ratio == round(r.compressed_len / r.raw_len, 6)
         assert r.low_quality == int(r.ratio < 0.35)
+
+
+def _c4_ref_lines(doc_id: int, text: str) -> list[tuple[int, str]]:
+    ws = text.split(" ")
+    n_segs = -(-len(ws) // 8)
+    lines = []
+    for i in range(1, n_segs + 1):
+        seg = " ".join(ws[(i - 1) * 8 : i * 8])
+        k = (doc_id * 31 + i) % 5
+        line = {
+            0: seg + " requires javascript enabled.",
+            1: seg,
+            2: seg + "!",
+            3: seg + "?",
+        }.get(k, seg + ".")
+        lines.append((i, line))
+    if doc_id % 41 == 0:
+        lines.append((1000001, "lorem ipsum dolor sit amet."))
+    if doc_id % 43 == 1:
+        lines.append((1000002, "body { margin: 0; } done."))
+    return lines
+
+
+def test_c4_line_rules_match_reference_impl(spark, sf_dir):
+    out = {r.doc_id: r for r in QUERIES["text_c4_line_rules"].fn(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(docs)
+    seen_keep, seen_drop = False, False
+    for doc_id, text in docs.items():
+        lines = _c4_ref_lines(doc_id, text)
+        kept = [
+            (p, ln)
+            for p, ln in lines
+            if re.search(r'[.!?"]$', ln)
+            and len(ln.split(" ")) >= 5
+            and "javascript" not in ln
+        ]
+        any_poison = any(
+            "lorem ipsum" in ln or "{" in ln or "}" in ln for _, ln in lines
+        )
+        r = out[doc_id]
+        assert r.n_lines == len(lines)
+        assert r.n_kept == len(kept)
+        assert r.page_keep == int(not any_poison and len(kept) >= 3)
+        rebuilt = " ".join(ln for _, ln in sorted(kept))
+        assert r.fp == hashlib.md5(rebuilt.encode("utf-8")).hexdigest()
+        seen_keep |= r.page_keep == 1
+        seen_drop |= r.page_keep == 0
+    assert seen_keep and seen_drop  # both verdicts exercised
+
+
+def test_mojibake_repair_matches_reference_impl(spark, sf_dir):
+    out = {r.doc_id: r for r in QUERIES["text_mojibake_repair"].fn(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    pats = [("Ã©", "é"), ("Ã´", "ô"), ("â€™", "’"), ("â€”", "—")]
+    for doc_id, text in docs.items():
+        k = doc_id % 4
+        dirty = {
+            0: text.replace("e", "Ã©"),
+            1: text.replace("o", "Ã´"),
+            2: text + " itâ€™s broken â€” badly",
+        }.get(k, text)
+        hits = sum(dirty.count(p) for p, _ in pats)
+        repaired = dirty
+        for p, rep in pats:
+            repaired = repaired.replace(p, rep)
+        r = out[doc_id]
+        assert r.n_hits == hits
+        assert r.mojibake == int(hits > 0)
+        assert r.fp == hashlib.md5(repaired.encode("utf-8")).hexdigest()
+        if k == 3:
+            assert r.n_hits == 0  # clean control group
+            assert r.fp == hashlib.md5(text.encode("utf-8")).hexdigest()
