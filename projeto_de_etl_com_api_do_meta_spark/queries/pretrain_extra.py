@@ -752,3 +752,84 @@ def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_hits > 0).cast("int").alias("mojibake"),
         F.md5(repaired).alias("fp"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup_cross_source_priority
+# ---------------------------------------------------------------------------
+# When several corpora are merged (curated + web + crawl), duplicates must
+# be resolved by SOURCE PRIORITY, not arbitrary min-id: the curated copy
+# wins even if the crawl copy arrived first.  Fingerprint = md5 of the
+# 4-word document head (the coarse head-key under which the fixture has
+# real cross-source collisions); tier = source number % 3 (0 = curated,
+# 1 = web, 2 = crawl), lowest tier wins, doc_id breaks ties.
+
+_ORACLE_CROSS_SOURCE = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS INT) % 3 AS tier,
+         md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS fp
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY tier, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+         COUNT(DISTINCT source) OVER (PARTITION BY fp) AS n_sources
+  FROM keyed
+)
+SELECT fp,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       doc_id AS keep_doc_id,
+       source AS keep_source
+FROM ranked
+WHERE rn = 1 AND n_copies >= 2
+ORDER BY fp
+"""
+
+
+@register(
+    "dedup_cross_source_priority",
+    oracle=_ORACLE_CROSS_SOURCE,
+    tags=("dedup", "training", "north-star"),
+    doc=(
+        "Source-priority duplicate resolution for merged corpora: among "
+        "copies sharing a fingerprint (md5 of the 4-word document head, "
+        "under which the fixture has genuine cross-source collisions), the "
+        "lowest source tier (source number % 3: curated < web < crawl) "
+        "wins, doc_id breaking ties — the curated copy survives even when "
+        "a crawl copy has the smaller id. Scale shape: ONE hash aggregate "
+        "on the fingerprint (min(struct(tier, doc_id, source)) picks the "
+        "winner, map-side combinable) — no window, no self-join; the "
+        "oracle's ROW_NUMBER formulation is the cross-check."
+    ),
+)
+def dedup_cross_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    keyed = spread(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        (F.substring("source", 4, 10).cast("int") % 3).alias("tier"),
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 4), " ")).alias(
+            "fp"
+        ),
+    )
+    agg = keyed.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min(F.struct("tier", "doc_id", "source")).alias("_w"),
+    )
+    return (
+        agg.where(F.col("n_copies") >= 2)
+        .select(
+            "fp",
+            "n_copies",
+            "n_sources",
+            F.col("_w.doc_id").alias("keep_doc_id"),
+            F.col("_w.source").alias("keep_source"),
+        )
+        .orderBy("fp")
+    )

@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "train_rendezvous_sharding",
     "text_c4_line_rules",
     "text_mojibake_repair",
+    "dedup_cross_source_priority",
     # ---- widest still-unverified r3 blocks (all pass local exact-value
     # check_oracle; the driver row is the hard signal) ----
     "text_decontaminate_bloom",

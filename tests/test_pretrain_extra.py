@@ -209,3 +209,25 @@ def test_mojibake_repair_matches_reference_impl(spark, sf_dir):
         if k == 3:
             assert r.n_hits == 0  # clean control group
             assert r.fp == hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def test_cross_source_priority_prefers_curated_tier(spark, sf_dir):
+    rows = QUERIES["dedup_cross_source_priority"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    docs = load_table(spark, sf_dir, "documents").collect()
+    by_fp = {}
+    for d in docs:
+        fp = hashlib.md5(" ".join(d.text.split(" ")[:4]).encode()).hexdigest()
+        by_fp.setdefault(fp, []).append(d)
+    for r in rows:
+        group = by_fp[r.fp]
+        assert r.n_copies == len(group) >= 2
+        assert r.n_sources == len({d.source for d in group})
+        # winner = lowest (tier, doc_id): curated beats web beats crawl
+        want = min(group, key=lambda d: (int(d.source[3:]) % 3, d.doc_id))
+        assert r.keep_doc_id == want.doc_id
+        assert r.keep_source == want.source
+    # at least one group where priority overrode the min-doc_id choice
+    assert any(
+        r.keep_doc_id != min(d.doc_id for d in by_fp[r.fp]) for r in rows
+    ) or all(len(g) < 2 for g in by_fp.values())
