@@ -91,6 +91,10 @@ HEADLINE: tuple[str, ...] = (
     "text_gopher_quality_rules",
     "dedup_semantic_clustered",
     "web_line_dedup_rebuild",
+    # late round-4: the remaining curation entry points (C4 line battery,
+    # source-priority duplicate resolution)
+    "text_c4_line_rules",
+    "dedup_cross_source_priority",
 )
 
 
