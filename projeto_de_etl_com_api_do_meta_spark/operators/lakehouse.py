@@ -11,8 +11,11 @@ commits and time travel — are a manifest protocol, not a file format:
 - readers resolve a manifest FIRST and read only the files it lists, so
   a reader of v1 never sees v2's files (snapshot isolation) and any
   historical version stays readable forever (time travel);
-- the manifest write is a single ``os.rename`` onto the final name —
-  the same last-writer-atomicity delta's _delta_log relies on.
+- the manifest publish is CREATE-IF-ABSENT (``os.link`` of a temp file
+  onto the final name, which fails with EEXIST if the version already
+  exists) — the same put-if-absent contract delta's _delta_log relies
+  on. Two concurrent writers racing for version N cannot overwrite
+  each other: the loser sees the conflict and retries at N+1.
 
 This is deliberately the minimal subset: append/overwrite commits and
 reads. MERGE on top of it is ``sinks/upsert.py: parquet_upsert``
@@ -64,6 +67,11 @@ def _write_files(df: DataFrame, table_dir: str, n: int) -> list[str]:
     )
 
 
+class CommitConflict(Exception):
+    """Another writer published this version number first; retry with the
+    next number."""
+
+
 def _publish(
     table_dir: str, n: int, files: list[str], txn_id: str | None = None
 ) -> int:
@@ -73,9 +81,19 @@ def _publish(
     if txn_id is not None:
         manifest["txn_id"] = txn_id
     fd, tmp = tempfile.mkstemp(dir=md, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, os.path.join(md, f"v{n}.json"))  # the commit point
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        try:
+            # The commit point: hard-link is create-if-absent (EEXIST when
+            # the name is taken), unlike os.rename's last-writer-wins
+            # overwrite — a concurrent writer racing for the same version
+            # loses visibly instead of silently erasing this manifest.
+            os.link(tmp, os.path.join(md, f"v{n}.json"))
+        except FileExistsError as e:
+            raise CommitConflict(f"v{n} already committed") from e
+    finally:
+        os.unlink(tmp)
     return n
 
 
@@ -98,10 +116,19 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
 
     The data lands under ``data/v{N}-{uuid}/`` (unique prefix, so a
     concurrent or crashed writer can never collide with published files),
-    then the manifest is renamed into place as the commit point.
+    then the manifest is linked into place create-if-absent as the commit
+    point; losing a version race retries publication at the next number
+    (the already-written data files stay valid — only the manifest moves).
     """
-    n = (versions(table_dir)[-1] + 1) if versions(table_dir) else 1
-    return _publish(table_dir, n, _write_files(df, table_dir, n))
+    files = None
+    while True:
+        n = (versions(table_dir)[-1] + 1) if versions(table_dir) else 1
+        if files is None:
+            files = _write_files(df, table_dir, n)
+        try:
+            return _publish(table_dir, n, files)
+        except CommitConflict:
+            continue
 
 
 def commit_append(
@@ -118,17 +145,44 @@ def commit_append(
     re-run with the same batch id): if any committed manifest already
     records this ``txn_id``, the call is a no-op returning that version
     — the retried batch can never double-append. Same mechanism as
-    Delta's txn appId/version and Iceberg's snapshot dedup."""
-    vs = versions(table_dir)
-    if txn_id is not None:
-        for v in vs:
-            if _manifest(table_dir, v).get("txn_id") == txn_id:
-                return v
-    n = (vs[-1] + 1) if vs else 1
-    prev = manifest_files(table_dir, vs[-1]) if vs else []
-    return _publish(
-        table_dir, n, prev + _write_files(df, table_dir, n), txn_id=txn_id
-    )
+    Delta's txn appId/version and Iceberg's snapshot dedup. Vacuumed-away
+    manifests' txn_ids survive in ``_manifests/retired_txns.json`` (see
+    vacuum), so a retry arriving after retention cleanup still no-ops.
+
+    Losing a concurrent-version race retries the whole read-check-publish
+    round: the base file list and the txn_id scan are recomputed against
+    the winner's manifest before publishing at the next number."""
+    new_files = None
+    while True:
+        vs = versions(table_dir)
+        if txn_id is not None:
+            if txn_id in _retired_txns(table_dir):
+                return vs[-1] if vs else 0
+            for v in vs:
+                if _manifest(table_dir, v).get("txn_id") == txn_id:
+                    return v
+        n = (vs[-1] + 1) if vs else 1
+        if new_files is None:
+            new_files = _write_files(df, table_dir, n)
+        prev = manifest_files(table_dir, vs[-1]) if vs else []
+        try:
+            return _publish(table_dir, n, prev + new_files, txn_id=txn_id)
+        except CommitConflict:
+            continue
+
+
+def _retired_txns_path(table_dir: str) -> str:
+    return os.path.join(_manifest_dir(table_dir), "retired_txns.json")
+
+
+def _retired_txns(table_dir: str) -> set[str]:
+    """txn_ids whose manifests were vacuumed away — kept so idempotent
+    append retries outlive retention cleanup."""
+    try:
+        with open(_retired_txns_path(table_dir)) as f:
+            return set(json.load(f))
+    except FileNotFoundError:
+        return set()
 
 
 def added_files(table_dir: str, from_version: int, to_version: int) -> list[str]:
@@ -161,16 +215,33 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
     manifests. Returns the deleted file paths. Files shared with a
     retained version (append lineage) survive. Time travel to vacuumed
     versions is gone — that is the retention trade every table format
-    makes; run with the widest retention storage allows."""
+    makes; run with the widest retention storage allows.
+
+    Deleted manifests' txn_ids are folded into
+    ``_manifests/retired_txns.json`` FIRST, so commit_append's
+    exactly-once scan still recognizes a late retry of a vacuumed-past
+    micro-batch (otherwise retention would reopen the double-append
+    window). Vacuum is a single-writer maintenance operation — run one at
+    a time, like every table format's retention job."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = versions(table_dir)
     retained = set(vs[-keep_last:])
+    doomed = [v for v in vs if v not in retained]
+    retiring = {
+        t
+        for v in doomed
+        if (t := _manifest(table_dir, v).get("txn_id")) is not None
+    }
+    if retiring:
+        merged = sorted(_retired_txns(table_dir) | retiring)
+        fd, tmp = tempfile.mkstemp(dir=_manifest_dir(table_dir), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(merged, f)
+        os.rename(tmp, _retired_txns_path(table_dir))  # before manifest drop
     keep_files = {f for v in retained for f in manifest_files(table_dir, v)}
     deleted = []
-    for v in vs:
-        if v in retained:
-            continue
+    for v in doomed:
         for f in manifest_files(table_dir, v):
             if f not in keep_files and os.path.exists(f):
                 os.remove(f)

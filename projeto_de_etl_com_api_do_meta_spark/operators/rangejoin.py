@@ -79,17 +79,22 @@ def interval_overlap_join(
 
     Column names must be pre-disambiguated; span columns must be
     non-negative integers (cast timestamps to epoch micros first).
+
+    Bucket ids come from INTEGER division (``div``), not float-divide +
+    floor: for spans past 2^53 the double rounding could shift a value at
+    an exact multiple of ``bucket_width`` into the wrong bucket (ADVICE
+    r4 #3) — exactness must not depend on magnitude.
     """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
     ls, le = left_span
     rs, re_ = right_span
-    w = F.lit(bucket_width)
+
+    def _bucket(c) -> "F.Column":
+        return F.expr(f"CAST({c} AS BIGINT) div {bucket_width}")
+
     def _buckets(s: str, e: str):
-        return F.explode(
-            F.sequence(
-                F.floor(F.col(s) / w).cast("long"),
-                F.floor(F.col(e) / w).cast("long"),
-            )
-        )
+        return F.explode(F.sequence(_bucket(s), _bucket(e)))
 
     l = left.withColumn("_b", _buckets(ls, le))
     r = right.withColumn("_b", _buckets(rs, re_))
@@ -98,7 +103,7 @@ def interval_overlap_join(
         .where(
             (F.col(ls) <= F.col(re_))
             & (F.col(rs) <= F.col(le))
-            & (F.col("_b") == F.floor(F.greatest(ls, rs) / w))
+            & (F.col("_b") == _bucket(f"greatest({ls}, {rs})"))
         )
         .drop("_b")
     )

@@ -53,10 +53,14 @@ _ITERS = 2
 _SCALE = 65536.0  # 2^16: exact in binary floating point
 
 
-def _kmeans_ctes() -> list[str]:
+def _kmeans_ctes(k: str = str(_K)) -> list[str]:
     """Unrolled Lloyd-iteration CTE chain (fixed-point, bit-exact), shared
-    by the k-means oracle and the SemDeDup oracle: ends with ``a{_ITERS}``
-    holding each vec_id's final combined argmin key (``key % k`` = cid)."""
+    by the k-means oracle and the SemDeDup oracles: ends with ``a{_ITERS}``
+    holding each vec_id's final combined argmin key (``key % k`` = cid).
+
+    ``k`` is a SQL expression, not necessarily a literal — the SemDeDup
+    scale twin passes an uncorrelated scalar subquery so the oracle's k is
+    derived from COUNT(*) exactly like the Spark side's."""
     assign = """
 a{i} AS (
   SELECT vec_id, MIN(key) AS key FROM (
@@ -79,12 +83,12 @@ c{i} AS (
            AS qv
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
 ),
-c0 AS (SELECT vec_id AS cid, pos, qv AS cq FROM pts WHERE vec_id < {_K})"""
+c0 AS (SELECT vec_id AS cid, pos, qv AS cq FROM pts WHERE vec_id < {k})"""
     ]
     for i in range(1, _ITERS + 1):
-        parts.append(assign.format(i=i, j=i - 1, k=_K))
+        parts.append(assign.format(i=i, j=i - 1, k=k))
         if i < _ITERS:
-            parts.append(update.format(i=i, k=_K))
+            parts.append(update.format(i=i, k=k))
     return parts
 
 
@@ -397,10 +401,10 @@ _SD_DEN = 400     # 0.35 is the fixture corpus's 99.9th pairwise percentile —
 #                   production-style 0.9x threshold would select nothing)
 
 
-def _oracle_semdedup() -> str:
+def _oracle_semdedup(k: str = str(_K), pre: str = "") -> str:
     return (
-        "WITH " + ",".join(_kmeans_ctes()) + f""",
-asg AS (SELECT vec_id, key % {_K} AS cid FROM a{_ITERS}),
+        "WITH " + pre + ",".join(_kmeans_ctes(k)) + f""",
+asg AS (SELECT vec_id, key % {k} AS cid FROM a{_ITERS}),
 q AS (
   SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
          CAST(round(CAST(embedding[i] AS DOUBLE) * {_SD_SCALE}) AS BIGINT)
@@ -456,6 +460,26 @@ FROM dups GROUP BY ib, cid ORDER BY vec_id"""
 def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     asg = embed_kmeans_lloyd(spark, sf_dir).select("vec_id", "cid")
+    return _semdedup_pair_stage(spark, sf_dir, asg)
+
+
+def _semdedup_pair_stage(
+    spark: SparkSession, sf_dir: str, asg: DataFrame
+) -> DataFrame:
+    """Shared SemDeDup pair stage: given (vec_id, cid) assignments, score
+    within-cluster pairs and report each duplicate's min-id canonical.
+
+    Within-cluster pair scoring as ONE int64 GEMM per cluster (Arrow
+    batch -> numpy), replacing a pair-exploded interpreted
+    aggregate(zip_with(...)) dot that evaluated the HOF tree per pair
+    (measured 9.1 s -> GEMM is milliseconds at sf0.1; same baked-in
+    local[32] lesson as the LSH sign-GEMM). Exactness is preserved:
+    numpy int64 products/sums are exact two's-complement at the same
+    magnitudes the SQL long math used (|dot| <= 64*2^20 = 2^26, so
+    400*dot^2 < 2^61 and 49*nrm_a*nrm_b < 2^58 — no overflow).
+    Per-task memory is O(cluster^2) int64s; SemDeDup's contract (k grown
+    with N) bounds cluster size, and the k-means stage is the enforcer.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.select(
         "vec_id",
@@ -474,16 +498,6 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = qv.join(asg, "vec_id").select("vec_id", "sv", F.col("cid").cast("long"))
 
-    # Within-cluster pair scoring as ONE int64 GEMM per cluster (Arrow
-    # batch -> numpy), replacing a pair-exploded interpreted
-    # aggregate(zip_with(...)) dot that evaluated the HOF tree per pair
-    # (measured 9.1 s -> GEMM is milliseconds at sf0.1; same baked-in
-    # local[32] lesson as the LSH sign-GEMM). Exactness is preserved:
-    # numpy int64 products/sums are exact two's-complement at the same
-    # magnitudes the SQL long math used (|dot| <= 64*2^20 = 2^26, so
-    # 400*dot^2 < 2^61 and 49*nrm_a*nrm_b < 2^58 — no overflow).
-    # Per-task memory is O(cluster^2) int64s; SemDeDup's contract (k grown
-    # with N) bounds cluster size, and the k-means stage is the enforcer.
     import numpy as np
     import pandas as pd
 
@@ -553,6 +567,151 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup scale twin: k grown with N (constant expected cluster size)
+# --------------------------------------------------------------------------
+
+_SD_TARGET = 100  # expected cluster size: k = max(4, N // _SD_TARGET)
+
+_SD_KP_CTE = (
+    f"kp AS (SELECT GREATEST(4, COUNT(*) // {_SD_TARGET}) AS k"
+    " FROM embeddings),\n"
+)
+_SD_K_EXPR = "(SELECT k FROM kp)"
+
+
+def _kmeans_assign_gemm(
+    spark: SparkSession, sf_dir: str, k: int, iters: int = _ITERS
+) -> DataFrame:
+    """``iters`` bit-exact Lloyd rounds with GEMM assignment, for k ∝ N.
+
+    ``embed_kmeans_lloyd``'s join-based assignment streams N·dim·k rows
+    through a hash aggregate — fine at fixed k=4, but k ∝ N makes that
+    O(N²·dim) ROWS, which no aggregate survives. Here assignment is a
+    blocked float64 GEMM inside mapInPandas against a broadcast centroid
+    matrix: the same N·k·dim work becomes BLAS FLOPs (~10⁴× cheaper per
+    distance) and never materializes as rows. The centroid update stays a
+    Spark hash aggregate over the exploded fixed-point components
+    (``sum(qv) div count(*)``), identical to the SQL oracle's update CTE.
+
+    Exactness vs the SQL chain: qv = floor((v+1)·2^16) ∈ [0, 2^17], so
+    dist = Σ(qv−cq)² ≤ 64·2^34 = 2^40; the expansion qn − 2·Q·Cᵀ + cn has
+    every term an integer < 2^53, exact in float64 — rint recovers the
+    exact int64 distance, and the combined key dist·k + cid (< 2^53 for
+    k ≤ 2^12) min-reduces to the identical argmin-with-lowest-cid-ties the
+    oracle's MIN(key) computes. Only centroids present after an update
+    participate (empty clusters drop out), matching the SQL join.
+
+    Driver state: the collected centroid table is k·dim int64 (k=1280 at
+    the x64 probe → 0.7 MB), same bounded-index precedent as the IVF
+    centroids (operators/similarity.py). At true 100 TB scale (k ~ 10⁸)
+    a flat centroid broadcast no longer fits; the documented swap is
+    two-level coarse-then-fine clustering (cluster √k coarse cells, then
+    sub-cluster within each cell), which keeps both levels' centroid
+    state ≤ √k·dim — the pair stage below is unchanged by that swap.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qarr = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor((x.cast("double") + F.lit(1.0)) * F.lit(_SCALE))
+            .cast("long"),
+        ).alias("qa"),
+    )
+    pts = qarr.select(
+        "vec_id", F.posexplode("qa").alias("pos", "qv")
+    ).persist()
+
+    # seed: first k vectors, exactly like the oracle's c0 CTE
+    seed = (
+        qarr.where(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("vec_id", "qa")
+        .collect()
+    )
+    cids = np.array([r["vec_id"] for r in seed], dtype=np.int64)
+    cmat = np.array([r["qa"] for r in seed], dtype=np.int64)
+
+    assign = None
+    for it in range(iters):
+        c_ids, c_f = cids, cmat.astype(np.float64)
+        c_n = (c_f * c_f).sum(axis=1)  # exact: ints < 2^41
+
+        def _assign(batches, _ids=c_ids, _cf=c_f, _cn=c_n, _k=k):
+            for pdf in batches:
+                q = np.array(pdf["qa"].tolist(), dtype=np.int64)
+                qf = q.astype(np.float64)
+                qn = (qf * qf).sum(axis=1)
+                keys = np.empty(len(pdf), dtype=np.int64)
+                blk = 1024
+                for i0 in range(0, len(pdf), blk):
+                    i1 = min(i0 + blk, len(pdf))
+                    g = qf[i0:i1] @ _cf.T
+                    dist = np.rint(
+                        qn[i0:i1, None] - 2.0 * g + _cn[None, :]
+                    ).astype(np.int64)
+                    keys[i0:i1] = (dist * _k + _ids[None, :]).min(axis=1)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "key": keys}
+                )
+
+        assign = qarr.mapInPandas(_assign, "vec_id long, key long")
+        if it < iters - 1:
+            upd = (
+                pts.join(assign, "vec_id")
+                .groupBy((F.col("key") % k).alias("cid"), "pos")
+                .agg(F.expr("sum(qv) div count(*)").alias("cq"))
+                .groupBy("cid")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "cq"))
+                    ).alias("pc")
+                )
+                .select("cid", F.col("pc.cq").alias("cq"))
+                .orderBy("cid")
+                .collect()
+            )
+            cids = np.array([r["cid"] for r in upd], dtype=np.int64)
+            cmat = np.array([r["cq"] for r in upd], dtype=np.int64)
+    pts.unpersist()
+    return assign
+
+
+@register(
+    "dedup_semantic_clustered_scaled",
+    oracle=_oracle_semdedup(k=_SD_K_EXPR, pre=_SD_KP_CTE),
+    tags=("dedup", "embedding", "scale-path", "north-star"),
+    doc=(
+        "SemDeDup scale path (r4 verdict item 2): identical pair stage to "
+        "dedup_semantic_clustered, but k is derived from the corpus size "
+        f"(k = max(4, N // {_SD_TARGET})) so expected cluster size stays "
+        "constant as N grows and the sum-of-cluster-sizes² pair work is "
+        "O(N·target) — linear — instead of the fixture-k twin's O(N²). "
+        "Assignment runs as a blocked GEMM against broadcast centroids "
+        "(_kmeans_assign_gemm) because join-based assignment is O(N·dim·k) "
+        "rows when k ∝ N. The oracle computes k with the same formula via "
+        "an uncorrelated scalar subquery (GREATEST(4, COUNT(*) // "
+        f"{_SD_TARGET})), so both engines cluster and pair bit-exactly at "
+        "any fixture scale."
+    ),
+)
+def dedup_semantic_clustered_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # one driver-side scalar (table stats), not a collect
+    k = max(4, n // _SD_TARGET)
+    asg = _kmeans_assign_gemm(spark, sf_dir, k).select(
+        "vec_id", (F.col("key") % k).cast("long").alias("cid")
+    )
+    return _semdedup_pair_stage(spark, sf_dir, asg)
 
 
 # ---------------------------------------------------------------------------

@@ -854,8 +854,6 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import zlib as _zlib
-
     from pyspark.sql import functions as F
 
     from ..multimodal.binary_ops import attach_ppm_image, resize_images
@@ -863,13 +861,14 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     resized = resize_images(attach_ppm_image(docs), width=16, height=16)
-    crc = F.udf(lambda b: _zlib.crc32(bytes(b)) if b is not None else None, "long")
+    # F.crc32 is the JVM-side CRC-32 (IEEE, same polynomial as zlib.crc32) —
+    # no Python round-trip for the integrity checksum.
     return resized.select(
         "doc_id",
         "width",
         "height",
         F.length("image_bytes").alias("n_bytes"),
-        crc("image_bytes").alias("crc32"),
+        F.crc32("image_bytes").alias("crc32"),
     )
 
 

@@ -62,6 +62,11 @@ _LOADED = False
 #: rows-only (no-oracle) queries go last where a scored slot can never earn a
 #: hash match anyway.
 _PRIORITY: tuple[str, ...] = (
+    # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
+    # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
+    # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----
+    "lakehouse_incremental_scan",
+    "dedup_semantic_clustered_scaled",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----

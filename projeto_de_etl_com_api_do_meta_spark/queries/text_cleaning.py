@@ -1319,30 +1319,40 @@ def text_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFram
 # Phrase-blocklist document filter (C4's "bad words" gate, phrase-aware).
 # ---------------------------------------------------------------------------
 
-#: Blocked phrases (word-boundary, 1-2 words). Multi-word entries are why
+#: Blocked phrases (word-boundary, 1-3 words). Multi-word entries are why
 #: a LIKE/contains scan is the wrong shape: matching must respect word
-#: boundaries and the list is consulted per N-GRAM, not per entry.
-_BAD_PHRASES = ("slow scan", "hash join", "dup")
+#: boundaries and the list is consulted per N-GRAM, not per entry. The
+#: gram lengths generated below are DERIVED from the longest entry (r4
+#: verdict item 7) — hardcoded 1-2-gram generation silently never matched
+#: a 3-word phrase.
+_BAD_PHRASES = ("slow scan", "hash join", "dup", "sort merge join")
 
-_ORACLE_BADWORDS = """
+#: Longest blocked phrase in words — drives gram generation on BOTH engines.
+_BAD_MAX_N = max(len(p.split()) for p in _BAD_PHRASES)
+
+
+def _oracle_badwords() -> str:
+    values = ", ".join(f"('{p}')" for p in _BAD_PHRASES)
+    gram_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id,
+         array_to_string(w[CAST(i AS INTEGER):CAST(i + {n - 1} AS INTEGER)],
+                         ' ') AS g
+  FROM toks, unnest(range(1, len(w) - {n} + 2)) AS t(i)"""
+        for n in range(1, _BAD_MAX_N + 1)
+    )
+    return f"""
 WITH bl AS (
-  SELECT * FROM (VALUES ('slow scan'), ('hash join'), ('dup')) AS t(phrase)
+  SELECT * FROM (VALUES {values}) AS t(phrase)
 ),
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
   FROM documents
 ),
 grams AS (
-  SELECT doc_id, w[CAST(i AS INTEGER)] AS g1,
-         CASE WHEN i < len(w)
-              THEN w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
-              END AS g2
-  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+{gram_selects}
 ),
 hits AS (
-  SELECT doc_id, phrase FROM grams JOIN bl ON bl.phrase = grams.g1
-  UNION ALL
-  SELECT doc_id, phrase FROM grams JOIN bl ON bl.phrase = grams.g2
+  SELECT doc_id, phrase FROM grams JOIN bl ON bl.phrase = grams.g
 )
 SELECT doc_id, COUNT(*) AS n_hits,
        array_to_string(list_sort(list(DISTINCT phrase)), ',') AS phrases
@@ -1352,15 +1362,15 @@ FROM hits GROUP BY doc_id ORDER BY doc_id
 
 @register(
     "text_badwords_filter",
-    oracle=_ORACLE_BADWORDS,
+    oracle=_oracle_badwords(),
     tags=("text", "quality", "cleaning", "north-star"),
     doc=(
         "Phrase-blocklist gate (C4's bad-words filter, phrase-aware): "
         "flag every document containing a blocked word or phrase on WORD "
         "boundaries — substring scans both over-match (a block entry "
         "inside a longer word) and cannot express multi-word phrases. "
-        "Shape: each doc explodes into word 1- and 2-grams (bounded by "
-        "the longest blocked phrase, NOT by blocklist size), the phrase "
+        "Shape: each doc explodes into word 1..n-grams where n is DERIVED "
+        "from the longest blocked phrase (NOT blocklist size), the phrase "
         "list joins as a broadcast equi-join on the gram, and one "
         "per-doc aggregate yields hit count + distinct offending "
         "phrases. Per-entry scanning (LIKE loops) is O(docs x entries); "
@@ -1375,19 +1385,21 @@ def text_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
     )
+    # One sub-array of n-grams per n in 1.._BAD_MAX_N (derived from the
+    # longest blocked phrase). The size guard matters: Spark's
+    # sequence(1, stop) DESCENDS when stop < 1 instead of being empty.
+    gram_arrays = [
+        F.expr(
+            f"if(size(w) >= {n},"
+            f" transform(sequence(1, size(w) - {n} + 1),"
+            f" i -> array_join(slice(w, i, {n}), ' ')),"
+            " array())"
+        )
+        for n in range(1, _BAD_MAX_N + 1)
+    ]
     grams = toks.select(
         "doc_id",
-        F.explode(
-            F.flatten(
-                F.array(
-                    F.col("w"),
-                    F.expr(
-                        "transform(sequence(1, size(w) - 1),"
-                        " i -> concat(w[i-1], ' ', w[i]))"
-                    ),
-                )
-            )
-        ).alias("gram"),
+        F.explode(F.flatten(F.array(*gram_arrays))).alias("gram"),
     )
     bl = F.broadcast(
         docs.sparkSession.createDataFrame(

@@ -676,7 +676,8 @@ def lakehouse_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _INCREMENTAL_SCAN_ORACLE = """
-SELECT lang, COUNT(*) AS n, SUM(CAST(n_chars AS BIGINT)) AS chars
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
 FROM documents WHERE doc_id % 3 = 2
 GROUP BY lang ORDER BY lang
 """

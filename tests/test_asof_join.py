@@ -87,3 +87,35 @@ class TestIntervalOverlapJoin:
             left, right, ("s1", "e1"), ("s2", "e2"), bucket_width=50
         )
         assert [(r.lid, r.rid) for r in out.collect()] == [(1, 10)]
+
+    def test_bucket_width_guard_and_large_span_exactness(self, spark):
+        """bucket_width < 1 raises; bucket ids use integer division, so
+        values past 2^53 at exact multiples of the width stay in the
+        right bucket (ADVICE r4 #3 — float-divide+floor can shift them)."""
+        import pytest as _pytest
+
+        from projeto_de_etl_com_api_do_meta_spark.operators.rangejoin import (
+            interval_overlap_join,
+        )
+
+        left = spark.createDataFrame([(1, 0, 1)], "lid long, s1 long, e1 long")
+        right = spark.createDataFrame([(2, 0, 1)], "rid long, s2 long, e2 long")
+        with _pytest.raises(ValueError):
+            interval_overlap_join(
+                left, right, ("s1", "e1"), ("s2", "e2"), bucket_width=0
+            )
+        # 2^53 + 1 is not representable in float64: float path would put
+        # s = 9007199254740993 (odd) into the same bucket as 2^53 for
+        # width 2; integer div keeps the true buckets and the pair still
+        # joins exactly once.
+        big = (1 << 53) + 1
+        left = spark.createDataFrame(
+            [(1, big, big + 10)], "lid long, s1 long, e1 long"
+        )
+        right = spark.createDataFrame(
+            [(2, big + 5, big + 20)], "rid long, s2 long, e2 long"
+        )
+        out = interval_overlap_join(
+            left, right, ("s1", "e1"), ("s2", "e2"), bucket_width=2
+        )
+        assert [(r.lid, r.rid) for r in out.collect()] == [(1, 2)]

@@ -151,3 +151,45 @@ def test_txn_id_makes_append_idempotent(spark, tmp_path):
         (1, "a"),
         (2, "b"),
     }
+
+
+def test_publish_is_create_if_absent_and_commit_retries(spark, tmp_path):
+    """Two writers racing for the same version number must not silently
+    overwrite each other (ADVICE r4 #1): _publish is put-if-absent, and
+    commit_version retries at the next number instead of clobbering."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        CommitConflict,
+        _publish,
+    )
+
+    t = str(tmp_path / "t")
+    commit_version(_df(spark, [(1, "a")]), t)
+    # a straggler that computed n=1 before our commit landed loses visibly
+    with pytest.raises(CommitConflict):
+        _publish(t, 1, ["bogus.parquet"])
+    # v1's manifest is untouched by the failed publish
+    assert manifest_files(t, 1) != ["bogus.parquet"]
+    # the public API path retries past the conflict: simulate the race by
+    # pre-claiming the version number commit_version will compute next
+    _publish(t, 2, manifest_files(t, 1))
+    assert commit_version(_df(spark, [(2, "b")]), t) == 3
+    assert {(r.k, r.v) for r in read_version(spark, t, 3).collect()} == {(2, "b")}
+
+
+def test_vacuum_preserves_txn_ids_for_late_retries(spark, tmp_path):
+    """A retry of an already-committed micro-batch arriving AFTER vacuum
+    dropped its manifest must still no-op (ADVICE r4 #2): vacuum folds
+    retired txn_ids into _manifests/retired_txns.json."""
+    t = str(tmp_path / "t")
+    commit_append(_df(spark, [(1, "a")]), t, txn_id="batch-0")
+    commit_append(_df(spark, [(2, "b")]), t, txn_id="batch-1")
+    commit_append(_df(spark, [(3, "c")]), t, txn_id="batch-2")
+    vacuum(t, keep_last=1)
+    assert versions(t) == [3]
+    # late retry of the vacuumed-past batch-0: must NOT double-append
+    v = commit_append(_df(spark, [(1, "a")]), t, txn_id="batch-0")
+    assert v == 3 and versions(t) == [3]
+    rows = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}
+    # and a genuinely new batch still commits
+    assert commit_append(_df(spark, [(4, "d")]), t, txn_id="batch-3") == 4

@@ -294,3 +294,30 @@ def test_substring_winnow_guarantee(spark):
     out = {r.doc_id: r.n_dup_fps for r in text_substring_dup_winnow(spark, d).collect()}
     assert out[0] > 0 and out[1] > 0
     assert out[2] == 0
+
+
+def test_badwords_matches_three_word_phrase(tmp_path, spark):
+    """The gram lengths are derived from the longest blocklist entry (r4
+    verdict item 7): a 3-word phrase must match on word boundaries, and a
+    doc shorter than the longest phrase must not error or false-match."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.text_cleaning import (
+        _BAD_MAX_N,
+        _BAD_PHRASES,
+        text_badwords_filter,
+    )
+
+    assert "sort merge join" in _BAD_PHRASES and _BAD_MAX_N >= 3
+    rows = [
+        (1, "prefer a sort merge join here", "en", "s", 29),
+        (2, "sort merge joins are fine", "en", "s", 25),  # boundary: no hit
+        (3, "ok", "en", "s", 2),  # shorter than the longest phrase
+        (4, "dup sort merge join dup", "en", "s", 23),  # multi-phrase doc
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in text_badwords_filter(spark, str(tmp_path)).collect()}
+    assert out[1].n_hits == 1 and out[1].phrases == "sort merge join"
+    assert 2 not in out and 3 not in out
+    assert out[4].n_hits == 3 and out[4].phrases == "dup,sort merge join"

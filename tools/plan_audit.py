@@ -51,7 +51,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("events_rfm_segments", "CARTESIAN"): "scalar quartile-threshold row broadcast (exact-NTILE contract; approx twin exists)",
     ("fn_python_udtf_lateral", "ROW_UDF"): "SQL UDTF lateral demo (§2.9)",
     ("fn_scalar_udfs", "ROW_UDF"): "deliberate F.udf vs pandas_udf demo (§2.9)",
-    ("multimodal_image_resize", "ROW_UDF"): "bounded: crc32 over 5k resized rows",
     ("embed_knn_bruteforce", "CARTESIAN"): "exact-oracle baseline by contract; scale paths are the ANN queries",
     ("train_hard_negatives", "CARTESIAN"): "bounded 20-anchor broadcast over the corpus (same contract as embed_knn_bruteforce); ANN shortlist swaps in at scale",
     ("embed_matryoshka_recall", "CARTESIAN"): "two bounded 10-anchor broadcasts (full-dim and truncated rankings being compared)",

@@ -180,6 +180,7 @@ PROBES = [
     ("text_decontaminate_bloom", True),      # bloom-gated decontamination
     ("embed_ann_ivf", False),                # IVF ANN (Lloyd + shortlist)
     ("dedup_embedding_cosine", False),       # blocked-GEMM exact near-dup
+    ("dedup_semantic_clustered_scaled", False),  # SemDeDup k ∝ N scale path
 ]
 
 
