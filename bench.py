@@ -12,9 +12,10 @@ it makes individual per-query timings noisy at the ±30-70% level when the
 headline set changes between rounds (measured: five TPC-H entries "regressed"
 in BENCH_r03 purely from 9 added queries sharing the JVM, and re-measured at
 or below their r02 numbers in isolation — ISOLATED_BENCH_r04.json). Treat
-the TOTAL and large same-set deltas as signal; confirm any cross-round
-per-query delta >25% with `tools/bench_isolated.py <query>` (fresh JVM per
-query, 5 warm reps) before acting on it.
+the TOTAL and large same-set deltas as signal; since r5, any cross-round
+per-query regression >25% vs the latest BENCH_r*.json is AUTOMATICALLY
+re-measured in isolation (fresh JVM per query, 3 warm reps) and recorded in
+the artifact's "isolated" section — read that, not the shared timing.
 """
 
 from __future__ import annotations
@@ -95,6 +96,10 @@ HEADLINE: tuple[str, ...] = (
     # source-priority duplicate resolution)
     "text_c4_line_rules",
     "dedup_cross_source_priority",
+    # round-5: the SemDeDup k-proportional scale path (r4 verdict item 2)
+    # and its two-level composition (no flat centroid broadcast at all)
+    "dedup_semantic_clustered_scaled",
+    "dedup_semantic_twolevel_scaled",
 )
 
 
@@ -146,7 +151,70 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # r4 verdict item 5: auto-confirm flagged cross-round regressions in
+    # ISOLATION inside this round's own artifact. Any query >25% slower
+    # than the latest BENCH_r*.json gets a fresh-JVM re-measure
+    # (tools/bench_isolated.py); shared-session noise then shows up as
+    # isolated ≈ previous, a real regression as isolated ≈ shared. Capped
+    # at the 8 largest absolute deltas (each isolated run costs a JVM
+    # start); anything past the cap is listed, never silently dropped.
+    prev = _latest_prev_bench()
+    if prev:
+        flagged = sorted(
+            (
+                (name, t, prev["queries"][name])
+                for name, t in timings.items()
+                if name in prev.get("queries", {})
+                and prev["queries"][name] > 0.1
+                and t > prev["queries"][name] * 1.25
+            ),
+            key=lambda x: x[2] - x[1],
+        )
+        if flagged:
+            cap = 8
+            head, overflow = flagged[:cap], flagged[cap:]
+            from tools.bench_isolated import measure_isolated
+
+            iso = measure_isolated(
+                [n for n, _, _ in head], sf_dir, reps=3, quiet=True
+            )
+            out["isolated"] = {
+                n: {
+                    **iso.get(n, {"error": True}),
+                    "shared": t,
+                    "prev_shared": p,
+                }
+                for n, t, p in head
+            }
+            if overflow:
+                out["isolated_skipped_over_cap"] = [n for n, _, _ in overflow]
     print(json.dumps(out))
+
+
+def _latest_prev_bench() -> dict | None:
+    """Newest BENCH_r*.json in the repo root (the driver's per-round
+    artifacts), or None on the first round."""
+    import glob
+    import re
+
+    best, best_n = None, -1
+    for path in glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best_n:
+            best, best_n = path, n
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            d = json.load(f)
+        # the driver wraps bench.py's JSON line under "parsed"
+        return d.get("parsed", d) if isinstance(d, dict) else None
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

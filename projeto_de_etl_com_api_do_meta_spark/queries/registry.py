@@ -67,6 +67,12 @@ _PRIORITY: tuple[str, ...] = (
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----
     "lakehouse_incremental_scan",
     "dedup_semantic_clustered_scaled",
+    # two-level (coarse->fine) k-means: the implemented-and-measured form
+    # of the "hierarchical clustering at 100 TB" swap, plus its SemDeDup
+    # composition
+    "embed_kmeans_twolevel",
+    "dedup_semantic_twolevel",
+    "dedup_semantic_twolevel_scaled",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----

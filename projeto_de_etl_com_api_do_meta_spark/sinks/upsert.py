@@ -120,6 +120,21 @@ class JdbcUpsertWriter:
                 conn.close()
 
 
+def _dedup_batch(
+    batch: DataFrame, keys: list[str], order_col: str | None
+) -> DataFrame:
+    """Per-key batch dedup (Delta MERGE's multi-match rule; keep-last by
+    ``order_col`` when given, matching the reference's last-write-wins)."""
+    if order_col:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        return (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return batch.dropDuplicates(keys)
+
+
 def parquet_upsert(
     spark: SparkSession,
     batch: DataFrame,
@@ -132,15 +147,7 @@ def parquet_upsert(
     Batch is deduplicated per key first (Delta MERGE's multi-match rule;
     keep-last by ``order_col`` when given, matching the reference's
     last-write-wins upsert)."""
-    if order_col:
-        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
-        batch = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    else:
-        batch = batch.dropDuplicates(keys)
+    batch = _dedup_batch(batch, keys, order_col)
 
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path)
@@ -163,3 +170,66 @@ def parquet_upsert(
     os.rename(out, target_path)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Delta Lake MERGE variant (import-gated: delta-spark jars absent in this
+# container — COVERAGE.md gap #2). Mirrors sources/meta_sdk.py's SDK gate:
+# the interface and merge-building logic are pinned by tests now, and the
+# execution path lights up the moment the jars exist.
+# ---------------------------------------------------------------------------
+
+
+def delta_available() -> bool:
+    """True when the delta-spark Python bindings are importable."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def delta_merge_condition(keys: list[str]) -> str:
+    """The MERGE ON condition for a keyed upsert (pure; unit-tested
+    without jars). Null-safe equality (``<=>``) so NULL key components
+    match themselves — same semantics parquet_upsert's left_anti join
+    gives for free."""
+    if not keys:
+        raise ValueError("delta upsert requires at least one key column")
+    return " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+
+
+def delta_upsert(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_col: str | None = None,
+) -> None:
+    """Keyed MERGE INTO a Delta table — the scale path parquet_upsert's
+    directory swap approximates. Same call shape and batch-dedup rule, so
+    foreachBatch sinks swap implementations with one name change.
+
+    Unlike the swap (which rewrites the whole target), Delta MERGE
+    rewrites only the files containing matched keys and commits a
+    transaction-log entry — O(touched data) on a table of any size.
+    """
+    if not delta_available():
+        raise ImportError(
+            "delta-spark is not installed; use parquet_upsert (same "
+            "semantics via atomic directory swap) or add the delta jars"
+        )
+    from delta.tables import DeltaTable
+
+    batch = _dedup_batch(batch, keys, order_col)
+    if DeltaTable.isDeltaTable(spark, target_path):
+        (
+            DeltaTable.forPath(spark, target_path)
+            .alias("t")
+            .merge(batch.alias("s"), delta_merge_condition(keys))
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    else:
+        batch.write.format("delta").mode("errorifexists").save(target_path)

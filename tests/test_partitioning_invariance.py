@@ -29,6 +29,11 @@ INVARIANT_QUERIES = (
     "text_feature_hashing",
     "dedup_jaccard_prefix_filter",
     "train_corpus_manifest",
+    # r5: GEMM-assignment Lloyd (k ∝ N) and the two-level composition —
+    # their bit-exactness claims span mapInPandas batch boundaries and
+    # per-cell applyInPandas grouping, both of which repartitioning moves
+    "dedup_semantic_clustered_scaled",
+    "dedup_semantic_twolevel_scaled",
 )
 
 

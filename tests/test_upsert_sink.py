@@ -61,3 +61,55 @@ def test_parquet_upsert_batch_dedup_keep_last(spark, tmp_path):
     )
     parquet_upsert(spark, batch, target, keys=["k"], order_col="ts")
     assert _read(spark, target) == {(1,): ("new", 2)}
+
+
+def test_delta_merge_condition_null_safe_and_guarded():
+    """Pure merge-condition builder (no jars needed): null-safe equality
+    per key, non-empty key list enforced."""
+    import pytest as _pytest
+
+    from projeto_de_etl_com_api_do_meta_spark.sinks.upsert import (
+        delta_merge_condition,
+    )
+
+    assert delta_merge_condition(["a"]) == "t.`a` <=> s.`a`"
+    assert (
+        delta_merge_condition(["a", "b"])
+        == "t.`a` <=> s.`a` AND t.`b` <=> s.`b`"
+    )
+    with _pytest.raises(ValueError):
+        delta_merge_condition([])
+
+
+def test_delta_upsert_gate_without_jars(spark, tmp_path):
+    """Without delta-spark the gated sink must fail loudly with the
+    parquet_upsert pointer, never half-write."""
+    import pytest as _pytest
+
+    from projeto_de_etl_com_api_do_meta_spark.sinks.upsert import (
+        delta_available,
+        delta_upsert,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    if delta_available():
+        _pytest.skip("delta-spark present; gate test is for its absence")
+    with _pytest.raises(ImportError, match="parquet_upsert"):
+        delta_upsert(spark, df, str(tmp_path / "t"), ["k"])
+
+
+def test_delta_upsert_roundtrip_when_available(spark, tmp_path):
+    """Environment-gated end-to-end MERGE (runs wherever the jars exist:
+    insert, update-by-key, idempotent retry)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("delta")
+    from projeto_de_etl_com_api_do_meta_spark.sinks.upsert import delta_upsert
+
+    t = str(tmp_path / "t")
+    delta_upsert(spark, spark.createDataFrame([(1, "a")], "k long, v string"), t, ["k"])
+    batch = spark.createDataFrame([(1, "a2"), (2, "b")], "k long, v string")
+    delta_upsert(spark, batch, t, ["k"])
+    delta_upsert(spark, batch, t, ["k"])  # retry is a no-op
+    rows = {(r.k, r.v) for r in spark.read.format("delta").load(t).collect()}
+    assert rows == {(1, "a2"), (2, "b")}

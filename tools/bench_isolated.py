@@ -46,16 +46,15 @@ print("RESULT " + json.dumps({{"cold": times[0], "warm": times[1:]}}))
 """
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("queries", nargs="+")
-    ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    a = ap.parse_args()
-
+def measure_isolated(
+    names: list[str], sf_dir: str, reps: int = 5, quiet: bool = False
+) -> dict[str, dict]:
+    """Run each query in its own subprocess (fresh JVM); {name: stats}.
+    Importable — bench.py uses this to auto-confirm flagged cross-round
+    deltas inside the round's own artifact (r4 verdict item 5)."""
     out: dict[str, dict] = {}
-    for name in a.queries:
-        code = _CHILD.format(repo=_REPO_ROOT, name=name, sf_dir=a.sf_dir, reps=a.reps)
+    for name in names:
+        code = _CHILD.format(repo=_REPO_ROOT, name=name, sf_dir=sf_dir, reps=reps)
         proc = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True
         )
@@ -74,9 +73,20 @@ def main() -> int:
             "median": round(statistics.median(warm), 3),
             "reps": len(warm),
         }
-        print(f"{name}: cold={out[name]['cold']}s "
-              f"min={out[name]['min']}s median={out[name]['median']}s",
-              flush=True)
+        if not quiet:
+            print(f"{name}: cold={out[name]['cold']}s "
+                  f"min={out[name]['min']}s median={out[name]['median']}s",
+                  flush=True)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    a = ap.parse_args()
+    out = measure_isolated(a.queries, a.sf_dir, a.reps)
     print(json.dumps(out, indent=2))
     return 0
 

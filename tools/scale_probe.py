@@ -181,6 +181,7 @@ PROBES = [
     ("embed_ann_ivf", False),                # IVF ANN (Lloyd + shortlist)
     ("dedup_embedding_cosine", False),       # blocked-GEMM exact near-dup
     ("dedup_semantic_clustered_scaled", False),  # SemDeDup k ∝ N scale path
+    ("dedup_semantic_twolevel_scaled", False),  # √k cells × √k sub-clusters
 ]
 
 
