@@ -621,3 +621,72 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "campaign_id",
         (F.least("e1", "e2") - F.greatest("s1", "s2")).alias("overlap_us"),
     ).orderBy("user_id", "event_date", "campaign_id")
+
+
+# -- Bloom-gated semi-join reduction ------------------------------------------
+
+_BSJ_M = 1 << 17  # bloom bits (16 KB — bounded sketch state)
+_BSJ_K = 3        # probe hashes
+
+_ORACLE_BLOOM_SEMI = f"""
+SELECT c.c_nationkey AS nationkey,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o.o_totalprice')} AS sum_total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 9000
+GROUP BY c.c_nationkey
+ORDER BY nationkey
+"""
+
+
+@register(
+    "join_bloom_semi_reduction",
+    oracle=_ORACLE_BLOOM_SEMI,
+    tags=("join", "bloom", "scale-path", "north-star"),
+    doc=(
+        "Bloom-gated semi-join reduction: a selective dimension predicate "
+        "(high-balance customers) must prune the FACT side before the "
+        "join's shuffle, not after. The dimension's join keys fold into a "
+        "16 KB bloom bitset via one map-side-combinable bit_or aggregate "
+        "(operators/text.py bloom_build — the shuffle carries at most "
+        "m/64 rows, the driver holds only sketch state); the fact scan "
+        "then drops non-members with a codegen'd literal-bitset test "
+        "BEFORE any exchange, and the exact equi-join afterwards removes "
+        "the bloom's false positives, so results are byte-identical to "
+        "the plain join (the oracle IS the plain join). At sf0.01 the "
+        "dim side broadcasts anyway; the operator's value is at 100 TB, "
+        "where BOTH sides exceed broadcast thresholds and shuffle — the "
+        "bloom cuts the fact side's shuffled bytes by the dimension "
+        "selectivity (~10% here) for 16 KB of plan state, exactly what "
+        "Spark's runtime bloom join filter does, made explicit, "
+        "deterministic, and available on any join shape. Reference "
+        "analog: the full-outer merge at transform.py:39-44 never "
+        "prefilters — at pandas scale it cannot matter; at cluster "
+        "scale it is the difference between shuffling 100 TB and 10 TB."
+    ),
+)
+def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bloom_build, bloom_might_contain
+
+    pin_query_session_conf(spark)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_nationkey")
+    )
+    bits = bloom_build(cust, "c_custkey", _BSJ_M, _BSJ_K)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    gated = orders.where(
+        bloom_might_contain(bits, "o_custkey", _BSJ_M, _BSJ_K)
+    )
+    return (
+        gated.join(cust, gated.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("sum_total"),
+        )
+        .orderBy("nationkey")
+    )

@@ -73,6 +73,9 @@ _PRIORITY: tuple[str, ...] = (
     "embed_kmeans_twolevel",
     "dedup_semantic_twolevel",
     "dedup_semantic_twolevel_scaled",
+    # bloom semi-join reduction: prune the fact side's shuffle by the dim
+    # predicate's selectivity for 16 KB of sketch state
+    "join_bloom_semi_reduction",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----

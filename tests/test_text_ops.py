@@ -321,3 +321,34 @@ def test_badwords_matches_three_word_phrase(tmp_path, spark):
     assert out[1].n_hits == 1 and out[1].phrases == "sort merge join"
     assert 2 not in out and 3 not in out
     assert out[4].n_hits == 3 and out[4].phrases == "dup,sort merge join"
+
+
+def test_bloom_semi_reduction_prunes_fact_side(spark, sf_dir):
+    """join_bloom_semi_reduction's gate must keep every true match (no
+    false negatives) while pruning most non-matching fact rows BEFORE the
+    join's exchange — the 16 KB sketch buys ~dimension-selectivity shuffle
+    reduction with byte-identical results (oracle = the plain join)."""
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.operators.text import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from projeto_de_etl_com_api_do_meta_spark.queries.joins import (
+        _BSJ_K,
+        _BSJ_M,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    bits = bloom_build(cust, "c_custkey", _BSJ_M, _BSJ_K)
+    gated = orders.where(bloom_might_contain(bits, "o_custkey", _BSJ_M, _BSJ_K))
+    n_orders, n_gated = orders.count(), gated.count()
+    n_true = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    assert n_true <= n_gated  # no false negatives: every match survives
+    assert n_gated < n_orders * 0.5  # and most non-matches are pruned
