@@ -76,6 +76,8 @@ _PRIORITY: tuple[str, ...] = (
     # bloom semi-join reduction: prune the fact side's shuffle by the dim
     # predicate's selectivity for 16 KB of sketch state
     "join_bloom_semi_reduction",
+    # every benchmark suite screened in ONE corpus scan
+    "text_decontaminate_multisuite",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----

@@ -1417,3 +1417,86 @@ def text_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- Multi-suite decontamination: every benchmark in ONE corpus scan ----------
+
+_ORACLE_DECON_MULTISUITE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+  FROM words WHERE len(w) >= 4
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g FROM idx
+),
+ev AS (
+  SELECT DISTINCT 's' || CAST(doc_id % 10 AS VARCHAR) AS suite, g
+  FROM grams WHERE doc_id % 10 IN (0, 3, 7)
+)
+SELECT t.doc_id, e.suite, COUNT(DISTINCT t.g) AS n_overlap
+FROM grams t JOIN ev e USING (g)
+WHERE t.doc_id % 10 NOT IN (0, 3, 7)
+GROUP BY t.doc_id, e.suite
+ORDER BY doc_id, suite
+"""
+
+
+@register(
+    "text_decontaminate_multisuite",
+    oracle=_ORACLE_DECON_MULTISUITE,
+    tags=("text", "dedup", "training", "north-star"),
+    doc=(
+        "Multi-benchmark decontamination in ONE corpus scan: production "
+        "pipelines screen against MANY eval suites (MMLU, GSM8K, ...) at "
+        "once, and the naive per-suite loop re-reads the 100 TB corpus k "
+        "times. Here every suite's 4-gram set is tagged with its suite id "
+        "and unioned into a single broadcast relation (doc_id % 10 in "
+        "{0,3,7} stands in for three benchmarks); the training gram "
+        "stream joins it ONCE map-side and a per-(doc, suite) distinct "
+        "aggregate yields overlap counts per benchmark — corpus read "
+        "cost is independent of the number of suites, and suites can be "
+        "added by growing the broadcast, never by rescanning. Same "
+        "scale shape as text_decontaminate_ngram (raw gram stream, "
+        "broadcast filter before any wide exchange)."
+    ),
+)
+def text_decontaminate_multisuite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 3),
+                    lambda i: F.array_join(F.slice(F.col("w"), i, 4), " "),
+                )
+            ).alias("g"),
+        )
+    )
+    is_eval = (F.col("doc_id") % 10).isin(0, 3, 7)
+    eval_grams = (
+        grams.where(is_eval)
+        .select(
+            F.concat(
+                F.lit("s"), (F.col("doc_id") % 10).cast("string")
+            ).alias("suite"),
+            "g",
+        )
+        .distinct()
+    )
+    return (
+        grams.where(~is_eval)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id", "suite")
+        .agg(F.countDistinct("g").alias("n_overlap"))
+        .orderBy("doc_id", "suite")
+    )
