@@ -448,12 +448,20 @@ asg AS (SELECT vec_id, key % {k} AS cid FROM a{_ITERS})"""
 @register(
     "dedup_semantic_clustered",
     oracle=_oracle_semdedup(),
-    tags=("dedup", "embedding", "north-star"),
+    tags=("dedup", "embedding", "north-star", "scale-audit-only"),
     doc=(
         "SemDeDup (Abbas et al. 2023): semantic near-duplicate detection "
         "restricted to within-k-means-cluster pairs — the published trick "
         "that turns O(N^2) embedding dedup into sum-of-cluster-sizes^2, "
         "with k grown proportionally to N so cluster size stays bounded. "
+        "SCALE-AUDIT-ONLY at the registered k: the oracle pins the "
+        "fixture's k=4, so cluster size grows with N and the pair stage "
+        "goes quadratic (measured 307 s at x64, SCALE_PROBE_r04.json). "
+        "The SemDeDup-contract scale paths are the r5 twins "
+        "dedup_semantic_clustered_scaled (k = max(4, N // 100), "
+        "near-linear to x64) and dedup_semantic_twolevel_scaled "
+        "(√k × √k, near-linear to x256) — same pair stage, same "
+        "threshold, oracle-exact. "
         "Cluster ids come from the bit-exact fixed-point Lloyd rounds "
         "(embed_kmeans_lloyd); similarity is an exact integer comparison "
         "on 2^10 fixed-point vectors (tau^2 as a rational, no float in "
