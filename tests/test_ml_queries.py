@@ -65,3 +65,42 @@ def test_length_buckets_cover_all_docs_without_overflow(spark, sf_dir):
         assert r.padding_waste == r.max_tokens * r.n_seqs - r.sum_tokens
         # every sequence in a batch fits the bucket's token range
         assert _BUCKET_W * r.bucket <= r.max_tokens < _BUCKET_W * (r.bucket + 1)
+
+
+def test_twolevel_k_rule_matches_sql_isqrt_everywhere():
+    """The two-level oracle derives k1 via floor(sqrt(kt)) corrected ±1 in
+    pure SQL; it must equal math.isqrt for EVERY corpus size, including
+    perfect squares and off-by-one-ulp hazards — a single disagreement
+    would silently diverge the whole two-level clustering oracle."""
+    import duckdb
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.ml_queries import (
+        _SD_TARGET,
+        _tl_dims,
+    )
+
+    # every corpus size up to 60k (covers kt 4..600, all fixture scales),
+    # plus perfect-square and large-magnitude kt edge cases
+    sizes = list(range(1, 60_001, 97)) + [
+        (k * k) * _SD_TARGET for k in (2, 3, 10, 31, 100, 1000, 10_000)
+    ] + [(k * k - 1) * _SD_TARGET for k in (10, 31, 100, 1000, 10_000)]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH n(v) AS (SELECT unnest(?::BIGINT[])),
+        kp AS (SELECT v, GREATEST(4, v // {_SD_TARGET}) AS kt FROM n),
+        g0 AS (SELECT v, kt,
+                      CAST(floor(sqrt(CAST(kt AS DOUBLE))) AS BIGINT) AS g
+               FROM kp),
+        kk AS (SELECT v, kt,
+                      GREATEST(2, CASE WHEN g * g > kt THEN g - 1
+                                       WHEN (g + 1) * (g + 1) <= kt THEN g + 1
+                                       ELSE g END) AS k1
+               FROM g0)
+        SELECT v, k1, (kt + k1 - 1) // k1 AS k2 FROM kk ORDER BY v
+        """,
+        [sizes],
+    ).fetchall()
+    assert len(rows) == len(sizes)
+    for v, k1_sql, k2_sql in rows:
+        assert (k1_sql, k2_sql) == _tl_dims(v), v
