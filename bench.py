@@ -100,6 +100,9 @@ HEADLINE: tuple[str, ...] = (
     # and its two-level composition (no flat centroid broadcast at all)
     "dedup_semantic_clustered_scaled",
     "dedup_semantic_twolevel_scaled",
+    # round-5 continuation: ranked retrieval + importance-based selection
+    "corpus_bm25_search",
+    "sample_dsir_importance",
 )
 
 

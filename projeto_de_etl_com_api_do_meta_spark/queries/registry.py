@@ -78,6 +78,12 @@ _PRIORITY: tuple[str, ...] = (
     "join_bloom_semi_reduction",
     # every benchmark suite screened in ONE corpus scan
     "text_decontaminate_multisuite",
+    # ---- r5 continuation: ranked retrieval + importance-based selection
+    # (BM25; DSIR arXiv:2302.03169) — flagship LLM-pipeline additions ----
+    "corpus_bm25_search",
+    "sample_dsir_importance",
+    "dq_key_skew_report",
+    "layout_bucketed_join_roundtrip",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----
@@ -312,6 +318,7 @@ def _load_all() -> None:
         pretrain_extra,
         quality_queries,
         relational,
+        retrieval_extra,
         scalar_funcs,
         segmentation_cdc,
         skew_queries,

@@ -1,0 +1,309 @@
+"""Ranked retrieval and importance-based data selection.
+
+Two operators a production pretraining pipeline runs between curation and
+training:
+
+* **BM25 ranked retrieval** (`corpus_bm25_search`): the lexical ranking
+  function behind keyword search over a corpus — used both for serving
+  search and for retrieval-based decontamination / nearest-neighbor text
+  lookup.  Okapi BM25 with k1=1.2, b=0.75 (Robertson & Walker, SIGIR '94 —
+  public literature).
+* **DSIR importance selection** (`sample_dsir_importance`): Data Selection
+  via Importance Resampling (Xie et al., NeurIPS 2023, arXiv:2302.03169 —
+  public paper): fit hashed-unigram bag distributions on a small *target*
+  corpus and on the *raw* pool, score every raw document by the
+  log-likelihood ratio under the two distributions, and keep the raw
+  documents that look most target-like.  The standard cheap alternative to
+  model-based quality classifiers for domain-targeted pretraining mixes.
+
+Cross-engine determinism: every floating-point score is computed by a
+TEXTUALLY IDENTICAL arithmetic expression on both engines (same literal
+constants, same association), then scaled to integer micro-units with
+``floor(1e6 * x)`` *per term / per bucket* BEFORE any summation.  Sums are
+therefore exact BIGINT arithmetic — no float-accumulation-order hazard — and
+``floor`` avoids round()'s tie-breaking-mode differences.
+
+Scale notes (100 TB): both operators reduce to (a) one or two scalar/tiny
+aggregates broadcast into the plan (corpus size, average doc length, a
+64-row log-ratio table) and (b) one token-explode feeding hash aggregates
+keyed by (doc, term-or-bucket).  The explode never materializes corpus-wide
+state; the only wide shuffles carry per-doc partial aggregates.  BM25's
+query-term IN-list filter prunes at the scan, so only postings for the
+query's terms ever shuffle.  Top-k is TakeOrderedAndProject — no global
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.dedup import spread
+from ..session import pin_query_session_conf
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+#: Conjunctive free-text query (mid-frequency corpus terms).
+_BM25_TERMS = ("window", "merge", "stream")
+_BM25_K1 = "1.2"
+_BM25_K1P1 = "2.2"  # k1 + 1, pre-folded so both engines see one literal
+_BM25_B = "0.75"
+_BM25_TOPK = 10
+
+#: Per-(doc, term) BM25 partial in integer micro-units.  The same text is
+#: compiled by Spark SQL and DuckDB, so the double arithmetic agrees
+#: bit-for-bit before the floor.
+_BM25_TERM_MICRO = (
+    "CAST(floor(1000000.0 * ("
+    "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    f" * (tf * {_BM25_K1P1})"
+    f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    ")) AS BIGINT)"
+)
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_ORACLE_BM25 = rf"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM lens
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         {_BM25_TERM_MICRO} AS term_micro
+  FROM tf
+  JOIN df USING (term)
+  JOIN lens ON lens.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+ranked AS (
+  SELECT doc_id, COUNT(*) AS n_terms, SUM(term_micro) AS bm25_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms, bm25_micro FROM ranked
+ORDER BY bm25_micro DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register(
+    "corpus_bm25_search",
+    oracle=_ORACLE_BM25,
+    tags=("text", "corpus", "retrieval", "north-star"),
+    doc=(
+        "Okapi BM25 top-10 over the corpus for a 3-term query: doc lengths "
+        "and corpus stats (N, avgdl) are one scalar aggregate broadcast "
+        "into the plan; postings are pruned to the query terms AT THE "
+        "EXPLODE (IN-list filter before any shuffle), then per-(doc,term) "
+        "partials score via the classic k1=1.2/b=0.75 saturation formula "
+        "and sum per doc. Scores are floored to integer micro-units per "
+        "term before summing, so the cross-engine total is exact BIGINT "
+        "math. Final top-k is TakeOrderedAndProject. At 100 TB: the only "
+        "corpus-wide work is the length scan (one column) and the "
+        "term-filtered explode; df/avgdl state is O(|query|) + O(1)."
+    ),
+)
+def corpus_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("toks"),
+    )
+    lens = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_TERM_MICRO).alias("term_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("term_micro").alias("bm25_micro"),
+        )
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_TOPK = 25
+#: Deterministic proxy "target domain": every 17th document.
+_DSIR_TARGET_MOD = 17
+
+#: Laplace-smoothed log-likelihood ratio for one hashed feature bucket, in
+#: integer micro-units (floored before any summation — see module docstring).
+_DSIR_LR_MICRO = (
+    "CAST(floor(1000000.0 * ("
+    f"ln((ct + 1.0) / (tot_t + {_DSIR_BUCKETS}.0))"
+    f" - ln((cr + 1.0) / (tot_r + {_DSIR_BUCKETS}.0))"
+    ")) AS BIGINT)"
+)
+
+_ORACLE_DSIR = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         (doc_id % {_DSIR_TARGET_MOD} = 0) AS is_target
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, is_target,
+         ((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS})
+          + {_DSIR_BUCKETS}) % {_DSIR_BUCKETS} AS bucket
+  FROM toks
+),
+spine AS (SELECT unnest(range({_DSIR_BUCKETS})) AS bucket),
+tcounts AS (
+  SELECT bucket, COUNT(*) AS ct FROM hashed WHERE is_target GROUP BY 1
+),
+rcounts AS (
+  SELECT bucket, COUNT(*) AS cr FROM hashed WHERE NOT is_target GROUP BY 1
+),
+totals AS (
+  SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tot_t,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS tot_r
+  FROM hashed
+),
+lr AS (
+  SELECT s.bucket, {_DSIR_LR_MICRO} AS lr_micro
+  FROM (SELECT spine.bucket,
+               COALESCE(tcounts.ct, 0) AS ct,
+               COALESCE(rcounts.cr, 0) AS cr
+        FROM spine
+        LEFT JOIN tcounts ON spine.bucket = tcounts.bucket
+        LEFT JOIN rcounts ON spine.bucket = rcounts.bucket) s
+  CROSS JOIN totals
+),
+doc_tf AS (
+  SELECT doc_id, bucket, COUNT(*) AS tf
+  FROM hashed WHERE NOT is_target
+  GROUP BY 1, 2
+),
+weighted AS (
+  SELECT doc_tf.doc_id,
+         SUM(doc_tf.tf) AS n_toks,
+         SUM(doc_tf.tf * lr.lr_micro) AS weight_micro
+  FROM doc_tf JOIN lr ON doc_tf.bucket = lr.bucket
+  GROUP BY 1
+)
+SELECT doc_id, n_toks, weight_micro FROM weighted
+ORDER BY weight_micro DESC, doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=_ORACLE_DSIR,
+    tags=("sample", "training", "text", "north-star"),
+    doc=(
+        "DSIR (Data Selection via Importance Resampling, Xie et al. 2023, "
+        "arXiv:2302.03169): hashed-unigram bag-of-words distributions are "
+        "fit on a target subcorpus (every 17th doc, the deterministic "
+        "fixture proxy for 'docs like my eval domain') and on the raw "
+        "pool; each raw document scores by the sum of per-token "
+        "Laplace-smoothed log-likelihood ratios, and the top-25 most "
+        "target-like raw docs are kept. The log-ratio table is 64 rows "
+        "(hashing trick — no vocabulary build), floored to integer "
+        "micro-units so per-doc weights are exact BIGINT sums; selection "
+        "is the deterministic top-k variant (the paper's Gumbel-noise "
+        "resampling adds a per-row random key — same plan shape, one extra "
+        "column). At 100 TB: two bounded 64-row aggregates broadcast into "
+        "one (doc,bucket) hash-agg pass — the cheapest credible "
+        "domain-targeting selector; md5 keeps buckets engine-portable."
+    ),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
+    b = _DSIR_BUCKETS
+    hashed = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _DSIR_TARGET_MOD == 0).alias("is_target"),
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % b + b)
+            % b
+        ).alias("bucket"),
+    )
+    spine = spark.range(b).select(F.col("id").alias("bucket"))
+    tcounts = (
+        hashed.where("is_target").groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    rcounts = (
+        hashed.where(~F.col("is_target"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    totals = hashed.agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tot_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("tot_r"),
+    )
+    lr = (
+        spine.join(tcounts, "bucket", "left")
+        .join(rcounts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select("bucket", F.expr(_DSIR_LR_MICRO).alias("lr_micro"))
+    )
+    doc_tf = (
+        hashed.where(~F.col("is_target"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        doc_tf.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            F.sum(F.col("tf") * F.col("lr_micro")).alias("weight_micro"),
+        )
+        .orderBy(F.col("weight_micro").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
