@@ -65,3 +65,62 @@ def agg_skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
     return skew_safe_count_distinct(li, "l_returnflag", "l_suppkey")
+
+
+_SKEW_REPORT_TOPK = 10
+
+_ORACLE_SKEW_REPORT = f"""
+WITH per_key AS (
+  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n_keys, SUM(cnt) AS total FROM per_key
+)
+SELECT p.o_custkey, p.cnt,
+       (p.cnt * 10000) // s.total AS share_bp,
+       (p.cnt * s.n_keys * 10000) // s.total AS vs_mean_bp
+FROM per_key p CROSS JOIN stats s
+ORDER BY p.cnt DESC, p.o_custkey
+LIMIT {_SKEW_REPORT_TOPK}
+"""
+
+
+@register(
+    "dq_key_skew_report",
+    oracle=_ORACLE_SKEW_REPORT,
+    tags=("dq", "skew", "scale"),
+    doc=(
+        "Key-skew diagnostic: per-key row counts for a prospective "
+        "join/agg key (orders.o_custkey), reported as the top-10 hottest "
+        "keys with their share of all rows and their ratio to the mean "
+        "key's count (both in integer basis points — exact BIGINT "
+        "arithmetic, no float hash hazard). The report a pipeline runs "
+        "BEFORE picking a shuffle strategy: vs_mean_bp >> 10000 on a top "
+        "key says 'salt this join or enable AQE skew handling'. One "
+        "map-side-combined count per key + a 2-value scalar broadcast + "
+        "TakeOrderedAndProject — the diagnostic itself never suffers the "
+        "skew it measures, because partial aggregation collapses hot keys "
+        "per partition before the shuffle."
+    ),
+)
+def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    per_key = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("total")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "o_custkey",
+            "cnt",
+            F.expr("(cnt * 10000) div total").alias("share_bp"),
+            F.expr("(cnt * n_keys * 10000) div total").alias("vs_mean_bp"),
+        )
+        .orderBy(F.col("cnt").desc(), "o_custkey")
+        .limit(_SKEW_REPORT_TOPK)
+    )

@@ -816,3 +816,76 @@ def warehouse_incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataF
     return changelog_agg_merge(
         view, delta, key="o_orderstatus", count_col="n_orders"
     ).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed at-rest layout: the recurring-join shuffle paid once, at write.
+# ---------------------------------------------------------------------------
+
+_ORACLE_BUCKETED_JOIN = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) * 100, 0)
+            AS BIGINT) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "layout_bucketed_join_roundtrip",
+    oracle=_ORACLE_BUCKETED_JOIN,
+    tags=("layout", "warehouse", "join", "scale"),
+    doc=(
+        "Bucketed-table co-located join: orders and customer are written "
+        "bucketBy(8, custkey) + sortBy (Spark's at-rest hash-partitioned "
+        "layout), then joined via a sort-merge hint so the join consumes "
+        "the bucket layout directly — ZERO Exchange on either side "
+        "(asserted in tests/test_bucketing.py). This is how a recurring "
+        "100 TB fact<->dim join amortizes its shuffle: pay the "
+        "partitioning once at ingest, and every subsequent join/agg on "
+        "the bucket key is shuffle-free. Results must be layout-invariant "
+        "— the oracle runs the naive join; money sums go through exact "
+        "DECIMAL->cents, never float."
+    ),
+)
+def layout_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spark.sql("DROP TABLE IF EXISTS bj_orders")
+    spark.sql("DROP TABLE IF EXISTS bj_customer")
+    (
+        orders.write.mode("overwrite")
+        .option("path", f"{base}/orders")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("bj_orders")
+    )
+    (
+        customer.write.mode("overwrite")
+        .option("path", f"{base}/customer")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("bj_customer")
+    )
+    ob, cb = spark.table("bj_orders"), spark.table("bj_customer")
+    # merge hint: force SMJ (not broadcast) so the join actually exercises
+    # the bucket co-location; the hint is plan-local, no session conf touched.
+    joined = ob.join(cb.hint("merge"), ob.o_custkey == cb.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum(dec("o_totalprice")) * 100, 0))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
