@@ -84,6 +84,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_dsir_importance",
     "dq_key_skew_report",
     "layout_bucketed_join_roundtrip",
+    "train_sft_chat_flatten",
+    "train_truncation_loss_report",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----

@@ -1375,3 +1375,200 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT chat-format flattening (post-training data prep).
+# ---------------------------------------------------------------------------
+
+#: Words per synthesized chat turn (fixture corpus is unescaped word-soup,
+#: so plain string-concat JSON synthesis is quote-safe; see docstring).
+_SFT_TURN_WORDS = 12
+
+_ORACLE_SFT = rf"""
+WITH src AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+),
+turns AS (
+  SELECT doc_id,
+         array_to_string(w[1:{_SFT_TURN_WORDS}], ' ') AS u,
+         array_to_string(w[{_SFT_TURN_WORDS + 1}:{2 * _SFT_TURN_WORDS}], ' ') AS a
+  FROM src WHERE len(w) >= {2 * _SFT_TURN_WORDS}
+),
+chat AS (
+  SELECT doc_id,
+         '[{{"role":"user","content":"' || u ||
+         '"}},{{"role":"assistant","content":"' || a || '"}}]' AS chat_json
+  FROM turns
+),
+parsed AS (
+  SELECT doc_id,
+         json_extract_string(chat_json, '$[0].role') AS r0,
+         json_extract_string(chat_json, '$[0].content') AS c0,
+         json_extract_string(chat_json, '$[1].role') AS r1,
+         json_extract_string(chat_json, '$[1].content') AS c1,
+         CAST(json_array_length(chat_json) AS BIGINT) AS n_turns
+  FROM chat
+)
+SELECT doc_id, n_turns,
+       CAST(len(string_split(c0, ' ')) + len(string_split(c1, ' '))
+            AS BIGINT) AS n_tokens,
+       '<|' || r0 || '|>' || c0 || '<|end|>' || chr(10) ||
+       '<|' || r1 || '|>' || c1 || '<|end|>' AS sft_text
+FROM parsed
+ORDER BY doc_id
+"""
+
+
+@register(
+    "train_sft_chat_flatten",
+    oracle=_ORACLE_SFT,
+    tags=("train", "text", "north-star"),
+    doc=(
+        "Chat-format SFT flattening: conversation transcripts arrive as "
+        "JSON message arrays [{role, content}, ...] and must be rendered "
+        "into a single training string per example with role sentinels "
+        "plus turn/token accounting. The fixture corpus has no chat data, "
+        "so the query first SYNTHESIZES a deterministic 2-turn transcript "
+        "per document from its own words (quote-safe by construction: the "
+        "corpus is unescaped word-soup) — then does the real work: "
+        "from_json with an explicit array<struct> schema, posexplode, "
+        "order-preserving template render, and token counts. Pure JVM "
+        "expression layer (JSON parse included) — no Python; per-row work, "
+        "no shuffle except the presentation sort. At 100 TB this is the "
+        "canonical map-only post-training prep stage; the same plan "
+        "handles arbitrary turn counts because the explode/re-agg path "
+        "never assumes 2 turns."
+    ),
+)
+def train_sft_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    k = _SFT_TURN_WORDS
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w")).where(
+        F.size("w") >= 2 * k
+    )
+    turns = w.select(
+        "doc_id",
+        F.array_join(F.slice("w", 1, k), " ").alias("u"),
+        F.array_join(F.slice("w", k + 1, k), " ").alias("a"),
+    )
+    chat = turns.select(
+        "doc_id",
+        F.concat(
+            F.lit('[{"role":"user","content":"'),
+            F.col("u"),
+            F.lit('"},{"role":"assistant","content":"'),
+            F.col("a"),
+            F.lit('"}]'),
+        ).alias("chat_json"),
+    )
+    msgs = chat.select(
+        "doc_id",
+        F.from_json(
+            "chat_json", "array<struct<role:string,content:string>>"
+        ).alias("msgs"),
+    )
+    exploded = msgs.select(
+        "doc_id",
+        F.size("msgs").cast("long").alias("n_turns"),
+        F.posexplode("msgs").alias("pos", "m"),
+    )
+    rendered = exploded.select(
+        "doc_id",
+        "n_turns",
+        "pos",
+        F.size(F.split(F.col("m.content"), " ")).cast("long").alias("toks"),
+        F.concat(
+            F.lit("<|"), F.col("m.role"), F.lit("|>"), F.col("m.content"),
+            F.lit("<|end|>"),
+        ).alias("piece"),
+    )
+    return (
+        rendered.groupBy("doc_id", "n_turns")
+        .agg(
+            F.sum("toks").alias("n_tokens"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "piece"))
+                ).piece,
+                "\n",
+            ).alias("sft_text"),
+        )
+        .select("doc_id", "n_turns", "n_tokens", "sft_text")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Truncation-loss report (choosing max_seq_len from data, not folklore).
+# ---------------------------------------------------------------------------
+
+_TRUNC_MAX_LEN = 128
+_TRUNC_BUCKET_W = 32
+
+_ORACLE_TRUNC = f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+bucketed AS (
+  SELECT LEAST(n_toks // {_TRUNC_BUCKET_W}, 7) AS len_bucket,
+         n_toks,
+         LEAST(n_toks, {_TRUNC_MAX_LEN}) AS kept,
+         GREATEST(n_toks - {_TRUNC_MAX_LEN}, 0) AS lost
+  FROM lens
+)
+SELECT len_bucket,
+       COUNT(*) AS n_docs,
+       SUM(n_toks) AS total_tokens,
+       SUM(kept) AS kept_tokens,
+       SUM(lost) AS lost_tokens,
+       (SUM(lost) * 10000) // SUM(n_toks) AS lost_bp
+FROM bucketed
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "train_truncation_loss_report",
+    oracle=_ORACLE_TRUNC,
+    tags=("train", "dq"),
+    doc=(
+        f"Truncation-loss accounting for a candidate max_seq_len "
+        f"({_TRUNC_MAX_LEN} tokens): per length-bucket document counts and "
+        "the exact token mass a hard truncation would discard, as integer "
+        "basis points. The report that decides sequence length and packing "
+        "strategy BEFORE a 100 TB tokenization run — one narrow column "
+        "scan into a map-side-combined 8-group aggregate; no shuffle "
+        "wider than 8 rows. Pairs with pack_sequences_chunked (the "
+        "no-loss alternative whose cost this report justifies)."
+    ),
+)
+def train_truncation_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lens = docs.select(
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_toks")
+    )
+    b = _TRUNC_BUCKET_W
+    m = _TRUNC_MAX_LEN
+    bucketed = lens.select(
+        F.least(F.expr(f"n_toks div {b}"), F.lit(7)).alias("len_bucket"),
+        "n_toks",
+        F.least(F.col("n_toks"), F.lit(m)).cast("long").alias("kept"),
+        F.greatest(F.col("n_toks") - m, F.lit(0)).cast("long").alias("lost"),
+    )
+    return (
+        bucketed.groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("kept").alias("kept_tokens"),
+            F.sum("lost").alias("lost_tokens"),
+            F.expr("(SUM(lost) * 10000) div SUM(n_toks)").alias("lost_bp"),
+        )
+        .orderBy("len_bucket")
+    )

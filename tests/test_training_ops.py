@@ -400,3 +400,31 @@ def test_grouped_prefix_sums_null_group_multi_batch(spark, sf_dir):
     }
     assert sums == {k: v[0] for k, v in exp.items()}
     assert ids == {k: v[1] for k, v in exp.items()}
+
+
+def test_sft_chat_flatten_template_shape(spark, sf_dir):
+    rows = QUERIES["train_sft_chat_flatten"].fn(spark, sf_dir).collect()
+    assert rows, "fixture should yield chat examples"
+    for r in rows[:50]:
+        assert r.n_turns == 2
+        assert r.n_tokens == 24  # two 12-word turns
+        user, assistant = r.sft_text.split("\n")
+        assert user.startswith("<|user|>") and user.endswith("<|end|>")
+        assert assistant.startswith("<|assistant|>")
+        assert assistant.endswith("<|end|>")
+        # role order must survive the explode/re-agg roundtrip
+        assert "<|user|>" not in assistant
+
+
+def test_truncation_loss_report_accounting(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["train_truncation_loss_report"].fn(spark, sf_dir).collect()
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    lens = [len(t.strip().split(" ")) for t in texts.column("text").to_pylist()]
+    assert sum(r.n_docs for r in rows) == len(lens)
+    assert sum(r.total_tokens for r in rows) == sum(lens)
+    for r in rows:
+        # kept + lost must exactly partition the bucket's token mass
+        assert r.kept_tokens + r.lost_tokens == r.total_tokens
+        assert 0 <= r.lost_bp <= 10000
