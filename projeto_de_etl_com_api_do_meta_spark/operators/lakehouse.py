@@ -35,6 +35,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -67,19 +68,58 @@ def _write_files(df: DataFrame, table_dir: str, n: int) -> list[str]:
     )
 
 
+def _column_stats(
+    spark: SparkSession, files: list[str], cols: tuple[str, ...]
+) -> dict[str, dict[str, list]]:
+    """Per-file min/max for ``cols`` over ``files`` — ONE grouped scan over
+    the just-written files (grouped by ``input_file_name``), not a job per
+    file. Values must be JSON-representable (string/int/float); use a
+    string date or epoch column for temporal stats. At real scale the
+    writer task records these stats as it writes (Delta/Iceberg do exactly
+    that); reading the fresh files back once is the jar-free equivalent and
+    still costs O(new data), never O(table)."""
+    aggs = [F.min(c).alias(f"min_{c}") for c in cols] + [
+        F.max(c).alias(f"max_{c}") for c in cols
+    ]
+    rows = (
+        spark.read.parquet(*files)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_path: dict[str, dict[str, list]] = {}
+    for r in rows:
+        path = r["_f"]
+        if path.startswith("file:"):
+            path = path[len("file:") :]
+            while path.startswith("//"):
+                path = path[1:]
+        by_path[path] = {
+            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols
+        }
+    # keys must match the manifest's file paths exactly
+    return {f: by_path.get(f, {}) for f in files}
+
+
 class CommitConflict(Exception):
     """Another writer published this version number first; retry with the
     next number."""
 
 
 def _publish(
-    table_dir: str, n: int, files: list[str], txn_id: str | None = None
+    table_dir: str,
+    n: int,
+    files: list[str],
+    txn_id: str | None = None,
+    stats: dict[str, dict[str, list]] | None = None,
 ) -> int:
     md = _manifest_dir(table_dir)
     os.makedirs(md, exist_ok=True)
     manifest = {"version": n, "files": files}
     if txn_id is not None:
         manifest["txn_id"] = txn_id
+    if stats:
+        manifest["stats"] = stats
     fd, tmp = tempfile.mkstemp(dir=md, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
@@ -132,7 +172,10 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
 
 
 def commit_append(
-    df: DataFrame, table_dir: str, txn_id: str | None = None
+    df: DataFrame,
+    table_dir: str,
+    txn_id: str | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> int:
     """Append ``df`` as the next version: the new manifest lists the
     previous version's files PLUS the newly-written ones. Old files are
@@ -149,10 +192,16 @@ def commit_append(
     manifests' txn_ids survive in ``_manifests/retired_txns.json`` (see
     vacuum), so a retry arriving after retention cleanup still no-ops.
 
+    ``stats_cols`` records per-file min/max for those columns in the
+    manifest (file-level data skipping, the Delta/Iceberg stats analog):
+    stats for the NEW files are computed once (O(new data)); the previous
+    manifest's stats carry forward untouched.
+
     Losing a concurrent-version race retries the whole read-check-publish
     round: the base file list and the txn_id scan are recomputed against
     the winner's manifest before publishing at the next number."""
     new_files = None
+    new_stats: dict[str, dict[str, list]] = {}
     while True:
         vs = versions(table_dir)
         if txn_id is not None:
@@ -164,11 +213,69 @@ def commit_append(
         n = (vs[-1] + 1) if vs else 1
         if new_files is None:
             new_files = _write_files(df, table_dir, n)
-        prev = manifest_files(table_dir, vs[-1]) if vs else []
+            if stats_cols:
+                new_stats = _column_stats(df.sparkSession, new_files, stats_cols)
+        prev_manifest = _manifest(table_dir, vs[-1]) if vs else {}
+        prev = prev_manifest.get("files", [])
+        stats = {**prev_manifest.get("stats", {}), **new_stats} or None
         try:
-            return _publish(table_dir, n, prev + new_files, txn_id=txn_id)
+            return _publish(
+                table_dir, n, prev + new_files, txn_id=txn_id, stats=stats
+            )
         except CommitConflict:
             continue
+
+
+def pruned_files(
+    table_dir: str, version: int, col: str, lo, hi
+) -> tuple[list[str], list[str]]:
+    """Split a version's file list into (kept, skipped) for the predicate
+    ``col BETWEEN lo AND hi`` using the manifest's per-file min/max stats.
+    A file is skipped ONLY when its recorded range provably cannot overlap
+    [lo, hi]; files without stats for ``col`` (or with a NULL bound) are
+    conservatively kept — skipping is an optimization, never a filter."""
+    manifest = _manifest(table_dir, version)
+    stats = manifest.get("stats", {})
+    kept, skipped = [], []
+    for f in manifest["files"]:
+        rng = stats.get(f, {}).get(col)
+        if (
+            rng is not None
+            and rng[0] is not None
+            and rng[1] is not None
+            and (rng[1] < lo or rng[0] > hi)
+        ):
+            skipped.append(f)
+        else:
+            kept.append(f)
+    return kept, skipped
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with manifest-level FILE SKIPPING: only files whose
+    recorded [min, max] for ``col`` can overlap [lo, hi] reach the parquet
+    scan, and the exact predicate is re-applied to the survivors (stats
+    prune files, the filter prunes rows — correctness never depends on the
+    stats). On a 100 TB table ingested in time order this turns a
+    one-week query into an O(one week of files) plan before Spark's own
+    partition pruning / row-group skipping even start."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    n = vs[-1] if version is None else version
+    kept, _ = pruned_files(table_dir, n, col, lo, hi)
+    if not kept:
+        raise FileNotFoundError(
+            f"every file of v{n} is outside [{lo}, {hi}] for {col}"
+        )
+    return spark.read.parquet(*kept).where(F.col(col).between(F.lit(lo), F.lit(hi)))
 
 
 def _retired_txns_path(table_dir: str) -> str:

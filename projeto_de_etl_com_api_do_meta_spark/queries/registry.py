@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "layout_bucketed_join_roundtrip",
     "train_sft_chat_flatten",
     "train_truncation_loss_report",
+    "lakehouse_stats_pruned_scan",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----

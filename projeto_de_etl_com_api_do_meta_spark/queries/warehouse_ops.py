@@ -889,3 +889,75 @@ def layout_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-level data skipping (per-file min/max stats).
+# ---------------------------------------------------------------------------
+
+_SKIP_LO, _SKIP_HI = "2024-01-08", "2024-01-14"
+
+_ORACLE_STATS_PRUNED = f"""
+SELECT event_type, COUNT(*) AS n,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{_SKIP_LO}' AND '{_SKIP_HI}'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "lakehouse_stats_pruned_scan",
+    oracle=_ORACLE_STATS_PRUNED,
+    tags=("warehouse", "lakehouse", "layout", "scale"),
+    doc=(
+        "File-level data skipping off manifest column stats "
+        "(operators/lakehouse.py: commit_append(stats_cols)/"
+        "read_version_pruned — the Delta/Iceberg per-file min/max "
+        "analog): events are ingested as 5 weekly append commits, each "
+        "recording its files' min/max ingest date in the manifest; a "
+        "one-week query then consults the stats FIRST and opens only the "
+        "files whose range can overlap — the other weeks' files never "
+        "reach the parquet scan (skip count asserted in "
+        "tests/test_lakehouse.py). The exact predicate is re-applied to "
+        "the surviving rows, so the stats are purely an optimization and "
+        "the oracle (plain filtered aggregate over the whole table) "
+        "proves it. On a time-ordered 100 TB table this is the difference "
+        "between an O(window) and an O(history) scan, before partition "
+        "pruning or row-group skipping even start."
+    ),
+)
+def lakehouse_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lakehouse import commit_append, read_version_pruned
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+    )
+    table = tempfile.mkdtemp(prefix="lakehouse_skip_") + "/events"
+    # weekly time-ordered ingest: each commit's files carry a tight d-range
+    for lo, hi in (
+        ("2024-01-01", "2024-01-07"),
+        ("2024-01-08", "2024-01-14"),
+        ("2024-01-15", "2024-01-21"),
+        ("2024-01-22", "2024-01-28"),
+        ("2024-01-29", "2024-02-04"),
+    ):
+        commit_append(
+            ev.where(F.col("d").between(lo, hi)), table, stats_cols=("d",)
+        )
+    pruned = read_version_pruned(spark, table, "d", _SKIP_LO, _SKIP_HI)
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum(dec("value")) * 100, 0))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

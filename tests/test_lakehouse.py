@@ -7,6 +7,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
     added_files,
@@ -193,3 +194,41 @@ def test_vacuum_preserves_txn_ids_for_late_retries(spark, tmp_path):
     assert rows == {(1, "a"), (2, "b"), (3, "c")}
     # and a genuinely new batch still commits
     assert commit_append(_df(spark, [(4, "d")]), t, txn_id="batch-3") == 4
+
+
+def test_stats_pruned_scan_skips_files(spark, tmp_path):
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        commit_append,
+        pruned_files,
+        read_version_pruned,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2, 10, 11, 20, 21) for i in (d, d + 100)],
+        "id long, d string",
+    )
+    for lo, hi in (("2024-01-01", "2024-01-05"), ("2024-01-10", "2024-01-15"),
+                   ("2024-01-20", "2024-01-25")):
+        commit_append(df.where(F.col("d").between(lo, hi)), table, stats_cols=("d",))
+    kept, skipped = pruned_files(table, 3, "d", "2024-01-10", "2024-01-15")
+    assert skipped, "out-of-range commits' files must be skipped"
+    # every kept file belongs to the middle commit's range; none lost
+    rows = read_version_pruned(spark, table, "d", "2024-01-10", "2024-01-15")
+    got = sorted(r.id for r in rows.collect())
+    assert got == [10, 11, 110, 111]
+
+
+def test_stats_pruning_is_only_an_optimization(spark, tmp_path):
+    """Files lacking stats are conservatively kept — stats prune, the
+    residual filter decides."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        commit_append,
+        pruned_files,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "2024-01-01")], "id long, d string")
+    commit_append(df, table)  # no stats recorded
+    kept, skipped = pruned_files(table, 1, "d", "2099-01-01", "2099-12-31")
+    assert not skipped and kept
