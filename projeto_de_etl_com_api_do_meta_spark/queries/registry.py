@@ -87,6 +87,8 @@ _PRIORITY: tuple[str, ...] = (
     "train_sft_chat_flatten",
     "train_truncation_loss_report",
     "lakehouse_stats_pruned_scan",
+    "text_ccnet_perplexity_buckets",
+    "stream_stream_join_left_outer",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----

@@ -1500,3 +1500,115 @@ def text_decontaminate_multisuite(
         .agg(F.countDistinct("g").alias("n_overlap"))
         .orderBy("doc_id", "suite")
     )
+
+
+# -- CCNet-style perplexity bucketing (head / middle / tail) -------------------
+
+#: Per-(doc, token-type) surprisal contribution in integer micro-nats:
+#: tf * floor(-1e6 * ln(p)). Floored per TYPE before the per-doc sum, so the
+#: doc score is exact BIGINT arithmetic on both engines.
+_CCNET_CONTRIB = (
+    "tf * CAST(floor(-1000000.0 * ln(CAST(c AS DOUBLE) / n)) AS BIGINT)"
+)
+
+_ORACLE_CCNET = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT SUM(c) AS n FROM vocab),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_toks,
+         SUM({_CCNET_CONTRIB}) // SUM(tf) AS mean_micro
+  FROM tf JOIN vocab ON tf.tok = vocab.tok CROSS JOIN total
+  GROUP BY tf.doc_id
+),
+cuts AS (
+  SELECT quantile_cont(mean_micro, 1.0/3.0) AS t1,
+         quantile_cont(mean_micro, 2.0/3.0) AS t2
+  FROM scored
+),
+bucketed AS (
+  SELECT CASE WHEN s.mean_micro <= c.t1 THEN 'head'
+              WHEN s.mean_micro <= c.t2 THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket,
+         s.n_toks, s.mean_micro
+  FROM scored s CROSS JOIN cuts c
+)
+SELECT ppl_bucket,
+       COUNT(*) AS n_docs,
+       SUM(n_toks) AS total_toks,
+       SUM(mean_micro) // COUNT(*) AS avg_mean_micro
+FROM bucketed
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "text_ccnet_perplexity_buckets",
+    oracle=_ORACLE_CCNET,
+    tags=("text", "quality", "training", "north-star"),
+    doc=(
+        "CCNet-style perplexity bucketing (Wenzek et al. 2020, "
+        "arXiv:1911.00359 — public paper): score every document by mean "
+        "per-token surprisal under the corpus unigram LM (the cheap "
+        "stand-in for CCNet's KenLM; same plan shape — per-doc LM score, "
+        "corpus-relative thresholds), cut the corpus at the exact "
+        "interpolated tertiles, and report the head/middle/tail buckets "
+        "CCNet keeps, reweights, or drops. Scores are tf-weighted "
+        "integer micro-nats (floored per token TYPE before summation — "
+        "exact BIGINT per-doc means); the tertile cut is a 2-value "
+        "scalar-aggregate broadcast. At 100 TB: one (doc,token) hash agg "
+        "+ one token-keyed model join (AQE-broadcast when the vocab is "
+        "small), one percentile over per-doc scalars (swap "
+        "approx_percentile at extreme doc counts — shape unchanged), one "
+        "3-group rollup. Swapping a real KenLM scorer in means replacing "
+        "the vocab join with a mapInPandas scorer; everything downstream "
+        "is identical."
+    ),
+)
+def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    docs = spread(docs, "doc_id")  # explicit width: see spread()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        tf.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_toks"),
+            F.expr(f"SUM({_CCNET_CONTRIB}) div SUM(tf)").alias("mean_micro"),
+        )
+    )
+    cuts = scored.agg(
+        F.percentile("mean_micro", F.lit(1.0 / 3.0)).alias("t1"),
+        F.percentile("mean_micro", F.lit(2.0 / 3.0)).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("mean_micro") <= F.col("t1"), "head")
+        .when(F.col("mean_micro") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("ppl_bucket"), "n_toks", "mean_micro")
+        .groupBy("ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_toks"),
+            F.expr("SUM(mean_micro) div COUNT(*)").alias("avg_mean_micro"),
+        )
+        .orderBy("ppl_bucket")
+    )

@@ -1572,3 +1572,46 @@ def train_truncation_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_bucket")
     )
+
+
+# -- Stream-stream LEFT OUTER join (conversion verdict per click) --------------
+
+_ORACLE_STREAM_LEFT_JOIN = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL '30 minutes'
+WHERE c.event_type = 'click'
+"""
+
+
+@register(
+    "stream_stream_join_left_outer",
+    oracle=_ORACLE_STREAM_LEFT_JOIN,
+    tags=("streaming", "join"),
+    doc=(
+        "Stream-stream LEFT OUTER join with an event-time range condition: "
+        "every click gets a verdict — matched purchase rows stream out as "
+        "found, and a click with NO same-user purchase within 30 min emits "
+        "exactly one NULL-purchase row once the watermark proves no match "
+        "can still arrive (the state-eviction semantics that distinguish "
+        "outer from inner on unbounded streams; state stays bounded on "
+        "both sides). The far-future sentinel row flushes the trailing "
+        "clicks' verdicts under Trigger.AvailableNow, so the result is "
+        "byte-equal to the batch LEFT JOIN oracle (stream/batch parity)."
+    ),
+)
+def stream_stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        events = read_events_stream(spark, sf_dir, sentinel=True)
+        joined = clicks_purchases_join(events, how="left_outer")
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            return run_available_now(joined, ckpt, output_mode="append")

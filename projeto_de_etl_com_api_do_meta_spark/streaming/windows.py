@@ -222,18 +222,38 @@ def foreach_batch_upsert(
     )
 
 
-def clicks_purchases_join(events: DataFrame, horizon: str = "30 minutes") -> DataFrame:
-    """Stream-stream inner join with an event-time range condition: each
-    click matched to the same user's purchases within ``horizon`` after it.
+def clicks_purchases_join(
+    events: DataFrame, horizon: str = "30 minutes", how: str = "inner"
+) -> DataFrame:
+    """Stream-stream join with an event-time range condition: each click
+    matched to the same user's purchases within ``horizon`` after it.
 
     Both sides carry watermarks so the join state is bounded (Spark drops
     buffered rows once the other side's watermark passes the range bound) —
     the property that makes this run indefinitely at scale.  Inner-join
     matches are emitted as soon as they are found, so append mode returns
     every match under Trigger.AvailableNow.
+
+    ``how="left_outer"`` additionally emits every UNMATCHED click with NULL
+    purchase columns — but only once the watermark proves no in-horizon
+    purchase can still arrive (that is the outer-join contract that makes
+    attribution "click converted / did not convert" decidable on an
+    unbounded stream).  Under Trigger.AvailableNow the watermark stops at
+    max-event-time - delay, which would hold the trailing clicks' NULL
+    verdicts forever — pair it with ``read_events_stream(sentinel=True)``
+    so the far-future sentinel flushes every real click's verdict.
     """
+    # For the outer mode the far-future sentinel must flow INTO the join
+    # inputs: each side's watermark node sits downstream of these filters,
+    # so a sentinel dropped here could never advance the (min-of-inputs)
+    # global watermark and the trailing clicks' NULL verdicts would be held
+    # back forever.  Its own rows are removed after the join.
+    c_types = ["click", "__sentinel__"] if how == "left_outer" else ["click"]
+    p_types = (
+        ["purchase", "__sentinel__"] if how == "left_outer" else ["purchase"]
+    )
     clicks = (
-        events.where(F.col("event_type") == "click")
+        events.where(F.col("event_type").isin(c_types))
         .select(
             F.col("user_id").alias("c_user_id"),
             F.col("event_id").alias("click_id"),
@@ -242,7 +262,7 @@ def clicks_purchases_join(events: DataFrame, horizon: str = "30 minutes") -> Dat
         .withWatermark("click_ts", "1 day")
     )
     purchases = (
-        events.where(F.col("event_type") == "purchase")
+        events.where(F.col("event_type").isin(p_types))
         .select(
             F.col("user_id").alias("p_user_id"),
             F.col("event_id").alias("purchase_id"),
@@ -250,12 +270,12 @@ def clicks_purchases_join(events: DataFrame, horizon: str = "30 minutes") -> Dat
         )
         .withWatermark("purchase_ts", "1 day")
     )
-    return clicks.join(
+    out = clicks.join(
         purchases,
         (F.col("c_user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
-        "inner",
+        how,
     ).select(
         F.col("c_user_id").alias("user_id"),
         "click_id",
@@ -263,6 +283,11 @@ def clicks_purchases_join(events: DataFrame, horizon: str = "30 minutes") -> Dat
         "click_ts",
         "purchase_ts",
     )
+    if how == "left_outer":
+        out = out.where(
+            F.col("click_ts") < F.lit(SENTINEL_CUTOFF).cast("timestamp")
+        )
+    return out
 
 
 def stateful_user_counters(events: DataFrame) -> DataFrame:

@@ -296,3 +296,27 @@ def test_incremental_neardup_with_compaction_matches_uncompacted(
         )
 
     assert run("compacted", 2) == run("plain", 0)
+
+
+def test_left_outer_stream_join_emits_null_verdicts(spark, sf_dir):
+    """Every click gets exactly one verdict row set: matched clicks their
+    match rows, unmatched clicks one NULL-purchase row; no sentinel rows
+    leak into the output."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.registry import (
+        QUERIES,
+        _load_all,
+    )
+
+    _load_all()
+    out = QUERIES["stream_stream_join_left_outer"].fn(spark, sf_dir)
+    rows = out.collect()
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .count()
+    )
+    unmatched = [r for r in rows if r.purchase_id is None]
+    matched_clicks = {r.click_id for r in rows if r.purchase_id is not None}
+    assert len(unmatched) + len(matched_clicks) == clicks
+    assert all(r.purchase_ts is None for r in unmatched)
+    assert all(r.click_ts.year < 2099 for r in rows)
