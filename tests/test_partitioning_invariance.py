@@ -34,6 +34,11 @@ INVARIANT_QUERIES = (
     # per-cell applyInPandas grouping, both of which repartitioning moves
     "dedup_semantic_clustered_scaled",
     "dedup_semantic_twolevel_scaled",
+    # r5 continuation: integer-micro flooring happens per term/bucket/type
+    # BEFORE summation — the claim is exactly partitioning-invariance
+    "corpus_bm25_search",
+    "sample_dsir_importance",
+    "text_ccnet_perplexity_buckets",
 )
 
 
