@@ -94,7 +94,8 @@ scored AS (
   CROSS JOIN stats
 ),
 ranked AS (
-  SELECT doc_id, COUNT(*) AS n_terms, SUM(term_micro) AS bm25_micro
+  SELECT doc_id, COUNT(*) AS n_terms,
+         CAST(SUM(term_micro) AS BIGINT) AS bm25_micro
   FROM scored GROUP BY doc_id
 )
 SELECT doc_id, n_terms, bm25_micro FROM ranked
@@ -219,8 +220,8 @@ doc_tf AS (
 ),
 weighted AS (
   SELECT doc_tf.doc_id,
-         SUM(doc_tf.tf) AS n_toks,
-         SUM(doc_tf.tf * lr.lr_micro) AS weight_micro
+         CAST(SUM(doc_tf.tf) AS BIGINT) AS n_toks,
+         CAST(SUM(doc_tf.tf * lr.lr_micro) AS BIGINT) AS weight_micro
   FROM doc_tf JOIN lr ON doc_tf.bucket = lr.bucket
   GROUP BY 1
 )

@@ -77,8 +77,8 @@ stats AS (
   SELECT COUNT(*) AS n_keys, SUM(cnt) AS total FROM per_key
 )
 SELECT p.o_custkey, p.cnt,
-       (p.cnt * 10000) // s.total AS share_bp,
-       (p.cnt * s.n_keys * 10000) // s.total AS vs_mean_bp
+       CAST((p.cnt * 10000) // s.total AS BIGINT) AS share_bp,
+       CAST((p.cnt * s.n_keys * 10000) // s.total AS BIGINT) AS vs_mean_bp
 FROM per_key p CROSS JOIN stats s
 ORDER BY p.cnt DESC, p.o_custkey
 LIMIT {_SKEW_REPORT_TOPK}

@@ -1540,8 +1540,8 @@ bucketed AS (
 )
 SELECT ppl_bucket,
        COUNT(*) AS n_docs,
-       SUM(n_toks) AS total_toks,
-       SUM(mean_micro) // COUNT(*) AS avg_mean_micro
+       CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+       CAST(SUM(mean_micro) // COUNT(*) AS BIGINT) AS avg_mean_micro
 FROM bucketed
 GROUP BY 1 ORDER BY 1
 """

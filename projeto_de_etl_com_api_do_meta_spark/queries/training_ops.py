@@ -1522,10 +1522,10 @@ bucketed AS (
 )
 SELECT len_bucket,
        COUNT(*) AS n_docs,
-       SUM(n_toks) AS total_tokens,
-       SUM(kept) AS kept_tokens,
-       SUM(lost) AS lost_tokens,
-       (SUM(lost) * 10000) // SUM(n_toks) AS lost_bp
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+       CAST(SUM(lost) AS BIGINT) AS lost_tokens,
+       CAST((SUM(lost) * 10000) // SUM(n_toks) AS BIGINT) AS lost_bp
 FROM bucketed
 GROUP BY 1
 ORDER BY 1
