@@ -239,3 +239,71 @@ def dq_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type")
         .orderBy("event_id")
     )
+
+
+# -- Zero-extra-scan pipeline metrics via df.observe ---------------------------
+
+_ORACLE_OBSERVED = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonpos_price,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_custkey,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100, 0)
+            AS BIGINT) AS total_cents
+FROM orders
+"""
+
+
+@register(
+    "dq_observed_metrics",
+    oracle=_ORACLE_OBSERVED,
+    tags=("dq", "scale"),
+    doc=(
+        "Pipeline metrics via Spark's Observation API (df.observe): the "
+        "input-side counters a production job publishes — row count, "
+        "invalid-price count, null-key count, exact money total — are "
+        "attached to the SAME scan the job already performs (here a "
+        "downstream filter+count stands in for the job), so the metrics "
+        "cost ZERO extra passes; a separate metrics query would re-scan "
+        "100 TB. The observed values come back as accumulator-style "
+        "results on the driver (one row — bounded by construction) and "
+        "the oracle recomputes them with a plain aggregate, proving "
+        "observe-metrics == recompute."
+    ),
+)
+def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ..functions.safe_math import dec
+
+    pin_query_session_conf(spark)
+    obs = Observation("etl_metrics")
+    orders = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpos_price"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_custkey"),
+        (F.round(F.sum(dec("o_totalprice")) * 100, 0))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    # The "job": any action over the observed scan publishes the metrics.
+    orders.where(F.col("o_orderstatus") == "F").count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_nonpos_price"],
+                m["n_null_custkey"],
+                m["total_cents"],
+            )
+        ],
+        "n_rows long, n_nonpos_price long, n_null_custkey long, total_cents long",
+    )

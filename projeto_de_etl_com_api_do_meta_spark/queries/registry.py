@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_ccnet_perplexity_buckets",
     "stream_stream_join_left_outer",
     "lakehouse_change_data_feed",
+    "dq_observed_metrics",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----
