@@ -1498,3 +1498,91 @@ def embed_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# -- Centroid-distance outliers (embedding QA / OOD sweep) ---------------------
+
+_OOD_SCALE = 65536  # 2^16 fixed-point; see overflow bound in the docstring
+
+_ORACLE_OOD = f"""
+WITH q AS (
+  SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_OOD_SCALE}) AS BIGINT) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+s AS (
+  SELECT label, pos, CAST(SUM(x) AS BIGINT) AS sx,
+         COUNT(*) AS n
+  FROM q GROUP BY 1, 2
+),
+d AS (
+  SELECT q.vec_id, q.label,
+         CAST(SUM((q.x * s.n - s.sx) * (q.x * s.n - s.sx)) AS BIGINT) AS dist_q
+  FROM q JOIN s ON q.label = s.label AND q.pos = s.pos
+  GROUP BY 1, 2
+)
+SELECT label, vec_id, dist_q FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY dist_q DESC, vec_id) AS rn
+  FROM d
+) WHERE rn <= 3
+ORDER BY label, dist_q DESC, vec_id
+"""
+
+
+@register(
+    "embed_outliers_centroid_dist",
+    oracle=_ORACLE_OOD,
+    tags=("similarity", "dq", "embedding"),
+    doc=(
+        "Embedding-QA outlier sweep: the 3 vectors farthest from their "
+        "label's centroid, per label — the out-of-distribution / "
+        "mislabeled-example detector run before embeddings feed dedup or "
+        "retrieval. Distances are computed on 2^16 fixed-point components "
+        "against the UNnormalized centroid as sum((n*x_i - S_i)^2) — pure "
+        "BIGINT arithmetic, no float mean, so ranks are cross-engine and "
+        "partitioning exact (rank-equivalent to squared L2 from the true "
+        "mean, scaled by n^2). Overflow bound: 64 dims * (2n*2^16)^2 <= "
+        "2^63 holds to n~2900 per label; at real scale swap the quantized "
+        "score for float distance-to-centroid (rows-only determinism) or "
+        "raise to DECIMAL(38,0) sums — same two-aggregate plan: one "
+        "(label,pos) sum, one per-vec reduce, top-k per label via "
+        "WindowGroupLimit (few labels, map-side partial limit)."
+    ),
+)
+def embed_outliers_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("xf").cast("double") * _OOD_SCALE).cast("long").alias("x"),
+    )
+    s = q.groupBy("label", "pos").agg(
+        F.sum("x").cast("long").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    d = (
+        q.join(s, ["label", "pos"])
+        .select(
+            "vec_id",
+            "label",
+            ((F.col("x") * F.col("n") - F.col("sx"))
+             * (F.col("x") * F.col("n") - F.col("sx"))).alias("sq"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("sq").cast("long").alias("dist_q"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist_q").desc(), "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("label", "vec_id", "dist_q")
+        .orderBy("label", F.col("dist_q").desc(), "vec_id")
+    )

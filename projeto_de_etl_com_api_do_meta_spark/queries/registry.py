@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stream_join_left_outer",
     "lakehouse_change_data_feed",
     "dq_observed_metrics",
+    "embed_outliers_centroid_dist",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----
