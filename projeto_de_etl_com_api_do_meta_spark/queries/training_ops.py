@@ -1485,6 +1485,10 @@ def train_sft_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<|end|>"),
         ).alias("piece"),
     )
+    # No presentation sort: a global ORDER BY over rendered training
+    # strings was the one superlinear term in the x1-x64 probe (the map
+    # work itself is linear), and row order is immaterial to the consumer
+    # (training shuffles anyway) and to the order-insensitive oracle hash.
     return (
         rendered.groupBy("doc_id", "n_turns")
         .agg(
@@ -1497,7 +1501,6 @@ def train_sft_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sft_text"),
         )
         .select("doc_id", "n_turns", "n_tokens", "sft_text")
-        .orderBy("doc_id")
     )
 
 
