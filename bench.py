@@ -100,9 +100,12 @@ HEADLINE: tuple[str, ...] = (
     # and its two-level composition (no flat centroid broadcast at all)
     "dedup_semantic_clustered_scaled",
     "dedup_semantic_twolevel_scaled",
-    # round-5 continuation: ranked retrieval + importance-based selection
+    # round-5 continuation: ranked retrieval + importance-based selection,
+    # corpus-relative perplexity bucketing, SFT flattening
     "corpus_bm25_search",
     "sample_dsir_importance",
+    "text_ccnet_perplexity_buckets",
+    "train_sft_chat_flatten",
 )
 
 

@@ -1077,3 +1077,82 @@ def stream_lakehouse_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- binaryFile source: opaque-asset ingestion off the filesystem --------------
+
+_BF_N_FILES = 64
+
+_ORACLE_BINARYFILE = f"""
+WITH spec AS (
+  SELECT i AS file_idx, 2 + i % 3 AS w, 2 + i % 4 AS h
+  FROM (SELECT unnest(range({_BF_N_FILES})) AS i)
+)
+SELECT file_idx,
+       CAST(length('P6' || chr(10) || w || ' ' || h || chr(10) || '255'
+                   || chr(10)) + 3 * w * h AS BIGINT) AS byte_len,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height
+FROM spec
+ORDER BY file_idx
+"""
+
+
+@register(
+    "multimodal_binaryfile_scan",
+    oracle=_ORACLE_BINARYFILE,
+    tags=("multimodal", "io", "source"),
+    doc=(
+        "binaryFile-source ingestion: raw image assets (one PPM per file, "
+        "dimensions varying per index) are read straight off the "
+        "filesystem with spark.read.format('binaryFile') — the scan shape "
+        "a multimodal corpus has BEFORE it is packed into parquet binary "
+        "columns — and the header is parsed from the binary content with "
+        "pure JVM expressions (decode + regexp), no Python. The oracle "
+        "recomputes byte length and dimensions from the generation rule, "
+        "value-verifying the write -> binaryFile scan -> parse round trip "
+        "(path/mtime columns are projected away: content-derived values "
+        "only). At 100 TB: binaryFile splits per-file (no intra-file "
+        "parallelism) and a files-per-task listing cost, which is exactly "
+        "why the pipeline's next step is packing into parquet "
+        "(multimodal_image_* consume that layout); pathGlobFilter + "
+        "recursiveFileLookup prune the listing server-side."
+    ),
+)
+def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..multimodal.codecs import encode_ppm
+
+    pin_query_session_conf(spark)
+    d = tempfile.mkdtemp(prefix="binaryfile_")
+    for i in range(_BF_N_FILES):
+        w, h = 2 + i % 3, 2 + i % 4
+        rgb = bytes((i * 7 + j) % 256 for j in range(3 * w * h))
+        with open(os.path.join(d, f"img_{i:04d}.ppm"), "wb") as f:
+            f.write(encode_ppm(w, h, rgb))
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(d)
+    )
+    header = F.decode(F.substring("content", 1, 32), "ISO-8859-1")
+    return (
+        bf.select(
+            F.regexp_extract(
+                F.element_at(F.split("path", "/"), -1), r"img_(\d+)\.ppm", 1
+            )
+            .cast("long")
+            .alias("file_idx"),
+            F.col("length").alias("byte_len"),
+            F.regexp_extract(header, r"P6\n(\d+) (\d+)\n", 1)
+            .cast("long")
+            .alias("width"),
+            F.regexp_extract(header, r"P6\n(\d+) (\d+)\n", 2)
+            .cast("long")
+            .alias("height"),
+        )
+        .orderBy("file_idx")
+    )

@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "lakehouse_change_data_feed",
     "dq_observed_metrics",
     "embed_outliers_centroid_dist",
+    "multimodal_binaryfile_scan",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----

@@ -39,6 +39,7 @@ INVARIANT_QUERIES = (
     "corpus_bm25_search",
     "sample_dsir_importance",
     "text_ccnet_perplexity_buckets",
+    "embed_outliers_centroid_dist",
 )
 
 
