@@ -690,3 +690,169 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# -- As-of NEAREST join (either direction, tie -> backward) --------------------
+
+_ORACLE_ASOF_NEAREST = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts AS vts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+),
+cand AS (
+  SELECT c.event_id, c.user_id, c.ts, v.view_id, v.vts
+  FROM clicks c LEFT JOIN views v ON c.user_id = v.user_id
+)
+SELECT event_id, user_id, ts, view_id FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_id
+           ORDER BY abs(epoch_us(vts) - epoch_us(ts)),
+                    CASE WHEN vts <= ts THEN 0 ELSE 1 END,
+                    view_id
+         ) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
+@register(
+    "join_asof_nearest",
+    oracle=_ORACLE_ASOF_NEAREST,
+    tags=("join", "asof", "timeseries"),
+    doc=(
+        "NEAREST as-of join (pandas merge_asof direction='nearest'): each "
+        "click matched to the user's closest view in EITHER time "
+        "direction, ties preferring the earlier (backward) side. "
+        "Composed from the backward and forward as-of passes (each the "
+        "one-shuffle union+carry window, operators/asof.py) joined on the "
+        "left key with a pure-expression argmin — no range product "
+        "anywhere; the oracle is the naive per-click argmin over all "
+        "same-user views. Completes the as-of family: backward "
+        "(join_asof_events), forward (join_asof_forward), binned-range "
+        "(join_range_binned), nearest (this)."
+    ),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view")
+    b = asof_join(
+        clicks,
+        views.select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("b_view"),
+            F.col("ts").alias("b_vts"),
+        ),
+        key="user_id",
+        ts="ts",
+        payload_cols=["b_view", "b_vts"],
+        direction="backward",
+    )
+    f = asof_join(
+        clicks,
+        views.select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("f_view"),
+            F.col("ts").alias("f_vts"),
+        ),
+        key="user_id",
+        ts="ts",
+        payload_cols=["f_view", "f_vts"],
+        direction="forward",
+    )
+    both = b.join(f.select("event_id", "f_view", "f_vts"), "event_id")
+    back_delta = F.unix_micros("ts") - F.unix_micros("b_vts")
+    fwd_delta = F.unix_micros("f_vts") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("b_view").isNull(), F.col("f_view"))
+        .when(F.col("f_view").isNull(), F.col("b_view"))
+        .when(back_delta <= fwd_delta, F.col("b_view"))
+        .otherwise(F.col("f_view"))
+    )
+    return both.select(
+        "event_id", "user_id", "ts", nearest.alias("view_id")
+    )
+
+
+# -- Gaps and islands (consecutive same-type runs per user) --------------------
+
+_ORACLE_ISLANDS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT user_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+),
+runs AS (
+  SELECT user_id, island_id, event_type, COUNT(*) AS run_len
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT event_type, run_len, COUNT(*) AS n_islands
+FROM runs GROUP BY 1, 2
+ORDER BY event_type, run_len
+"""
+
+
+@register(
+    "events_gaps_islands",
+    oracle=_ORACLE_ISLANDS,
+    tags=("events", "window"),
+    doc=(
+        "Gaps-and-islands: maximal runs of consecutive same-type events "
+        "per user (the classic sessionless streak analysis — retries, "
+        "repeated errors, binge behavior), summarized as the run-length "
+        "distribution per event type. One per-user window pass (break "
+        "flag via lag + running sum island ids; deterministic (ts, "
+        "event_id) ordering) feeding two hash aggregates. Windows "
+        "partition on user_id — millions of small partitions, no "
+        "one-reducer funnel; the repo's grouped-prefix-sum operators are "
+        "the swap if a single user's history outgrows a task."
+    ),
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    isl = ev.withColumn("brk", brk).withColumn(
+        "island_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = isl.groupBy("user_id", "island_id", "event_type").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type", "run_len")
+        .agg(F.count(F.lit(1)).alias("n_islands"))
+        .orderBy("event_type", "run_len")
+    )

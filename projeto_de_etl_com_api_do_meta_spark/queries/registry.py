@@ -93,6 +93,8 @@ _PRIORITY: tuple[str, ...] = (
     "dq_observed_metrics",
     "embed_outliers_centroid_dist",
     "multimodal_binaryfile_scan",
+    "join_asof_nearest",
+    "events_gaps_islands",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----
