@@ -788,14 +788,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Gaps and islands (consecutive same-type runs per user) --------------------
 
 _ORACLE_ISLANDS = """
-WITH seq AS (
-  SELECT user_id, event_type,
-         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
-              THEN 1 ELSE 0 END AS brk
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-isl AS (
+WITH isl AS (
   SELECT user_id, event_type,
          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS island_id
