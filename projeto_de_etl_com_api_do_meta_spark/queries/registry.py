@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_binaryfile_scan",
     "join_asof_nearest",
     "events_gaps_islands",
+    "stream_stream_join_full_outer",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----

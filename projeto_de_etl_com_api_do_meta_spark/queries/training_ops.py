@@ -1618,3 +1618,46 @@ def stream_stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         joined = clicks_purchases_join(events, how="left_outer")
         with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
             return run_available_now(joined, ckpt, output_mode="append")
+
+
+_ORACLE_STREAM_FULL_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM clicks c
+FULL OUTER JOIN purchases p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL '30 minutes'
+"""
+
+
+@register(
+    "stream_stream_join_full_outer",
+    oracle=_ORACLE_STREAM_FULL_JOIN,
+    tags=("streaming", "join"),
+    doc=(
+        "Stream-stream FULL OUTER join: both unmatched sides get verdicts "
+        "— clicks that never converted AND purchases with no preceding "
+        "click within the horizon each emit one NULL-padded row on state "
+        "eviction (watermarks bound both state stores). The sentinel "
+        "flushes both sides' verdicts under Trigger.AvailableNow, giving "
+        "byte-exact parity with the batch FULL OUTER range join. The "
+        "output's user_id coalesces whichever side is present."
+    ),
+)
+def stream_stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        events = read_events_stream(spark, sf_dir, sentinel=True)
+        joined = clicks_purchases_join(events, how="full_outer")
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            return run_available_now(joined, ckpt, output_mode="append")

@@ -248,10 +248,9 @@ def clicks_purchases_join(
     # so a sentinel dropped here could never advance the (min-of-inputs)
     # global watermark and the trailing clicks' NULL verdicts would be held
     # back forever.  Its own rows are removed after the join.
-    c_types = ["click", "__sentinel__"] if how == "left_outer" else ["click"]
-    p_types = (
-        ["purchase", "__sentinel__"] if how == "left_outer" else ["purchase"]
-    )
+    outer = how in ("left_outer", "full_outer")
+    c_types = ["click", "__sentinel__"] if outer else ["click"]
+    p_types = ["purchase", "__sentinel__"] if outer else ["purchase"]
     clicks = (
         events.where(F.col("event_type").isin(c_types))
         .select(
@@ -277,15 +276,17 @@ def clicks_purchases_join(
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
         how,
     ).select(
-        F.col("c_user_id").alias("user_id"),
+        # coalesce: under full_outer an unmatched purchase has no click side
+        F.coalesce(F.col("c_user_id"), F.col("p_user_id")).alias("user_id"),
         "click_id",
         "purchase_id",
         "click_ts",
         "purchase_ts",
     )
-    if how == "left_outer":
+    if outer:
+        cutoff = F.lit(SENTINEL_CUTOFF).cast("timestamp")
         out = out.where(
-            F.col("click_ts") < F.lit(SENTINEL_CUTOFF).cast("timestamp")
+            F.coalesce(F.col("click_ts"), F.col("purchase_ts")) < cutoff
         )
     return out
 
