@@ -1464,19 +1464,33 @@ def train_sft_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('"}]'),
         ).alias("chat_json"),
     )
-    msgs = chat.select(
-        "doc_id",
+    return sft_flatten(chat, id_col="doc_id", chat_json_col="chat_json")
+
+
+def sft_flatten(
+    df: DataFrame, id_col: str = "doc_id", chat_json_col: str = "chat_json"
+) -> DataFrame:
+    """Flatten JSON chat transcripts (arbitrary turn count) into one
+    role-sentinel training string per example with turn/token accounting.
+    Pure JVM expression layer: from_json with an explicit array<struct>
+    schema, posexplode, order-preserving re-aggregation.  No presentation
+    sort: a global ORDER BY over rendered training strings was the one
+    superlinear term in the x1-x64 probe (the map work itself is linear),
+    and row order is immaterial to the consumer (training shuffles anyway)
+    and to the order-insensitive oracle hash."""
+    msgs = df.select(
+        id_col,
         F.from_json(
-            "chat_json", "array<struct<role:string,content:string>>"
+            chat_json_col, "array<struct<role:string,content:string>>"
         ).alias("msgs"),
     )
     exploded = msgs.select(
-        "doc_id",
+        id_col,
         F.size("msgs").cast("long").alias("n_turns"),
         F.posexplode("msgs").alias("pos", "m"),
     )
     rendered = exploded.select(
-        "doc_id",
+        id_col,
         "n_turns",
         "pos",
         F.size(F.split(F.col("m.content"), " ")).cast("long").alias("toks"),
@@ -1485,12 +1499,8 @@ def train_sft_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<|end|>"),
         ).alias("piece"),
     )
-    # No presentation sort: a global ORDER BY over rendered training
-    # strings was the one superlinear term in the x1-x64 probe (the map
-    # work itself is linear), and row order is immaterial to the consumer
-    # (training shuffles anyway) and to the order-insensitive oracle hash.
     return (
-        rendered.groupBy("doc_id", "n_turns")
+        rendered.groupBy(id_col, "n_turns")
         .agg(
             F.sum("toks").alias("n_tokens"),
             F.array_join(
@@ -1500,7 +1510,7 @@ def train_sft_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "\n",
             ).alias("sft_text"),
         )
-        .select("doc_id", "n_turns", "n_tokens", "sft_text")
+        .select(id_col, "n_turns", "n_tokens", "sft_text")
     )
 
 

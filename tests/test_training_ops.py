@@ -428,3 +428,26 @@ def test_truncation_loss_report_accounting(spark, sf_dir):
         # kept + lost must exactly partition the bucket's token mass
         assert r.kept_tokens + r.lost_tokens == r.total_tokens
         assert 0 <= r.lost_bp <= 10000
+
+
+def test_sft_flatten_arbitrary_turn_count(spark):
+    from projeto_de_etl_com_api_do_meta_spark.queries.training_ops import (
+        sft_flatten,
+    )
+
+    chat = (
+        '[{"role":"system","content":"be kind"},'
+        '{"role":"user","content":"hi there"},'
+        '{"role":"assistant","content":"hello"},'
+        '{"role":"user","content":"bye"}]'
+    )
+    df = spark.createDataFrame([(1, chat)], "doc_id long, chat_json string")
+    r = sft_flatten(df).first()
+    assert r.n_turns == 4
+    assert r.n_tokens == 2 + 2 + 1 + 1
+    assert r.sft_text.split("\n") == [
+        "<|system|>be kind<|end|>",
+        "<|user|>hi there<|end|>",
+        "<|assistant|>hello<|end|>",
+        "<|user|>bye<|end|>",
+    ]
