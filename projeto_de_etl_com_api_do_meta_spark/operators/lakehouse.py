@@ -150,7 +150,9 @@ def manifest_files(table_dir: str, version: int) -> list[str]:
     return _manifest(table_dir, version)["files"]
 
 
-def commit_version(df: DataFrame, table_dir: str) -> int:
+def commit_version(
+    df: DataFrame, table_dir: str, stats_cols: tuple[str, ...] = ()
+) -> int:
     """Write ``df`` as the next table version (full overwrite semantics)
     and publish its manifest.
 
@@ -159,14 +161,21 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
     then the manifest is linked into place create-if-absent as the commit
     point; losing a version race retries publication at the next number
     (the already-written data files stay valid — only the manifest moves).
+
+    ``stats_cols`` records per-file min/max for those columns in the
+    manifest (data skipping via ``read_version_pruned``), same contract as
+    ``commit_append``.
     """
     files = None
+    stats: dict[str, dict[str, list]] = {}
     while True:
         n = (versions(table_dir)[-1] + 1) if versions(table_dir) else 1
         if files is None:
             files = _write_files(df, table_dir, n)
+            if stats_cols:
+                stats = _column_stats(df.sparkSession, files, stats_cols)
         try:
-            return _publish(table_dir, n, files)
+            return _publish(table_dir, n, files, stats=stats or None)
         except CommitConflict:
             continue
 

@@ -232,3 +232,19 @@ def test_stats_pruning_is_only_an_optimization(spark, tmp_path):
     commit_append(df, table)  # no stats recorded
     kept, skipped = pruned_files(table, 1, "d", "2099-01-01", "2099-12-31")
     assert not skipped and kept
+
+
+def test_commit_version_records_stats_too(spark, tmp_path):
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        commit_version,
+        pruned_files,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-31")], "id long, d string"
+    ).repartition(2, "id")
+    commit_version(df, table, stats_cols=("d",))
+    kept, skipped = pruned_files(table, 1, "d", "2099-01-01", "2099-12-31")
+    # nothing overlaps 2099 -> every file (all carry stats) is skipped
+    assert skipped and not kept
