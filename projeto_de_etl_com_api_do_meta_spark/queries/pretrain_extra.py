@@ -833,3 +833,63 @@ def dedup_cross_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fp")
     )
+
+
+# -- Source-concentration diagnostic (HHI over the corpus mixture) -------------
+
+_ORACLE_HHI = """
+WITH per AS (
+  SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_sources FROM per)
+SELECT CAST(t.n_sources AS BIGINT) AS n_sources,
+       CAST(t.total AS BIGINT) AS n_docs,
+       CAST((SUM(p.cnt * p.cnt) * 10000) // (t.total * t.total) AS BIGINT)
+         AS hhi_bp,
+       CAST((MAX(p.cnt) * 10000) // t.total AS BIGINT) AS top_share_bp
+FROM per p CROSS JOIN tot t
+GROUP BY t.n_sources, t.total
+"""
+
+
+@register(
+    "corpus_source_concentration",
+    oracle=_ORACLE_HHI,
+    tags=("corpus", "dq", "training"),
+    doc=(
+        "Source-concentration diagnostic: Herfindahl-Hirschman index of "
+        "the corpus mixture (sum of squared source shares) plus the top "
+        "source's share, both in exact integer basis points — the one-row "
+        "report that says whether a merged corpus is dominated by a "
+        "single source before temperature reweighting "
+        "(corpus_temperature_mixture is the fix this diagnoses the need "
+        "for). HHI_bp = sum(cnt^2)*10000 div total^2: pure BIGINT, no "
+        "float shares. One map-side-combined count per source + one "
+        "scalar reduce — O(sources) state."
+    ),
+)
+def corpus_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = per.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("n_sources", "total")
+        .agg(
+            F.expr("(SUM(cnt * cnt) * 10000) div (first(total) * first(total))")
+            .alias("hhi_bp"),
+            F.expr("(MAX(cnt) * 10000) div first(total)").alias("top_share_bp"),
+        )
+        .select(
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("total").cast("long").alias("n_docs"),
+            "hhi_bp",
+            "top_share_bp",
+        )
+    )

@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_nearest",
     "events_gaps_islands",
     "stream_stream_join_full_outer",
+    "corpus_source_concentration",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----
