@@ -893,3 +893,64 @@ def corpus_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share_bp",
         )
     )
+
+
+# -- Corpus data card (datasheet-for-datasets summary) --------------------------
+
+_ORACLE_DATA_CARD = """
+WITH base AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks,
+         md5(trim(text)) AS fp
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+       CAST(((COUNT(*) - COUNT(DISTINCT fp)) * 10000) // COUNT(*) AS BIGINT)
+         AS exact_dup_bp,
+       CAST(MIN(n_toks) AS BIGINT) AS min_toks,
+       CAST(MAX(n_toks) AS BIGINT) AS max_toks,
+       CAST(SUM(n_toks) // COUNT(*) AS BIGINT) AS mean_toks
+FROM base
+"""
+
+
+@register(
+    "corpus_data_card",
+    oracle=_ORACLE_DATA_CARD,
+    tags=("corpus", "dq", "training"),
+    doc=(
+        "Corpus data card (the 'datasheets for datasets' summary a "
+        "training-data release ships): document/token totals, language "
+        "and source cardinalities, exact-duplicate rate in basis points "
+        "(md5 content fingerprints), and token-length extremes/mean — "
+        "ONE scan, one reduce, every aggregate map-side combinable "
+        "(count-distincts expand to two-phase aggregates; at extreme "
+        "cardinalities swap approx_count_distinct, same plan shape). The "
+        "one-row report that fronts every corpus the pipeline publishes."
+    ),
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    base = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_toks"),
+        F.md5(F.trim("text")).alias("fp"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("fp").alias("n_unique_docs"),
+        F.expr(
+            "((COUNT(*) - COUNT(DISTINCT fp)) * 10000) div COUNT(*)"
+        ).alias("exact_dup_bp"),
+        F.min("n_toks").alias("min_toks"),
+        F.max("n_toks").alias("max_toks"),
+        F.expr("SUM(n_toks) div COUNT(*)").alias("mean_toks"),
+    )

@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_gaps_islands",
     "stream_stream_join_full_outer",
     "corpus_source_concentration",
+    "corpus_data_card",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----
