@@ -63,3 +63,25 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed):
         ).count()
         == plain
     )
+
+
+def test_registry_bucketed_join_consumes_bucket_layout(spark, sf_dir):
+    """The registry query's executed join subtree must read both bucketed
+    scans directly — local sorts only, no Exchange between scan and join."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.registry import (
+        QUERIES,
+        _load_all,
+    )
+
+    _load_all()
+    df = QUERIES["layout_bucketed_join_roundtrip"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Bucketed: true") == 2
+    i = final.find("SortMergeJoin")
+    assert i != -1
+    # subtree from the join to the end of its second scan: everything the
+    # join consumes.  Cut at the aggregate above it (appears before SMJ).
+    subtree = final[i:]
+    assert "Exchange" not in subtree, subtree[:500]
