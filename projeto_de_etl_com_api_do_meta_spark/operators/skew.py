@@ -59,3 +59,27 @@ def skew_safe_count_distinct(
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias(alias))
     )
+
+
+def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Top-``top_k`` hottest values of ``key`` with their share of all rows
+    and their ratio to the mean key's count, in exact integer basis points.
+    The pre-shuffle-strategy diagnostic: ``vs_mean_bp >> 10000`` on a top
+    key says salt that join / lean on AQE skew handling.  Map-side partial
+    aggregation collapses hot keys per partition, so the diagnostic never
+    suffers the skew it measures; the two corpus scalars broadcast."""
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("total")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            key,
+            "cnt",
+            F.expr("(cnt * 10000) div total").alias("share_bp"),
+            F.expr("(cnt * n_keys * 10000) div total").alias("vs_mean_bp"),
+        )
+        .orderBy(F.col("cnt").desc(), key)
+        .limit(top_k)
+    )

@@ -104,23 +104,8 @@ LIMIT {_SKEW_REPORT_TOPK}
     ),
 )
 def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_skew_report
+
     pin_query_session_conf(spark)
-    per_key = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    stats = per_key.agg(
-        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("total")
-    )
-    return (
-        per_key.crossJoin(F.broadcast(stats))
-        .select(
-            "o_custkey",
-            "cnt",
-            F.expr("(cnt * 10000) div total").alias("share_bp"),
-            F.expr("(cnt * n_keys * 10000) div total").alias("vs_mean_bp"),
-        )
-        .orderBy(F.col("cnt").desc(), "o_custkey")
-        .limit(_SKEW_REPORT_TOPK)
-    )
+    orders = load_table(spark, sf_dir, "orders")
+    return key_skew_report(orders, "o_custkey", top_k=_SKEW_REPORT_TOPK)

@@ -203,3 +203,20 @@ def test_containment_prefix_filter_lossless(spark, sf_dir):
         for r in containment_prefix_pairs(docs, threshold=t).collect()
     }
     assert pref == naive and pref
+
+
+def test_key_skew_report_flags_planted_hot_key(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    # 1000 rows on key 1, one row each on keys 2..101 -> mean ~ 10.9
+    rows = [(1,)] * 1000 + [(k,) for k in range(2, 102)]
+    df = spark.createDataFrame(rows, "k long")
+    top = key_skew_report(df, "k", top_k=3).collect()
+    assert top[0].k == 1 and top[0].cnt == 1000
+    # hot key holds 1000/1100 rows = 9090 bp; ~92x the mean key
+    assert top[0].share_bp == 1000 * 10000 // 1100
+    assert top[0].vs_mean_bp == 1000 * 101 * 10000 // 1100
+    assert top[0].vs_mean_bp > 10 * 10000  # unmistakably "salt this"
+    assert top[1].vs_mean_bp < 10000  # the cold keys sit below the mean
