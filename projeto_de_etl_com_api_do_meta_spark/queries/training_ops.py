@@ -1671,3 +1671,161 @@ def stream_stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         joined = clicks_purchases_join(events, how="full_outer")
         with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
             return run_available_now(joined, ckpt, output_mode="append")
+
+
+# -- End-to-end SFT data funnel (post-training analog of the pretrain funnel) --
+
+_ORACLE_SFT_FUNNEL = r"""
+WITH raw AS (
+  SELECT doc_id, trim(text) AS text,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+dedup AS (
+  SELECT r.* FROM raw r
+  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM raw GROUP BY 1) k
+    ON r.doc_id = k.doc_id
+),
+gated AS (
+  SELECT * FROM dedup WHERE n_toks BETWEEN 24 AND 512
+),
+tr_sh AS (
+  SELECT DISTINCT g.doc_id,
+         array_to_string(w[i:i+7], ' ') AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM gated) g,
+       unnest(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8
+),
+ev_sh AS (
+  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS s
+  FROM (SELECT string_split(trim(text), ' ') AS w
+        FROM documents WHERE doc_id % 20 = 0) e,
+       unnest(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8
+),
+cont AS (SELECT DISTINCT doc_id FROM tr_sh JOIN ev_sh USING (s)),
+clean AS (
+  SELECT g.* FROM gated g
+  WHERE g.doc_id % 20 <> 0
+    AND g.doc_id NOT IN (SELECT doc_id FROM cont)
+)
+SELECT 0 AS stage, COUNT(*) AS n_docs,
+       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM raw
+UNION ALL
+SELECT 1, COUNT(*), CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM dedup
+UNION ALL
+SELECT 2, COUNT(*), CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM gated
+UNION ALL
+SELECT 3, COUNT(*), CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM clean
+UNION ALL
+SELECT 4, COUNT(*), CAST(COUNT(*) * 24 AS BIGINT) FROM clean
+ORDER BY stage
+"""
+
+
+@register(
+    "pipeline_sft_funnel",
+    oracle=_ORACLE_SFT_FUNNEL,
+    tags=("train", "pipeline", "north-star"),
+    doc=(
+        "End-to-end SFT data funnel (the post-training sibling of "
+        "pipeline_training_funnel): exact dedup (min-doc per content md5) "
+        "-> length gate (24..512 tokens — must fit the chat template, "
+        "drop pathological lengths) -> 3-gram decontamination against the "
+        "eval slice -> chat-format flattening (sft_flatten), with per-"
+        "stage document AND token counts in one tagged union aggregate. "
+        "Stage ids persist as tiny id-only sets; each stage re-derives "
+        "its own shrinking slice (measured cheaper than materializing the "
+        "exploded shingle posting corpus-wide). At 100 TB the exact "
+        "decontamination join swaps for the bloom gate "
+        "(text_decontaminate_bloom) and dedup/flatten are already hash-"
+        "agg/map-only. Token accounting shifts meaning at stage 4 by "
+        "design: raw-corpus tokens before, rendered SFT tokens (2 turns "
+        "x 12 words) after — the number a training-budget plan consumes."
+    ),
+)
+def pipeline_sft_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import spread, word_shingles
+    from ..operators.text import tokens
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.trim("text").alias("text")
+    )
+    raw = docs.select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    ).persist()
+    dedup_ids = (
+        raw.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .persist()
+    )
+    gated = (
+        raw.join(dedup_ids, "doc_id")
+        .where(F.col("n_toks").between(24, 512))
+        .persist()
+    )
+    tr_sh = (
+        spread(gated.select("doc_id", "text"), "doc_id")
+        .where(F.size(tokens("text")) >= 8)
+        .select("doc_id", F.explode(word_shingles("text", 8)).alias("s"))
+        .distinct()
+    )
+    ev_sh = (
+        spread(docs.where(F.col("doc_id") % 20 == 0), "doc_id")
+        .where(F.size(tokens("text")) >= 8)
+        .select(F.explode(word_shingles("text", 8)).alias("s"))
+        .distinct()
+    )
+    cont_ids = tr_sh.join(ev_sh, "s").select("doc_id").distinct()
+    clean = (
+        gated.where(F.col("doc_id") % 20 != 0)
+        .join(cont_ids, "doc_id", "left_anti")
+        .persist()
+    )
+    flat = sft_flatten(
+        clean.select(
+            "doc_id",
+            F.concat(
+                F.lit('[{"role":"user","content":"'),
+                F.array_join(F.slice(F.split("text", " "), 1, 12), " "),
+                F.lit('"},{"role":"assistant","content":"'),
+                F.array_join(F.slice(F.split("text", " "), 13, 12), " "),
+                F.lit('"}]'),
+            ).alias("chat_json"),
+        )
+    )
+    tagged = (
+        raw.select(F.lit(0).alias("stage"), "n_toks")
+        .unionByName(
+            raw.join(dedup_ids, "doc_id").select(
+                F.lit(1).alias("stage"), "n_toks"
+            )
+        )
+        .unionByName(gated.select(F.lit(2).alias("stage"), "n_toks"))
+        .unionByName(clean.select(F.lit(3).alias("stage"), "n_toks"))
+        .unionByName(
+            flat.select(F.lit(4).alias("stage"), F.col("n_tokens").alias("n_toks"))
+        )
+    )
+    spine = docs.sparkSession.range(5).select(
+        F.col("id").cast("int").alias("stage")
+    )
+    counts = tagged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    # spine join: a fully-emptied stage still reports (0, 0) — the funnel
+    # report's row set must not depend on survivorship
+    return (
+        spine.join(counts, "stage", "left")
+        .select(
+            "stage",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .orderBy("stage")
+    )
