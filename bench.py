@@ -106,6 +106,7 @@ HEADLINE: tuple[str, ...] = (
     "sample_dsir_importance",
     "text_ccnet_perplexity_buckets",
     "train_sft_chat_flatten",
+    "pipeline_sft_funnel",
 )
 
 
