@@ -1829,3 +1829,100 @@ def pipeline_sft_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# -- DPO preference-pair builder -----------------------------------------------
+
+_ORACLE_DPO = r"""
+WITH scored AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY score DESC, doc_id) AS rn_top,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY score ASC, doc_id) AS rn_bot,
+         COUNT(*) OVER (PARTITION BY lang, source) AS grp_n
+  FROM scored
+)
+SELECT t.lang, t.source,
+       t.doc_id AS chosen_id, t.score AS chosen_score,
+       b.doc_id AS rejected_id, b.score AS rejected_score,
+       t.score - b.score AS margin
+FROM ranked t
+JOIN ranked b
+  ON t.lang = b.lang AND t.source = b.source
+ AND t.rn_top = b.rn_bot AND t.rn_top <= 3
+WHERE t.grp_n >= 6 AND t.doc_id <> b.doc_id AND t.score > b.score
+ORDER BY t.lang, t.source, chosen_id
+"""
+
+
+@register(
+    "train_dpo_pair_builder",
+    oracle=_ORACLE_DPO,
+    tags=("train", "north-star"),
+    doc=(
+        "DPO preference-pair construction: within each (lang, source) "
+        "group — the fixture proxy for 'responses to the same prompt "
+        "family' — pair the k=3 highest-scored documents with the k=3 "
+        "lowest (1st-best vs 1st-worst, 2nd vs 2nd, ...), emitting "
+        "(chosen, rejected, margin) rows; groups too small for disjoint "
+        "extremes (n<6), self-pairs and zero-margin ties are dropped — "
+        "the standard construction for preference-optimization data from "
+        "a scored pool. Deterministic integer score (token count stands "
+        "in for a reward model — swapping in real scores is a column "
+        "swap). Two ranking windows per group + one rank-aligned "
+        "self-join; groups are numerous and small, so windows never "
+        "funnel into one reducer; the rank filter triggers "
+        "WindowGroupLimit pruning map-side."
+    ),
+)
+def train_dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    scored = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("score"),
+    )
+    grp = Window.partitionBy("lang", "source")
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(grp.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rn_top"),
+        F.row_number()
+        .over(grp.orderBy(F.col("score").asc(), "doc_id"))
+        .alias("rn_bot"),
+        F.count(F.lit(1)).over(grp).alias("grp_n"),
+    )
+    top = ranked.where((F.col("rn_top") <= 3) & (F.col("grp_n") >= 6)).select(
+        "lang", "source", "rn_top",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    bot = ranked.select(
+        "lang", "source",
+        F.col("rn_bot").alias("rn_top"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        top.join(bot, ["lang", "source", "rn_top"])
+        .where(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("chosen_score") > F.col("rejected_score"))
+        )
+        .select(
+            "lang", "source", "chosen_id", "chosen_score",
+            "rejected_id", "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+        .orderBy("lang", "source", "chosen_id")
+    )
