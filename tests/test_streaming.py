@@ -320,3 +320,49 @@ def test_left_outer_stream_join_emits_null_verdicts(spark, sf_dir):
     assert len(unmatched) + len(matched_clicks) == clicks
     assert all(r.purchase_ts is None for r in unmatched)
     assert all(r.click_ts.year < 2099 for r in rows)
+
+
+def test_available_now_resumes_from_checkpoint(spark, tmp_path):
+    """The cron-rerun contract: a second AvailableNow run over the SAME
+    checkpoint reads only files that arrived since the first run (source
+    offsets persist), while the stateful aggregate still reflects the full
+    history — restart-safe incremental ingestion."""
+    import uuid as _uuid
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v long"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = stream.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+        name = f"resume_{_uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        row = spark.table(name).first()
+        n_input = sum(p["numInputRows"] for p in q.recentProgress)
+        return row, n_input
+
+    write_batch([(1, 10), (2, 20), (3, 30)])
+    row1, in1 = run_once()
+    assert (row1.n, row1.s) == (3, 60)
+    assert in1 == 3
+
+    write_batch([(4, 40), (5, 50)])
+    row2, in2 = run_once()
+    assert (row2.n, row2.s) == (5, 150)  # state covers full history
+    assert in2 == 2  # ...but only the NEW files were read
