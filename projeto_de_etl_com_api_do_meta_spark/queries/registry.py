@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_data_card",
     "pipeline_sft_funnel",
     "train_dpo_pair_builder",
+    "sample_dsir_gumbel",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----

@@ -178,7 +178,7 @@ _DSIR_LR_MICRO = (
     ")) AS BIGINT)"
 )
 
-_ORACLE_DSIR = rf"""
+_DSIR_WEIGHTS_CTE = rf"""
 WITH toks AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
@@ -225,10 +225,36 @@ weighted AS (
   FROM doc_tf JOIN lr ON doc_tf.bucket = lr.bucket
   GROUP BY 1
 )
+"""
+
+_ORACLE_DSIR = (
+    _DSIR_WEIGHTS_CTE
+    + f"""
 SELECT doc_id, n_toks, weight_micro FROM weighted
 ORDER BY weight_micro DESC, doc_id
 LIMIT {_DSIR_TOPK}
 """
+)
+
+#: Deterministic Gumbel noise in integer micro-nats: u is the repo's
+#: standard 52-bit md5 fixed-point uniform, g = -ln(-ln(u)).
+_DSIR_GUMBEL_MICRO = (
+    "CAST(floor(1000000.0 * (0.0 - ln(0.0 - ln("
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 13))"
+    " AS BIGINT) + 0.5) / 4503599627370496.0"
+    ")))) AS BIGINT)"
+)
+
+_ORACLE_DSIR_GUMBEL = (
+    _DSIR_WEIGHTS_CTE
+    + f"""
+SELECT doc_id, n_toks, weight_micro,
+       weight_micro + {_DSIR_GUMBEL_MICRO} AS key_micro
+FROM weighted
+ORDER BY key_micro DESC, doc_id
+LIMIT {_DSIR_TOPK}
+"""
+)
 
 
 @register(
@@ -254,6 +280,16 @@ LIMIT {_DSIR_TOPK}
 )
 def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
+    return (
+        _dsir_doc_weights(spark, sf_dir)
+        .orderBy(F.col("weight_micro").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+
+
+def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per raw-pool document: token count and exact integer-micro DSIR
+    log-likelihood-ratio weight (shared by the top-k and Gumbel queries)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = spread(docs, "doc_id")  # explicit width: see spread()
     b = _DSIR_BUCKETS
@@ -298,13 +334,54 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return doc_tf.join(F.broadcast(lr), "bucket").groupBy("doc_id").agg(
+        F.sum("tf").alias("n_toks"),
+        F.sum(F.col("tf") * F.col("lr_micro")).alias("weight_micro"),
+    )
+
+
+@register(
+    "sample_dsir_gumbel",
+    oracle=_ORACLE_DSIR_GUMBEL,
+    tags=("sample", "training", "text"),
+    doc=(
+        "DSIR with the paper's actual RESAMPLING step (Gumbel-max trick): "
+        "each raw document's selection key is its log-likelihood-ratio "
+        "weight plus Gumbel noise -ln(-ln(u)), so taking the top-k samples "
+        "WITHOUT replacement with probability proportional to the "
+        "importance weight (temperature 1) — unlike the deterministic "
+        "top-k twin, low-weight documents retain a proportional chance, "
+        "which is what keeps the resampled corpus diverse. The noise is "
+        "derived from the repo's standard 52-bit md5 fixed-point uniform "
+        "(RNG-free, reproducible under any partitioning); both weight and "
+        "noise are integer micro-nats, summed exactly. Same plan as the "
+        "top-k form plus one per-row expression; selection is still "
+        "TakeOrderedAndProject."
+    ),
+)
+def sample_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    w = _dsir_doc_weights(spark, sf_dir)
+    # Same arithmetic as the oracle fragment; Spark spells the hex->int
+    # step conv(...,16,10) where DuckDB casts a '0x...' literal.
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4503599627370496.0)
+    g_micro = F.floor(
+        F.lit(1000000.0) * (F.lit(0.0) - F.log(F.lit(0.0) - F.log(u)))
+    ).cast("long")
+    key = F.col("weight_micro") + g_micro
     return (
-        doc_tf.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_toks"),
-            F.sum(F.col("tf") * F.col("lr_micro")).alias("weight_micro"),
-        )
-        .orderBy(F.col("weight_micro").desc(), "doc_id")
+        w.select("doc_id", "n_toks", "weight_micro", key.alias("key_micro"))
+        .orderBy(F.col("key_micro").desc(), "doc_id")
         .limit(_DSIR_TOPK)
     )
