@@ -110,3 +110,50 @@ def test_dsir_matches_python_reference(spark, sf_dir):
     assert got == _py_dsir(_fixture_docs(sf_dir))
     # target docs are the estimation set, never selected
     assert all(d % _DSIR_TARGET_MOD != 0 for d, _, _ in got)
+
+
+def test_dsir_gumbel_matches_python_reference(spark, sf_dir):
+    import hashlib
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.retrieval_extra import (
+        sample_dsir_gumbel,
+    )
+
+    docs = _fixture_docs(sf_dir)
+    # reuse the exact weight computation, then add deterministic Gumbel
+    ct = [0] * _DSIR_BUCKETS
+    cr = [0] * _DSIR_BUCKETS
+    for d, t in docs:
+        tgt = d % _DSIR_TARGET_MOD == 0
+        for w in _toks(t):
+            (ct if tgt else cr)[_md5_bucket(w)] += 1
+    tot_t, tot_r = sum(ct), sum(cr)
+    lr = [
+        math.floor(
+            1_000_000.0
+            * (
+                math.log((ct[b] + 1.0) / (tot_t + float(_DSIR_BUCKETS)))
+                - math.log((cr[b] + 1.0) / (tot_r + float(_DSIR_BUCKETS)))
+            )
+        )
+        for b in range(_DSIR_BUCKETS)
+    ]
+    out = []
+    for d, t in docs:
+        if d % _DSIR_TARGET_MOD == 0:
+            continue
+        ws = _toks(t)
+        weight = sum(lr[_md5_bucket(w)] for w in ws)
+        u = (
+            int(hashlib.md5(f"{d}:dsir".encode()).hexdigest()[:13], 16) + 0.5
+        ) / 4503599627370496.0
+        g = math.floor(1_000_000.0 * (0.0 - math.log(0.0 - math.log(u))))
+        out.append((d, len(ws), weight, weight + g))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    want = out[:_DSIR_TOPK]
+
+    got = [
+        (r.doc_id, r.n_toks, r.weight_micro, r.key_micro)
+        for r in sample_dsir_gumbel(spark, sf_dir).collect()
+    ]
+    assert got == want
