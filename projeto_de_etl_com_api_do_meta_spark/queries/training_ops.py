@@ -1731,7 +1731,7 @@ ORDER BY stage
         "End-to-end SFT data funnel (the post-training sibling of "
         "pipeline_training_funnel): exact dedup (min-doc per content md5) "
         "-> length gate (24..512 tokens — must fit the chat template, "
-        "drop pathological lengths) -> 3-gram decontamination against the "
+        "drop pathological lengths) -> 8-gram decontamination against the "
         "eval slice -> chat-format flattening (sft_flatten), with per-"
         "stage document AND token counts in one tagged union aggregate. "
         "Stage ids persist as tiny id-only sets; each stage re-derives "
