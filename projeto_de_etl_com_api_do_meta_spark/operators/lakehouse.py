@@ -390,3 +390,49 @@ def read_version(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*manifest["files"])
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """DELETE rows with ``col BETWEEN lo AND hi`` from the latest snapshot
+    by COPY-ON-WRITE, the Delta/Iceberg delete mechanic: manifest stats
+    first split the file list into candidates (range overlaps) and
+    untouched files; only candidates are read, filtered to the survivors,
+    and rewritten; the new manifest lists untouched files UNCHANGED plus
+    the rewritten ones.  Write amplification is bounded by the stats'
+    selectivity — on a time-ordered table a targeted delete rewrites
+    O(matching files), never O(table) — and history stays intact: the
+    pre-delete version remains time-travelable until vacuumed (which is
+    also the compliance note: a GDPR erasure is complete only after
+    ``vacuum`` drops the old files).
+
+    Returns the new version number.  Candidate files without stats are
+    conservatively rewritten (skipping is an optimization, never a
+    filter); ``stats_cols`` re-records stats for the rewritten files.
+    """
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    keep_pred = ~F.col(col).between(F.lit(lo), F.lit(hi))
+    while True:
+        n = versions(table_dir)[-1] + 1
+        candidates, untouched = pruned_files(table_dir, n - 1, col, lo, hi)
+        survivors = spark.read.parquet(*candidates).where(keep_pred)
+        new_files = _write_files(survivors, table_dir, n)
+        prev_manifest = _manifest(table_dir, n - 1)
+        prev_stats = prev_manifest.get("stats", {})
+        stats = {f: prev_stats[f] for f in untouched if f in prev_stats}
+        if stats_cols:
+            stats.update(_column_stats(spark, new_files, stats_cols))
+        try:
+            return _publish(
+                table_dir, n, untouched + new_files, stats=stats or None
+            )
+        except CommitConflict:
+            continue

@@ -1080,3 +1080,73 @@ def lakehouse_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changes.select(
         "doc_id", "c.lang", "c.change_type"
     ).orderBy("change_type", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write DELETE bounded by manifest stats.
+# ---------------------------------------------------------------------------
+
+_DEL_LO, _DEL_HI = "2024-01-08", "2024-01-14"
+
+_ORACLE_DELETE_REWRITE = f"""
+SELECT event_type, COUNT(*) AS n,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') NOT BETWEEN '{_DEL_LO}' AND '{_DEL_HI}'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "lakehouse_delete_rewrite",
+    oracle=_ORACLE_DELETE_REWRITE,
+    tags=("warehouse", "lakehouse", "scale"),
+    doc=(
+        "Copy-on-write DELETE (operators/lakehouse.py: delete_where — the "
+        "Delta/Iceberg delete mechanic, and the GDPR-erasure primitive): "
+        "events land as 5 weekly append commits with per-file date stats; "
+        "deleting one week consults the stats FIRST, rewrites ONLY the "
+        "files whose range overlaps the predicate, and publishes a "
+        "manifest that shares every untouched file with the previous "
+        "version byte-for-byte (file sharing + O(matching files) write "
+        "amplification asserted in tests/test_lakehouse.py). The "
+        "pre-delete snapshot stays time-travelable until vacuum — which "
+        "is exactly when an erasure becomes physically complete. Oracle: "
+        "the post-delete aggregate equals a plain NOT-BETWEEN filter over "
+        "the source."
+    ),
+)
+def lakehouse_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lakehouse import commit_append, delete_where, read_version
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+    )
+    table = tempfile.mkdtemp(prefix="lakehouse_del_") + "/events"
+    for lo, hi in (
+        ("2024-01-01", "2024-01-07"),
+        ("2024-01-08", "2024-01-14"),
+        ("2024-01-15", "2024-01-21"),
+        ("2024-01-22", "2024-01-28"),
+        ("2024-01-29", "2024-02-04"),
+    ):
+        commit_append(
+            ev.where(F.col("d").between(lo, hi)), table, stats_cols=("d",)
+        )
+    delete_where(spark, table, "d", _DEL_LO, _DEL_HI, stats_cols=("d",))
+    return (
+        read_version(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum(dec("value")) * 100, 0))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -248,3 +248,37 @@ def test_commit_version_records_stats_too(spark, tmp_path):
     kept, skipped = pruned_files(table, 1, "d", "2099-01-01", "2099-12-31")
     # nothing overlaps 2099 -> every file (all carry stats) is skipped
     assert skipped and not kept
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        delete_where,
+        manifest_files,
+        read_version,
+    )
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        commit_append,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2, 10, 11, 20, 21) for i in (d, d + 100)],
+        "id long, d string",
+    )
+    for lo, hi in (("2024-01-01", "2024-01-05"), ("2024-01-10", "2024-01-15"),
+                   ("2024-01-20", "2024-01-25")):
+        commit_append(df.where(F.col("d").between(lo, hi)), table, stats_cols=("d",))
+    before = set(manifest_files(table, 3))
+    v = delete_where(spark, table, "d", "2024-01-10", "2024-01-15", stats_cols=("d",))
+    after = set(manifest_files(table, v))
+    # untouched weeks' files are SHARED byte-for-byte (same paths)
+    shared = before & after
+    assert shared, "untouched files must carry over unrewritten"
+    # the deleted week's files are gone from the new manifest
+    assert not any("v2-" in f for f in after)
+    # content: deleted rows absent, everything else intact
+    got = sorted(r.id for r in read_version(spark, table).collect())
+    assert got == [1, 2, 20, 21, 101, 102, 120, 121]
+    # pre-delete snapshot still time-travels
+    old = sorted(r.id for r in read_version(spark, table, 3).collect())
+    assert old == [1, 2, 10, 11, 20, 21, 101, 102, 110, 111, 120, 121]
