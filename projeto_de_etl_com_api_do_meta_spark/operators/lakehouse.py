@@ -436,3 +436,49 @@ def delete_where(
             )
         except CommitConflict:
             continue
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    set_exprs: dict[str, str],
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """UPDATE rows with ``col BETWEEN lo AND hi`` by copy-on-write:
+    stats-pruned candidate files are rewritten with ``set_exprs`` (column
+    -> SQL expression) applied ONLY to matching rows — non-matching rows
+    in a candidate file are rewritten verbatim, untouched files carry over
+    by reference. Same O(matching files) write-amplification bound and
+    history semantics as ``delete_where``; together with it and the
+    upsert-MERGE composition this completes the DML trio on the manifest
+    protocol."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    match = F.col(col).between(F.lit(lo), F.lit(hi))
+    while True:
+        n = versions(table_dir)[-1] + 1
+        candidates, untouched = pruned_files(table_dir, n - 1, col, lo, hi)
+        cand = spark.read.parquet(*candidates)
+        updated = cand.select(
+            *[
+                F.when(match, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in cand.columns
+            ]
+        )
+        new_files = _write_files(updated, table_dir, n)
+        prev_stats = _manifest(table_dir, n - 1).get("stats", {})
+        stats = {f: prev_stats[f] for f in untouched if f in prev_stats}
+        if stats_cols:
+            stats.update(_column_stats(spark, new_files, stats_cols))
+        try:
+            return _publish(
+                table_dir, n, untouched + new_files, stats=stats or None
+            )
+        except CommitConflict:
+            continue

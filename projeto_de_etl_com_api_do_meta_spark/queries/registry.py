@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "train_dpo_pair_builder",
     "sample_dsir_gumbel",
     "lakehouse_delete_rewrite",
+    "lakehouse_update_rewrite",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----

@@ -1150,3 +1150,73 @@ def lakehouse_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ORACLE_UPDATE_REWRITE = f"""
+SELECT CASE WHEN strftime(ts, '%Y-%m-%d') BETWEEN '{_DEL_LO}' AND '{_DEL_HI}'
+            THEN event_type || '_adj' ELSE event_type END AS event_type,
+       COUNT(*) AS n,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "lakehouse_update_rewrite",
+    oracle=_ORACLE_UPDATE_REWRITE,
+    tags=("warehouse", "lakehouse", "scale"),
+    doc=(
+        "Copy-on-write UPDATE (operators/lakehouse.py: update_where): a "
+        "backfill correction re-tags one ingest week's event_type, "
+        "rewriting ONLY the stats-overlapping files (non-matching rows in "
+        "a candidate file pass through verbatim; untouched files carry "
+        "over by reference). With delete_where and the parquet_upsert "
+        "MERGE composition this completes the lakehouse DML trio — "
+        "UPDATE/DELETE/MERGE — all with stats-bounded write amplification "
+        "and time-travelable history. Oracle: the post-update aggregate "
+        "equals a CASE-WHEN rewrite over the source."
+    ),
+)
+def lakehouse_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lakehouse import commit_append, read_version, update_where
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+    )
+    table = tempfile.mkdtemp(prefix="lakehouse_upd_") + "/events"
+    for lo, hi in (
+        ("2024-01-01", "2024-01-07"),
+        ("2024-01-08", "2024-01-14"),
+        ("2024-01-15", "2024-01-21"),
+        ("2024-01-22", "2024-01-28"),
+        ("2024-01-29", "2024-02-04"),
+    ):
+        commit_append(
+            ev.where(F.col("d").between(lo, hi)), table, stats_cols=("d",)
+        )
+    update_where(
+        spark,
+        table,
+        "d",
+        _DEL_LO,
+        _DEL_HI,
+        set_exprs={"event_type": "concat(event_type, '_adj')"},
+        stats_cols=("d",),
+    )
+    return (
+        read_version(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum(dec("value")) * 100, 0))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

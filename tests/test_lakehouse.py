@@ -282,3 +282,33 @@ def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
     # pre-delete snapshot still time-travels
     old = sorted(r.id for r in read_version(spark, table, 3).collect())
     assert old == [1, 2, 10, 11, 20, 21, 101, 102, 110, 111, 120, 121]
+
+
+def test_update_where_rewrites_only_matching_files(spark, tmp_path):
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        commit_append,
+        manifest_files,
+        read_version,
+        update_where,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", "x"), (2, "2024-01-10", "x"), (3, "2024-01-20", "x")],
+        "id long, d string, tag string",
+    )
+    for lo, hi in (("2024-01-01", "2024-01-05"), ("2024-01-10", "2024-01-15"),
+                   ("2024-01-20", "2024-01-25")):
+        commit_append(df.where(F.col("d").between(lo, hi)), table, stats_cols=("d",))
+    before = set(manifest_files(table, 3))
+    v = update_where(
+        spark, table, "d", "2024-01-10", "2024-01-15",
+        set_exprs={"tag": "concat(tag, '!')"}, stats_cols=("d",),
+    )
+    after = set(manifest_files(table, v))
+    assert before & after, "untouched files must carry over by reference"
+    got = {(r.id, r.tag) for r in read_version(spark, table).collect()}
+    assert got == {(1, "x"), (2, "x!"), (3, "x")}
+    # pre-update snapshot unchanged
+    old = {(r.id, r.tag) for r in read_version(spark, table, 3).collect()}
+    assert old == {(1, "x"), (2, "x"), (3, "x")}
