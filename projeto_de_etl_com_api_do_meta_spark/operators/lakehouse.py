@@ -482,3 +482,37 @@ def update_where(
             )
         except CommitConflict:
             continue
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    order_by: tuple[str, ...] = (),
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """OPTIMIZE: rewrite the latest snapshot into ``target_files`` files
+    (optionally range-clustered by ``order_by`` — the Z-ORDER-lite that
+    tightens per-file min/max stats so later reads skip harder), committed
+    as a new content-identical version. The maintenance counterpart to
+    ``vacuum``: appends fragment a table into per-batch files; OPTIMIZE
+    periodically collapses them so scan task counts and footer overhead
+    stay sane. History is preserved (the fragmented version remains
+    time-travelable until vacuum). At 100 TB this runs per partition/
+    bucket of the table, never globally — the registry query's whole-table
+    form is the fixture-scale demonstration."""
+    df = read_version(spark, table_dir)
+    if order_by:
+        df = df.repartitionByRange(target_files, *[F.col(c) for c in order_by])
+    else:
+        df = df.repartition(target_files)
+    while True:
+        n = versions(table_dir)[-1] + 1
+        new_files = _write_files(df, table_dir, n)
+        stats = (
+            _column_stats(spark, new_files, stats_cols) if stats_cols else None
+        )
+        try:
+            return _publish(table_dir, n, new_files, stats=stats)
+        except CommitConflict:
+            continue

@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_dsir_gumbel",
     "lakehouse_delete_rewrite",
     "lakehouse_update_rewrite",
+    "lakehouse_optimize_roundtrip",
     # ---- round-4 additions: flagship training-data-curation queries.  A
     # driver-green row for these is worth more than one for a generic agg
     # shape, so they head the window; already-green names auto-skip. ----

@@ -1220,3 +1220,65 @@ def lakehouse_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ORACLE_OPTIMIZE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "lakehouse_optimize_roundtrip",
+    oracle=_ORACLE_OPTIMIZE,
+    tags=("warehouse", "lakehouse", "layout"),
+    doc=(
+        "OPTIMIZE as a committed version (operators/lakehouse.py: "
+        "optimize_table): five fragmented weekly append commits are "
+        "collapsed into a date-clustered compact rewrite published as the "
+        "next snapshot — content identical (the oracle is the plain "
+        "whole-table aggregate), fewer files (asserted in "
+        "tests/test_lakehouse.py), tighter per-file date stats for "
+        "downstream skipping, and the fragmented history still "
+        "time-travelable until vacuum. Completes the table-maintenance "
+        "pair (OPTIMIZE + VACUUM) on the manifest protocol."
+    ),
+)
+def lakehouse_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lakehouse import commit_append, optimize_table, read_version
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+    )
+    table = tempfile.mkdtemp(prefix="lakehouse_opt_") + "/events"
+    for lo, hi in (
+        ("2024-01-01", "2024-01-07"),
+        ("2024-01-08", "2024-01-14"),
+        ("2024-01-15", "2024-01-21"),
+        ("2024-01-22", "2024-01-28"),
+        ("2024-01-29", "2024-02-04"),
+    ):
+        commit_append(
+            ev.where(F.col("d").between(lo, hi)), table, stats_cols=("d",)
+        )
+    optimize_table(
+        spark, table, target_files=2, order_by=("d",), stats_cols=("d",)
+    )
+    return (
+        read_version(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum(dec("value")) * 100, 0))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -312,3 +312,30 @@ def test_update_where_rewrites_only_matching_files(spark, tmp_path):
     # pre-update snapshot unchanged
     old = {(r.id, r.tag) for r in read_version(spark, table, 3).collect()}
     assert old == {(1, "x"), (2, "x"), (3, "x")}
+
+
+def test_optimize_compacts_preserving_content_and_history(spark, tmp_path):
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        commit_append,
+        manifest_files,
+        optimize_table,
+        read_version,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(4):
+        commit_append(
+            spark.createDataFrame([(i, f"2024-01-{i+1:02d}")], "id long, d string")
+            .repartition(2),
+            table,
+            stats_cols=("d",),
+        )
+    frag_files = manifest_files(table, 4)
+    v = optimize_table(spark, table, target_files=1, order_by=("d",),
+                       stats_cols=("d",))
+    opt_files = manifest_files(table, v)
+    assert len(opt_files) < len(frag_files)
+    got = sorted(r.id for r in read_version(spark, table).collect())
+    assert got == [0, 1, 2, 3]  # content identical
+    old = sorted(r.id for r in read_version(spark, table, 4).collect())
+    assert old == got  # fragmented history still time-travels
