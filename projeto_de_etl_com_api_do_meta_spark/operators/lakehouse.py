@@ -281,8 +281,14 @@ def read_version_pruned(
     n = vs[-1] if version is None else version
     kept, _ = pruned_files(table_dir, n, col, lo, hi)
     if not kept:
-        raise FileNotFoundError(
-            f"every file of v{n} is outside [{lo}, {hi}] for {col}"
+        # Stats pruned every file: an empty RESULT is a legitimate outcome
+        # ("skipping is an optimization, never a filter" — ADVICE r5 #4),
+        # so return an empty DataFrame with the table schema instead of
+        # raising.  F.lit(False) folds to an empty LocalRelation at
+        # planning time — no file is actually scanned.
+        return (
+            spark.read.parquet(*manifest_files(table_dir, n))
+            .where(F.lit(False))
         )
     return spark.read.parquet(*kept).where(F.col(col).between(F.lit(lo), F.lit(hi)))
 
@@ -415,14 +421,24 @@ def delete_where(
     Returns the new version number.  Candidate files without stats are
     conservatively rewritten (skipping is an optimization, never a
     filter); ``stats_cols`` re-records stats for the rewritten files.
+
+    NULL semantics follow SQL/Delta DELETE: only rows where the predicate
+    is TRUE are deleted, so rows with a NULL ``col`` are always kept — a
+    bare ``~between`` would evaluate to NULL for them and drop NULL rows
+    from rewritten files while NULL rows in stats-skipped files survived,
+    a layout-dependent data loss (ADVICE r5 #1).  A delete whose range
+    overlaps no files is a no-op and returns the CURRENT version.
     """
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no committed versions in {table_dir}")
-    keep_pred = ~F.col(col).between(F.lit(lo), F.lit(hi))
+    match = F.col(col).between(F.lit(lo), F.lit(hi))
+    keep_pred = ~match | F.col(col).isNull()
     while True:
         n = versions(table_dir)[-1] + 1
         candidates, untouched = pruned_files(table_dir, n - 1, col, lo, hi)
+        if not candidates:  # nothing overlaps: no-op, not an error
+            return n - 1
         survivors = spark.read.parquet(*candidates).where(keep_pred)
         new_files = _write_files(survivors, table_dir, n)
         prev_manifest = _manifest(table_dir, n - 1)
@@ -454,7 +470,10 @@ def update_where(
     by reference. Same O(matching files) write-amplification bound and
     history semantics as ``delete_where``; together with it and the
     upsert-MERGE composition this completes the DML trio on the manifest
-    protocol."""
+    protocol.  SQL UPDATE NULL semantics hold for free here: ``F.when``
+    only fires on a TRUE match, so NULL-``col`` rows rewrite verbatim.  An
+    update whose range overlaps no files is a no-op returning the current
+    version (ADVICE r5 #3)."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no committed versions in {table_dir}")
@@ -462,6 +481,8 @@ def update_where(
     while True:
         n = versions(table_dir)[-1] + 1
         candidates, untouched = pruned_files(table_dir, n - 1, col, lo, hi)
+        if not candidates:  # nothing overlaps: no-op, not an error
+            return n - 1
         cand = spark.read.parquet(*candidates)
         updated = cand.select(
             *[
@@ -500,14 +521,22 @@ def optimize_table(
     stay sane. History is preserved (the fragmented version remains
     time-travelable until vacuum). At 100 TB this runs per partition/
     bucket of the table, never globally — the registry query's whole-table
-    form is the fixture-scale demonstration."""
-    df = read_version(spark, table_dir)
-    if order_by:
-        df = df.repartitionByRange(target_files, *[F.col(c) for c in order_by])
-    else:
-        df = df.repartition(target_files)
+    form is the fixture-scale demonstration.
+
+    The snapshot is (re-)read INSIDE the publish-retry loop: after a
+    CommitConflict the loser must compact the WINNER's snapshot, not its
+    own stale read — re-publishing a stale compaction would silently
+    discard the concurrent writer's committed rows, the exact lost-update
+    the put-if-absent protocol exists to prevent (ADVICE r5 #2)."""
     while True:
         n = versions(table_dir)[-1] + 1
+        df = read_version(spark, table_dir, version=n - 1)
+        if order_by:
+            df = df.repartitionByRange(
+                target_files, *[F.col(c) for c in order_by]
+            )
+        else:
+            df = df.repartition(target_files)
         new_files = _write_files(df, table_dir, n)
         stats = (
             _column_stats(spark, new_files, stats_cols) if stats_cols else None

@@ -90,11 +90,17 @@ def interval_overlap_join(
     ls, le = left_span
     rs, re_ = right_span
 
-    def _bucket(c) -> "F.Column":
-        return F.expr(f"CAST({c} AS BIGINT) div {bucket_width}")
+    def _q(name: str) -> str:
+        # Backtick-quote identifiers before they enter generated SQL, so
+        # span columns with spaces/hyphens/reserved words parse (ADVICE r5
+        # #5); embedded backticks are escaped by doubling.
+        return "`" + name.replace("`", "``") + "`"
+
+    def _bucket(sql: str) -> "F.Column":
+        return F.expr(f"CAST({sql} AS BIGINT) div {bucket_width}")
 
     def _buckets(s: str, e: str):
-        return F.explode(F.sequence(_bucket(s), _bucket(e)))
+        return F.explode(F.sequence(_bucket(_q(s)), _bucket(_q(e))))
 
     l = left.withColumn("_b", _buckets(ls, le))
     r = right.withColumn("_b", _buckets(rs, re_))
@@ -103,7 +109,7 @@ def interval_overlap_join(
         .where(
             (F.col(ls) <= F.col(re_))
             & (F.col(rs) <= F.col(le))
-            & (F.col("_b") == _bucket(f"greatest({ls}, {rs})"))
+            & (F.col("_b") == _bucket(f"greatest({_q(ls)}, {_q(rs)})"))
         )
         .drop("_b")
     )

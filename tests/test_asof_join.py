@@ -119,3 +119,22 @@ class TestIntervalOverlapJoin:
             left, right, ("s1", "e1"), ("s2", "e2"), bucket_width=2
         )
         assert [(r.lid, r.rid) for r in out.collect()] == [(1, 2)]
+
+
+def test_interval_overlap_join_quotes_awkward_column_names(spark):
+    """Span columns needing backtick quoting (hyphens, reserved words) must
+    parse in the generated bucket SQL (ADVICE r5 #5)."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 10)], ["l_id", "start-ts", "end"]  # hyphen + reserved word
+    )
+    right = spark.createDataFrame(
+        [(7, 5, 15), (8, 20, 30)], ["r_id", "from", "order"]  # both reserved
+    )
+    out = interval_overlap_join(
+        left, right, ("start-ts", "end"), ("from", "order"), bucket_width=4
+    )
+    assert [(r.l_id, r.r_id) for r in out.collect()] == [(1, 7)]

@@ -339,3 +339,125 @@ def test_optimize_compacts_preserving_content_and_history(spark, tmp_path):
     assert got == [0, 1, 2, 3]  # content identical
     old = sorted(r.id for r in read_version(spark, table, 4).collect())
     assert old == got  # fragmented history still time-travels
+
+
+# ---- ADVICE r5: DML edge semantics ---------------------------------------
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL/Delta DELETE removes only rows where the predicate is TRUE;
+    rows with a NULL stats column must survive regardless of whether their
+    file was rewritten or stats-skipped (ADVICE r5 #1)."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        commit_append,
+        delete_where,
+        read_version,
+    )
+
+    table = str(tmp_path / "t")
+    # file 1: in-range rows + a NULL row (will be REWRITTEN)
+    commit_append(
+        spark.createDataFrame(
+            [(1, "2024-01-10"), (2, "2024-01-11"), (3, None)],
+            "id long, d string",
+        ),
+        table,
+        stats_cols=("d",),
+    )
+    # file 2: out-of-range rows + a NULL row (min/max ignore NULLs, so its
+    # stats range ["2024-02-01","2024-02-02"] lets it be SKIPPED)
+    commit_append(
+        spark.createDataFrame(
+            [(4, "2024-02-01"), (5, "2024-02-02"), (6, None)],
+            "id long, d string",
+        ),
+        table,
+        stats_cols=("d",),
+    )
+    v = delete_where(spark, table, "d", "2024-01-01", "2024-01-31",
+                     stats_cols=("d",))
+    got = sorted(r.id for r in read_version(spark, table, v).collect())
+    # 1,2 deleted; BOTH NULL rows (3 rewritten-file, 6 skipped-file) kept
+    assert got == [3, 4, 5, 6]
+
+
+def test_delete_update_matching_nothing_is_a_noop(spark, tmp_path):
+    """A DELETE/UPDATE whose range overlaps no file must no-op and return
+    the current version, not crash on an empty read (ADVICE r5 #3)."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        commit_append,
+        delete_where,
+        read_version,
+        update_where,
+        versions,
+    )
+
+    table = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1, "2024-01-10", "x")],
+                              "id long, d string, tag string")
+        .coalesce(1),  # one data file, so stats cover every file
+        table,
+        stats_cols=("d",),
+    )
+    assert delete_where(spark, table, "d", "2030-01-01", "2030-12-31",
+                        stats_cols=("d",)) == 1
+    assert update_where(spark, table, "d", "2030-01-01", "2030-12-31",
+                        set_exprs={"tag": "'boom'"}, stats_cols=("d",)) == 1
+    assert versions(table) == [1]  # no new version published
+    got = {(r.id, r.tag) for r in read_version(spark, table).collect()}
+    assert got == {(1, "x")}
+
+
+def test_read_version_pruned_all_files_skipped_is_empty_not_error(
+    spark, tmp_path
+):
+    """Stats pruning every file is a legitimate empty result — return an
+    empty DataFrame with the table schema (ADVICE r5 #4)."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        commit_append,
+        read_version_pruned,
+    )
+
+    table = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1, "2024-01-10")], "id long, d string"),
+        table,
+        stats_cols=("d",),
+    )
+    out = read_version_pruned(spark, table, "d", "2030-01-01", "2030-12-31")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "d"]
+
+
+def test_optimize_retry_compacts_the_winners_snapshot(spark, tmp_path):
+    """After losing a commit race, OPTIMIZE must re-read the WINNER's
+    snapshot and compact that — not re-publish its stale pre-race read,
+    which would silently drop the concurrent writer's rows (ADVICE r5 #2)."""
+    from projeto_de_etl_com_api_do_meta_spark.operators import lakehouse as lh
+
+    table = str(tmp_path / "t")
+    lh.commit_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), table
+    )
+    real_publish = lh._publish
+    state = {"raced": False}
+
+    def racing_publish(table_dir, n, files, txn_id=None, stats=None):
+        if not state["raced"]:
+            state["raced"] = True
+            lh._publish = real_publish  # the concurrent writer commits...
+            lh.commit_append(
+                spark.createDataFrame([(2, "b")], "id long, v string"), table
+            )
+            raise lh.CommitConflict("concurrent append won v2")
+        return real_publish(table_dir, n, files, txn_id=txn_id, stats=stats)
+
+    lh._publish = racing_publish
+    try:
+        v = lh.optimize_table(spark, table, target_files=1)
+    finally:
+        lh._publish = real_publish
+    assert state["raced"]
+    got = sorted(r.id for r in lh.read_version(spark, table, v).collect())
+    assert got == [1, 2], "compaction must carry the concurrent commit's rows"
