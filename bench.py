@@ -114,7 +114,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     _load_all()
-    spark = get_spark(app_name="bench")
+    # showConsoleProgress=false: the JVM's progress-bar repaints share the
+    # consumer's pipe with our one stdout JSON line; an interleaved '\r'
+    # chunk can corrupt the line in a merged capture (BENCH_r05 arrived
+    # unparseable at the driver while BENCH_r04's identical flow parsed —
+    # the only delta was more stderr traffic). Quiet stderr entirely.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
@@ -186,7 +194,13 @@ def main() -> None:
             iso = measure_isolated(
                 [n for n, _, _ in head], sf_dir, reps=3, quiet=True
             )
+            # Full isolated detail goes to the side artifact (see below);
+            # the stdout line carries only the isolated MEDIANS so it stays
+            # within the driver's parse window.
             out["isolated"] = {
+                n: iso.get(n, {}).get("median") for n, _, _ in head
+            }
+            out["isolated_detail"] = {
                 n: {
                     **iso.get(n, {"error": True}),
                     "shared": t,
@@ -196,7 +210,27 @@ def main() -> None:
             }
             if overflow:
                 out["isolated_skipped_over_cap"] = [n for n, _, _ in overflow]
-    print(json.dumps(out))
+    # The driver extracts the metric JSON from the last ~2000 chars of
+    # captured output (BENCH_r05 exceeded that and arrived unparsed while
+    # the shorter BENCH_r04 parsed), so the stdout line must stay well
+    # under 2000 chars AND be the final output: full detail is written to
+    # BENCH_LOCAL.json, the stdout line is compact-encoded, stderr is
+    # drained first, and the line is emitted as one atomic os.write.
+    with open(os.path.join(_REPO_ROOT, "BENCH_LOCAL.json"), "w") as f:
+        f.write(json.dumps(out, indent=1) + "\n")
+    slim = {k: v for k, v in out.items() if k != "isolated_detail"}
+    # 2dp per-query on stdout (3dp lives in BENCH_LOCAL.json): sub-10ms
+    # precision is run-to-run noise, and the chars matter here.
+    slim["queries"] = {k: round(v, 2) for k, v in slim["queries"].items()}
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > 1800:  # last resort: shave optional sections
+        slim.pop("isolated_skipped_over_cap", None)
+        slim.pop("isolated", None)
+        line = json.dumps(slim, separators=(",", ":"))
+    sys.stderr.flush()
+    time.sleep(0.2)  # let the JVM's async stderr writers finish
+    sys.stdout.flush()
+    os.write(sys.stdout.fileno(), (line + "\n").encode())
 
 
 def _latest_prev_bench() -> dict | None:

@@ -34,7 +34,8 @@ from projeto_de_etl_com_api_do_meta_spark.session import get_spark
 
 name, sf_dir, reps = {name!r}, {sf_dir!r}, {reps}
 _load_all()
-spark = get_spark(app_name="bench-isolated")
+spark = get_spark(app_name="bench-isolated",
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
 times = []
 for _ in range(reps + 1):  # +1 cold rep
