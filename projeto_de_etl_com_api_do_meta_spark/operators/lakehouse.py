@@ -545,3 +545,80 @@ def optimize_table(
             return _publish(table_dir, n, new_files, stats=stats)
         except CommitConflict:
             continue
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """MERGE INTO by copy-on-write — the fourth verb of the lakehouse DML
+    quartet (append / DELETE / UPDATE / MERGE), Delta's
+    ``whenMatchedUpdateAll / whenMatchedDelete / whenNotMatchedInsertAll``
+    on the manifest protocol:
+
+    - target rows whose ``key`` matches a source row are REPLACED by the
+      source row (upsert), or DELETED when the source row's ``delete_col``
+      is true (CDC tombstone);
+    - source rows matching no target row are INSERTED (tombstones for
+      absent keys are ignored, like Delta's unmatched whenMatchedDelete).
+
+    ``source`` must be key-unique (dedup keep-last upstream — Delta raises
+    on multiple matches too; enforced here with a cheap count check) and
+    share the target schema (minus ``delete_col``).
+
+    Scale shape: one aggregate computes the source's [min, max] key range;
+    manifest stats then bound the rewrite to the files whose key range can
+    overlap it — a trickle of late rows against a 100 TB key-ordered table
+    rewrites O(touched files), never O(table). The rewrite itself is one
+    left-anti join (drop matched target rows) plus a union of the source's
+    non-tombstone rows; untouched files carry over by reference. The
+    snapshot and candidate split are re-derived INSIDE the publish-retry
+    loop, so losing a commit race re-merges against the winner's snapshot
+    (same lost-update rule as optimize_table).
+    """
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    dup = source.groupBy(key).count().where(F.col("count") > 1).limit(1)
+    if dup.count():
+        raise ValueError("merge source must be key-unique; dedup upstream")
+    bounds = source.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:  # empty source: no-op
+        return versions(table_dir)[-1]
+    upserts = (
+        source.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+        if delete_col is not None
+        else source
+    )
+    keys = source.select(key)
+    while True:
+        n = versions(table_dir)[-1] + 1
+        candidates, untouched = pruned_files(
+            table_dir, n - 1, key, bounds["lo"], bounds["hi"]
+        )
+        if candidates:
+            target = spark.read.parquet(*candidates)
+            rewritten = target.join(keys, on=key, how="left_anti").unionByName(
+                upserts
+            )
+        else:
+            rewritten = upserts
+        new_files = _write_files(rewritten, table_dir, n)
+        prev_stats = _manifest(table_dir, n - 1).get("stats", {})
+        stats = {f: prev_stats[f] for f in untouched if f in prev_stats}
+        if stats_cols:
+            stats.update(_column_stats(spark, new_files, stats_cols))
+        try:
+            return _publish(
+                table_dir, n, untouched + new_files, stats=stats or None
+            )
+        except CommitConflict:
+            continue

@@ -1282,3 +1282,84 @@ def lakehouse_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ORACLE_MERGE_UPSERT = """
+WITH t AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 100, 0) AS BIGINT)
+           AS cents
+  FROM orders WHERE o_orderkey < 10000
+),
+merged AS (
+  SELECT k, st, cents FROM t WHERE k NOT BETWEEN 2000 AND 3499
+  UNION ALL
+  SELECT k, 'M' AS st, 2 * cents FROM t WHERE k BETWEEN 2000 AND 2999
+  UNION ALL
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 100, 0) AS BIGINT)
+  FROM orders WHERE o_orderkey BETWEEN 12000 AND 12499
+)
+SELECT st AS o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "lakehouse_merge_upsert",
+    oracle=_ORACLE_MERGE_UPSERT,
+    tags=("warehouse", "lakehouse", "scale"),
+    doc=(
+        "MERGE INTO by copy-on-write (operators/lakehouse.py: merge_into) "
+        "— the fourth lakehouse DML verb, Delta's whenMatchedUpdateAll / "
+        "whenMatchedDelete / whenNotMatchedInsertAll: orders < 10000 land "
+        "as four key-ranged append commits with per-file key stats; one "
+        "CDC batch then updates keys 2000-2999 (status 'M', price x2), "
+        "tombstones keys 3000-3499, and inserts keys 12000-12499. The "
+        "source's key range bounds the rewrite to the overlapping files "
+        "(file sharing asserted in tests/test_lakehouse.py); the rewrite "
+        "is one left-anti join + union, and the retry loop re-merges "
+        "against the winner's snapshot on commit conflicts. Oracle: the "
+        "post-merge aggregate as a plain CASE/UNION over the source rows."
+    ),
+)
+def lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lakehouse import commit_append, merge_into, read_version
+
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        (F.round(dec("o_totalprice") * 100, 0)).cast("bigint").alias("cents"),
+    )
+    table = tempfile.mkdtemp(prefix="lakehouse_merge_") + "/orders"
+    for lo, hi in ((0, 2499), (2500, 4999), (5000, 7499), (7500, 9999)):
+        commit_append(
+            orders.where(F.col("k").between(lo, hi)), table, stats_cols=("k",)
+        )
+    updates = (
+        orders.where(F.col("k").between(2000, 2999))
+        .withColumn("st", F.lit("M"))
+        .withColumn("cents", F.col("cents") * 2)
+        .withColumn("is_del", F.lit(False))
+    )
+    deletes = (
+        orders.where(F.col("k").between(3000, 3499))
+        .withColumn("is_del", F.lit(True))
+    )
+    inserts = orders.where(F.col("k").between(12000, 12499)).withColumn(
+        "is_del", F.lit(False)
+    )
+    src = updates.unionByName(deletes).unionByName(inserts)
+    merge_into(spark, table, src, key="k", delete_col="is_del",
+               stats_cols=("k",))
+    return (
+        read_version(spark, table)
+        .groupBy(F.col("st").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -461,3 +461,111 @@ def test_optimize_retry_compacts_the_winners_snapshot(spark, tmp_path):
     assert state["raced"]
     got = sorted(r.id for r in lh.read_version(spark, table, v).collect())
     assert got == [1, 2], "compaction must carry the concurrent commit's rows"
+
+
+def test_merge_into_upsert_delete_insert_with_file_sharing(spark, tmp_path):
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        commit_append,
+        manifest_files,
+        merge_into,
+        read_version,
+    )
+
+    table = str(tmp_path / "t")
+    # two key-ranged files: [1..3] and [100..102]
+    for lo in (1, 100):
+        commit_append(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(3)], "k long, v string"
+            ).coalesce(1),
+            table,
+            stats_cols=("k",),
+        )
+    before = set(manifest_files(table, 2))
+    src = spark.createDataFrame(
+        [
+            (2, "v2_new", False),   # matched -> update
+            (3, None, True),        # matched -> delete
+            (5, "v5", False),       # unmatched -> insert
+            (7, None, True),        # unmatched tombstone -> ignored
+        ],
+        "k long, v string, is_del boolean",
+    )
+    v = merge_into(spark, table, src, key="k", delete_col="is_del",
+                   stats_cols=("k",))
+    after = set(manifest_files(table, v))
+    # the [100..102] file is outside the source key range: shared by ref
+    assert before & after, "untouched file must carry over by reference"
+    got = {(r.k, r.v) for r in read_version(spark, table, v).collect()}
+    assert got == {
+        (1, "v1"), (2, "v2_new"), (5, "v5"),
+        (100, "v100"), (101, "v101"), (102, "v102"),
+    }
+    # pre-merge snapshot still time-travels
+    old = {r.k for r in read_version(spark, table, 2).collect()}
+    assert old == {1, 2, 3, 100, 101, 102}
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        commit_append,
+        merge_into,
+    )
+
+    table = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table,
+        stats_cols=("k",),
+    )
+    src = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_into(spark, table, src, key="k")
+
+
+def test_merge_into_empty_source_is_noop(spark, tmp_path):
+    from projeto_de_etl_com_api_do_meta_spark.operators.lakehouse import (
+        commit_append,
+        merge_into,
+        versions,
+    )
+
+    table = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table,
+        stats_cols=("k",),
+    )
+    src = spark.createDataFrame([], "k long, v string")
+    assert merge_into(spark, table, src, key="k") == 1
+    assert versions(table) == [1]
+
+
+def test_merge_into_retry_merges_against_winners_snapshot(spark, tmp_path):
+    from projeto_de_etl_com_api_do_meta_spark.operators import lakehouse as lh
+
+    table = str(tmp_path / "t")
+    lh.commit_append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table,
+        stats_cols=("k",),
+    )
+    real_publish = lh._publish
+    state = {"raced": False}
+
+    def racing_publish(table_dir, n, files, txn_id=None, stats=None):
+        if not state["raced"]:
+            state["raced"] = True
+            lh._publish = real_publish
+            lh.commit_append(
+                spark.createDataFrame([(9, "z")], "k long, v string"), table,
+                stats_cols=("k",),
+            )
+            raise lh.CommitConflict("concurrent append won")
+        return real_publish(table_dir, n, files, txn_id=txn_id, stats=stats)
+
+    lh._publish = racing_publish
+    try:
+        src = spark.createDataFrame([(1, "a2")], "k long, v string")
+        v = lh.merge_into(spark, table, src, key="k", stats_cols=("k",))
+    finally:
+        lh._publish = real_publish
+    got = {(r.k, r.v) for r in lh.read_version(spark, table, v).collect()}
+    assert got == {(1, "a2"), (9, "z")}, "winner's rows must survive the merge"
