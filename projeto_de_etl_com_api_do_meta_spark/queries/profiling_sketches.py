@@ -1,0 +1,312 @@
+"""Dataset profiling + mergeable-sketch analytics (round 6).
+
+Covers the diagnostics a data platform runs before/alongside the curation
+pipeline: exact-reproducible distinct sketches (KMV — the oracle-checkable
+cousin of the HLL the reference era would have reached for), per-column
+completeness datasheets, Benford first-digit screening, and Zipf
+rank-frequency fit over the corpus vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.sketches import kmv_distinct, kmv_set_ops
+from ..session import pin_query_session_conf
+from .registry import register
+
+# 16^15 = 2^60: the KMV hash space (operators/sketches.py).
+_SPACE = "1152921504606846976.0"
+
+_ORACLE_KMV = f"""
+WITH h AS (SELECT DISTINCT
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+           FROM orders),
+sk AS (SELECT h FROM h ORDER BY h LIMIT 128),
+s AS (SELECT MAX(h) AS kth_hash, COUNT(*) AS n FROM sk)
+SELECT 128 AS k, kth_hash,
+       CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+            ELSE round(127.0 * {_SPACE} / CAST(kth_hash AS DOUBLE), 4)
+       END AS est_distinct,
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+         AS exact_distinct
+FROM s
+"""
+
+
+@register(
+    "agg_kmv_distinct_sketch",
+    oracle=_ORACLE_KMV,
+    tags=("agg", "sketch", "scale"),
+    doc=(
+        "KMV bottom-k distinct sketch over orders.o_custkey "
+        "(operators/sketches.py: kmv_distinct, k=128): per-partition "
+        "bottom-k + k-row merge (TakeOrderedAndProject), estimate "
+        "(k-1)/U_(k). Unlike approx_count_distinct's opaque HLL bytes the "
+        "state is md5 fixed-point hashes, so the sketch AND the estimate "
+        "are bit-reproducible in the DuckDB oracle — the calibration "
+        "column exact_distinct shows the error at fixture scale. At "
+        "100 TB the sketch rolls up per day/partition by re-taking "
+        "bottom-k of unioned sketches, never rescanning history."
+    ),
+)
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return kmv_distinct(orders, "o_custkey", k=128)
+
+
+_ORACLE_KMV_SETOPS = f"""
+WITH a AS (SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+           FROM events WHERE event_type = 'click' ORDER BY h LIMIT 128),
+b AS (SELECT DISTINCT
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE event_type = 'view' ORDER BY h LIMIT 128),
+u AS (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+      ORDER BY h LIMIT 128),
+s AS (SELECT MAX(h) AS kth_hash, COUNT(*) AS n FROM u),
+ov AS (SELECT COUNT(*) AS in_both FROM u
+       WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b))
+SELECT 128 AS k, kth_hash,
+       CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+            ELSE round(127.0 * {_SPACE} / CAST(kth_hash AS DOUBLE), 4)
+       END AS est_union,
+       CAST(in_both AS BIGINT) AS sketch_overlap,
+       round(CAST(in_both AS DOUBLE) / CAST(n AS DOUBLE)
+             * CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                    ELSE round(127.0 * {_SPACE} / CAST(kth_hash AS DOUBLE), 4)
+               END, 4) AS est_intersection
+FROM s, ov
+"""
+
+
+@register(
+    "agg_kmv_set_ops",
+    oracle=_ORACLE_KMV_SETOPS,
+    tags=("agg", "sketch", "scale"),
+    doc=(
+        "KMV sketch SET OPERATIONS (operators/sketches.py: kmv_set_ops): "
+        "click-users vs view-users sketched independently, union sketch = "
+        "re-take bottom-k of the two sketches (the merge rule that makes "
+        "KMV associative), intersection via the rho estimator "
+        "(|union sketch seen in both| / k scales the union estimate). "
+        "This is the audience-overlap / cross-corpus-contamination "
+        "primitive: at 100 TB both sides are k-row states, the set "
+        "algebra never touches raw data again."
+    ),
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    return kmv_set_ops(clicks, views, "user_id", k=128)
+
+
+_ORACLE_BENFORD = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_freq,
+       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_freq
+FROM c, t ORDER BY digit
+"""
+
+
+@register(
+    "dq_benford_digit_profile",
+    oracle=_ORACLE_BENFORD,
+    tags=("dq", "profiling"),
+    doc=(
+        "Benford first-significant-digit screen over order totals: "
+        "observed digit frequencies next to the Benford expectation "
+        "log10(1 + 1/d) — the classic anomaly/fraud and synthetic-data "
+        "smell test a warehouse runs per ingest batch. One hash "
+        "aggregation over 9 groups + a broadcast scalar total: "
+        "embarrassingly scalable."
+    ),
+)
+def dq_benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    digits = (
+        orders.where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = digits.agg(F.sum("n").alias("total"))
+    return (
+        digits.crossJoin(F.broadcast(total))  # scalar-aggregate broadcast
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("total").cast("double"), 6
+            ).alias("obs_freq"),
+            F.round(
+                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")),
+                6,
+            ).alias("benford_freq"),
+        )
+        .orderBy("digit")
+    )
+
+
+_ORACLE_COMPLETENESS = """
+WITH cols AS (
+  SELECT 'c_custkey' AS col_name, COUNT(*) AS n, COUNT(c_custkey) AS n_present,
+         COUNT(DISTINCT c_custkey) AS n_distinct FROM customer
+  UNION ALL
+  SELECT 'c_name', COUNT(*), COUNT(c_name), COUNT(DISTINCT c_name)
+  FROM customer
+  UNION ALL
+  SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey),
+         COUNT(DISTINCT c_nationkey) FROM customer
+  UNION ALL
+  SELECT 'c_acctbal', COUNT(*), COUNT(c_acctbal), COUNT(DISTINCT c_acctbal)
+  FROM customer
+  UNION ALL
+  SELECT 'c_mktsegment', COUNT(*), COUNT(c_mktsegment),
+         COUNT(DISTINCT c_mktsegment) FROM customer
+)
+SELECT col_name, CAST(n AS BIGINT) AS n,
+       CAST(n - n_present AS BIGINT) AS n_null,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(CAST(n_present AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS completeness
+FROM cols ORDER BY col_name
+"""
+
+
+@register(
+    "dq_completeness_profile",
+    oracle=_ORACLE_COMPLETENESS,
+    tags=("dq", "profiling"),
+    doc=(
+        "Per-column completeness datasheet for the customer table: row "
+        "count, null count, distinct count, completeness ratio — the "
+        "ingest-gate profile every dq framework (Deequ-style) starts "
+        "with. Spark side computes ALL columns in ONE scan (count + "
+        "count(col) + approx-free count_distinct per column as "
+        "aggregates), then unpivots the single result row with stack(); "
+        "the oracle spells the same numbers as per-column UNION ALL. At "
+        "100 TB one pass over the table replaces N per-column scans."
+    ),
+)
+def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    cols = ["c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"p_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"d_{c}"))
+    one = cust.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', p_{c}, d_{c}" for c in cols)
+    return (
+        one.select(
+            F.col("n"),
+            F.expr(
+                f"stack({len(cols)}, {stack_expr}) AS "
+                "(col_name, n_present, n_distinct)"
+            ),
+        )
+        .select(
+            "col_name",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n") - F.col("n_present")).cast("bigint").alias("n_null"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(
+                F.col("n_present").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("completeness"),
+        )
+        .orderBy("col_name")
+    )
+
+
+_ORACLE_ZIPF = """
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS f FROM words WHERE w <> '' GROUP BY w),
+ranked AS (
+  SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r
+  FROM freq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 5)
+         AS zipf_slope,
+       round(regr_intercept(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 5)
+         AS zipf_intercept
+FROM ranked WHERE r <= 100
+"""
+
+
+@register(
+    "corpus_zipf_law_fit",
+    oracle=_ORACLE_ZIPF,
+    tags=("corpus", "profiling"),
+    doc=(
+        "Zipf rank-frequency fit over the corpus vocabulary: top-100 "
+        "words by frequency, OLS slope/intercept of ln(freq) vs ln(rank) "
+        "(a natural corpus should sit near slope -1; synthetic or "
+        "boilerplate-heavy corpora deviate — a cheap corpus-health "
+        "indicator next to the quality classifiers). One word-count "
+        "aggregation + a 100-row regression; rank ties broken "
+        "deterministically by word."
+    ),
+)
+def corpus_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # top-100 via TakeOrdered (per-partition top-k, k-row merge) FIRST, so
+    # the global row_number window only ever sees 100 rows.
+    top = freq.orderBy(F.desc("f"), F.asc("w")).limit(100)
+    ranked = top.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w"))),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.round(
+            F.regr_slope(
+                F.log(F.col("f").cast("double")),
+                F.log(F.col("r").cast("double")),
+            ),
+            5,
+        ).alias("zipf_slope"),
+        F.round(
+            F.regr_intercept(
+                F.log(F.col("f").cast("double")),
+                F.log(F.col("r").cast("double")),
+            ),
+            5,
+        ).alias("zipf_intercept"),
+    )

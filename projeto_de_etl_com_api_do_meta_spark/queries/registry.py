@@ -336,6 +336,7 @@ def _load_all() -> None:
         pandas_interop,
         pipelines_queries,
         pretrain_extra,
+        profiling_sketches,
         quality_queries,
         relational,
         retrieval_extra,
