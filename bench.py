@@ -37,9 +37,20 @@ from projeto_de_etl_com_api_do_meta_spark.session import get_spark  # noqa: E402
 #: Headline queries benchmarked each round (subset of the full registry:
 #: the heaviest representatives of each operator family).
 HEADLINE: tuple[str, ...] = (
+    # r6 prune: thirteen sub-0.6s entries (join_scd2_point_in_time,
+    # q6_forecast_revenue, agg_rollup_region_nation, window_topk_per_group,
+    # events_sessionize_30m, text_doc_stats, text_fingerprint_winnow,
+    # corpus_top_bigrams, sample_hash_split, join_salted_skew,
+    # agg_skew_safe_distinct, warehouse_incremental_agg_merge,
+    # events_session_window_builtin, text_gopher_quality_rules,
+    # web_line_dedup_rebuild, dedup_cross_source_priority,
+    # text_c4_line_rules) left the headline set: their timings were
+    # shared-session noise at this magnitude, and the stdout metric line
+    # must stay inside the consumer's ~2000-char parse window. They remain
+    # registry queries with correctness rows; the bench tracks each
+    # family's HEAVIEST representative.
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
     "q10_returned_items",
     "perf_daily_fact",
     "q5_local_supplier_revenue",
@@ -48,15 +59,7 @@ HEADLINE: tuple[str, ...] = (
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
     "join_full_outer_fanout",
-    "join_scd2_point_in_time",
     "events_incremental_rollup",
-    "agg_rollup_region_nation",
-    "window_topk_per_group",
-    "events_sessionize_30m",
-    "text_doc_stats",
-    "text_fingerprint_winnow",
-    "corpus_top_bigrams",
-    "sample_hash_split",
     "agg_udaf_pandas",  # first pandas-exec query: absorbs Python worker spin-up
     "dedup_exact_docs",
     "dedup_containment_pairs",
@@ -69,7 +72,6 @@ HEADLINE: tuple[str, ...] = (
     "embed_power_iteration",
     "dedup_jaccard_prefix_filter",
     "text_substring_dup_spans",
-    "events_session_window_builtin",
     "stream_tumbling_daily",
     "stream_stream_join_clicks",
     "stream_chained_windows",
@@ -78,9 +80,6 @@ HEADLINE: tuple[str, ...] = (
     # 100 TB, so their timings matter as much as the exact paths'.
     "dedup_ngram_jaccard_capped",
     "dedup_containment_prefix_filter",
-    "join_salted_skew",
-    "agg_skew_safe_distinct",
-    "warehouse_incremental_agg_merge",
     "embed_ann_lsh_md5",
     "embed_ann_srp_md5",
     # round-3 session additions (corpus-scale north-stars):
@@ -89,13 +88,9 @@ HEADLINE: tuple[str, ...] = (
     # round-4 additions: the end-to-end curation funnel (flagship
     # composition) and the per-stage ops it introduced
     "pipeline_training_funnel",
-    "text_gopher_quality_rules",
     "dedup_semantic_clustered",
-    "web_line_dedup_rebuild",
     # late round-4: the remaining curation entry points (C4 line battery,
     # source-priority duplicate resolution)
-    "text_c4_line_rules",
-    "dedup_cross_source_priority",
     # round-5: the SemDeDup k-proportional scale path (r4 verdict item 2)
     # and its two-level composition (no flat centroid broadcast at all)
     "dedup_semantic_clustered_scaled",
@@ -107,6 +102,14 @@ HEADLINE: tuple[str, ...] = (
     "text_ccnet_perplexity_buckets",
     "train_sft_chat_flatten",
     "pipeline_sft_funnel",
+    # round-6: lakehouse MERGE (full DML path incl. table build), exact
+    # Kneser-Ney model build, integer-exact covariance, KMV sketching,
+    # CLIP-style pair gating
+    "lakehouse_merge_upsert",
+    "text_kneser_ney_bigram",
+    "embed_covariance_matrix",
+    "agg_kmv_distinct_sketch",
+    "multimodal_clip_pair_filter",
 )
 
 

@@ -933,3 +933,209 @@ def embedding_near_dup_ivf(
         )
         .distinct()  # a pair found via several shared lists counts once
     )
+
+
+def gram_covariance(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+    round_digits: int = 8,
+) -> DataFrame:
+    """Exact covariance matrix of the embedding columns: rows (i, j, cov)
+    for i <= j, cov = E[x_i x_j] - E[x_i] E[x_j].
+
+    Determinism contract: components are fixed-pointed FIRST
+    (``floor(double(x) * 2**scale_bits)`` — exact, float->double widening
+    and power-of-two scaling are lossless), all sums run over exact
+    integers (decimal(38,0): the cross-moment sum reaches ~2^70 at 5k
+    vectors), and the single float division happens once per output cell —
+    so the result is bit-reproducible in SQL (cov_ij = (n*Sxy - Sx*Sy) /
+    2^(2*scale_bits) / n^2).
+
+    Scale shape: posexplode -> self-join on the vector id (co-partitioned,
+    AQE-local) -> one hash aggregation per (i, j) cell; output is dim^2
+    rows regardless of N. At 100 TB the same statistics come from
+    mapInPandas partial X^T X Gram blocks tree-reduced to the driver —
+    dim x dim state either way; this expression form is the
+    oracle-checkable fixture path.
+    """
+    two_p = float(2 ** (2 * scale_bits))
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(vec_col).alias("i", "x"),
+    ).select(
+        "_id",
+        "i",
+        F.floor(F.col("x").cast("double") * (2 ** scale_bits))
+        .cast("decimal(38,0)")
+        .alias("qx"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    cross = (
+        a.join(b, (F.col("a._id") == F.col("b._id")) & (F.col("a.i") <= F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(F.col("a.qx") * F.col("b.qx")).alias("sxy"),
+        )
+    )
+    marg = q.groupBy("i").agg(F.sum("qx").alias("sx"))
+    mi = marg.select(F.col("i").alias("i"), F.col("sx").alias("sx_i"))
+    mj = marg.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+    return (
+        cross.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j"))
+                .cast("double")
+                / F.lit(two_p)
+                / F.col("n").cast("double")
+                / F.col("n").cast("double"),
+                round_digits,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def pca_whiten(
+    df: DataFrame,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA whitening: project each embedding onto the top ``n_components``
+    principal axes scaled to unit variance — the standard preprocessing
+    before ANN indexing / SemDeDup-style clustering (decorrelated,
+    isotropic space makes euclidean = mahalanobis).
+
+    Bounded-state pattern: the covariance matrix (dim x dim doubles — the
+    ONLY collect, a few KB regardless of N) is aggregated distributed via
+    :func:`gram_covariance`, eigendecomposed on the driver (numpy eigh,
+    O(dim^3) once), and the whitening matrix ships back as a broadcast
+    literal inside an Arrow-batched mapInPandas GEMM. Eigenvector sign is
+    fixed deterministically (largest-|coefficient| made positive) so
+    output is reproducible. Rows-only check: eigen-solves are not
+    SQL-expressible; unit tests pin identity-covariance output.
+    """
+    import numpy as np
+
+    cov_rows = gram_covariance(
+        df, id_col=id_col, vec_col=vec_col, round_digits=12
+    ).collect()
+    dim = max(r.j for r in cov_rows) + 1
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r.i, r.j] = cov[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order]  # dim x k
+    lam = vals[order]
+    # sign convention: per component, the largest-|coeff| entry is positive
+    for c in range(comps.shape[1]):
+        ix = int(np.abs(comps[:, c]).argmax())
+        if comps[ix, c] < 0:
+            comps[:, c] = -comps[:, c]
+    w = (comps / np.sqrt(lam + eps)).astype("float64")  # dim x k
+    # per-position means for centering (second tiny aggregate, dim rows)
+    mu = np.zeros(dim)
+    mu_rows = (
+        df.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    for r in mu_rows:
+        mu[r.i] = r.m
+    spark = df.sparkSession
+    b_w = spark.sparkContext.broadcast(w)
+    b_mu = spark.sparkContext.broadcast(mu)
+    src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["v"].to_numpy()) - b_mu.value
+            y = np.round(x @ b_w.value, round_digits)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(y.shape[1]),
+                    "pos": np.tile(np.arange(y.shape[1]), len(pdf)),
+                    "whitened": y.reshape(-1),
+                }
+            )
+            yield out
+
+    return src.mapInPandas(
+        project, schema="vec_id long, pos int, whitened double"
+    ).orderBy("vec_id", "pos")
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (Gonzalez): returns the k chosen center rows as
+    (order, vec_id, radius) where ``radius`` is the max nearest-center
+    distance over the corpus BEFORE this center was added (so radius of
+    center m is the coverage bound achieved by the first m-1 centers —
+    the classic 2-approximation certificate, non-increasing).
+
+    Iteration shape (the bounded-driver-loop pattern): k passes, each one
+    distributed job — broadcast the newest center's vector (dim doubles),
+    relax every row's running nearest-distance with one zip_with
+    euclidean, take the global argmax via max(struct(dist, -id)). The
+    relaxed distances persist between iterations (cached, O(N) state on
+    executors, k x dim state on the driver). Ties break to the LOWEST id
+    deterministically. Start center: lowest id.
+    """
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    first = src.orderBy("_id").limit(1).collect()[0]
+    centers = [(0, first["_id"], None)]
+    center_vec = first["v"]
+
+    def dist_to(vec: list[float]):
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    cur = src.select("_id", "v", dist_to(center_vec).alias("d")).cache()
+    try:
+        for m in range(1, k):
+            far = cur.agg(
+                F.max(F.struct(F.col("d").alias("d"), (-F.col("_id")).alias("nid")))
+                .alias("s")
+            ).collect()[0]["s"]
+            next_id = -far["nid"]
+            radius = far["d"]
+            vec = cur.where(F.col("_id") == next_id).collect()[0]["v"]
+            centers.append((m, next_id, round(radius, 6)))
+            nxt = cur.select(
+                "_id", "v", F.least(F.col("d"), dist_to(vec)).alias("d")
+            ).cache()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return df.sparkSession.createDataFrame(
+        centers, "center_order int, vec_id long, radius double"
+    )

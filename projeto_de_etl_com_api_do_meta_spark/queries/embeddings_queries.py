@@ -1586,3 +1586,168 @@ def embed_outliers_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "vec_id", "dist_q")
         .orderBy("label", F.col("dist_q").desc(), "vec_id")
     )
+
+
+_ORACLE_COVARIANCE = """
+WITH q AS (
+  SELECT vec_id, i - 1 AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS HUGEINT)
+           AS qx
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cross_m AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(a.qx * b.qx) AS sxy
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+),
+marg AS (SELECT i, SUM(qx) AS sx FROM q GROUP BY i)
+SELECT c.i, c.j,
+       round(CAST(c.n * c.sxy - mi.sx * mj.sx AS DOUBLE)
+             / 1099511627776.0
+             / CAST(c.n AS DOUBLE) / CAST(c.n AS DOUBLE), 8) AS cov
+FROM cross_m c JOIN marg mi ON c.i = mi.i JOIN marg mj ON c.j = mj.i
+ORDER BY c.i, c.j
+"""
+
+
+@register(
+    "embed_covariance_matrix",
+    oracle=_ORACLE_COVARIANCE,
+    tags=("similarity", "agg", "scale"),
+    doc=(
+        "Exact embedding covariance matrix "
+        "(operators/similarity.py: gram_covariance): components "
+        "fixed-pointed (floor(x * 2^20) — float->double widening and "
+        "power-of-two scaling are lossless), all moments summed as exact "
+        "decimal(38,0)/HUGEINT integers, one float division per output "
+        "cell — bit-reproducible across engines where naive double "
+        "accumulation would be order-dependent. dim^2 output rows "
+        "regardless of N; the statistics tree-reduce (map-side partial "
+        "aggregation), which is how the same pass runs at 100 TB (the "
+        "docstring notes the mapInPandas X^T X Gram-block twin). Feeds "
+        "embed_pca_whitening."
+    ),
+)
+def embed_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import gram_covariance
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_covariance(emb)
+
+
+@register(
+    "embed_pca_whitening",
+    oracle=None,
+    tags=("similarity", "ml", "scale"),
+    doc=(
+        "PCA whitening to 8 components "
+        "(operators/similarity.py: pca_whiten): covariance aggregated "
+        "distributed (embed_covariance_matrix's exact path), dim x dim "
+        "eigendecomposition on the driver (the bounded-state collect "
+        "pattern — a few KB regardless of N), whitening matrix broadcast "
+        "into an Arrow-batched mapInPandas GEMM. Deterministic "
+        "eigenvector sign convention. Rows-only: eigen-solves are not "
+        "SQL-expressible; identity-covariance and decorrelation "
+        "properties pinned in tests/test_similarity_ops.py."
+    ),
+)
+def embed_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pca_whiten
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_whiten(emb, n_components=8)
+
+
+_ORACLE_CLIP_PAIR = """
+WITH img AS (SELECT vec_id AS img_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id < 250),
+txt AS (SELECT vec_id - 250 AS img_id, vec_id AS txt_id,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 250)
+SELECT i.img_id, t.txt_id,
+       round(list_dot_product(i.v, t.v)
+             / (sqrt(list_dot_product(i.v, i.v))
+                * sqrt(list_dot_product(t.v, t.v))), 6) AS cos_sim
+FROM img i JOIN txt t USING (img_id)
+WHERE round(list_dot_product(i.v, t.v)
+            / (sqrt(list_dot_product(i.v, i.v))
+               * sqrt(list_dot_product(t.v, t.v))), 6) >= 0.0
+ORDER BY img_id
+"""
+
+
+@register(
+    "multimodal_clip_pair_filter",
+    oracle=_ORACLE_CLIP_PAIR,
+    tags=("multimodal", "similarity", "north-star"),
+    doc=(
+        "CLIP-score pair gating, the LAION-style multimodal curation "
+        "step: each (image, caption) PAIR — not all-pairs — scores one "
+        "cosine between its two modality embeddings and survives iff "
+        "score >= threshold. Pairs come from an equi-join on the shared "
+        "example id (here synthesized as vec_id / vec_id+250 halves of "
+        "the embeddings fixture standing in for the two encoder "
+        "outputs), so the plan is ONE co-partitioned join + a zip_with "
+        "dot product per row: O(pairs), embarrassingly parallel, no "
+        "similarity index needed. Threshold 0.0 (random-vector cosines "
+        "center on 0, so the gate bites ~half the fixture)."
+    ),
+)
+def multimodal_clip_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    img = emb.where(F.col("vec_id") < 250).select(
+        F.col("vec_id").alias("img_id"), to_d.alias("iv")
+    )
+    txt = emb.where(F.col("vec_id") >= 250).select(
+        (F.col("vec_id") - 250).alias("img_id"),
+        F.col("vec_id").alias("txt_id"),
+        to_d.alias("tv"),
+    )
+    cos = F.round(
+        dot(F.col("iv"), F.col("tv"))
+        / (
+            F.sqrt(dot(F.col("iv"), F.col("iv")))
+            * F.sqrt(dot(F.col("tv"), F.col("tv")))
+        ),
+        6,
+    )
+    return (
+        img.join(txt, "img_id")
+        .select("img_id", "txt_id", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.0)
+        .orderBy("img_id")
+    )
+
+
+@register(
+    "sample_coreset_kcenter",
+    oracle=None,
+    tags=("sampling", "similarity", "ml"),
+    doc=(
+        "Greedy k-center coreset (Gonzalez 2-approximation, k=8): start "
+        "from the lowest vec_id, then repeatedly promote the point "
+        "farthest from its nearest chosen center (ties -> lowest id) and "
+        "relax every point's nearest-center distance against the new "
+        "center — the diversity-sampling primitive for data selection "
+        "and k-means++-style seeding. Iterative-algorithm pattern: k "
+        "bounded driver iterations, each ONE distributed pass (broadcast "
+        "center vector, zip_with euclidean, running least()); state on "
+        "the driver is k vectors. Rows-only: the argmax recursion is not "
+        "SQL-expressible; 2-approximation property pinned in "
+        "tests/test_similarity_ops.py."
+    ),
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kcenter_greedy
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, k=8)

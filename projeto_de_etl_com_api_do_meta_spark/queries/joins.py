@@ -849,3 +849,61 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_islands"))
         .orderBy("event_type", "run_len")
     )
+
+
+_ORACLE_ASOF_TOLERANCE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, event_id AS view_id, value AS view_value
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       CASE WHEN v.ts >= c.ts - INTERVAL '10 minutes' THEN v.view_id END
+         AS view_id,
+       CASE WHEN v.ts >= c.ts - INTERVAL '10 minutes' THEN v.view_value END
+         AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=_ORACLE_ASOF_TOLERANCE,
+    tags=("join", "asof", "timeseries"),
+    doc=(
+        "As-of join with a match horizon (pandas merge_asof(tolerance=...)"
+        " analog, operators/asof.py tolerance_us): each click takes the "
+        "user's most recent prior view ONLY if it is at most 10 minutes "
+        "old, else NULL — the staleness guard every feature-store "
+        "point-in-time lookup needs (a price/feature older than the "
+        "horizon must not leak into the example). Same one-shuffle "
+        "union+carry window as join_asof_events; the horizon is a pure "
+        "post-filter on the carried timestamp, no extra shuffle. Oracle: "
+        "DuckDB ASOF LEFT JOIN with a CASE horizon."
+    ),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        clicks,
+        views,
+        key="user_id",
+        ts="ts",
+        payload_cols=["view_id", "view_value"],
+        tolerance_us=10 * 60 * 1_000_000,
+    )

@@ -62,6 +62,19 @@ _LOADED = False
 #: rows-only (no-oracle) queries go last where a scored slot can never earn a
 #: hash match anyway.
 _PRIORITY: tuple[str, ...] = (
+    # ---- r6 head: this round's new oracle-backed operators (the 37 still-
+    # unverified r5 names below plus these 11 fill the ~50-slot window). ----
+    "lakehouse_merge_upsert",
+    "agg_kmv_distinct_sketch",
+    "agg_kmv_set_ops",
+    "dq_benford_digit_profile",
+    "dq_completeness_profile",
+    "corpus_zipf_law_fit",
+    "text_kneser_ney_bigram",
+    "join_asof_tolerance",
+    "web_robots_fetch_gate",
+    "embed_covariance_matrix",
+    "multimodal_clip_pair_filter",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----

@@ -1612,3 +1612,98 @@ def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("ppl_bucket")
     )
+
+
+_ORACLE_KNESER_NEY = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+big AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM words, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+              COUNT(*) AS n1p_fwd FROM c2 GROUP BY w1),
+bwd AS (SELECT w2, COUNT(*) AS n1p_bwd FROM c2 GROUP BY w2),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c2)
+SELECT c2.w1, c2.w2, CAST(c2.c12 AS BIGINT) AS c12,
+       round((CAST(c2.c12 AS DOUBLE) - 0.75) / CAST(c1.c1 AS DOUBLE)
+             + 0.75 / CAST(c1.c1 AS DOUBLE) * CAST(c1.n1p_fwd AS DOUBLE)
+               * (CAST(bwd.n1p_bwd AS DOUBLE) / CAST(t.n_types AS DOUBLE)),
+             6) AS p_kn
+FROM c2 JOIN c1 USING (w1) JOIN bwd USING (w2) CROSS JOIN t
+ORDER BY c12 DESC, w1, w2 LIMIT 50
+"""
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=_ORACLE_KNESER_NEY,
+    tags=("text", "lm", "north-star"),
+    doc=(
+        "Interpolated Kneser-Ney bigram model (discount 0.75) over the "
+        "corpus — the smoothing KenLM-style n-gram quality filters "
+        "(CCNet, Gopher pipelines) actually use, where add-one "
+        "(text_bigram_perplexity) over-penalizes unseen continuations: "
+        "P_KN(w2|w1) = max(c12-D,0)/c1 + D*N1+(w1,.)/c1 * Pcont(w2), "
+        "Pcont(w2) = N1+(.,w2)/|bigram types|. Every statistic is an "
+        "exact integer aggregate (bigram counts, per-context totals and "
+        "continuation-type counts, backward-type counts, one scalar type "
+        "total broadcast); the float formula is a single per-row "
+        "expression, so the oracle matches bit-for-bit. Top-50 bigrams "
+        "reported; max(c12-D,0) elided since c12 >= 1 > D on observed "
+        "bigrams. Scale: three hash aggregations + token-key joins, AQE "
+        "broadcasts the model sides when small."
+    ),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    words = docs.select(F.split(F.trim(F.lower("text")), r"\s+").alias("w"))
+    big = (
+        words.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).alias("n1p_fwd"),
+    )
+    bwd = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    types = c2.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    d = F.lit(0.75)
+    return (
+        c2.join(c1, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(
+                (F.col("c12").cast("double") - d) / F.col("c1").cast("double")
+                + d / F.col("c1").cast("double")
+                * F.col("n1p_fwd").cast("double")
+                * (
+                    F.col("n1p_bwd").cast("double")
+                    / F.col("n_types").cast("double")
+                ),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(50)
+    )

@@ -547,3 +547,122 @@ def web_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+# robots.txt rule table: (host, path prefix, allow) — longest-prefix-match
+# per RFC 9309, allow wins length ties. Deterministic fixture rules that
+# exercise default-allow (no host entry), blanket disallow, carve-back
+# allow, and a deeper re-disallow.
+_ROBOTS_RULES: tuple[tuple[str, str, bool], ...] = (
+    ("site0.com", "/", False),            # blanket disallow
+    ("site0.com", "/p1", True),           # carve-back: /p1 subtree allowed
+    ("site0.com", "/p1/q2", False),       # ...except /p1/q2
+    ("site1.com", "/p3", False),          # targeted disallow only
+    ("site2.com", "/", True),             # explicit allow-all
+    ("site2.com", "/p5", False),
+    ("site3.com", "/p", False),           # prefix (not path-segment) match
+    ("site3.com", "/p7", True),           # same-length tie never occurs;
+                                          # longer allow overrides
+)
+
+_ORACLE_ROBOTS = """
+WITH urls AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+         '/p' || CAST(doc_id % 13 AS VARCHAR)
+           || '/q' || CAST(doc_id % 5 AS VARCHAR) AS path
+  FROM documents
+),
+rules AS (
+  SELECT * FROM (VALUES
+    ('site0.com', '/', FALSE), ('site0.com', '/p1', TRUE),
+    ('site0.com', '/p1/q2', FALSE), ('site1.com', '/p3', FALSE),
+    ('site2.com', '/', TRUE), ('site2.com', '/p5', FALSE),
+    ('site3.com', '/p', FALSE), ('site3.com', '/p7', TRUE)
+  ) AS t(host, prefix, allow)
+),
+matched AS (
+  SELECT u.doc_id, u.host, u.path,
+         MAX(struct_pack(l := length(r.prefix),
+                         a := CASE WHEN r.allow THEN 1 ELSE 0 END))
+           AS best
+  FROM urls u JOIN rules r
+    ON u.host = r.host AND starts_with(u.path, r.prefix)
+  GROUP BY u.doc_id, u.host, u.path
+)
+SELECT u.host,
+       CASE WHEN m.best IS NULL THEN 'fetch'             -- no rules: allow
+            WHEN m.best.a = 1 THEN 'fetch' ELSE 'blocked' END AS verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM urls u LEFT JOIN matched m USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "web_robots_fetch_gate",
+    oracle=_ORACLE_ROBOTS,
+    tags=("web", "governance", "north-star"),
+    doc=(
+        "robots.txt fetch gating per RFC 9309: each URL takes the "
+        "LONGEST-prefix rule among its host's allow/disallow records "
+        "(allow wins length ties, hosts with no rules default to allow) "
+        "— the crawl-compliance step that runs before any page enters a "
+        "training corpus. Scale shape: the compiled rule table is tiny "
+        "(robots files per host), so it broadcasts; matching is one "
+        "broadcast equi-join on host + starts_with refine + max(struct) "
+        "per URL — no per-rule scans of the corpus. URLs are synthesized "
+        "deterministically from doc_id (same augment-then-operate "
+        "contract as web_domain_blocklist_filter; reference has no crawl "
+        "tables). Encoding the allow flag inside the max(struct) makes "
+        "the RFC tie-break declarative: (length, allow) sorts allow "
+        "above disallow at equal length."
+    ),
+)
+def web_robots_fetch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"), F.lit(".com")
+        ).alias("host"),
+        F.concat(
+            F.lit("/p"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit("/q"),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("path"),
+    )
+    rules = F.broadcast(
+        spark.createDataFrame(
+            list(_ROBOTS_RULES), "host string, prefix string, allow boolean"
+        )
+    )
+    matched = (
+        urls.join(rules, "host")
+        .where(F.col("path").startswith(F.col("prefix")))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    F.when(F.col("allow"), 1).otherwise(0).alias("a"),
+                )
+            ).alias("best")
+        )
+    )
+    return (
+        urls.join(matched, "doc_id", "left")
+        .select(
+            "host",
+            F.when(
+                F.col("best").isNull() | (F.col("best.a") == 1), "fetch"
+            )
+            .otherwise("blocked")
+            .alias("verdict"),
+        )
+        .groupBy("host", "verdict")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
+        .orderBy("host", "verdict")
+    )

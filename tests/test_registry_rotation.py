@@ -42,9 +42,16 @@ def test_new_artifact_is_picked_up():
 
 
 def test_scoring_prefix_has_no_verified_and_only_oracles():
+    """Every not-yet-green oracle-backed query must sort before any green
+    or rows-only one. When fewer than 50 unverified queries remain (the
+    rotation is nearly drained), greens legitimately back-fill the window
+    — only the PREFIX up to the unverified count is constrained."""
     _load_all()
     verified = _driver_verified()
-    prefix = list(QUERIES)[:50]
+    n_unverified = sum(
+        1 for n, s in QUERIES.items() if s.oracle and n not in verified
+    )
+    prefix = list(QUERIES)[: min(50, n_unverified)]
     for name in prefix:
         assert name not in verified, f"{name} is green but still in the window"
         assert QUERIES[name].oracle, f"{name} is rows-only but in the window"

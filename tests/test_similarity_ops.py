@@ -270,3 +270,68 @@ def test_md5_ann_twins_recall_vs_bruteforce(spark, sf_dir):
             key = (r.query_id, r.neighbor_id)
             if key in exact_scores:
                 assert abs(exact_scores[key] - r.cos_sim) < 1e-9
+
+
+# ---- round 6: covariance / whitening / k-center ---------------------------
+
+
+def _emb_df(spark, mat):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_gram_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        gram_covariance,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(40, 5)).astype("float32")
+    rows = gram_covariance(_emb_df(spark, mat), round_digits=8).collect()
+    # fixed-point the SAME way the operator does before comparing
+    q = np.floor(mat.astype("float64") * 2**20)
+    expect = np.cov(q.T, bias=True) / 2**40
+    for r in rows:
+        assert abs(r.cov - expect[r.i, r.j]) < 1e-6, (r.i, r.j)
+
+
+def test_pca_whiten_decorrelates(spark):
+    import numpy as np
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        pca_whiten,
+    )
+
+    rng = np.random.default_rng(11)
+    # anisotropic data: component 0 has 10x the variance of component 1
+    base = rng.normal(size=(300, 4))
+    base[:, 0] *= 10
+    out = pca_whiten(_emb_df(spark, base.astype("float32")), n_components=3)
+    pdf = out.toPandas().pivot(index="vec_id", columns="pos",
+                               values="whitened")
+    y = pdf.to_numpy()
+    cov = np.cov(y.T, bias=True)
+    # whitened covariance ~ identity
+    assert np.allclose(cov, np.eye(3), atol=0.05), cov
+
+
+def test_kcenter_radius_non_increasing_and_deterministic(spark):
+    import numpy as np
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        kcenter_greedy,
+    )
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(100, 6)).astype("float32")
+    df = _emb_df(spark, mat)
+    a = kcenter_greedy(df, k=5).collect()
+    b = kcenter_greedy(df, k=5).collect()
+    assert [r.vec_id for r in a] == [r.vec_id for r in b]  # deterministic
+    radii = [r.radius for r in a if r.radius is not None]
+    assert radii == sorted(radii, reverse=True)  # coverage only improves
+    assert a[0].vec_id == 0  # starts at lowest id
