@@ -752,3 +752,75 @@ def events_behavior_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pattern")
         .limit(50)
     )
+
+
+_ORACLE_PATTERN_FUNNEL = """
+WITH seq AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       md5(s) AS seq_md5,
+       CAST((length(s) - length(replace(s, 'vcp', ''))) / 3 AS BIGINT)
+         AS vcp_runs,
+       CAST(COALESCE(list_max(list_transform(
+              regexp_split_to_array(s, '[^c]+'), x -> length(x))), 0)
+            AS BIGINT) AS max_click_streak
+FROM seq ORDER BY user_id
+"""
+
+
+@register(
+    "events_pattern_funnel_regex",
+    oracle=_ORACLE_PATTERN_FUNNEL,
+    tags=("events", "sessionize", "analytics"),
+    doc=(
+        "Sequence-pattern analytics (the MATCH_RECOGNIZE-shaped workload): "
+        "each user's event history collapses to an ordered type-initial "
+        "string ONCE — array_sort(collect_list(struct(ts, event_id, "
+        "initial))) makes the order total and engine-independent — then "
+        "strict-contiguity patterns run as pure string expressions on that "
+        "sequence: view->click->purchase runs via the replace-length "
+        "trick, longest click streak via split-on-non-c. One shuffle to "
+        "group by user; the per-user sequence state is bounded by that "
+        "user's history, never the corpus (per-user strings fingerprint "
+        "as md5 in the output). Regex-engine semantics (RE2 vs java.util) "
+        "never cross the oracle: both patterns are literal string ops."
+    ),
+)
+def events_pattern_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda e: e["c"]
+                ),
+            ).alias("s"),
+        )
+    )
+    streak = F.array_max(
+        F.transform(F.split(F.col("s"), "[^c]+"), lambda x: F.length(x))
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.md5("s").alias("seq_md5"),
+        ((F.length("s") - F.length(F.replace(F.col("s"), F.lit("vcp"), F.lit(""))))
+         / 3).cast("bigint").alias("vcp_runs"),
+        F.coalesce(streak, F.lit(0)).cast("bigint").alias("max_click_streak"),
+    ).orderBy("user_id")

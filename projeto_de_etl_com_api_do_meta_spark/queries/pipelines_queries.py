@@ -1156,3 +1156,97 @@ def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_idx")
     )
+
+
+_ORACLE_CDC_LAKE_MERGE = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         CAST(round(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT)
+           AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, cents
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@register(
+    "stream_cdc_lakehouse_merge",
+    oracle=_ORACLE_CDC_LAKE_MERGE,
+    tags=("streaming", "lakehouse", "cdc", "north-star"),
+    doc=(
+        "Streaming CDC apply INTO the manifest lakehouse "
+        "(operators/lakehouse.py: merge_into): the events corpus becomes "
+        "a changelog (key=user_id, error rows are tombstones, everything "
+        "else upserts the row's cents value), sharded into 4 KEY-RANGE "
+        "files so each key's full history lives in exactly one "
+        "micro-batch — batch arrival order then cannot change the result "
+        "(cross-batch ordering would need sequence-number fencing; "
+        "documented, not silently assumed). Each foreachBatch micro-batch "
+        "resolves keep-last per key (ts, event_id ordering), then MERGEs "
+        "copy-on-write — and every batch is deliberately applied TWICE: "
+        "MERGE is content-idempotent (re-update to the same values, "
+        "re-delete of an absent key, re-insert of a now-matched key all "
+        "converge), which is the recovery property a replayed micro-batch "
+        "needs. Oracle: global keep-last per key over the raw changelog, "
+        "tombstones dropped."
+    ),
+)
+def stream_cdc_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.safe_math import dec
+    from ..operators.lakehouse import commit_version, merge_into, read_version
+
+    pin_query_session_conf(spark)
+    run = _fresh_run_dir("cdc_lake_merge", sf_dir)
+    src = f"{run}/changelog"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "error").alias("is_del"),
+        (F.round(dec("value", "decimal(18,4)") * 100, 0))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    ev.repartitionByRange(4, "user_id").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    table = f"{run}/state"
+    # seed an empty v1 so the first merge has a snapshot to merge into
+    commit_version(
+        spark.createDataFrame([], "user_id long, cents long").coalesce(1),
+        table,
+        stats_cols=("user_id",),
+    )
+
+    def apply_cdc(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        last = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "cents", "is_del")
+        )
+        merge_into(spark, table, last, key="user_id", delete_col="is_del",
+                   stats_cols=("user_id",))
+        # replayed micro-batch: content-idempotent by MERGE semantics
+        merge_into(spark, table, last, key="user_id", delete_col="is_del",
+                   stats_cols=("user_id",))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_cdc)
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_version(spark, table).orderBy("user_id")

@@ -385,3 +385,180 @@ def sample_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("key_micro").desc(), "doc_id")
         .limit(_DSIR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # the standard RRF damping constant (Cormack 2009)
+_RRF_DEPTH = 20      # per-retriever candidate depth
+_RRF_TOPK = 10
+_RRF_QVEC = 0        # dense query: embeddings row 0 (paired corpus ids)
+
+_ORACLE_RRF = rf"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM lens
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+lex_scored AS (
+  SELECT tf.doc_id, {_BM25_TERM_MICRO} AS term_micro
+  FROM tf JOIN df USING (term)
+  JOIN lens ON lens.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+lex_ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(SUM(term_micro) AS BIGINT) DESC, doc_id) AS r
+  FROM lex_scored GROUP BY doc_id
+),
+lex AS (SELECT doc_id, r FROM lex_ranked WHERE r <= {_RRF_DEPTH}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {_RRF_QVEC}),
+dense_scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))),
+               6) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> {_RRF_QVEC}
+),
+dense AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS r
+    FROM dense_scored
+  ) WHERE r <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+         CASE WHEN lex.doc_id IS NULL THEN 0 ELSE 1 END AS in_lex,
+         CASE WHEN dense.doc_id IS NULL THEN 0 ELSE 1 END AS in_dense,
+         COALESCE(CAST(floor(1000000.0 / ({_RRF_K} + lex.r)) AS BIGINT), 0)
+         + COALESCE(CAST(floor(1000000.0 / ({_RRF_K} + dense.r)) AS BIGINT),
+                    0) AS rrf_micro
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+)
+SELECT doc_id, in_lex, in_dense, rrf_micro
+FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOPK}
+"""
+
+
+@register(
+    "retrieval_rrf_hybrid",
+    oracle=_ORACLE_RRF,
+    tags=("retrieval", "similarity", "north-star"),
+    doc=(
+        "Hybrid retrieval via reciprocal-rank fusion (RRF, k=60): BM25 "
+        "top-20 (corpus_bm25_search's integer-micro scoring) and dense "
+        "cosine top-20 for a query embedding fuse as "
+        "sum(1/(k + rank)) — floored to integer micro-units per list so "
+        "the fused score is exact BIGINT math, then full-outer-joined on "
+        "doc_id (a doc missing from one list simply contributes nothing). "
+        "This is the RAG retrieval shape (ES/vector-db hybrid): each "
+        "retriever's candidate set is depth-bounded, so the fusion join "
+        "touches at most 2*depth rows no matter the corpus size; the "
+        "expensive parts reuse the BM25 pruned-postings plan and the "
+        "broadcast dense scorer. Corpus ids are the documents/embeddings "
+        "paired fixture ids."
+    ),
+)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot
+
+    pin_query_session_conf(spark)
+    # ---- lexical arm: BM25 (same statistics pipeline as corpus_bm25_search)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(docs, "doc_id")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+    )
+    lens = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    lex_scores = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_TERM_MICRO).alias("term_micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_micro").cast("long").alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    lex = lex_scores.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("s").desc(), "doc_id"))
+    ).select("doc_id", F.col("r").alias("lex_r"))
+    # ---- dense arm: brute-force cosine for one query vector
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == _RRF_QVEC).select(to_d.alias("qv"))
+    )
+    dense_scores = (
+        emb.where(F.col("vec_id") != _RRF_QVEC)
+        .select(F.col("vec_id").alias("doc_id"), to_d.alias("cv"))
+        .crossJoin(q)
+        .select(
+            "doc_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("cv"), F.col("cv")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    dense = dense_scores.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("cos_sim").desc(), "doc_id")),
+    ).select("doc_id", F.col("r").alias("dense_r"))
+    # ---- fuse: exact integer micro-unit RRF
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.floor(F.lit(1000000.0) / (F.lit(_RRF_K) + r)).cast("long"), F.lit(0)
+    )
+    return (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("lex_r").isNull(), 0).otherwise(1).alias("in_lex"),
+            F.when(F.col("dense_r").isNull(), 0).otherwise(1).alias("in_dense"),
+            (contrib(F.col("lex_r")) + contrib(F.col("dense_r"))).alias(
+                "rrf_micro"
+            ),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(_RRF_TOPK)
+    )
