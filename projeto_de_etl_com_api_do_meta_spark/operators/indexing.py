@@ -369,3 +369,67 @@ def zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def bestfit_pack(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Best-fit-decreasing bin packing per group: items sort by
+    (size desc, id) and each goes into the open bin with the SMALLEST
+    remaining capacity that still fits (ties: lowest bin id), else opens a
+    new bin — the packing that recovers most of the padding waste
+    next-fit/concat-chunk leaves on skewed length distributions (BFD is a
+    11/9-OPT+1 approximation; next-fit is only 2-OPT).
+
+    Sequential-state operator: the bin table is inherently order-dependent,
+    so each group packs inside ONE applyInPandas call (Arrow-batched,
+    deterministic order) — the parallel unit is the GROUP (shard), exactly
+    how training-shard packing distributes at 100 TB: thousands of shards
+    pack concurrently, each shard's state is its own open-bin table,
+    bounded by shard token mass / budget. Items larger than ``budget`` are
+    clamped to it (the real pipeline's truncate-to-context rule).
+
+    Output: (group, id, size, bin_id, bin_fill) where bin_fill is the
+    bin's total AFTER packing — per-bin utilization falls out of a
+    groupBy(bin_id).
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{group_col} long, {id_col} long, {size_col} long, "
+        "bin_id long, bin_fill long"
+    )
+    src = df.select(
+        F.col(group_col).cast("long"),
+        F.col(id_col).cast("long"),
+        F.least(F.col(size_col).cast("long"), F.lit(budget)).alias(size_col),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [size_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        sizes = pdf[size_col].to_numpy()
+        fills: list[int] = []  # fill level per bin id
+        assign = np.empty(len(sizes), dtype="int64")
+        for n, s in enumerate(sizes):
+            # best fit: max fill among bins with fill + s <= budget
+            best, best_fill = -1, -1
+            for b, f in enumerate(fills):
+                if f + s <= budget and f > best_fill:
+                    best, best_fill = b, f
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            fills[best] += s
+            assign[n] = best
+        out = pdf.copy()
+        out["bin_id"] = assign
+        out["bin_fill"] = [fills[b] for b in assign]
+        return out
+
+    return src.groupBy(group_col).applyInPandas(pack, schema=out_schema)

@@ -1386,3 +1386,147 @@ def corpus_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "pieces", "n_wp", "unk", "n_occurrences")
         .orderBy("word")
     )
+
+
+# Unigram-LM piece vocabulary: (piece, log-prob in integer micro-nats).
+# Single characters guarantee total coverage (no [UNK] path); multi-char
+# pieces carry higher probability so Viterbi prefers them when they fit.
+_UNI_VOCAB: tuple[tuple[str, int], ...] = tuple(
+    [(c, -3_000_000) for c in "abcdefghijklmnopqrstuvwxyz"]
+    + [
+        ("ta", -1_600_000), ("ble", -2_000_000), ("sc", -1_700_000),
+        ("an", -1_400_000), ("row", -1_900_000), ("er", -1_300_000),
+        ("st", -1_500_000), ("re", -1_450_000), ("am", -1_550_000),
+        ("ff", -1_800_000), ("le", -1_350_000), ("in", -1_380_000),
+        ("dow", -2_100_000), ("sh", -1_620_000), ("ue", -1_460_000),
+        ("or", -1_330_000), ("val", -2_050_000), ("ch", -1_640_000),
+        ("ash", -2_150_000), ("ar", -1_370_000), ("pa", -1_610_000),
+        ("der", -2_060_000), ("lim", -2_070_000), ("it", -1_340_000),
+    ]
+)
+
+_ORACLE_UNIGRAM = f"""
+WITH RECURSIVE
+vocab(piece, lp) AS (VALUES
+  {", ".join(f"('{p}', {lp})" for p, lp in _UNI_VOCAB)}),
+w0 AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+wcnt AS (
+  SELECT word, COUNT(*) AS n_occurrences FROM w0 WHERE word <> ''
+  GROUP BY word
+),
+walk AS (
+  SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS score,
+         CAST('' AS VARCHAR) AS pieces
+  FROM wcnt
+  UNION ALL
+  SELECT s.word, s.pos + length(v.piece), s.score + v.lp,
+         CASE WHEN s.pieces = '' THEN v.piece
+              ELSE s.pieces || ' ' || v.piece END
+  FROM walk s JOIN vocab v
+    ON substr(s.word, s.pos, length(v.piece)) = v.piece
+  WHERE s.pos <= length(s.word)
+),
+fin AS (SELECT word, score, pieces FROM walk
+        WHERE pos = length(word) + 1),
+best AS (SELECT word, MAX(score) AS score_micro FROM fin GROUP BY word),
+pick AS (
+  SELECT f.word, b.score_micro, MIN(f.pieces) AS pieces
+  FROM fin f JOIN best b ON f.word = b.word AND f.score = b.score_micro
+  GROUP BY f.word, b.score_micro
+)
+SELECT c.word, p.pieces,
+       CAST(length(p.pieces) - length(replace(p.pieces, ' ', '')) + 1
+            AS BIGINT) AS n_pieces,
+       p.score_micro,
+       CAST(c.n_occurrences AS BIGINT) AS n_occurrences
+FROM wcnt c JOIN pick p ON c.word = p.word
+ORDER BY c.word
+"""
+
+
+@register(
+    "corpus_unigram_lm_tokenize",
+    oracle=_ORACLE_UNIGRAM,
+    tags=("text", "tokenizer", "north-star"),
+    doc=(
+        "Unigram-LM tokenizer APPLICATION (SentencePiece's inference "
+        "algorithm, completing the tokenizer trio next to corpus_bpe_apply "
+        "and corpus_wordpiece_tokenize): each word takes the segmentation "
+        "maximizing the sum of piece log-probabilities, found by Viterbi "
+        "DP from the right (ties -> lexicographically smallest piece "
+        "sequence, a total order). Log-probs are integer micro-nats, so "
+        "scores are exact BIGINT sums. Same distinct-word scale trick: "
+        "the Python DP (Arrow-batched mapInPandas) touches only the "
+        "vocabulary-scale word table; corpus-scale work is one hash "
+        "aggregate. Oracle: a recursive CTE enumerates EVERY segmentation "
+        "(words are short; pieces cover all single chars so no dead ends) "
+        "and picks max-score/min-string — a cross-algorithm differential "
+        "(exhaustive enumeration vs DP) on identical integer scores."
+    ),
+)
+def corpus_unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    pin_query_session_conf(spark)
+    vocab = dict(_UNI_VOCAB)
+    max_len = max(len(p) for p in vocab)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    wcnt = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+    def viterbi_batches(batches):
+        def seg(word: str):
+            n = len(word)
+            # best[(pos)] = (score, pieces-string) from pos to end;
+            # compare (-score, string) for max-score-then-min-string
+            best: list[tuple[int, str] | None] = [None] * (n + 1)
+            best[n] = (0, "")
+            for pos in range(n - 1, -1, -1):
+                cand = None
+                for ln in range(1, min(max_len, n - pos) + 1):
+                    piece = word[pos : pos + ln]
+                    lp = vocab.get(piece)
+                    if lp is None or best[pos + ln] is None:
+                        continue
+                    s_suf, p_suf = best[pos + ln]
+                    c = (
+                        lp + s_suf,
+                        piece + (" " + p_suf if p_suf else ""),
+                    )
+                    if (
+                        cand is None
+                        or c[0] > cand[0]
+                        or (c[0] == cand[0] and c[1] < cand[1])
+                    ):
+                        cand = c
+                best[pos] = cand
+            score, pieces = best[0]
+            return pieces, pieces.count(" ") + 1, score
+
+        for pdf in batches:
+            cols = pdf["word"].map(seg)
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "pieces": cols.map(lambda t: t[0]),
+                    "n_pieces": cols.map(lambda t: t[1]).astype("int64"),
+                    "score_micro": cols.map(lambda t: t[2]).astype("int64"),
+                }
+            )
+
+    vocab_tok = wcnt.select("word").mapInPandas(
+        viterbi_batches,
+        "word string, pieces string, n_pieces long, score_micro long",
+    )
+    return (
+        wcnt.join(F.broadcast(vocab_tok), "word")
+        .select("word", "pieces", "n_pieces", "score_micro", "n_occurrences")
+        .orderBy("word")
+    )

@@ -824,3 +824,69 @@ def events_pattern_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
          / 3).cast("bigint").alias("vcp_runs"),
         F.coalesce(streak, F.lit(0)).cast("bigint").alias("max_click_streak"),
     ).orderBy("user_id")
+
+
+_ORACLE_EWMA = """
+WITH ordered AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+)
+SELECT user_id, CAST(len(xs) AS BIGINT) AS n_obs,
+       round(list_reduce(xs, (acc, x) ->
+             CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc), 6)
+         AS ewma
+FROM ordered ORDER BY user_id
+"""
+
+
+@register(
+    "events_ewma_fold",
+    oracle=_ORACLE_EWMA,
+    tags=("events", "timeseries", "analytics"),
+    doc=(
+        "Exponentially-weighted moving average per user (alpha=0.2, "
+        "seeded at the first observation) — the recursive time-series "
+        "smoother that has no closed-form window expression: s_t = "
+        "alpha*x_t + (1-alpha)*s_{t-1}. Expressed as a DETERMINISTIC "
+        "array fold: one shuffle groups each user's history, array_sort "
+        "on (ts, event_id) makes the order total, and F.aggregate folds "
+        "the recursion JVM-side in exactly that order — bit-identical to "
+        "the DuckDB list_reduce oracle because both engines execute the "
+        "same float operations in the same sequence (no UDF, no "
+        "order-dependent SUM). Per-user state is that user's history; at "
+        "100 TB the same recursion runs incrementally in streaming "
+        "(stream_stateful_counters carries the scalar state instead)."
+    ),
+)
+def events_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "view"
+    )
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.col("value").cast("double").alias("x"))
+            .alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda e: e["x"]
+            ).alias("xs")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_obs"),
+        F.round(
+            F.aggregate(
+                F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+                F.element_at(F.col("xs"), 1),
+                lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+            ),
+            6,
+        ).alias("ewma"),
+    ).orderBy("user_id")

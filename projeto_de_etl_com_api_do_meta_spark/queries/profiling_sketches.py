@@ -310,3 +310,95 @@ def corpus_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("zipf_intercept"),
     )
+
+
+_ORACLE_ROBUST = """
+WITH med AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS median_v,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.05), 4) AS p05,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.95), 4) AS p95
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         round(quantile_cont(abs(CAST(e.value AS DOUBLE) - m.median_v), 0.5),
+               4) AS mad_v
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+),
+win AS (
+  SELECT e.event_type,
+         CAST(SUM(CAST(round(least(greatest(CAST(e.value AS DOUBLE),
+                                             m.p05), m.p95) * 10000, 0)
+                       AS BIGINT)) AS BIGINT) AS wsum_e4
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT med.event_type, CAST(med.n AS BIGINT) AS n, med.median_v, mad.mad_v,
+       round(CAST(win.wsum_e4 AS DOUBLE) / CAST(med.n AS DOUBLE) / 10000.0,
+             6) AS winsorized_mean
+FROM med JOIN mad USING (event_type) JOIN win USING (event_type)
+ORDER BY med.event_type
+"""
+
+
+@register(
+    "dq_robust_stats_mad",
+    oracle=_ORACLE_ROBUST,
+    tags=("dq", "profiling", "stats"),
+    doc=(
+        "Robust per-group statistics: exact interpolated median, MAD "
+        "(median absolute deviation — the robust sigma), and a 5/95 "
+        "winsorized mean per event_type — the outlier-resistant profile "
+        "a dq gate uses where mean/stddev would chase a single corrupt "
+        "value. Two percentile passes (the second reuses the first's "
+        "medians via a broadcast join); the winsorized mean clamps then "
+        "fixed-points each value to 1e-4 units so the SUM is exact "
+        "BIGINT math — no order-dependent double accumulation crosses "
+        "the oracle. Percentiles round to 4dp before re-use, pinning the "
+        "interpolation to identical inputs in both engines."
+    ),
+)
+def dq_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    med = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.percentile(v, F.lit(0.5)), 4).alias("median_v"),
+        F.round(F.percentile(v, F.lit(0.05)), 4).alias("p05"),
+        F.round(F.percentile(v, F.lit(0.95)), 4).alias("p95"),
+    )
+    joined = ev.join(F.broadcast(med), "event_type")
+    mad = joined.groupBy("event_type").agg(
+        F.round(
+            F.percentile(F.abs(v - F.col("median_v")), F.lit(0.5)), 4
+        ).alias("mad_v")
+    )
+    win = joined.groupBy("event_type").agg(
+        F.sum(
+            F.round(
+                F.least(F.greatest(v, F.col("p05")), F.col("p95")) * 10000, 0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("wsum_e4")
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(win, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "median_v",
+            "mad_v",
+            F.round(
+                F.col("wsum_e4").cast("double") / F.col("n").cast("double")
+                / 10000.0,
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )

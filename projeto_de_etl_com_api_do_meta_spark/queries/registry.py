@@ -75,6 +75,12 @@ _PRIORITY: tuple[str, ...] = (
     "web_robots_fetch_gate",
     "embed_covariance_matrix",
     "multimodal_clip_pair_filter",
+    "retrieval_rrf_hybrid",
+    "stream_cdc_lakehouse_merge",
+    "events_pattern_funnel_regex",
+    "corpus_unigram_lm_tokenize",
+    "dq_robust_stats_mad",
+    "events_ewma_fold",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----

@@ -1926,3 +1926,41 @@ def train_dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source", "chosen_id")
     )
+
+
+@register(
+    "train_pack_bestfit",
+    oracle=None,
+    tags=("training", "packing", "north-star"),
+    doc=(
+        "Best-fit-decreasing shard packing "
+        "(operators/indexing.py: bestfit_pack): documents pack into "
+        "fixed-budget bins per shard, each item into the fullest open bin "
+        "that fits — the padding-waste recovery pass next to "
+        "pack_sequences_chunked's concat-then-chunk (BFD is 11/9-OPT+1 "
+        "vs next-fit's 2-OPT on skewed length mixes). The bin table is "
+        "order-dependent sequential state, so each shard packs inside one "
+        "Arrow-batched applyInPandas group — shards are the parallel "
+        "unit, exactly how shard packing distributes at 100 TB. "
+        "Rows-only: the greedy recursion is not SQL-expressible; packing "
+        "is pinned against a pure-Python reference and a "
+        "no-bin-over-budget/all-items-packed property in "
+        "tests/test_training_ops.py, and utilization >= the chunked "
+        "packer's padding floor."
+    ),
+)
+def train_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import bestfit_pack
+    from ..operators.text import bpe_ish_token_count
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        bpe_ish_token_count("text").cast("long").alias("n_tok"),
+    )
+    return bestfit_pack(
+        t, group_col="shard", id_col="doc_id", size_col="n_tok",
+        budget=_PACK_BUDGET,
+    ).orderBy("shard", "bin_id", "doc_id")

@@ -451,3 +451,78 @@ def test_sft_flatten_arbitrary_turn_count(spark):
         "<|assistant|>hello<|end|>",
         "<|user|>bye<|end|>",
     ]
+
+
+# ---- round 6: best-fit-decreasing packing ---------------------------------
+
+
+def _bfd_reference(items, budget):
+    """Pure-Python BFD oracle: (size desc, id) order, fullest-fitting bin."""
+    fills, assign = [], {}
+    for i, s in sorted(items, key=lambda t: (-t[1], t[0])):
+        s = min(s, budget)
+        best, best_fill = -1, -1
+        for b, f in enumerate(fills):
+            if f + s <= budget and f > best_fill:
+                best, best_fill = b, f
+        if best < 0:
+            best = len(fills)
+            fills.append(0)
+        fills[best] += s
+        assign[i] = best
+    return assign, fills
+
+
+def test_bestfit_pack_matches_reference_and_respects_budget(spark):
+    import random
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.indexing import (
+        bestfit_pack,
+    )
+
+    rng = random.Random(13)
+    budget = 100
+    rows = [
+        (i % 3, i, rng.randint(5, 130))  # includes over-budget items
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "shard long, doc_id long, n_tok long")
+    out = bestfit_pack(df, "shard", "doc_id", "n_tok", budget).collect()
+    assert len(out) == 120  # every item packed exactly once
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        items = [(i, min(s, budget)) for g, i, s in rows if g == shard]
+        ref_assign, ref_fills = _bfd_reference(items, budget)
+        got_assign = {r.doc_id: r.bin_id for r in rs}
+        assert got_assign == ref_assign, f"shard {shard}"
+        # no bin over budget; bin_fill consistent
+        fills = {}
+        for r in rs:
+            fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tok
+        assert all(f <= budget for f in fills.values())
+        for r in rs:
+            assert r.bin_fill == fills[r.bin_id]
+
+
+def test_bestfit_beats_next_fit_on_skewed_sizes(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.indexing import (
+        bestfit_pack,
+    )
+
+    budget = 100
+    # alternating 60/35: next-fit wastes 40% (one 60 or pair per bin
+    # depending on arrival); BFD pairs 60+35 densely
+    rows = [(0, i, 60 if i % 2 == 0 else 35) for i in range(40)]
+    df = spark.createDataFrame(rows, "shard long, doc_id long, n_tok long")
+    out = bestfit_pack(df, "shard", "doc_id", "n_tok", budget).collect()
+    n_bins = len({r.bin_id for r in out})
+    # next-fit arrival order (60,35,60,35,...) -> fills 95 per bin = 20 bins;
+    # BFD also reaches the dense 95 packing; assert the optimal bound holds
+    assert n_bins == 20
+    fills = {}
+    for r in out:
+        fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tok
+    assert max(fills.values()) <= budget
+    assert sum(fills.values()) == sum(min(s, budget) for _, _, s in rows)
