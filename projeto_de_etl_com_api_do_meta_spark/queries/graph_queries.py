@@ -271,3 +271,84 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("support").desc(), "u", "v")
     )
+
+
+_ORACLE_LINK_PRED = """
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT c, COUNT(*) AS d FROM cp GROUP BY c),
+pairs AS (
+  SELECT a.c AS cust_a, b.c AS cust_b, COUNT(*) AS common
+  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+  GROUP BY a.c, b.c
+  HAVING COUNT(*) >= 3
+)
+SELECT p.cust_a, p.cust_b, CAST(p.common AS BIGINT) AS common_parts,
+       CAST(floor(1000000.0 * p.common / (da.d + db.d - p.common))
+            AS BIGINT) AS jaccard_micro
+FROM pairs p
+JOIN deg da ON da.c = p.cust_a
+JOIN deg db ON db.c = p.cust_b
+ORDER BY common_parts DESC, cust_a, cust_b
+LIMIT 50
+"""
+
+
+@register(
+    "graph_link_prediction",
+    oracle=_ORACLE_LINK_PRED,
+    tags=("graph", "similarity", "analytics"),
+    doc=(
+        "Link prediction on the co-purchase graph: customer pairs scored "
+        "by common-neighbor count and Jaccard over their part "
+        "neighborhoods (floored to integer micro-units — no float "
+        "division crosses the oracle), min-support 3, top-50. This is "
+        "the similarity-join shape on a bipartite graph: one posting "
+        "self-join keyed on the shared part (pair work bounded per part "
+        "by that part's customer count — the same hot-key concern the "
+        "dedup posting joins cap; at 100 TB hot parts get the "
+        "df-cap/salting treatment of dedup_ngram_jaccard_capped), "
+        "degrees come from one hash aggregate broadcast onto the pair "
+        "table, and top-k is TakeOrderedAndProject."
+    ),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = cp.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    a = cp.select(F.col("c").alias("cust_a"), "p")
+    b = cp.select(F.col("c").alias("cust_b"), "p")
+    pairs = (
+        a.join(b, "p")
+        .where(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= 3)
+    )
+    da = deg.select(F.col("c").alias("cust_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("c").alias("cust_b"), F.col("d").alias("db"))
+    return (
+        pairs.join(F.broadcast(da), "cust_a")
+        .join(F.broadcast(db), "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            F.col("common").cast("bigint").alias("common_parts"),
+            F.floor(
+                F.lit(1000000.0) * F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common"))
+            )
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+        .orderBy(F.desc("common_parts"), "cust_a", "cust_b")
+        .limit(50)
+    )

@@ -1140,3 +1140,102 @@ def er_customer_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# -- distributed logistic-regression training (gradient descent) --------------
+
+_GD_ITERS = 8
+_GD_LR = 0.5
+_GD_FP = 1_000_000.0  # per-row gradient fixed-point scale
+
+
+def logreg_gd_train(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    iters: int = _GD_ITERS,
+    lr: float = _GD_LR,
+) -> DataFrame:
+    """Full-batch logistic-regression GD, the iterative-optimizer shape on
+    Spark: each iteration is ONE distributed aggregate — per-row gradient
+    contributions (sigmoid(w.x) - y) * x_j are FIXED-POINTED (floor to
+    1e-6 units) before summation, so the gradient is an exact BIGINT sum,
+    order-free under any partitioning, and every run converges to
+    bit-identical weights. Driver state is the weight vector (dim
+    doubles); data never leaves executors. Same bounded-iteration pattern
+    as Lloyd k-means / power iteration / k-center (a bounded driver loop
+    over one-pass distributed aggregates), which is exactly how a 100 TB
+    full-batch epoch runs; minibatch SGD swaps the full aggregate for a
+    deterministic hash-sampled one.
+
+    Returns (pos, weight, n_correct, n_rows): final weights to 6dp plus
+    the training accuracy computed in one last exact counting pass.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    src = df.select(
+        (F.col(label_col) % 2).cast("double").alias("y"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    src = src.cache()
+    try:
+        n = src.count()
+        w = [0.0] * dim
+
+        def margin(weights: list[float]):
+            lit = F.array(*[F.lit(float(x)) for x in weights])
+            return F.aggregate(
+                F.zip_with(F.col("v"), lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        for _ in range(iters):
+            resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(w))) - F.col("y")
+            grads = src.agg(
+                *[
+                    F.sum(
+                        F.floor(
+                            resid * F.element_at(F.col("v"), j + 1) * _GD_FP
+                        ).cast("long")
+                    ).alias(f"g{j}")
+                    for j in range(dim)
+                ]
+            ).collect()[0]
+            w = [
+                w[j] - lr * (grads[f"g{j}"] / _GD_FP) / n
+                for j in range(dim)
+            ]
+        correct = src.where(
+            ((margin(w) >= 0).cast("int")) == F.col("y").cast("int")
+        ).count()
+    finally:
+        src.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(j, round(w[j], 6), correct, n) for j in range(dim)],
+        "pos int, weight double, n_correct long, n_rows long",
+    )
+
+
+@register(
+    "ml_logreg_gd_train",
+    oracle=None,
+    tags=("ml", "training", "iterative"),
+    doc=(
+        "Distributed logistic-regression TRAINING (full-batch gradient "
+        "descent, 8 iterations): the iterative-optimizer pattern next to "
+        "Lloyd k-means and power iteration — per iteration one "
+        "distributed aggregate computes the exact gradient (per-row "
+        "contributions fixed-pointed to 1e-6 then summed as BIGINT, so "
+        "the update is order-free and runs are bit-reproducible), weight "
+        "vector lives on the driver (dim doubles, the bounded-state "
+        "contract). Target is label%2 over the embeddings fixture (the "
+        "mechanics demo; learnability on separable data is pinned in "
+        "tests/test_ml_queries.py). Rows-only: an 8-step optimizer "
+        "recursion is not SQL-expressible."
+    ),
+)
+def ml_logreg_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return logreg_gd_train(emb)

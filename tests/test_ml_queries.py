@@ -104,3 +104,51 @@ def test_twolevel_k_rule_matches_sql_isqrt_everywhere():
     assert len(rows) == len(sizes)
     for v, k1_sql, k2_sql in rows:
         assert (k1_sql, k2_sql) == _tl_dims(v), v
+
+
+# ---- round 6: distributed logistic-regression GD ---------------------------
+
+
+def test_logreg_gd_learns_separable_data(spark):
+    import numpy as np
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.ml_queries import (
+        logreg_gd_train,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 8
+    x = rng.normal(size=(n, dim))
+    # linearly separable: label by the sign of a fixed direction
+    w_true = np.arange(1, dim + 1, dtype="float64")
+    y = (x @ w_true >= 0).astype("int32")
+    df = spark.createDataFrame(
+        [(int(y[i]), [float(v) for v in x[i]]) for i in range(n)],
+        "label int, embedding array<float>",
+    )
+    out = logreg_gd_train(df, iters=12, lr=1.0).collect()
+    acc = out[0].n_correct / out[0].n_rows
+    assert acc > 0.9, f"separable data must be learnable, acc={acc}"
+    # determinism: a second run is bit-identical (exact integer gradients)
+    out2 = logreg_gd_train(df, iters=12, lr=1.0).collect()
+    assert [(r.pos, r.weight) for r in out] == [(r.pos, r.weight) for r in out2]
+
+
+def test_logreg_gd_weights_track_true_direction(spark):
+    import numpy as np
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.ml_queries import (
+        logreg_gd_train,
+    )
+
+    rng = np.random.default_rng(9)
+    n, dim = 300, 4
+    x = rng.normal(size=(n, dim))
+    y = (x[:, 2] >= 0).astype("int32")  # only dim 2 matters
+    df = spark.createDataFrame(
+        [(int(y[i]), [float(v) for v in x[i]]) for i in range(n)],
+        "label int, embedding array<float>",
+    )
+    w = {r.pos: r.weight for r in logreg_gd_train(df, iters=12, lr=1.0).collect()}
+    assert w[2] > 0
+    assert w[2] > 3 * max(abs(w[0]), abs(w[1]), abs(w[3]))
