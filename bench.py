@@ -110,6 +110,7 @@ HEADLINE: tuple[str, ...] = (
     "embed_covariance_matrix",
     "agg_kmv_distinct_sketch",
     "multimodal_clip_pair_filter",
+    "pipeline_rag_funnel",
 )
 
 

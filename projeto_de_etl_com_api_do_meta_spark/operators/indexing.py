@@ -410,23 +410,39 @@ def bestfit_pack(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # O(n log n) best-fit via an ordered multiset of (fill, bin_id):
+        # the best bin is the PREDECESSOR of (budget - s + 1, ...) — the
+        # largest fill that still fits. A naive scan of the bin table is
+        # O(n * bins) and measured quadratic at x64 (48.7 s for 40k items
+        # per shard, SCALE_PROBE_r06b); the ordered-multiset form holds
+        # the per-shard cost to n log n regardless of corpus growth.
+        # Tie rule unchanged: equal fills resolve to the LOWEST bin id
+        # (the multiset orders (fill, bin_id) ascending and bisect lands
+        # on the first entry of a fill run, so stepping left yields the
+        # run's... largest id; we instead keep (fill, -bin_id) so the
+        # predecessor within an equal-fill run is the lowest id).
+        from sortedcontainers import SortedList
+
         pdf = pdf.sort_values(
             [size_col, id_col], ascending=[False, True], kind="mergesort"
         )
         sizes = pdf[size_col].to_numpy()
-        fills: list[int] = []  # fill level per bin id
+        open_bins = SortedList()  # (fill, -bin_id) ascending
+        fills: list[int] = []
         assign = np.empty(len(sizes), dtype="int64")
+        neg_inf = float("-inf")
         for n, s in enumerate(sizes):
-            # best fit: max fill among bins with fill + s <= budget
-            best, best_fill = -1, -1
-            for b, f in enumerate(fills):
-                if f + s <= budget and f > best_fill:
-                    best, best_fill = b, f
-            if best < 0:
-                best = len(fills)
+            i = open_bins.bisect_left((budget - s + 1, neg_inf))
+            if i == 0:
+                b = len(fills)  # nothing fits: open a new bin
                 fills.append(0)
-            fills[best] += s
-            assign[n] = best
+            else:
+                _, neg = open_bins.pop(i - 1)
+                b = -neg
+            fills[b] += s
+            if fills[b] < budget:  # full bins leave the candidate set
+                open_bins.add((fills[b], -b))
+            assign[n] = b
         out = pdf.copy()
         out["bin_id"] = assign
         out["bin_fill"] = [fills[b] for b in assign]

@@ -82,6 +82,8 @@ _PRIORITY: tuple[str, ...] = (
     "dq_robust_stats_mad",
     "events_ewma_fold",
     "graph_link_prediction",
+    "sample_doremi_reweight",
+    "pipeline_rag_funnel",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----

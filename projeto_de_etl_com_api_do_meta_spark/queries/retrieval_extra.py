@@ -562,3 +562,249 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_micro").desc(), "doc_id")
         .limit(_RRF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval funnel (flagship composition #3, round 6)
+# ---------------------------------------------------------------------------
+
+_RAG_C = 32   # chunk size (tokens)
+_RAG_S = 24   # chunk stride (8-token overlap)
+_RAG_DEPTH = 20
+_RAG_TOP = 5
+
+_ORACLE_RAG = rf"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+chunks AS (
+  SELECT d.doc_id,
+         CAST((t.s - 1) / {_RAG_S} AS BIGINT) AS chunk_idx,
+         CAST(t.s AS BIGINT) AS start_tok,
+         d.toks[t.s : least(t.s + {_RAG_C} - 1, len(d.toks))] AS ctoks
+  FROM docs d, unnest(range(1, len(d.toks) + 1, {_RAG_S})) AS t(s)
+),
+lens AS (SELECT doc_id, chunk_idx, start_tok, ctoks,
+                len(ctoks) AS dl FROM chunks),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM lens
+),
+tok AS (SELECT doc_id, chunk_idx, unnest(ctoks) AS term FROM lens),
+tf AS (
+  SELECT doc_id, chunk_idx, term, COUNT(*) AS tf
+  FROM tok WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2, 3
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+lex_scored AS (
+  SELECT tf.doc_id, tf.chunk_idx, {_BM25_TERM_MICRO} AS term_micro
+  FROM tf JOIN df USING (term)
+  JOIN lens ON lens.doc_id = tf.doc_id AND lens.chunk_idx = tf.chunk_idx
+  CROSS JOIN stats
+),
+lex AS (
+  SELECT doc_id, chunk_idx, r FROM (
+    SELECT doc_id, chunk_idx,
+           ROW_NUMBER() OVER (ORDER BY CAST(SUM(term_micro) AS BIGINT) DESC,
+                              doc_id, chunk_idx) AS r
+    FROM lex_scored GROUP BY doc_id, chunk_idx
+  ) WHERE r <= {_RAG_DEPTH}
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {_RRF_QVEC}),
+dense AS (
+  SELECT doc_id, r FROM (
+    SELECT e.vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY
+             round(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))),
+                   6) DESC, e.vec_id) AS r
+    FROM embeddings e CROSS JOIN q
+  ) WHERE r <= {_RAG_DEPTH}
+),
+cand AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         COALESCE(l.chunk_idx, 0) AS chunk_idx,  -- dense-only: head chunk
+         CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS in_lex,
+         CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS in_dense,
+         COALESCE(CAST(floor(1000000.0 / (60 + l.r)) AS BIGINT), 0)
+         + COALESCE(CAST(floor(1000000.0 / (60 + d.r)) AS BIGINT), 0)
+           AS rrf_micro
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+),
+best_per_doc AS (
+  SELECT doc_id,
+         MAX(rrf_micro) AS rrf_micro,
+         MIN(chunk_idx) FILTER (
+           WHERE rrf_micro = (SELECT MAX(c2.rrf_micro) FROM cand c2
+                              WHERE c2.doc_id = cand.doc_id)) AS chunk_idx,
+         MAX(in_lex) AS in_lex, MAX(in_dense) AS in_dense
+  FROM cand GROUP BY doc_id
+),
+top AS (
+  SELECT * FROM best_per_doc
+  ORDER BY rrf_micro DESC, doc_id LIMIT {_RAG_TOP}
+)
+SELECT t.doc_id, t.chunk_idx, l.start_tok,
+       CAST(l.dl AS BIGINT) AS n_tok_chunk,
+       t.rrf_micro, t.in_lex, t.in_dense,
+       md5(array_to_string(l.ctoks, ' ')) AS chunk_md5
+FROM top t JOIN lens l
+  ON l.doc_id = t.doc_id AND l.chunk_idx = t.chunk_idx
+ORDER BY t.rrf_micro DESC, t.doc_id
+"""
+
+
+@register(
+    "pipeline_rag_funnel",
+    oracle=_ORACLE_RAG,
+    tags=("retrieval", "pipeline", "north-star"),
+    doc=(
+        "End-to-end RAG retrieval funnel (flagship composition #3, next "
+        "to pipeline_training_funnel and pipeline_sft_funnel): (1) "
+        "sliding-window chunking (32 tokens, stride 24 — the overlap "
+        "indexers use so answers spanning a boundary survive); (2) BM25 "
+        "over CHUNKS (chunk-level df/avgdl, integer micro scores), depth "
+        "20; (3) dense cosine over PARENT-doc embeddings, depth 20; (4) "
+        "reciprocal-rank fusion in exact BIGINT micro-units, dense-only "
+        "hits falling back to the head chunk; (5) per-doc dedup keeping "
+        "the best chunk (overlapping chunks of one doc must not crowd "
+        "the context window); (6) top-5 contexts with provenance "
+        "(start_tok, length, chunk md5). Scale: chunking is a pure "
+        "array expression (no shuffle before the term-filtered explode), "
+        "both retriever arms are depth-bounded before any join, and the "
+        "fusion/dedup work is O(depth), corpus-size-independent."
+    ),
+)
+def pipeline_rag_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(docs, "doc_id")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_RAG_S))
+        ).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        ((F.col("s") - 1) / _RAG_S).cast("bigint").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        F.slice("toks", F.col("s"), F.lit(_RAG_C)).alias("ctoks"),
+    )
+    lens = chunks.withColumn("dl", F.size("ctoks").cast("long"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        lens.select("doc_id", "chunk_idx", F.explode("ctoks").alias("term"))
+        .where(F.col("term").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "chunk_idx", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    lex_sum = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens.select("doc_id", "chunk_idx", "dl"), ["doc_id", "chunk_idx"])
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "chunk_idx", F.expr(_BM25_TERM_MICRO).alias("term_micro")
+        )
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.sum("term_micro").cast("long").alias("score"))
+        .orderBy(F.desc("score"), "doc_id", "chunk_idx")
+        .limit(_RAG_DEPTH)
+    )
+    lex = lex_sum.withColumn(
+        "lex_r",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), "doc_id", "chunk_idx")
+        ),
+    ).select("doc_id", "chunk_idx", "lex_r")
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == _RRF_QVEC).select(to_d.alias("qv"))
+    )
+    dense_s = (
+        emb.select(F.col("vec_id").alias("doc_id"), to_d.alias("cv"))
+        .crossJoin(q)
+        .select(
+            "doc_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("cv"), F.col("cv")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(_RAG_DEPTH)
+    )
+    dense = dense_s.withColumn(
+        "dense_r",
+        F.row_number().over(Window.orderBy(F.desc("cos_sim"), "doc_id")),
+    ).select("doc_id", "dense_r")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.floor(F.lit(1000000.0) / (F.lit(_RRF_K) + r)).cast("long"), F.lit(0)
+    )
+    cand = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("chunk_idx", F.lit(0)).alias("chunk_idx"),
+            F.when(F.col("lex_r").isNull(), 0).otherwise(1).alias("in_lex"),
+            F.when(F.col("dense_r").isNull(), 0).otherwise(1).alias("in_dense"),
+            (contrib(F.col("lex_r")) + contrib(F.col("dense_r"))).alias(
+                "rrf_micro"
+            ),
+        )
+    )
+    best = cand.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("rrf_micro").alias("m"),
+                (-F.col("chunk_idx")).alias("nc"),
+            )
+        ).alias("b"),
+        F.max("in_lex").alias("in_lex"),
+        F.max("in_dense").alias("in_dense"),
+    ).select(
+        "doc_id",
+        (-F.col("b.nc")).cast("bigint").alias("chunk_idx"),
+        F.col("b.m").alias("rrf_micro"),
+        "in_lex",
+        "in_dense",
+    )
+    top = best.orderBy(F.desc("rrf_micro"), "doc_id").limit(_RAG_TOP)
+    return (
+        top.join(lens, ["doc_id", "chunk_idx"])
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_tok",
+            F.col("dl").cast("bigint").alias("n_tok_chunk"),
+            "rrf_micro",
+            "in_lex",
+            "in_dense",
+            F.md5(F.concat_ws(" ", "ctoks")).alias("chunk_md5"),
+        )
+        .orderBy(F.desc("rrf_micro"), "doc_id")
+    )

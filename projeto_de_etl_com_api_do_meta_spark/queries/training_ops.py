@@ -1964,3 +1964,111 @@ def train_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t, group_col="shard", id_col="doc_id", size_col="n_tok",
         budget=_PACK_BUDGET,
     ).orderBy("shard", "bin_id", "doc_id")
+
+
+# -- DoReMi-style domain reweighting (one exponentiated-gradient step) --------
+
+_DOREMI_ETA = "0.5"
+
+_ORACLE_DOREMI = f"""
+WITH stats AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM stats),
+-- proxy excess loss per domain: long docs are "harder" — average chars
+-- per doc normalized by the corpus-wide average (deterministic stand-in
+-- for the DoReMi proxy/reference loss gap)
+loss AS (
+  SELECT s.source, s.n_docs,
+         CAST(s.n_chars AS DOUBLE) / CAST(s.n_docs AS DOUBLE)
+           / (SELECT CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_docs) AS
+              DOUBLE) FROM stats) AS excess_loss
+  FROM stats s
+),
+unnorm AS (
+  SELECT source, n_docs, excess_loss,
+         -- fixed-point BEFORE the normalizing sum: z is then an exact
+         -- BIGINT total, so normalization is order-free in both engines
+         CAST(floor(1000000000000.0 * (CAST(n_docs AS DOUBLE)
+              / (SELECT CAST(total_docs AS DOUBLE) FROM tot))
+              * exp({_DOREMI_ETA} * excess_loss)) AS BIGINT) AS u_e12
+  FROM loss
+),
+z AS (SELECT CAST(SUM(u_e12) AS BIGINT) AS z FROM unnorm)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       round(excess_loss, 6) AS excess_loss,
+       round(CAST(u_e12 AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS new_weight
+FROM unnorm, z ORDER BY source
+"""
+
+
+@register(
+    "sample_doremi_reweight",
+    oracle=_ORACLE_DOREMI,
+    tags=("sampling", "training", "north-star"),
+    doc=(
+        "DoReMi-style domain reweighting (arXiv:2305.10429), one "
+        "exponentiated-gradient step: per-domain weights start at the "
+        "corpus token share and multiply by exp(eta * excess_loss), then "
+        "renormalize — the data-mixture optimization loop's inner step, "
+        "run between training epochs. The excess-loss signal here is the "
+        "deterministic chars-per-doc ratio stand-in (the real pipeline "
+        "plugs per-domain proxy-model loss into the same shape). One "
+        "hash aggregate per domain + two scalar broadcasts; domain count "
+        "is tiny so the EG step is driver-trivial at any corpus size. "
+        "Float math is a fixed per-row expression over exact integer "
+        "aggregates (sum-order never varies), so round-6 values match "
+        "the oracle bit-for-bit."
+    ),
+)
+def sample_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    glob = stats.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        (
+            F.sum("n_chars").cast("double") / F.sum("n_docs").cast("double")
+        ).alias("avg_chars"),
+    )
+    eta = float(_DOREMI_ETA)
+    unnorm = (
+        stats.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            (
+                F.col("n_chars").cast("double") / F.col("n_docs").cast("double")
+                / F.col("avg_chars")
+            ).alias("excess_loss"),
+            F.floor(
+                F.lit(1e12)
+                * (F.col("n_docs").cast("double")
+                   / F.col("total_docs").cast("double"))
+                * F.exp(F.lit(eta) * (
+                    F.col("n_chars").cast("double")
+                    / F.col("n_docs").cast("double")
+                    / F.col("avg_chars")
+                ))
+            ).cast("bigint").alias("u_e12"),
+        )
+    )
+    z = unnorm.agg(F.sum("u_e12").cast("bigint").alias("z"))
+    return (
+        unnorm.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            F.round("excess_loss", 6).alias("excess_loss"),
+            F.round(
+                F.col("u_e12").cast("double") / F.col("z").cast("double"), 6
+            ).alias("new_weight"),
+        )
+        .orderBy("source")
+    )

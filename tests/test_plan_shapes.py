@@ -176,3 +176,24 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     joined = fact.join(dim.where(F.col("is_hot")), "event_date")
     plan = _formatted_plan(joined)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_rag_funnel_arms_are_depth_bounded_and_broadcast(spark):
+    """pipeline_rag_funnel: both retriever arms end in
+    TakeOrderedAndProject (depth bound before any fusion join) and the
+    scalar stats/query-vector sides broadcast."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.registry import (
+        QUERIES,
+        _load_all,
+    )
+
+    _load_all()
+    plan = (
+        QUERIES["pipeline_rag_funnel"]
+        .fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
