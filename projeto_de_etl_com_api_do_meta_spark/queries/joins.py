@@ -907,3 +907,99 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["view_id", "view_value"],
         tolerance_us=10 * 60 * 1_000_000,
     )
+
+
+# -- spatial neighbor join via grid bucketing ---------------------------------
+
+_GEO_CELL = 50      # grid cell edge, centi-degrees (0.5 deg)
+_GEO_R2 = 2500      # radius^2 in centi-degree^2 (0.5 deg radius)
+
+_ORACLE_GEO_GRID = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST((c_custkey * 37) % 4000 - 2000 AS BIGINT) AS lat_c,
+         CAST((c_custkey * 101) % 4000 - 2000 AS BIGINT) AS lon_c
+  FROM customer
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         (a.lat_c - b.lat_c) * (a.lat_c - b.lat_c)
+         + (a.lon_c - b.lon_c) * (a.lon_c - b.lon_c) AS dist2
+  FROM pts a JOIN pts b
+    ON a.id < b.id
+   AND abs(a.lat_c - b.lat_c) <= {_GEO_CELL}
+   AND abs(a.lon_c - b.lon_c) <= {_GEO_CELL}
+  WHERE (a.lat_c - b.lat_c) * (a.lat_c - b.lat_c)
+        + (a.lon_c - b.lon_c) * (a.lon_c - b.lon_c) <= {_GEO_R2}
+)
+SELECT id_a, id_b, CAST(dist2 AS BIGINT) AS dist2
+FROM pairs ORDER BY dist2, id_a, id_b LIMIT 200
+"""
+
+
+@register(
+    "join_spatial_grid_neighbors",
+    oracle=_ORACLE_GEO_GRID,
+    tags=("join", "spatial", "scale"),
+    doc=(
+        "Spatial neighbor join via GRID BUCKETING, the distributed "
+        "spatial-join pattern (Sedona/GeoSpark's partitioning idea in "
+        "miniature): each point lands in one 0.5-degree cell, the LEFT "
+        "side replicates to its 3x3 neighborhood cells, and the join is "
+        "an EQUI-join on the cell id + exact radius refine — O(points "
+        "x local density), never the O(N^2) nested loop a bare distance "
+        "predicate plans (and each qualifying pair matches exactly once "
+        "because only one side replicates). Geometry is exact integer "
+        "centi-degrees (squared distances as BIGINT — no trig or float "
+        "crosses the oracle); coordinates are synthesized "
+        "deterministically from c_custkey (the fixture has no geo "
+        "columns — same augment-then-operate contract as the web "
+        "queries). Oracle: the naive inequality join with the same "
+        "radius."
+    ),
+)
+def join_spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37) % 4000 - 2000).cast("long").alias("lat_c"),
+        ((F.col("c_custkey") * 101) % 4000 - 2000).cast("long").alias("lon_c"),
+    )
+    cell = lambda c: F.expr(f"CAST({c} AS BIGINT) div {_GEO_CELL}")  # noqa: E731
+    # left replicated to the 3x3 neighborhood; right stays in its own cell
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat_c").alias("lat_a"),
+        F.col("lon_c").alias("lon_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cell("lat_c") + dy).alias("cy"),
+                        (cell("lon_c") + dx).alias("cx"),
+                    )
+                    for dy, dx in offsets
+                ]
+            )
+        ).alias("cell"),
+    ).select("id_a", "lat_a", "lon_a", "cell.cy", "cell.cx")
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat_c").alias("lat_b"),
+        F.col("lon_c").alias("lon_b"),
+        cell("lat_c").alias("cy"),
+        cell("lon_c").alias("cx"),
+    )
+    d2 = (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b")) + (
+        F.col("lon_a") - F.col("lon_b")
+    ) * (F.col("lon_a") - F.col("lon_b"))
+    return (
+        a.join(b, ["cy", "cx"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
+        .where(F.col("dist2") <= _GEO_R2)
+        .orderBy("dist2", "id_a", "id_b")
+        .limit(200)
+    )

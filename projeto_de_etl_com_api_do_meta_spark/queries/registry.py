@@ -84,6 +84,8 @@ _PRIORITY: tuple[str, ...] = (
     "graph_link_prediction",
     "sample_doremi_reweight",
     "pipeline_rag_funnel",
+    "window_distribution_ranks",
+    "join_spatial_grid_neighbors",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----

@@ -655,3 +655,48 @@ def setop_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "k", "n")
     )
     return inter.unionAll(exc).orderBy("op", "k")
+
+
+_ORACLE_DIST_RANKS = """
+SELECT o_orderpriority,
+       o_orderkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM orders
+WHERE o_orderkey < 640
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+
+@register(
+    "window_distribution_ranks",
+    oracle=_ORACLE_DIST_RANKS,
+    tags=("window", "analytics"),
+    doc=(
+        "Distribution-rank window battery: percent_rank, cume_dist and "
+        "ntile(4) per priority group over a total (price, key) order — "
+        "the relative-standing trio (W1's remaining members) used for "
+        "percentile-based cohorting. One shuffle on the partition key; "
+        "the ORDER BY includes the key so every rank is a total order "
+        "and engine-exact. Filter keeps the fixture window small; at "
+        "scale these windows run per bounded partition, never globally."
+    ),
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 640
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    ).orderBy("o_orderpriority", "o_orderkey")
