@@ -86,6 +86,8 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_rag_funnel",
     "window_distribution_ranks",
     "join_spatial_grid_neighbors",
+    "sample_neyman_allocation",
+    "text_readability_scores",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----

@@ -1707,3 +1707,74 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c12"), "w1", "w2")
         .limit(50)
     )
+
+
+_ORACLE_READABILITY = r"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syll AS BIGINT) AS n_syllables,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+             - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             4) AS flesch,
+       round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+             + 11.8 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+             - 15.59, 4) AS fk_grade
+FROM f ORDER BY doc_id
+"""
+
+
+@register(
+    "text_readability_scores",
+    oracle=_ORACLE_READABILITY,
+    tags=("text", "quality"),
+    doc=(
+        "Flesch reading-ease + Flesch-Kincaid grade per document — the "
+        "readability band filter some curation recipes add next to the "
+        "Gopher/C4 rules (too-low AND too-high readability both correlate "
+        "with boilerplate). Syllables via the standard vowel-group "
+        "heuristic (one regexp_extract_all count — the identical regex "
+        "runs in both engines, so counts are exact integers), sentences "
+        "via terminal-punctuation runs with a floor of 1; the two score "
+        "formulas are single per-row float expressions over those exact "
+        "integers. Pure expression layer: no shuffle at all before any "
+        "downstream aggregate."
+    ),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    n_words = F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    f = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        n_sent.cast("bigint").alias("n_sentences"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4)
+        .alias("flesch"),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4)
+        .alias("fk_grade"),
+    ).orderBy("doc_id")

@@ -2072,3 +2072,131 @@ def sample_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- Neyman-optimal stratified sample allocation -------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+_ORACLE_NEYMAN = f"""
+WITH m AS (
+  SELECT source, COUNT(*) AS nh,
+         CAST(SUM(n_chars) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS s2
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, nh,
+         -- floor(1e6 * N_h * population-sd): sd from exact moments, one
+         -- sqrt per stratum, fixed-pointed BEFORE the denominator sum
+         CAST(floor(1000000.0 * nh * sqrt(
+           CAST(nh * s2 - s1 * s1 AS DOUBLE)
+           / CAST(nh AS DOUBLE) / CAST(nh AS DOUBLE))) AS BIGINT) AS wm
+  FROM m
+),
+tot AS (SELECT CAST(SUM(wm) AS BIGINT) AS z FROM w),
+shares AS (
+  SELECT source, nh, wm,
+         CAST({_NEYMAN_BUDGET} AS BIGINT) * wm AS share
+  FROM w
+),
+alloc AS (
+  SELECT s.source, s.nh, s.wm,
+         share // t.z AS base,
+         share % t.z AS rem,
+         ROW_NUMBER() OVER (ORDER BY share % t.z DESC, s.source) AS rr
+  FROM shares s, tot t
+),
+left_over AS (
+  SELECT CAST({_NEYMAN_BUDGET} AS BIGINT) - SUM(base) AS k FROM alloc
+)
+SELECT a.source, CAST(a.nh AS BIGINT) AS n_docs, a.wm AS weight_micro,
+       CAST(a.base + CASE WHEN a.rr <= l.k THEN 1 ELSE 0 END AS BIGINT)
+         AS n_sampled
+FROM alloc a, left_over l
+ORDER BY a.source
+"""
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=_ORACLE_NEYMAN,
+    tags=("sampling", "stats", "north-star"),
+    doc=(
+        "Neyman-optimal stratified sample allocation: each stratum "
+        "(source) gets budget share proportional to N_h * sd_h (the "
+        "variance-minimizing allocation for a fixed budget), with the "
+        "integer seats assigned by the largest-remainder method. "
+        "Determinism engineering: stddev comes from exact HUGEINT "
+        "moments, per-stratum weights fix-point BEFORE the denominator "
+        "sum, and the seat arithmetic (base = n*w div Z, remainder = "
+        "n*w mod Z, top-k remainders rounded up) is pure BIGINT — the "
+        "entire apportionment is order-free and engine-exact. One "
+        "moments aggregate + a 20-row driver-free window; this is the "
+        "front-door planner for sample_stratified_by_lang-style "
+        "executors at any corpus size."
+    ),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")
+        ).alias("s2"),
+    )
+    w = m.select(
+        "source",
+        "nh",
+        F.floor(
+            F.lit(1e6)
+            * F.col("nh")
+            * F.sqrt(
+                (F.col("nh") * F.col("s2") - F.col("s1") * F.col("s1"))
+                .cast("double")
+                / F.col("nh").cast("double")
+                / F.col("nh").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("wm"),
+    )
+    tot = w.agg(F.sum("wm").cast("bigint").alias("z"))
+    shares = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "nh",
+        "wm",
+        (F.lit(_NEYMAN_BUDGET).cast("bigint") * F.col("wm")).alias("share"),
+        "z",
+    )
+    alloc = shares.select(
+        "source",
+        "nh",
+        "wm",
+        F.expr("share div z").alias("base"),
+        (F.col("share") % F.col("z")).alias("rem"),
+    ).withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    )
+    k = alloc.agg(
+        (F.lit(_NEYMAN_BUDGET).cast("bigint") - F.sum("base")).alias("k")
+    )
+    return (
+        alloc.crossJoin(F.broadcast(k))
+        .select(
+            "source",
+            F.col("nh").cast("bigint").alias("n_docs"),
+            F.col("wm").alias("weight_micro"),
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
