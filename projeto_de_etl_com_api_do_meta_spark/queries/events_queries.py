@@ -890,3 +890,103 @@ def events_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     ).orderBy("user_id")
+
+
+_ORACLE_HOLT = """
+WITH ordered AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+folded AS (
+  -- accumulator is a 2-element DOUBLE list [level, trend]: DuckDB 1.0's
+  -- list_reduce mis-evaluates STRUCT accumulators whose fields reference
+  -- each other's inputs (verified: struct form returns a wrong trend on
+  -- 3+ elements while the list form matches the hand recursion and
+  -- Spark bit-for-bit)
+  SELECT user_id, len(xs) AS n_obs,
+         list_reduce(
+           list_transform(xs, x -> [x, CAST(0.0 AS DOUBLE)]),
+           (acc, e) -> [
+             CAST(0.5 AS DOUBLE) * e[1]
+               + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+             CAST(0.3 AS DOUBLE)
+               * (CAST(0.5 AS DOUBLE) * e[1]
+                  + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]) - acc[1])
+               + CAST(0.7 AS DOUBLE) * acc[2]]) AS s
+  FROM ordered
+)
+SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+       round(s[1], 6) AS level, round(s[2], 6) AS trend,
+       round(s[1] + s[2], 6) AS forecast_1
+FROM folded ORDER BY user_id
+"""
+
+
+@register(
+    "events_holt_linear_fold",
+    oracle=_ORACLE_HOLT,
+    tags=("events", "timeseries", "analytics"),
+    doc=(
+        "Holt's linear-trend double-exponential smoothing per user "
+        "(alpha=0.5, beta=0.3, level seeded at the first observation, "
+        "trend at 0): the TWO-STATE recursion l' = a*x + (1-a)(l+t), "
+        "t' = b*(l'-l) + (1-b)*t — no window expression can carry "
+        "coupled state, so it runs as a deterministic STRUCT-accumulator "
+        "fold: array_sort fixes a total order, F.aggregate folds a "
+        "(level, trend) struct JVM-side in exactly that order, and the "
+        "DuckDB oracle executes the identical operation sequence via "
+        "list_reduce over struct_pack — bit-identical without a single "
+        "UDF. The pattern generalizes: any bounded-state sequential "
+        "recursion (CUSUM, Kalman 1-D, session scoring) oracle-checks "
+        "this way. Emits final level/trend and the one-step forecast."
+    ),
+)
+def events_holt_linear_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.col("value").cast("double").alias("x"))
+            .alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda e: e["x"]
+            ).alias("xs")
+        )
+    )
+    a, b = F.lit(0.5), F.lit(0.3)
+
+    def merge(acc, x):
+        new_l = a * x + (F.lit(1.0) - a) * (acc["l"] + acc["t"])
+        new_t = (
+            b * (a * x + (F.lit(1.0) - a) * (acc["l"] + acc["t"]) - acc["l"])
+            + (F.lit(1.0) - b) * acc["t"]
+        )
+        return F.struct(new_l.alias("l"), new_t.alias("t"))
+
+    folded = seq.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_obs"),
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.struct(
+                F.element_at(F.col("xs"), 1).alias("l"),
+                F.lit(0.0).alias("t"),
+            ),
+            merge,
+        ).alias("s"),
+    )
+    return folded.select(
+        "user_id",
+        "n_obs",
+        F.round(F.col("s.l"), 6).alias("level"),
+        F.round(F.col("s.t"), 6).alias("trend"),
+        F.round(F.col("s.l") + F.col("s.t"), 6).alias("forecast_1"),
+    ).orderBy("user_id")

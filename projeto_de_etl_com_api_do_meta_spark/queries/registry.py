@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_spatial_grid_neighbors",
     "sample_neyman_allocation",
     "text_readability_scores",
+    "events_holt_linear_fold",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----
