@@ -1250,3 +1250,103 @@ def stream_cdc_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_version(spark, table).orderBy("user_id")
+
+
+_ORACLE_CDC_FENCED = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         CAST(round(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT)
+           AS cents,
+         event_id AS seq,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+           AS rn
+  FROM events
+)
+SELECT user_id, cents, CAST(seq AS BIGINT) AS seq
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@register(
+    "stream_cdc_fenced_apply",
+    oracle=_ORACLE_CDC_FENCED,
+    tags=("streaming", "lakehouse", "cdc", "north-star"),
+    doc=(
+        "Sequence-FENCED streaming CDC apply — the cross-batch-ordering "
+        "companion to stream_cdc_lakehouse_merge: here the changelog is "
+        "sharded ARBITRARILY (by event_id range, so one key's history "
+        "spans batches and batch arrival order is NOT aligned with "
+        "change order), and correctness comes from monotonic "
+        "sequence-number fencing instead: each micro-batch unions the "
+        "current snapshot with the batch and keeps, per key, the row "
+        "with the highest sequence number — a stale or replayed change "
+        "can never overwrite a newer state (the Debezium/Delta "
+        "applyChanges rule). Every batch is applied twice to prove "
+        "replay idempotency. Tombstones carry through the keep-last "
+        "with their seq (so a late pre-delete upsert loses) and filter "
+        "out at read. Trade-off vs the key-bounded COW merge is "
+        "documented: fencing rewrites O(state) per batch (state is the "
+        "compacted per-key table, not the log), the right shape when "
+        "changes cannot be key-partitioned at the source."
+    ),
+)
+def stream_cdc_fenced_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.safe_math import dec
+    from ..operators.lakehouse import commit_version, read_version, versions
+
+    pin_query_session_conf(spark)
+    run = _fresh_run_dir("cdc_fenced", sf_dir)
+    src = f"{run}/changelog"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        (F.col("event_type") == "error").alias("is_del"),
+        (F.round(dec("value", "decimal(18,4)") * 100, 0))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    # shard by event_id range: a key's changes SPAN batches on purpose
+    ev.repartitionByRange(4, "seq").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    table = f"{run}/state"
+    commit_version(
+        spark.createDataFrame(
+            [], "user_id long, cents long, seq long, is_del boolean"
+        ).coalesce(1),
+        table,
+    )
+
+    def apply_fenced(batch_df: DataFrame, batch_id: int) -> None:
+        for _ in range(2):  # deliberate replay: fencing makes it a no-op
+            cur = read_version(spark, table)
+            merged = cur.unionByName(
+                batch_df.select("user_id", "cents", "seq", "is_del")
+            )
+            w = Window.partitionBy("user_id").orderBy(F.col("seq").desc())
+            latest = (
+                merged.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+            commit_version(latest, table)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_fenced)
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_version(spark, table)
+        .where(~F.col("is_del"))
+        .select("user_id", "cents", F.col("seq").cast("bigint").alias("seq"))
+        .orderBy("user_id")
+    )

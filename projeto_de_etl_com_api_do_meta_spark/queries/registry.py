@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_neyman_allocation",
     "text_readability_scores",
     "events_holt_linear_fold",
+    "stream_cdc_fenced_apply",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----
