@@ -40,6 +40,30 @@ INVARIANT_QUERIES = (
     "sample_dsir_importance",
     "text_ccnet_perplexity_buckets",
     "embed_outliers_centroid_dist",
+    # r6: the new exactness contracts — KMV bottom-k (hash order is total),
+    # fixed-point covariance (decimal moment sums), KN bigram (integer
+    # counts + single per-row float expr), ordered-multiset BFD packing
+    # (per-shard sequential state inside one applyInPandas group), EWMA /
+    # Holt folds (total-order array folds), Neyman seats (pure BIGINT
+    # apportionment), fenced CDC keep-last, spatial grid join (integer
+    # geometry), unigram Viterbi (distinct-word DP)
+    "agg_kmv_distinct_sketch",
+    "agg_kmv_set_ops",
+    "embed_covariance_matrix",
+    "text_kneser_ney_bigram",
+    "train_pack_bestfit",
+    "events_ewma_fold",
+    "events_holt_linear_fold",
+    "sample_neyman_allocation",
+    # join_spatial_grid_neighbors: excluded only because the sf0.001
+    # fixture is too sparse for any pair within the radius (empty result
+    # can't demonstrate invariance); its determinism is pure integer
+    # geometry + TakeOrdered and is oracle-proven at sf0.01/sf0.1.
+    "corpus_unigram_lm_tokenize",
+    "sample_doremi_reweight",
+    "retrieval_rrf_hybrid",
+    "pipeline_rag_funnel",
+    "graph_link_prediction",
 )
 
 
