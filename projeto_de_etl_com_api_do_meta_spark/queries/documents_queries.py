@@ -1530,3 +1530,88 @@ def corpus_unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "pieces", "n_pieces", "score_micro", "n_occurrences")
         .orderBy("word")
     )
+
+
+_ORACLE_NOVELTY = r"""
+WITH grams AS (
+  SELECT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents WHERE length(trim(text)) > 0) t,
+       unnest(range(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 3
+),
+per_doc AS (SELECT DISTINCT doc_id, g FROM grams),
+df AS (SELECT g, COUNT(*) AS df FROM per_doc GROUP BY g)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(floor(1000000.0 * SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS novelty_ppm
+FROM per_doc p JOIN df USING (g)
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
+@register(
+    "text_ngram_novelty_score",
+    oracle=_ORACLE_NOVELTY,
+    tags=("text", "quality", "dedup"),
+    doc=(
+        "Leave-one-out 3-gram novelty per document: the fraction of a "
+        "doc's distinct trigrams appearing in NO other document "
+        "(document frequency 1) — high novelty flags unique content "
+        "worth keeping, low novelty flags near-boilerplate that the "
+        "pairwise dedup family then resolves; it is the cheap corpus-"
+        "level complement to MinHash (one df aggregate instead of a "
+        "pair join). Trigrams come from a pure array expression, the "
+        "df table is one hash aggregate on the gram key, and the score "
+        "joins back on the same key — integer ppm, no float crosses "
+        "the oracle."
+    ),
+)
+def text_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    grams = (
+        docs.select(
+            "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
+        )
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), i -> "
+                    "concat_ws(' ', w[i], w[i + 1], w[i + 2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_novel") / F.col("n_grams")
+            )
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -90,6 +90,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_readability_scores",
     "events_holt_linear_fold",
     "stream_cdc_fenced_apply",
+    "text_ngram_novelty_score",
+    "warehouse_scd2_incremental_apply",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----

@@ -1363,3 +1363,130 @@ def lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_SCD2_CUTOFF = "2024-01-25"
+
+
+@register(
+    "warehouse_scd2_incremental_apply",
+    oracle=_SCD2_BUILD_ORACLE,
+    tags=("warehouse", "temporal", "cdc", "north-star"),
+    doc=(
+        "Incremental SCD2 APPLY: the dimension is first built from the "
+        "changelog BEFORE the cutoff, then the late changes apply "
+        "incrementally — per affected key the CURRENT row becomes the "
+        "anchor of a tail rebuild (anchor + late rows, one window pass: "
+        "change suppression against the anchor's value, version numbers "
+        "offset by the anchor's version_no, the anchor's open interval "
+        "closes at the first surviving new change), while historical "
+        "rows and untouched keys carry over UNTOUCHED. The anchor "
+        "comparator is sound because suppression preserves value runs "
+        "(the last raw pre-cutoff value always equals the current row's "
+        "value). Work is O(affected keys + late rows), never O(dim). "
+        "The oracle is the FULL-changelog SCD2 rebuild — value equality "
+        "IS the incremental==batch invariant, the property every "
+        "incremental warehouse pipeline must prove."
+    ),
+)
+def warehouse_scd2_incremental_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pin_query_session_conf(spark)
+    events = load_table(spark, sf_dir, "events")
+    src = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(dec("value") * 100, 0).cast("long").alias("attr_cents"),
+    )
+    cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    early, late = src.where(F.col("ts") < cutoff), src.where(
+        F.col("ts") >= cutoff
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def build(ch: DataFrame) -> DataFrame:  # SCD2 core, event_id retained
+        changes = (
+            ch.withColumn("prev", F.lag("attr_cents").over(w))
+            .where(
+                F.col("prev").isNull()
+                | (F.col("attr_cents") != F.col("prev"))
+            )
+            .drop("prev")
+        )
+        return (
+            changes.withColumn("version_no", F.row_number().over(w))
+            .withColumn("valid_to", F.lead("ts").over(w))
+            .select(
+                "user_id",
+                "version_no",
+                F.col("ts").alias("valid_from"),
+                "valid_to",
+                F.when(F.col("valid_to").isNull(), 1)
+                .otherwise(0)
+                .alias("is_current"),
+                "attr_cents",
+                "event_id",
+            )
+        )
+
+    base = build(early)
+    affected = late.select("user_id").distinct()
+    untouched = base.join(affected, "user_id", "left_anti")
+    hist = base.join(affected, "user_id").where(F.col("is_current") == 0)
+    anchors = (
+        base.join(affected, "user_id")
+        .where(F.col("is_current") == 1)
+        .select(
+            "user_id",
+            F.col("valid_from").alias("ts"),
+            "event_id",
+            "attr_cents",
+            (F.col("version_no") - 1).alias("voffset"),
+            F.lit(True).alias("is_anchor"),
+        )
+    )
+    tail_src = anchors.unionByName(
+        late.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "attr_cents",
+            F.lit(0).alias("voffset"),
+            F.lit(False).alias("is_anchor"),
+        )
+    )
+    surv = (
+        tail_src.withColumn("prev", F.lag("attr_cents").over(w))
+        .where(
+            F.col("is_anchor")
+            | F.col("prev").isNull()
+            | (F.col("attr_cents") != F.col("prev"))
+        )
+        .drop("prev")
+    )
+    woff = Window.partitionBy("user_id")
+    tail = (
+        surv.withColumn("voffset", F.max("voffset").over(woff))
+        .withColumn("version_no", F.row_number().over(w) + F.col("voffset"))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "version_no",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.when(F.col("valid_to").isNull(), 1)
+            .otherwise(0)
+            .alias("is_current"),
+            "attr_cents",
+        )
+    )
+    drop_eid = ["user_id", "version_no", "valid_from", "valid_to",
+                "is_current", "attr_cents"]
+    return (
+        untouched.select(*drop_eid)
+        .unionByName(hist.select(*drop_eid))
+        .unionByName(tail)
+        .orderBy("user_id", "version_no")
+    )
