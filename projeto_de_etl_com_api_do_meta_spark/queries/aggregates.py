@@ -677,3 +677,55 @@ def restructure_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "agg_quantile_sketch_eval",
+    oracle=None,
+    tags=("agg", "approx", "eval"),
+    doc=(
+        "Quantile-sketch calibration eval (the approx-family counterpart "
+        "of embed_ann_recall_eval): percentile_approx(l_extendedprice) "
+        "at sketch accuracies 100 / 1000 / 10000 against the exact "
+        "interpolated percentile, reported as the realized RANK error "
+        "in ppm next to the GK guarantee 1/accuracy (+ one rank of "
+        "discretization slack, since the sketch returns an actual "
+        "sample) — the contract is asserted empirically in tests. "
+        "Rows-only: the sketch state is engine-specific by "
+        "construction; what IS cross-checkable is the exact column and "
+        "the bound, both included in the output. At 100 TB the sketch "
+        "is the only viable path (mergeable, single-pass) and this eval "
+        "is how its accuracy knob gets sized."
+    ),
+)
+def agg_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    n = li.count()
+    exact = li.agg(
+        F.percentile(F.col("x"), F.lit(0.5)).alias("p50_exact")
+    ).collect()[0]["p50_exact"]
+    rows = []
+    for acc in (100, 1000, 10000):
+        approx = li.agg(
+            F.percentile_approx(F.col("x"), F.lit(0.5), F.lit(acc)).alias("p")
+        ).collect()[0]["p"]
+        # realized rank of the approx answer vs the ideal n/2
+        rank = li.where(F.col("x") <= approx).count()
+        rank_err_ppm = int(abs(rank - n / 2) / n * 1_000_000)
+        # bound = GK guarantee (1/accuracy) + one rank of discretization
+        # slack: the returned value is an actual sample, so even a perfect
+        # sketch sits up to 1 rank from the ideal n/2 (and the exact
+        # median interpolates between two samples)
+        bound_ppm = 1_000_000 // acc + -(-1_000_000 // n)
+        rows.append(
+            (acc, float(round(approx, 4)), float(round(exact, 4)),
+             rank_err_ppm, bound_ppm)
+        )
+    return spark.createDataFrame(
+        rows,
+        "accuracy int, p50_approx double, p50_exact double, "
+        "rank_err_ppm long, bound_ppm long",
+    )

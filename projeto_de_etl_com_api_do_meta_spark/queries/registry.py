@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_cdc_fenced_apply",
     "text_ngram_novelty_score",
     "warehouse_scd2_incremental_apply",
+    "layout_dynamic_partition_overwrite",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----

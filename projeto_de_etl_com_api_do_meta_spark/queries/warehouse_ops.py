@@ -1490,3 +1490,68 @@ def warehouse_scd2_incremental_apply(
         .unionByName(tail)
         .orderBy("user_id", "version_no")
     )
+
+
+_ORACLE_DYNAMIC_OVERWRITE = """
+WITH corrected AS (
+  SELECT event_id, user_id,
+         CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+                                        AND DATE '2024-01-14'
+              THEN event_type || '_fixed' ELSE event_type END AS event_type,
+         CAST(ts AS DATE) AS event_date
+  FROM events
+)
+SELECT event_date, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM corrected GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "layout_dynamic_partition_overwrite",
+    oracle=_ORACLE_DYNAMIC_OVERWRITE,
+    tags=("layout", "warehouse", "scale"),
+    doc=(
+        "DYNAMIC partition overwrite (partitionOverwriteMode=dynamic), "
+        "the backfill mechanic on a Hive layout: the whole events table "
+        "lands partitioned by date, then a one-week correction batch "
+        "(event_type re-tagged) is written with mode('overwrite') — in "
+        "dynamic mode Spark replaces ONLY the partitions present in the "
+        "batch, in static mode the same call would have truncated the "
+        "whole table. The read-back aggregate proves untouched "
+        "partitions survived byte-for-byte while the week was replaced "
+        "— the O(corrected window) backfill every dated 100 TB table "
+        "relies on (the non-lakehouse counterpart of update_where's "
+        "stats-bounded COW). Conf is scoped to the write, not leaked to "
+        "the session."
+    ),
+)
+def layout_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..session import scoped_conf
+
+    pin_query_session_conf(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("date").alias("event_date"),
+    )
+    out = tempfile.mkdtemp(prefix="dynpart_") + "/events_by_date"
+    events.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    lo, hi = F.lit(_PRUNE_LO).cast("date"), F.lit(_PRUNE_HI).cast("date")
+    correction = events.where(
+        F.col("event_date").between(lo, hi)
+    ).withColumn("event_type", F.concat("event_type", F.lit("_fixed")))
+    with scoped_conf(
+        spark, **{"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        correction.write.mode("overwrite").partitionBy(
+            "event_date"
+        ).parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_date", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("event_date", "event_type")
+    )

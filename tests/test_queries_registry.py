@@ -33,3 +33,22 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     df = QUERIES["agg_approx_distinct"].fn(spark, sf_dir)
     for r in df.collect():
         assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.1
+
+
+def test_quantile_sketch_eval_respects_gk_bound(spark):
+    """percentile_approx's realized rank error must sit within the GK
+    guarantee (1/accuracy) at every evaluated accuracy."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.registry import (
+        QUERIES,
+        _load_all,
+    )
+
+    _load_all()
+    rows = QUERIES["agg_quantile_sketch_eval"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.rank_err_ppm <= r.bound_ppm, (
+            f"accuracy={r.accuracy}: {r.rank_err_ppm} > {r.bound_ppm}"
+        )
