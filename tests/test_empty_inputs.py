@@ -93,3 +93,29 @@ def test_containment_and_bloom_on_empty(spark):
     assert not any(bits)
     probe = spark.createDataFrame([("x",), ("y",)], "v string")
     assert probe.where(bloom_might_contain(bits, "v", 1 << 10, 3)).count() == 0
+
+
+def test_round6_ops_on_empty(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.indexing import (
+        bestfit_pack,
+    )
+    from projeto_de_etl_com_api_do_meta_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        gram_covariance,
+    )
+
+    ids = spark.createDataFrame([], "x long")
+    assert kmv_sketch(ids, "x", 16).count() == 0
+    row = kmv_distinct(ids, "x", 16).collect()[0]
+    assert row.exact_distinct == 0  # estimate falls back to sketch size 0
+    assert row.est_distinct == 0.0
+    ops = kmv_set_ops(ids, ids, "x", 16).collect()[0]
+    assert ops.est_union == 0.0
+    items = spark.createDataFrame([], "shard long, doc_id long, n_tok long")
+    assert bestfit_pack(items, "shard", "doc_id", "n_tok", 100).count() == 0
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert gram_covariance(vecs).count() == 0
