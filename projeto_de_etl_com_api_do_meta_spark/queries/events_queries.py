@@ -990,3 +990,179 @@ def events_holt_linear_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s.t"), 6).alias("trend"),
         F.round(F.col("s.l") + F.col("s.t"), 6).alias("forecast_1"),
     ).orderBy("user_id")
+
+
+_ORACLE_CONVERSION_WINDOW = """
+WITH views AS (
+  SELECT event_id, user_id, ts, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'view'
+),
+converted AS (
+  SELECT v.event_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+             AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL '30 minutes'
+         ) THEN 1 ELSE 0 END AS conv,
+         v.d
+  FROM views v
+)
+SELECT d, CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       CAST(floor(1000000.0 * SUM(conv) / COUNT(*)) AS BIGINT)
+         AS conversion_ppm
+FROM converted GROUP BY d ORDER BY d
+"""
+
+
+@register(
+    "events_conversion_window_rate",
+    oracle=_ORACLE_CONVERSION_WINDOW,
+    tags=("events", "analytics", "timeseries"),
+    doc=(
+        "Time-boxed funnel conversion rate: a view CONVERTS if the same "
+        "user purchases within 30 minutes; daily conversion ppm. The "
+        "existence probe is the forward as-of join "
+        "(operators/asof.py, direction='forward') with the horizon as "
+        "tolerance — one union+carry window pass per key, NOT the "
+        "O(views x purchases) correlated-EXISTS the oracle spells (the "
+        "oracle's nested EXISTS is the semantic spec; the engine's plan "
+        "is the scalable one). Aggregation is one hash agg on the day."
+    ),
+)
+def events_conversion_window_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id")
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        key="user_id",
+        ts="ts",
+        payload_cols=["p_id"],
+        tolerance_us=30 * 60 * 1_000_000,
+        direction="forward",
+    )
+    return (
+        joined.select(
+            F.col("ts").cast("date").alias("d"),
+            F.when(F.col("p_id").isNotNull(), 1).otherwise(0).alias("conv"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_views"),
+            F.sum("conv").cast("bigint").alias("n_converted"),
+        )
+        .select(
+            "d",
+            "n_views",
+            "n_converted",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_converted") / F.col("n_views")
+            ).cast("bigint").alias("conversion_ppm"),
+        )
+        .orderBy("d")
+    )
+
+
+_ORACLE_AB_ZTEST = """
+WITH assign AS (
+  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS x
+  FROM assign GROUP BY variant
+),
+wide AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN x END) AS x0,
+         MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN x END) AS x1
+  FROM v
+)
+SELECT CAST(n0 AS BIGINT) AS n_a, CAST(x0 AS BIGINT) AS conv_a,
+       CAST(n1 AS BIGINT) AS n_b, CAST(x1 AS BIGINT) AS conv_b,
+       round(CAST(x0 AS DOUBLE) / n0, 6) AS rate_a,
+       round(CAST(x1 AS DOUBLE) / n1, 6) AS rate_b,
+       round((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+             / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat,
+       round(((CAST(x1 AS DOUBLE) + 1.9208) / (n1 + 3.8416)
+              - 1.96 * sqrt(CAST(x1 AS DOUBLE) * (n1 - x1) / n1 + 0.9604)
+                / (n1 + 3.8416)), 6) AS wilson_lo_b,
+       round(((CAST(x1 AS DOUBLE) + 1.9208) / (n1 + 3.8416)
+              + 1.96 * sqrt(CAST(x1 AS DOUBLE) * (n1 - x1) / n1 + 0.9604)
+                / (n1 + 3.8416)), 6) AS wilson_hi_b
+FROM wide
+"""
+
+
+@register(
+    "events_ab_test_ztest",
+    oracle=_ORACLE_AB_ZTEST,
+    tags=("events", "analytics", "stats"),
+    doc=(
+        "A/B experiment readout: users hash into two variants "
+        "(user_id % 2 standing in for the assignment hash), conversion "
+        "= any purchase; two-proportion pooled z-statistic plus the "
+        "Wilson 95% interval for the treatment arm (the interval that "
+        "behaves at small counts where the normal approximation "
+        "doesn't). Two hash aggregates (per-user collapse, per-variant "
+        "counts) and ONE row of float math from exact integers — the "
+        "formulas are written symbol-for-symbol in both engines so "
+        "round-6 values match exactly. The experimentation readout "
+        "every product-analytics warehouse runs daily, at any scale."
+    ),
+)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).cast("int").alias("variant"), "conv")
+    v = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").cast("bigint").alias("x")
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"),
+    )
+    n0, x0 = F.col("n0").cast("double"), F.col("x0").cast("double")
+    n1, x1 = F.col("n1").cast("double"), F.col("x1").cast("double")
+    pooled = (x0 + x1) / (F.col("n0") + F.col("n1")).cast("double")
+    z = (x1 / n1 - x0 / n0) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    center = (x1 + F.lit(1.9208)) / (n1 + F.lit(3.8416))
+    half = (
+        F.lit(1.96)
+        * F.sqrt(x1 * (n1 - x1) / n1 + F.lit(0.9604))
+        / (n1 + F.lit(3.8416))
+    )
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n_a"),
+        F.col("x0").cast("bigint").alias("conv_a"),
+        F.col("n1").cast("bigint").alias("n_b"),
+        F.col("x1").cast("bigint").alias("conv_b"),
+        F.round(x0 / n0, 6).alias("rate_a"),
+        F.round(x1 / n1, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(center - half, 6).alias("wilson_lo_b"),
+        F.round(center + half, 6).alias("wilson_hi_b"),
+    )

@@ -1239,3 +1239,95 @@ def ml_logreg_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return logreg_gd_train(emb)
+
+
+# -- classifier evaluation: per-class precision / recall / F1 ------------------
+
+_ORACLE_EVAL_METRICS = """
+WITH labeled AS (
+  SELECT vec_id, label, label % 3 AS pred   -- deterministic stand-in preds
+  FROM embeddings
+),
+counts AS (
+  SELECT label AS cls,
+         COUNT(*) FILTER (WHERE pred = label) AS tp,
+         COUNT(*) FILTER (WHERE pred <> label) AS fn
+  FROM labeled GROUP BY label
+),
+pred_counts AS (
+  SELECT pred AS cls, COUNT(*) FILTER (WHERE pred <> label) AS fp
+  FROM labeled GROUP BY pred
+)
+SELECT c.cls,
+       CAST(c.tp AS BIGINT) AS tp,
+       CAST(COALESCE(p.fp, 0) AS BIGINT) AS fp,
+       CAST(c.fn AS BIGINT) AS fn,
+       CAST(floor(1000000.0 * c.tp
+                  / greatest(c.tp + COALESCE(p.fp, 0), 1)) AS BIGINT)
+         AS precision_ppm,
+       CAST(floor(1000000.0 * c.tp / greatest(c.tp + c.fn, 1)) AS BIGINT)
+         AS recall_ppm,
+       CAST(floor(2000000.0 * c.tp
+                  / greatest(2 * c.tp + COALESCE(p.fp, 0) + c.fn, 1))
+            AS BIGINT) AS f1_ppm
+FROM counts c LEFT JOIN pred_counts p USING (cls)
+ORDER BY c.cls
+"""
+
+
+@register(
+    "ml_eval_precision_recall",
+    oracle=_ORACLE_EVAL_METRICS,
+    tags=("ml", "eval"),
+    doc=(
+        "Per-class precision / recall / F1 from a predictions table — "
+        "the evaluation aggregate that closes the classifier loop "
+        "(embed_knn_classify / ml_logreg_gd_train produce predictions; "
+        "this scores them). Predictions here are the deterministic "
+        "label%3 stand-in so the confusion structure is fixture-stable; "
+        "the metric algebra is the real thing: per-class TP from one "
+        "grouped FILTER aggregate, FP from the prediction-side group, F1 "
+        "as 2TP/(2TP+FP+FN) in floored integer ppm — two hash "
+        "aggregates + one tiny join, no per-pair work, trivially "
+        "map-side-combinable at any scale."
+    ),
+)
+def ml_eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    labeled = emb.select(
+        "label", (F.col("label") % 3).alias("pred")
+    )
+    counts = labeled.groupBy(F.col("label").alias("cls")).agg(
+        F.count(F.when(F.col("pred") == F.col("label"), 1)).alias("tp"),
+        F.count(F.when(F.col("pred") != F.col("label"), 1)).alias("fn"),
+    )
+    pred_counts = labeled.groupBy(F.col("pred").alias("cls")).agg(
+        F.count(F.when(F.col("pred") != F.col("label"), 1)).alias("fp")
+    )
+    j = counts.join(pred_counts, "cls", "left").select(
+        "cls",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.coalesce("fp", F.lit(0)).cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+    )
+    return j.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        F.floor(
+            F.lit(1000000.0) * F.col("tp")
+            / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+        ).cast("bigint").alias("precision_ppm"),
+        F.floor(
+            F.lit(1000000.0) * F.col("tp")
+            / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+        ).cast("bigint").alias("recall_ppm"),
+        F.floor(
+            F.lit(2000000.0) * F.col("tp")
+            / F.greatest(
+                F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)
+            )
+        ).cast("bigint").alias("f1_ppm"),
+    ).orderBy("cls")

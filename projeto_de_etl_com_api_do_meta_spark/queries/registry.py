@@ -93,6 +93,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_ngram_novelty_score",
     "warehouse_scd2_incremental_apply",
     "layout_dynamic_partition_overwrite",
+    "ml_eval_precision_recall",
+    "events_conversion_window_rate",
+    "events_ab_test_ztest",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----
