@@ -729,3 +729,87 @@ def agg_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "accuracy int, p50_approx double, p50_exact double, "
         "rank_err_ppm long, bound_ppm long",
     )
+
+
+_ORACLE_GINI = """
+WITH cents AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(CAST(c_acctbal AS DECIMAL(18,4)) * 100, 0) AS BIGINT)
+           - (SELECT CAST(round(CAST(MIN(c_acctbal) AS DECIMAL(18,4)) * 100,
+                           0) AS BIGINT) FROM customer) AS x,
+         c_custkey
+  FROM customer
+),
+ranked AS (
+  SELECT seg, x,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY x, c_custkey) AS i
+  FROM cents
+),
+s AS (
+  SELECT seg, COUNT(*) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six
+  FROM ranked GROUP BY seg
+)
+SELECT seg, CAST(n AS BIGINT) AS n,
+       round(CAST(2 * six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS
+             DOUBLE)) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+         AS gini
+FROM s ORDER BY seg
+"""
+
+
+@register(
+    "agg_gini_inequality",
+    oracle=_ORACLE_GINI,
+    tags=("agg", "stats", "scale-audit-only"),
+    doc=(
+        "Gini coefficient of (min-shifted) account balances per market "
+        "segment via the exact rank formula G = 2*sum(i*x_i)/(n*sum(x)) "
+        "- (n+1)/n over values sorted ascending — the inequality / "
+        "concentration metric for spend, token, or data-contribution "
+        "distributions (corpus_source_concentration's HHI sibling at "
+        "the individual level). Rank products and sums stay exact "
+        "HUGEINT/decimal; one float expression per group. Tagged "
+        "scale-audit-only for the same reason as the exact equi-depth "
+        "histogram: the per-group rank is a total order (here 5 "
+        "segments of the customer table); the 100 TB swap is the "
+        "grouped-prefix-sum rank from operators/indexing.py or a "
+        "binned approximation."
+    ),
+)
+def agg_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pin_query_session_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    shift = cust.agg(
+        F.round(F.min(dec("c_acctbal")) * 100, 0).cast("bigint").alias("m")
+    )
+    cents = cust.crossJoin(F.broadcast(shift)).select(
+        F.col("c_mktsegment").alias("seg"),
+        (
+            F.round(dec("c_acctbal") * 100, 0).cast("bigint") - F.col("m")
+        ).alias("x"),
+        "c_custkey",
+    )
+    w = Window.partitionBy("seg").orderBy("x", "c_custkey")
+    ranked = cents.withColumn("i", F.row_number().over(w))
+    s = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("x")
+        ).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "seg",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.lit(2) * F.col("six")).cast("double")
+            / (n * F.col("sx").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    ).orderBy("seg")

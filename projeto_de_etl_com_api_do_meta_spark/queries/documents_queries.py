@@ -1615,3 +1615,92 @@ def text_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ORACLE_KEYNESS = r"""
+WITH toks AS (
+  SELECT source = 'src0' AS in_target,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+c AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN in_target THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN in_target THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM toks WHERE w <> '' GROUP BY w
+),
+t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM c)
+SELECT c.w, c.a, c.b,
+       -- Dunning G2 = 2*(a*ln(a/E1) + b*ln(b/E2)), E_i the expected counts
+       -- under homogeneity; zero-count terms contribute 0 by convention
+       round(2.0 * (
+         CASE WHEN c.a = 0 THEN 0.0
+              ELSE c.a * ln(CAST(c.a AS DOUBLE)
+                   / (CAST(c.a + c.b AS DOUBLE) * t.na / (t.na + t.nb)))
+         END
+         + CASE WHEN c.b = 0 THEN 0.0
+                ELSE c.b * ln(CAST(c.b AS DOUBLE)
+                     / (CAST(c.a + c.b AS DOUBLE) * t.nb / (t.na + t.nb)))
+           END), 4) AS g2
+FROM c, t
+ORDER BY g2 DESC, c.w LIMIT 30
+"""
+
+
+@register(
+    "corpus_keyness_loglikelihood",
+    oracle=_ORACLE_KEYNESS,
+    tags=("corpus", "text", "stats"),
+    doc=(
+        "Dunning log-likelihood keyness (G2): which words distinguish "
+        "one source's documents from the rest of the corpus — the "
+        "corpus-linguistics statistic behind domain-signature reports "
+        "and drift detection between corpus slices (more robust than "
+        "raw frequency ratios at small counts). One token count "
+        "aggregate with a conditional split, one scalar totals "
+        "broadcast, G2 as a single per-row float expression over exact "
+        "integers (zero-count terms contribute 0 by the standard "
+        "convention), top-30 by (G2, word). Same plan shape at any "
+        "corpus size: explode -> hash agg -> TakeOrdered."
+    ),
+)
+def corpus_keyness_loglikelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        (F.col("source") == "src0").alias("in_target"),
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    c = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("in_target"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("in_target"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("b"),
+    )
+    t = c.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ab = (F.col("a") + F.col("b")).cast("double")
+    term_a = F.when(F.col("a") == 0, F.lit(0.0)).otherwise(
+        a * F.log(a / (ab * na / (na + nb)))
+    )
+    term_b = F.when(F.col("b") == 0, F.lit(0.0)).otherwise(
+        b * F.log(b / (ab * nb / (na + nb)))
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "w", "a", "b",
+            F.round(F.lit(2.0) * (term_a + term_b), 4).alias("g2"),
+        )
+        .orderBy(F.desc("g2"), "w")
+        .limit(30)
+    )

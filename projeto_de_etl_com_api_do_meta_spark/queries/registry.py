@@ -96,6 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     "ml_eval_precision_recall",
     "events_conversion_window_rate",
     "events_ab_test_ztest",
+    "corpus_keyness_loglikelihood",
+    "agg_gini_inequality",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----
