@@ -558,7 +558,11 @@ def merge_into(
     """MERGE INTO by copy-on-write — the fourth verb of the lakehouse DML
     quartet (append / DELETE / UPDATE / MERGE), Delta's
     ``whenMatchedUpdateAll / whenMatchedDelete / whenNotMatchedInsertAll``
-    on the manifest protocol:
+    on the manifest protocol. This is the versioned-table generalization
+    of the reference's keep-latest upsert (reference load.py:94-119
+    staging+ON CONFLICT; ``sinks/upsert.py: parquet_upsert`` is the flat
+    analog) — same matched-row-replacement semantics, plus tombstones,
+    inserts, history, and stats-bounded write amplification:
 
     - target rows whose ``key`` matches a source row are REPLACED by the
       source row (upsert), or DELETED when the source row's ``delete_col``
