@@ -1166,3 +1166,122 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - half, 6).alias("wilson_lo_b"),
         F.round(center + half, 6).alias("wilson_hi_b"),
     )
+
+
+_ORACLE_KAPLAN_MEIER = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s0,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p0,
+         MAX(ts) AS last_seen
+  FROM events GROUP BY user_id
+),
+spells AS (
+  SELECT user_id,
+         CASE WHEN p0 IS NOT NULL AND p0 >= s0 THEN 1 ELSE 0 END AS ev,
+         CASE WHEN p0 IS NOT NULL AND p0 >= s0
+              THEN date_diff('day', s0, p0)
+              ELSE date_diff('day', s0, last_seen) END AS dur
+  FROM per_user WHERE s0 IS NOT NULL
+),
+grouped AS (
+  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM spells GROUP BY dur
+),
+ordered AS (
+  SELECT dur, d, c,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM spells) -
+           COALESCE(SUM(d + c) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM grouped
+)
+SELECT dur AS duration_days, d AS n_events, c AS n_censored,
+       n_risk,
+       round(exp(SUM(CASE WHEN d = 0 THEN 0.0
+                          ELSE ln(1.0 - CAST(d AS DOUBLE)
+                                  / CAST(n_risk AS DOUBLE)) END)
+                 OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             6) AS survival
+FROM ordered ORDER BY dur
+"""
+
+
+@register(
+    "events_survival_kaplan_meier",
+    oracle=_ORACLE_KAPLAN_MEIER,
+    tags=("events", "stats", "analytics"),
+    doc=(
+        "Kaplan-Meier survival curve for signup->purchase conversion "
+        "with right-censoring (users never purchasing are censored at "
+        "their last observed event): per-duration event/censor counts, "
+        "risk set via a cumulative window, S(t) as the running product "
+        "Pi(1 - d_i/n_i) computed in log space — the cumulative ln-sum "
+        "runs over the SAME sorted duration order in both engines "
+        "(left-to-right sequential accumulation), so round-6 survival "
+        "matches exactly. The duration table is tiny (distinct day "
+        "counts) regardless of user count, so the global-order window "
+        "is bounded; the corpus-scale work is one per-user collapse. "
+        "The time-to-event statistic behind retention/churn curves."
+    ),
+)
+def events_survival_kaplan_meier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "s0"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "p0"
+        ),
+        F.max("ts").alias("last_seen"),
+    )
+    has_event = F.col("p0").isNotNull() & (F.col("p0") >= F.col("s0"))
+    spells = per_user.where(F.col("s0").isNotNull()).select(
+        F.when(has_event, 1).otherwise(0).alias("ev"),
+        F.when(
+            has_event, F.datediff(F.col("p0").cast("date"), F.col("s0").cast("date"))
+        )
+        .otherwise(
+            F.datediff(F.col("last_seen").cast("date"), F.col("s0").cast("date"))
+        )
+        .alias("dur"),
+    )
+    total = spells.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    grouped = spells.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c"),
+    )
+    # duration table is bounded (distinct days), so the global-order
+    # windows below see a tiny input — documented in the docstring
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ordered = grouped.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n_total")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    ln_term = F.when(F.col("d") == 0, F.lit(0.0)).otherwise(
+        F.log(
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        )
+    )
+    return ordered.select(
+        F.col("dur").alias("duration_days"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        "n_risk",
+        F.round(F.exp(F.sum(ln_term).over(w_run)), 6).alias("survival"),
+    ).orderBy("duration_days")

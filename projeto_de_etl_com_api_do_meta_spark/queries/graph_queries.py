@@ -352,3 +352,115 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_parts"), "cust_a", "cust_b")
         .limit(50)
     )
+
+
+# -- deterministic hash-guided random walks (DeepWalk corpus generation) -------
+
+_WALK_STEPS = 3
+
+_ORACLE_WALKS = f"""
+WITH edges AS (
+  SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+bi AS (
+  SELECT src, dst FROM edges
+  UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+w0 AS (
+  SELECT o_custkey AS walk_id, o_custkey * 2 AS node,
+         CAST(o_custkey * 2 AS VARCHAR) AS path
+  FROM orders WHERE o_custkey < 50 GROUP BY o_custkey
+),
+{", ".join(
+    f'''w{s} AS (
+  SELECT walk_id, node, path FROM (
+    SELECT w.walk_id,
+           b.dst AS node,
+           w.path || '->' || CAST(b.dst AS VARCHAR) AS path,
+           ROW_NUMBER() OVER (
+             PARTITION BY w.walk_id
+             ORDER BY md5(CAST(w.walk_id AS VARCHAR) || ':{s}:'
+                          || CAST(b.dst AS VARCHAR)), b.dst) AS rn
+    FROM w{s - 1} w JOIN bi b ON b.src = w.node
+  ) WHERE rn = 1
+)''' for s in range(1, _WALK_STEPS + 1)
+)}
+SELECT walk_id, path FROM w{_WALK_STEPS} ORDER BY walk_id
+"""
+
+
+@register(
+    "graph_deterministic_walks",
+    oracle=_ORACLE_WALKS,
+    tags=("graph", "ml", "north-star"),
+    doc=(
+        "Hash-guided graph walks over the bipartite co-purchase graph — "
+        "the DeepWalk/node2vec CORPUS-GENERATION step, made "
+        "reproducible: at each of 3 steps the walker moves to the "
+        "neighbor minimizing md5(walk_id : step : neighbor), so the "
+        "'random' choice is a pure function of (walk, step, candidate) "
+        "— no RNG state, any engine or retry regenerates identical "
+        "walks (the md5-family determinism trick applied to sequential "
+        "sampling). Each step is one frontier-edges equi-join + one "
+        "min-per-walk aggregate; k steps = k joins, frontier size "
+        "constant (one row per walk) — at 100 TB the edge side is "
+        "hash-partitioned once and reused across steps. Walks feed "
+        "skip-gram style embedding trainers downstream."
+    ),
+)
+def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    frontier = (
+        orders.where(F.col("o_custkey") < 50)
+        .select(F.col("o_custkey").alias("walk_id"))
+        .distinct()
+        .select(
+            "walk_id",
+            (F.col("walk_id") * 2).alias("node"),
+            (F.col("walk_id") * 2).cast("string").alias("path"),
+        )
+    )
+    for s in range(1, _WALK_STEPS + 1):
+        h = F.md5(
+            F.concat_ws(
+                "",
+                F.col("walk_id").cast("string"),
+                F.lit(f":{s}:"),
+                F.col("dst").cast("string"),
+            )
+        )
+        frontier = (
+            frontier.join(bi, frontier.node == bi.src)
+            .groupBy("walk_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        h.alias("h"),
+                        F.col("dst").alias("node"),
+                        F.concat(
+                            F.col("path"),
+                            F.lit("->"),
+                            F.col("dst").cast("string"),
+                        ).alias("path"),
+                    )
+                ).alias("best")
+            )
+            .select("walk_id", F.col("best.node").alias("node"),
+                    F.col("best.path").alias("path"))
+        )
+    return frontier.select("walk_id", "path").orderBy("walk_id")
