@@ -1704,3 +1704,90 @@ def corpus_keyness_loglikelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("g2"), "w")
         .limit(30)
     )
+
+
+_ORACLE_BURSTINESS = r"""
+WITH counts AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents WHERE length(trim(text)) > 0
+  ) WHERE w <> '' GROUP BY doc_id, w
+),
+n_docs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM counts),
+stats AS (
+  SELECT w,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM counts GROUP BY w
+)
+SELECT s.w, s.df, s.s1 AS total_count,
+       -- variance-to-mean ratio over ALL docs (zeros included): exact
+       -- moments -> (nd*s2 - s1^2) / (nd * s1)
+       round((CAST(n.nd AS DOUBLE) * s.s2 - CAST(s.s1 AS DOUBLE) * s.s1)
+             / (CAST(n.nd AS DOUBLE) * s.s1), 6) AS burstiness_vmr
+FROM stats s, n_docs n
+WHERE s.s1 >= 50
+ORDER BY burstiness_vmr DESC, s.w LIMIT 30
+"""
+
+
+@register(
+    "corpus_word_burstiness",
+    oracle=_ORACLE_BURSTINESS,
+    tags=("corpus", "text", "stats"),
+    doc=(
+        "Word burstiness (variance-to-mean ratio of per-document counts, "
+        "zeros included): VMR ~ 1 marks Poisson-like function words, "
+        "VMR >> 1 marks bursty/topical words — the Church-Gale "
+        "dispersion statistic used to pick content words for indexing "
+        "and to spot template contamination (boilerplate words go "
+        "hyper-bursty). Computed from exact integer moments "
+        "(nd*s2 - s1^2)/(nd*s1) with the zero-docs folded in "
+        "analytically — one (doc, word) count aggregate, one per-word "
+        "moment aggregate, a scalar doc-count broadcast; top-30 among "
+        "words with >= 50 occurrences."
+    ),
+)
+def corpus_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = counts.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("nd")
+    )
+    stats = counts.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    return (
+        stats.where(F.col("s1") >= 50)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w",
+            "df",
+            F.col("s1").alias("total_count"),
+            F.round(
+                (
+                    F.col("nd").cast("double") * F.col("s2")
+                    - F.col("s1").cast("double") * F.col("s1")
+                )
+                / (F.col("nd").cast("double") * F.col("s1")),
+                6,
+            ).alias("burstiness_vmr"),
+        )
+        .orderBy(F.desc("burstiness_vmr"), "w")
+        .limit(30)
+    )

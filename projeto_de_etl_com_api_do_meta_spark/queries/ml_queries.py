@@ -1331,3 +1331,103 @@ def ml_eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("f1_ppm"),
     ).orderBy("cls")
+
+
+# -- calibration: reliability bins + expected calibration error ----------------
+
+_ORACLE_CALIBRATION = """
+WITH scored AS (
+  SELECT label % 2 AS y,
+         -- deterministic pseudo-probability correlated with the label:
+         -- hash noise blended toward the true label (stand-in for a
+         -- model's softmax output; the binning/ECE algebra is the real op)
+         round(0.7 * (label % 2)
+               + 0.3 * (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 1000) / 999.0, 6) AS p
+  FROM embeddings
+),
+binned AS (
+  SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+         COUNT(*) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(CAST(round(p * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS p_sum_e6
+  FROM scored GROUP BY 1
+)
+SELECT bin, CAST(n AS BIGINT) AS n,
+       round(CAST(p_sum_e6 AS DOUBLE) / n / 1000000.0, 6) AS mean_pred,
+       round(CAST(pos AS DOUBLE) / n, 6) AS frac_pos,
+       CAST(floor(abs(CAST(p_sum_e6 AS DOUBLE) / 1000000.0
+                      - CAST(pos AS DOUBLE)) / n * 1000000.0
+                  * n / (SELECT SUM(n) FROM binned)) AS BIGINT)
+         AS ece_contrib_ppm
+FROM binned ORDER BY bin
+"""
+
+
+@register(
+    "ml_calibration_reliability",
+    oracle=_ORACLE_CALIBRATION,
+    tags=("ml", "eval"),
+    doc=(
+        "Reliability diagram + expected-calibration-error contributions "
+        "per decile bin: mean predicted probability vs observed positive "
+        "rate, ECE term = |sum(p) - sum(y)| / n weighted by bin mass — "
+        "the calibration audit run on every production classifier (and "
+        "on LLM-judge scores before thresholding them). Probabilities "
+        "here are a deterministic md5-noise blend toward the true label "
+        "so the fixture has real calibration structure; probability "
+        "sums are fixed-pointed to 1e-6 before aggregation so no "
+        "order-dependent float accumulation crosses the oracle. One "
+        "hash aggregate over 10 bins + a scalar total."
+    ),
+)
+def ml_calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    ) / F.lit(999.0)
+    scored = emb.select(
+        (F.col("label") % 2).alias("y"),
+        F.round(F.lit(0.7) * (F.col("label") % 2) + F.lit(0.3) * noise, 6)
+        .alias("p"),
+    )
+    binned = scored.groupBy(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(F.round(F.col("p") * 1000000, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("p_sum_e6"),
+    )
+    total = binned.agg(F.sum("n").alias("n_total"))
+    return (
+        binned.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("p_sum_e6").cast("double") / F.col("n") / 1000000.0, 6
+            ).alias("mean_pred"),
+            F.round(F.col("pos").cast("double") / F.col("n"), 6).alias(
+                "frac_pos"
+            ),
+            F.floor(
+                F.abs(
+                    F.col("p_sum_e6").cast("double") / 1000000.0
+                    - F.col("pos").cast("double")
+                )
+                / F.col("n")
+                * 1000000.0
+                * F.col("n")
+                / F.col("n_total")
+            )
+            .cast("bigint")
+            .alias("ece_contrib_ppm"),
+        )
+        .orderBy("bin")
+    )

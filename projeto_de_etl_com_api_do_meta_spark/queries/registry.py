@@ -100,6 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_gini_inequality",
     "events_survival_kaplan_meier",
     "graph_deterministic_walks",
+    "ml_calibration_reliability",
+    "corpus_word_burstiness",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----
