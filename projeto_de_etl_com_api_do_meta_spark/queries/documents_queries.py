@@ -1791,3 +1791,99 @@ def corpus_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burstiness_vmr"), "w")
         .limit(30)
     )
+
+
+_ORACLE_DIVERSITY = r"""
+WITH counts AS (
+  SELECT source, w, COUNT(*) AS c FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents WHERE length(trim(text)) > 0
+  ) WHERE w <> '' GROUP BY source, w
+),
+s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS pair_same
+  FROM counts GROUP BY source
+),
+sh AS (
+  SELECT c.source,
+         round(-SUM((CAST(c.c AS DOUBLE) / s.n)
+                    * ln(CAST(c.c AS DOUBLE) / s.n)), 6) AS shannon
+  FROM counts c JOIN s ON c.source = s.source
+  GROUP BY c.source
+)
+SELECT s.source, s.vocab, s.n AS n_tokens,
+       round(1.0 - CAST(s.pair_same AS DOUBLE)
+             / (CAST(s.n AS DOUBLE) * (s.n - 1)), 6) AS simpson_diversity,
+       sh.shannon
+FROM s JOIN sh USING (source) ORDER BY s.source
+"""
+
+
+@register(
+    "corpus_diversity_indices",
+    oracle=_ORACLE_DIVERSITY,
+    tags=("corpus", "stats", "profiling"),
+    doc=(
+        "Lexical diversity per source: Simpson index 1 - sum(c*(c-1)) / "
+        "(n*(n-1)) from EXACT integer pair counts (the probability two "
+        "sampled tokens differ — collapses when a template dominates) "
+        "and Shannon entropy of the unigram distribution — the "
+        "datasheet-level diversity panel next to corpus_data_card. "
+        "Simpson is pure BIGINT until one final division; Shannon sums "
+        "per-word p*ln(p) terms (vocabulary-sized groups, round-6 — the "
+        "same cross-engine ln-sum contract text_bigram_perplexity "
+        "pinned). One token-count aggregate feeds both."
+    ),
+)
+def corpus_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    counts = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("pair_same"),
+    )
+    sh = (
+        counts.join(s.select("source", "n"), "source")
+        .groupBy("source")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c").cast("double") / F.col("n"))
+                    * F.log(F.col("c").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("shannon")
+        )
+    )
+    return (
+        s.join(sh, "source")
+        .select(
+            "source",
+            "vocab",
+            F.col("n").alias("n_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("pair_same").cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1)),
+                6,
+            ).alias("simpson_diversity"),
+            "shannon",
+        )
+        .orderBy("source")
+    )

@@ -402,3 +402,102 @@ def dq_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ORACLE_KMV_RUNNING = f"""
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+),
+hashes AS (
+  SELECT CAST(ts AS DATE) AS d,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+cume AS (
+  SELECT days.d AS d, h.h
+  FROM days JOIN hashes h ON h.d <= days.d
+  GROUP BY days.d, h.h
+),
+sk AS (
+  SELECT d, h, ROW_NUMBER() OVER (PARTITION BY d ORDER BY h) AS r
+  FROM cume
+),
+s AS (
+  SELECT d, MAX(h) AS kth_hash, COUNT(*) AS n
+  FROM sk WHERE r <= 64 GROUP BY d
+)
+SELECT d, kth_hash,
+       CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+            ELSE round(63.0 * {_SPACE} / CAST(kth_hash AS DOUBLE), 4)
+       END AS est_cume_users
+FROM s ORDER BY d
+"""
+
+
+@register(
+    "agg_kmv_running_daily",
+    oracle=_ORACLE_KMV_RUNNING,
+    tags=("agg", "sketch", "timeseries", "scale"),
+    doc=(
+        "Running cumulative distinct-user estimate per day from MERGED "
+        "daily KMV sketches — the rollup that makes sketches worth "
+        "keeping: each day contributes one bottom-k sketch "
+        "(per-partition bottom-k, k-row state), and day D's cumulative "
+        "estimate re-takes bottom-k of the UNION of sketches for days "
+        "<= D — history is never rescanned, the running state is "
+        "days x k hashes. The engine computes the merge as one window "
+        "rank over the (day, sketch-hash) table (each day's sketch is "
+        "only k rows, so the cross-day union is tiny by construction); "
+        "the oracle spells the same bottom-k per day directly. Exactly "
+        "reproducible cross-engine, unlike a running HLL."
+    ),
+)
+def agg_kmv_running_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_hash
+
+    pin_query_session_conf(spark)
+    k = 64
+    ev = load_table(spark, sf_dir, "events")
+    # per-day sketch: bottom-k distinct hashes within the day
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("d"), kmv_hash("user_id").alias("h")
+        )
+        .distinct()
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("d").orderBy("h")
+            ),
+        )
+        .where(F.col("r") <= k)
+        .drop("r")
+    )
+    days = daily.select("d").distinct()
+    # merge rule: day D's sketch = bottom-k of union of sketches <= D.
+    # The join input is (days x k) rows per side — sketch-scale, not data.
+    cume = (
+        days.alias("dd")
+        .join(daily.alias("s"), F.col("s.d") <= F.col("dd.d"))
+        .select(F.col("dd.d").alias("d"), F.col("s.h").alias("h"))
+        .distinct()
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("d").orderBy("h")),
+        )
+        .where(F.col("r") <= k)
+    )
+    s = cume.groupBy("d").agg(
+        F.max("h").alias("kth_hash"), F.count("h").alias("n")
+    )
+    est = (
+        F.when(F.col("n") < k, F.col("n").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1)) * F.lit(float(16**15))
+                / F.col("kth_hash").cast("double"),
+                4,
+            )
+        )
+    )
+    return s.select("d", "kth_hash", est.alias("est_cume_users")).orderBy("d")

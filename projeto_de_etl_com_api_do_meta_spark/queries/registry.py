@@ -102,6 +102,9 @@ _PRIORITY: tuple[str, ...] = (
     "graph_deterministic_walks",
     "ml_calibration_reliability",
     "corpus_word_burstiness",
+    "agg_kmv_running_daily",
+    "corpus_diversity_indices",
+    "warehouse_late_arriving_dimension",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----

@@ -1555,3 +1555,84 @@ def layout_dynamic_partition_overwrite(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("event_date", "event_type")
     )
+
+
+_ORACLE_LATE_DIM = """
+WITH seg AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 <> 3 THEN c_mktsegment          -- on time
+              WHEN c_custkey % 2 = 0 THEN c_mktsegment           -- repaired
+              ELSE 'UNKNOWN' END AS segment                      -- still late
+  FROM customer
+)
+SELECT s.segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(round(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) * 100, 0)
+            AS BIGINT) AS total_cents
+FROM orders o JOIN seg s ON o.o_custkey = s.c_custkey
+GROUP BY s.segment ORDER BY s.segment
+"""
+
+
+@register(
+    "warehouse_late_arriving_dimension",
+    oracle=_ORACLE_LATE_DIM,
+    tags=("warehouse", "join", "cdc"),
+    doc=(
+        "Late-arriving dimension handling (the inferred-member pattern): "
+        "facts whose dimension row has not landed yet join to a "
+        "generated UNKNOWN member instead of being dropped or stalling "
+        "the load; when the real rows arrive, a REPAIR pass re-joins "
+        "exactly the inferred-member facts (a keyed anti-set, never the "
+        "fact table) and replaces the placeholder. Fixture: members "
+        "with custkey%7==3 are late, the even half of them arrives in "
+        "the repair batch, the odd half stays UNKNOWN — so the output "
+        "exercises on-time, repaired, and still-unknown paths. Both "
+        "joins broadcast the dimension side; the repair cost is "
+        "O(inferred facts). Oracle: the equivalent one-shot CASE join."
+    ),
+)
+def warehouse_late_arriving_dimension(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    on_time = cust.where(F.col("c_custkey") % 7 != 3)
+    late_arrivals = cust.where(
+        (F.col("c_custkey") % 7 == 3) & (F.col("c_custkey") % 2 == 0)
+    )
+    # load pass: join what exists, infer UNKNOWN members for the rest
+    loaded = orders.join(
+        F.broadcast(on_time), orders.o_custkey == on_time.c_custkey, "left"
+    ).select(
+        "o_custkey",
+        "o_totalprice",
+        F.col("c_mktsegment").alias("segment"),
+    )
+    known = loaded.where(F.col("segment").isNotNull())
+    inferred = loaded.where(F.col("segment").isNull()).drop("segment")
+    # repair pass: ONLY inferred-member facts re-join the arrived rows
+    repaired = inferred.join(
+        F.broadcast(late_arrivals),
+        inferred.o_custkey == late_arrivals.c_custkey,
+        "left",
+    ).select(
+        "o_custkey",
+        "o_totalprice",
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+    )
+    return (
+        known.unionByName(repaired)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum(dec("o_totalprice")) * 100, 0)
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("segment")
+    )
