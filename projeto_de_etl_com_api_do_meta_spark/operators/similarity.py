@@ -1139,3 +1139,59 @@ def kcenter_greedy(
     return df.sparkSession.createDataFrame(
         centers, "center_order int, vec_id long, radius double"
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    score_col: str = "rel",
+    vec_col: str = "v",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank of a DEPTH-BOUNDED candidate set:
+    greedily pick argmax(lam * relevance - (1-lam) * max cosine to the
+    already-selected), ties to the lowest id — the diversity pass between
+    retrieval and the context window (near-duplicate passages crowd out
+    coverage; MMR trades a little relevance for it).
+
+    Scale contract: MMR is quadratic in its INPUT, so the input must be a
+    retriever's top-N (N <= ~100), never a corpus — the collect here is
+    bounded by that depth (same bounded-state rule as the IVF centroid
+    collect). The candidate scoring that feeds it is the distributed
+    part. Deterministic: numpy argmax with explicit (score, -id)
+    tie-break, scores rounded before comparison.
+    """
+    import numpy as np
+
+    rows = candidates.select(id_col, score_col, vec_col).collect()
+    if not rows:
+        return candidates.sparkSession.createDataFrame(
+            [], f"rank int, {id_col} long, mmr_score double"
+        )
+    ids = np.array([r[id_col] for r in rows])
+    rel = np.array([float(r[score_col]) for r in rows])
+    mat = np.stack([np.asarray(r[vec_col], dtype="float64") for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    selected: list[int] = []
+    out = []
+    for rank in range(min(k, len(rows))):
+        if selected:
+            max_sim = sims[:, selected].max(axis=1)
+        else:
+            max_sim = np.zeros(len(rows))
+        score = np.round(lam * rel - (1 - lam) * max_sim, round_digits)
+        score[selected] = -np.inf
+        best = int(
+            min(
+                range(len(rows)),
+                key=lambda i: (-score[i], ids[i]),
+            )
+        )
+        out.append((rank + 1, int(ids[best]), float(score[best])))
+        selected.append(best)
+    return candidates.sparkSession.createDataFrame(
+        out, f"rank int, {id_col} long, mmr_score double"
+    )

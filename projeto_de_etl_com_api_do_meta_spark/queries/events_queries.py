@@ -1285,3 +1285,90 @@ def events_survival_kaplan_meier(
         "n_risk",
         F.round(F.exp(F.sum(ln_term).over(w_run)), 6).alias("survival"),
     ).orderBy("duration_days")
+
+
+_ORACLE_BOUNCE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no,
+         ts
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, sess_no,
+         CAST(MIN(ts) AS DATE) AS d,
+         COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, sess_no
+)
+SELECT d, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(floor(1000000.0 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS bounce_ppm
+FROM per_session GROUP BY d ORDER BY d
+"""
+
+
+@register(
+    "events_bounce_rate_daily",
+    oracle=_ORACLE_BOUNCE,
+    tags=("events", "sessionize", "analytics"),
+    doc=(
+        "Daily bounce rate: gaps-and-islands sessionization (30-min "
+        "inactivity, the events_sessionize_30m mechanic) extended to "
+        "per-session event counts; a single-event session is a bounce, "
+        "attributed to the day its session started. Two window passes "
+        "over the same user partitioning (one shuffle) + one hash "
+        "aggregate per (user, session) + one per day — the canonical "
+        "web-analytics KPI, integer ppm."
+    ),
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+        "event_id",
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn("sess_no", F.sum("new_session").over(w_run))
+    per_session = sessions.groupBy("user_id", "sess_no").agg(
+        F.min("ts").cast("date").alias("d"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_session.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+        .select(
+            "d",
+            "n_sessions",
+            "n_bounces",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_bounces") / F.col("n_sessions")
+            ).cast("bigint").alias("bounce_ppm"),
+        )
+        .orderBy("d")
+    )

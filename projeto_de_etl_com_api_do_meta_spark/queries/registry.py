@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_diversity_indices",
     "warehouse_late_arriving_dimension",
     "ml_auc_roc_exact",
+    "events_bounce_rate_daily",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----

@@ -808,3 +808,53 @@ def pipeline_rag_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rrf_micro"), "doc_id")
     )
+
+
+@register(
+    "retrieval_mmr_rerank",
+    oracle=None,
+    tags=("retrieval", "similarity", "ml"),
+    doc=(
+        "Maximal Marginal Relevance rerank "
+        "(operators/similarity.py: mmr_rerank, lambda=0.7, k=5) over the "
+        "dense retriever's top-20: the diversity pass between retrieval "
+        "and the context window — near-duplicate passages crowd out "
+        "coverage, MMR trades a sliver of relevance to suppress them. "
+        "The distributed part is the candidate scoring (the same "
+        "broadcast cosine arm as retrieval_rrf_hybrid); the greedy "
+        "quadratic selection runs on the DEPTH-BOUNDED candidate set "
+        "(bounded collect, <= retriever depth by contract). Rows-only: "
+        "the greedy argmax recursion is not SQL-expressible; selection "
+        "behavior (diversity vs the plain top-k) is pinned in "
+        "tests/test_retrieval_extra.py."
+    ),
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, mmr_rerank
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == _RRF_QVEC).select(to_d.alias("qv"))
+    )
+    cands = (
+        emb.where(F.col("vec_id") != _RRF_QVEC)
+        .select(F.col("vec_id").alias("doc_id"), to_d.alias("v"))
+        .crossJoin(q)
+        .select(
+            "doc_id",
+            "v",
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("v"), F.col("v")))
+                ),
+                6,
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    return mmr_rerank(cands, k=5, lam=0.7)

@@ -157,3 +157,44 @@ def test_dsir_gumbel_matches_python_reference(spark, sf_dir):
         for r in sample_dsir_gumbel(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+# ---- round 6: MMR diversification ------------------------------------------
+
+
+def test_mmr_rerank_diversifies_vs_plain_topk(spark):
+    import numpy as np
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    rng = np.random.default_rng(21)
+    # candidates: a tight near-duplicate cluster with the highest rel,
+    # plus spread-out alternatives slightly lower
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(4):  # near-dup cluster, rel ~0.95
+        v = base + rng.normal(scale=0.01, size=8)
+        rows.append((i, 0.95 - i * 0.001, [float(x) for x in v]))
+    for i in range(4, 12):  # diverse tail, rel 0.8
+        rows.append((i, 0.8, [float(x) for x in rng.normal(size=8)]))
+    df = spark.createDataFrame(rows, "doc_id long, rel double, v array<double>")
+    out = mmr_rerank(df, k=4, lam=0.5).collect()
+    picked = [r.doc_id for r in out]
+    assert picked[0] == 0  # highest relevance first
+    # plain top-4 would be the whole near-dup cluster {0,1,2,3};
+    # MMR must break out of it
+    assert not set(picked) <= {0, 1, 2, 3}, picked
+    # deterministic
+    again = [r.doc_id for r in mmr_rerank(df, k=4, lam=0.5).collect()]
+    assert picked == again
+
+
+def test_mmr_rerank_empty_input(spark):
+    from projeto_de_etl_com_api_do_meta_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    df = spark.createDataFrame([], "doc_id long, rel double, v array<double>")
+    assert mmr_rerank(df).count() == 0
