@@ -107,6 +107,9 @@ _PRIORITY: tuple[str, ...] = (
     "warehouse_late_arriving_dimension",
     "ml_auc_roc_exact",
     "events_bounce_rate_daily",
+    "text_crosslingual_contamination",
+    "text_quality_ensemble_gate",
+    "warehouse_accumulating_snapshot",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----

@@ -1778,3 +1778,198 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4)
         .alias("fk_grade"),
     ).orderBy("doc_id")
+
+
+_ORACLE_CROSSLINGUAL = r"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           AS fingerprint
+  FROM documents WHERE length(trim(text)) > 0
+),
+pairs AS (
+  SELECT a.fingerprint,
+         a.doc_id AS doc_a, a.lang AS lang_a,
+         b.doc_id AS doc_b, b.lang AS lang_b
+  FROM fp a JOIN fp b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  WHERE a.lang <> b.lang
+)
+SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(doc_a) AS example_doc_a, MIN(doc_b) AS example_doc_b
+FROM pairs GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b
+"""
+
+
+@register(
+    "text_crosslingual_contamination",
+    oracle=_ORACLE_CROSSLINGUAL,
+    tags=("text", "dedup", "quality"),
+    doc=(
+        "Cross-lingual contamination scan: documents whose normalized "
+        "fingerprints collide ACROSS language labels — the signal for "
+        "mislabeled language IDs, untranslated boilerplate leaking into "
+        "every language bucket, or copy-through translation pairs (all "
+        "three skew per-language mixture weights if unnoticed). One "
+        "fingerprint hash aggregate + a self-equi-join on the "
+        "fingerprint (pair work bounded per fingerprint by its "
+        "duplicate-set size — the exact-dedup shape, never all-pairs), "
+        "reported as a lang x lang collision matrix with example ids."
+    ),
+)
+def text_crosslingual_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    fp = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        ).alias("fingerprint"),
+    )
+    a = fp.select(
+        "fingerprint",
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+    )
+    b = fp.select(
+        "fingerprint",
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    return (
+        a.join(b, "fingerprint")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("lang_a") != F.col("lang_b"))
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("doc_a").alias("example_doc_a"),
+            F.min("doc_b").alias("example_doc_b"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+_ORACLE_QUALITY_ENSEMBLE = r"""
+WITH sig AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_words,
+         len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
+           AS n_distinct,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS n_alpha
+  FROM documents WHERE length(trim(text)) > 0
+),
+scored AS (
+  SELECT doc_id,
+         -- three orthogonal quality signals, each gated to [0, 1] in
+         -- integer milli-units (exact): length band, lexical diversity,
+         -- alphabetic purity
+         CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1000
+              WHEN n_words BETWEEN 10 AND 2000 THEN 500
+              ELSE 0 END AS len_score_m,
+         least(CAST(2000 AS BIGINT) * n_distinct // n_words, 1000)
+           AS div_score_m,
+         CAST(1000 AS BIGINT) * n_alpha // n_chars AS alpha_score_m
+  FROM sig
+),
+ens AS (
+  SELECT doc_id,
+         -- weighted ensemble (0.4 / 0.3 / 0.3) in exact integer units
+         (4 * len_score_m + 3 * div_score_m + 3 * alpha_score_m) // 10
+           AS ensemble_m
+  FROM scored
+)
+SELECT CASE WHEN ensemble_m >= 900 THEN 'keep'
+            WHEN ensemble_m >= 600 THEN 'review'
+            ELSE 'drop' END AS verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(ensemble_m) AS BIGINT) AS min_score_m,
+       CAST(MAX(ensemble_m) AS BIGINT) AS max_score_m
+FROM ens GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "text_quality_ensemble_gate",
+    oracle=_ORACLE_QUALITY_ENSEMBLE,
+    tags=("text", "quality", "north-star"),
+    doc=(
+        "Multi-signal quality ENSEMBLE gate (the DCLM-style practice of "
+        "combining rule signals instead of trusting one): length band, "
+        "lexical diversity (distinct/total), and alphabetic purity each "
+        "score in integer milli-units, combine under 0.4/0.3/0.3 "
+        "weights with INTEGER arithmetic (weights premultiplied by 10, "
+        "floor division — no float ever appears), and the keep/review/"
+        "drop verdict buckets summarize. All three signals come from "
+        "ONE scan's expressions — composing more signals (Gopher rules, "
+        "classifier margins, perplexity buckets, all present in this "
+        "registry) extends the same single-scan shape."
+    ),
+)
+def text_quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    sig = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z ]", "")).cast("bigint")
+        .alias("n_alpha"),
+    )
+    len_score = (
+        F.when(F.col("n_words").between(20, 1000), 1000)
+        .when(F.col("n_words").between(10, 2000), 500)
+        .otherwise(0)
+    ).cast("bigint")
+    div_score = F.least(
+        F.lit(2000).cast("bigint") * F.col("n_distinct") / F.col("n_words"),
+        F.lit(1000).cast("bigint"),
+    ).cast("bigint")
+    alpha_score = (
+        F.lit(1000).cast("bigint") * F.col("n_alpha") / F.col("n_chars")
+    ).cast("bigint")
+    scored = sig.select(
+        "doc_id",
+        len_score.alias("len_score_m"),
+        div_score.alias("div_score_m"),
+        alpha_score.alias("alpha_score_m"),
+    )
+    ens = scored.select(
+        "doc_id",
+        F.floor(
+            (
+                4 * F.col("len_score_m")
+                + 3 * F.col("div_score_m")
+                + 3 * F.col("alpha_score_m")
+            )
+            / 10
+        ).cast("bigint").alias("ensemble_m"),
+    )
+    return (
+        ens.select(
+            F.when(F.col("ensemble_m") >= 900, "keep")
+            .when(F.col("ensemble_m") >= 600, "review")
+            .otherwise("drop")
+            .alias("verdict"),
+            "ensemble_m",
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("ensemble_m").cast("bigint").alias("min_score_m"),
+            F.max("ensemble_m").cast("bigint").alias("max_score_m"),
+        )
+        .orderBy("verdict")
+    )

@@ -1636,3 +1636,98 @@ def warehouse_late_arriving_dimension(
         )
         .orderBy("segment")
     )
+
+
+_ORACLE_ACCUMULATING = """
+WITH li AS (
+  SELECT l_orderkey,
+         MIN(l_shipdate) AS first_ship,
+         MAX(l_shipdate) AS last_ship,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_not_shipped,
+       CAST(SUM(CASE WHEN li.first_ship IS NOT NULL
+                 THEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(li.first_ship AS DATE)) END)
+            AS BIGINT) AS sum_days_to_ship,
+       CAST(SUM(CASE WHEN li.last_ship IS NOT NULL
+                 THEN date_diff('day', CAST(li.first_ship AS DATE),
+                                CAST(li.last_ship AS DATE)) END)
+            AS BIGINT) AS sum_fulfillment_span
+FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+
+@register(
+    "warehouse_accumulating_snapshot",
+    oracle=_ORACLE_ACCUMULATING,
+    tags=("warehouse", "temporal", "analytics"),
+    doc=(
+        "Accumulating-snapshot fact table — the third Kimball fact "
+        "grain next to the transaction facts (lineitem) and periodic "
+        "snapshots (perf_daily_fact): one row per order pipeline "
+        "carrying its milestone dates (order -> first ship -> last "
+        "ship, fulfillment complete) with NULL milestones for stages not yet reached, "
+        "summarized as lag-day totals per status. Milestones collapse "
+        "from the transaction grain in ONE hash aggregate; the "
+        "milestone join is the orders-lineitem equi-join. At 100 TB "
+        "the accumulating fact is maintained incrementally by "
+        "merge_into keyed on the pipeline id — each milestone batch "
+        "touches O(its orders)."
+    ),
+)
+def warehouse_accumulating_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+    )
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_not_shipped"),
+            F.sum(
+                F.when(
+                    F.col("first_ship").isNotNull(),
+                    F.datediff(
+                        F.col("first_ship").cast("date"),
+                        F.col("o_orderdate").cast("date"),
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("sum_days_to_ship"),
+            F.sum(
+                F.when(
+                    F.col("last_ship").isNotNull(),
+                    F.datediff(
+                        F.col("last_ship").cast("date"),
+                        F.col("first_ship").cast("date"),
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("sum_fulfillment_span"),
+        )
+        .orderBy("o_orderstatus")
+    )
