@@ -813,3 +813,50 @@ def agg_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     ).orderBy("seg")
+
+
+_ORACLE_REGR_BATTERY = """
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+       round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_regr_battery",
+    oracle=_ORACLE_REGR_BATTERY,
+    tags=("agg", "stats"),
+    doc=(
+        "Built-in OLS regression aggregate family per group: regr_count/"
+        "slope/intercept/r2/avgx/avgy of extendedprice on quantity — the "
+        "ANSI bivariate battery as SINGLE-PASS aggregates (each is a "
+        "moments combination, map-side combinable), complementing "
+        "agg_bivariate_moments' exact-integer sufficient statistics with "
+        "the engine-native forms. Rounding (4-6dp) absorbs the two "
+        "engines' summation-order ulps on these well-conditioned groups "
+        "— the raw moments path remains the bit-exact alternative when "
+        "conditioning degrades."
+    ),
+)
+def agg_regr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice").cast("double")
+    x = F.col("l_quantity").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+            F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+        )
+        .orderBy("l_returnflag")
+    )

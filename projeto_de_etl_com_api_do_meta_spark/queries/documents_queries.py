@@ -1887,3 +1887,113 @@ def corpus_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_ORACLE_HEAPS = r"""
+WITH toks AS (
+  SELECT doc_id, CAST(doc_id * 10 // (SELECT MAX(doc_id) + 1 FROM documents)
+                      AS INTEGER) AS decile,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok_per_decile AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM toks WHERE w <> '' GROUP BY decile
+),
+first_seen AS (
+  SELECT w, MIN(decile) AS first_decile
+  FROM toks WHERE w <> '' GROUP BY w
+),
+new_types AS (
+  SELECT first_decile AS decile, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM first_seen GROUP BY first_decile
+),
+curve AS (
+  SELECT t.decile,
+         SUM(t.n_tok) OVER (ORDER BY t.decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY t.decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_types
+  FROM tok_per_decile t LEFT JOIN new_types n USING (decile)
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_types AS BIGINT) AS cum_types,
+       round((SELECT regr_slope(ln(CAST(c2.cum_types AS DOUBLE)),
+                                ln(CAST(c2.cum_tokens AS DOUBLE)))
+              FROM curve c2), 5) AS heaps_beta
+FROM curve ORDER BY decile
+"""
+
+
+@register(
+    "corpus_heaps_law_curve",
+    oracle=_ORACLE_HEAPS,
+    tags=("corpus", "stats", "profiling"),
+    doc=(
+        "Heaps'-law vocabulary growth curve: cumulative distinct types "
+        "vs cumulative tokens across ten corpus prefixes, plus the "
+        "log-log OLS slope (Heaps beta; natural corpora sit ~0.4-0.6, "
+        "template-heavy corpora flatten early — the companion scaling "
+        "law to corpus_zipf_law_fit). The trick that keeps it one pass: "
+        "cumulative DISTINCT counts need no per-prefix distinct scans — "
+        "each word's FIRST-occurrence decile is one hash aggregate, and "
+        "cumulative types is a running sum of new-type counts. Windows "
+        "run over the 10-row decile table."
+    ),
+)
+def corpus_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    max_id = docs.agg((F.max("doc_id") + 1).alias("m"))
+    toks = (
+        docs.crossJoin(F.broadcast(max_id))
+        .select(
+            F.floor(F.col("doc_id") * 10 / F.col("m")).cast("int").alias("decile"),
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    tok_per = toks.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    new_types = (
+        toks.groupBy("w")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    w_run = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        tok_per.join(new_types, "decile", "left")
+        .select(
+            "decile",
+            F.sum("n_tok").over(w_run).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w_run).alias("cum_types"),
+        )
+    )
+    beta = curve.agg(
+        F.round(
+            F.regr_slope(
+                F.log(F.col("cum_types").cast("double")),
+                F.log(F.col("cum_tokens").cast("double")),
+            ),
+            5,
+        ).alias("heaps_beta")
+    )
+    return (
+        curve.crossJoin(F.broadcast(beta))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+            F.col("cum_types").cast("bigint").alias("cum_types"),
+            "heaps_beta",
+        )
+        .orderBy("decile")
+    )

@@ -1372,3 +1372,62 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+_ORACLE_DOW_PROFILE = """
+WITH cells AS (
+  SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,   -- 0=Sunday in DuckDB
+         CAST(hour(ts) AS INTEGER) AS hr,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells)
+SELECT dow, hr, CAST(n AS BIGINT) AS n,
+       CAST(floor(1000000.0 * n * n_cells / total) AS BIGINT)
+         AS load_index_ppm   -- 1e6 = uniform share; hot cells exceed it
+FROM cells, t ORDER BY dow, hr
+"""
+
+
+@register(
+    "events_dow_hour_profile",
+    oracle=_ORACLE_DOW_PROFILE,
+    tags=("events", "timeseries", "profiling"),
+    doc=(
+        "Day-of-week x hour-of-day load profile with a uniform-share "
+        "index (1e6 ppm = perfectly even traffic; hot cells exceed it) "
+        "— the seasonality fingerprint capacity planning and "
+        "anomaly-baseline jobs start from. Spark's dayofweek is "
+        "1=Sunday and DuckDB's dayofweek is 0=Sunday, so the engine "
+        "side shifts by one to meet the oracle on the same convention "
+        "(a real cross-engine calendar trap, pinned here). One hash "
+        "aggregate over 168 cells + a scalar broadcast."
+    ),
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),  # to 0=Sunday
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = cells.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "hr",
+            F.col("n").cast("bigint").alias("n"),
+            F.floor(
+                F.lit(1000000.0) * F.col("n") * F.col("n_cells")
+                / F.col("total")
+            )
+            .cast("bigint")
+            .alias("load_index_ppm"),
+        )
+        .orderBy("dow", "hr")
+    )

@@ -110,6 +110,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_crosslingual_contamination",
     "text_quality_ensemble_gate",
     "warehouse_accumulating_snapshot",
+    "corpus_heaps_law_curve",
+    "agg_regr_battery",
+    "events_dow_hour_profile",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----
