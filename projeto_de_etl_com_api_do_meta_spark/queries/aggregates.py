@@ -860,3 +860,62 @@ def agg_regr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_ORACLE_MOM_WATERFALL = """
+WITH m AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100, 0)
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT ym, cents,
+       cents - LAG(cents) OVER (ORDER BY ym) AS delta_cents,
+       CASE WHEN LAG(cents) OVER (ORDER BY ym) IS NULL THEN NULL
+            ELSE CAST(floor(1000000.0
+                 * (cents - LAG(cents) OVER (ORDER BY ym))
+                 / LAG(cents) OVER (ORDER BY ym)) AS BIGINT) END
+         AS mom_change_ppm
+FROM m ORDER BY ym
+"""
+
+
+@register(
+    "agg_mom_waterfall",
+    oracle=_ORACLE_MOM_WATERFALL,
+    tags=("agg", "timeseries", "analytics"),
+    doc=(
+        "Month-over-month revenue waterfall: monthly totals in exact "
+        "cents, absolute delta and relative change (floored ppm) via "
+        "LAG over the months table — the BI bridge chart every finance "
+        "review starts from. The window runs over one row per month "
+        "(bounded by calendar, not data); the corpus-scale work is one "
+        "hash aggregate."
+    ),
+)
+def agg_mom_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("ym")
+    ).agg(
+        F.round(F.sum(dec("o_totalprice")) * 100, 0)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("ym")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        "ym",
+        "cents",
+        (F.col("cents") - prev).alias("delta_cents"),
+        F.when(prev.isNull(), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0) * (F.col("cents") - prev) / prev
+            ).cast("bigint")
+        )
+        .alias("mom_change_ppm"),
+    ).orderBy("ym")

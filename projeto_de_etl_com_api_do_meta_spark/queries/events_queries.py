@@ -1431,3 +1431,79 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+_ORACLE_SLO_BURN = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errs
+  FROM events GROUP BY 1
+),
+rolled AS (
+  SELECT d, n, errs,
+         SUM(n) OVER w AS n7, SUM(errs) OVER w AS errs7
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT d, n, errs,
+       CAST(floor(1000000.0 * errs7 / n7) AS BIGINT) AS err_rate_7d_ppm,
+       -- burn rate vs a 5% error budget: 1e6 = burning exactly at budget
+       CAST(floor(1000000.0 * errs7 / n7 / 0.05) AS BIGINT) AS burn_ppm,
+       CASE WHEN 1000000.0 * errs7 / n7 / 0.05 >= 2000000 THEN 'page'
+            WHEN 1000000.0 * errs7 / n7 / 0.05 >= 1000000 THEN 'ticket'
+            ELSE 'ok' END AS alert
+FROM rolled ORDER BY d
+"""
+
+
+@register(
+    "events_slo_error_budget_burn",
+    oracle=_ORACLE_SLO_BURN,
+    tags=("events", "timeseries", "analytics"),
+    doc=(
+        "SLO error-budget burn-rate monitor: daily error rates rolled "
+        "over a 7-day window, normalized by a 5% error budget (1e6 ppm "
+        "= burning exactly at budget) with page/ticket alert thresholds "
+        "at 2x/1x — the SRE multiwindow-burn readout, batch form. The "
+        "rolling window runs over the bounded days table; integer "
+        "floors on every rate so no float accumulation crosses the "
+        "oracle; the streaming twin is a sliding-window aggregate over "
+        "the same expressions (stream_sliding_hourly's shape)."
+    ),
+)
+def events_slo_error_budget_burn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("errs"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    rolled = daily.select(
+        "d",
+        "n",
+        "errs",
+        F.sum("n").over(w).alias("n7"),
+        F.sum("errs").over(w).alias("errs7"),
+    )
+    rate = F.lit(1000000.0) * F.col("errs7") / F.col("n7")
+    burn = rate / F.lit(0.05)
+    return rolled.select(
+        "d",
+        "n",
+        "errs",
+        F.floor(rate).cast("bigint").alias("err_rate_7d_ppm"),
+        F.floor(burn).cast("bigint").alias("burn_ppm"),
+        F.when(burn >= 2000000, "page")
+        .when(burn >= 1000000, "ticket")
+        .otherwise("ok")
+        .alias("alert"),
+    ).orderBy("d")

@@ -113,6 +113,9 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_heaps_law_curve",
     "agg_regr_battery",
     "events_dow_hour_profile",
+    "agg_mom_waterfall",
+    "events_slo_error_budget_burn",
+    "sample_balanced_downsample",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----

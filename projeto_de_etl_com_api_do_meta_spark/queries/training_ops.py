@@ -2200,3 +2200,65 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_ORACLE_BALANCED_DOWNSAMPLE = """
+WITH sized AS (
+  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+),
+floor_n AS (SELECT CAST(MIN(n) AS BIGINT) AS min_n FROM sized),
+ranked AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label
+           ORDER BY md5('bal:' || CAST(vec_id AS VARCHAR)), vec_id) AS r
+  FROM embeddings
+)
+SELECT r.label,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(r.vec_id) AS BIGINT) AS id_checksum
+FROM ranked r, floor_n f
+WHERE r.r <= f.min_n
+GROUP BY r.label ORDER BY r.label
+"""
+
+
+@register(
+    "sample_balanced_downsample",
+    oracle=_ORACLE_BALANCED_DOWNSAMPLE,
+    tags=("sampling", "training", "ml"),
+    doc=(
+        "Class-balanced downsampling: every label keeps exactly "
+        "min-class-count examples, selected by md5 rank within the "
+        "class — the majority-class undersampling step before training "
+        "on skewed labels, made deterministic and engine-reproducible "
+        "(the hash IS the shuffle, the same seeded-order trick as "
+        "train_shuffle_epochs). One per-class count + one per-class "
+        "window ordered by the hash; the id_checksum column pins the "
+        "EXACT selected set, not just its size."
+    ),
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    min_n = emb.groupBy("label").count().agg(
+        F.min("count").cast("bigint").alias("min_n")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    ranked = emb.select("label", "vec_id").withColumn(
+        "r", F.row_number().over(w)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(min_n))
+        .where(F.col("r") <= F.col("min_n"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("vec_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("label")
+    )
