@@ -43,6 +43,35 @@ SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001")
 
 #: (query, flag) -> reason the pattern is acceptable THERE.
 ALLOWLIST: dict[tuple[str, str], str] = {
+    # ---- round 5/6 scalar-aggregate broadcasts (1-row or bounded-row
+    # crossJoins — the global-total pattern) and bounded-table windows ----
+    ("dq_benford_digit_profile", "CARTESIAN"): "digit-total scalar broadcast (1 row) onto 9 digit groups",
+    ("text_kneser_ney_bigram", "CARTESIAN"): "bigram-type-count scalar broadcast (1 row)",
+    ("retrieval_rrf_hybrid", "CARTESIAN"): "corpus-stats scalar + 1-row query-vector broadcasts; both retriever arms depth-bounded to 20 before any join",
+    ("sample_doremi_reweight", "CARTESIAN"): "corpus-total and softmax-normalizer scalar broadcasts (1 row each) onto the ~20-domain table",
+    ("pipeline_rag_funnel", "CARTESIAN"): "chunk-stats scalar + 1-row query-vector broadcasts; fusion work O(depth)",
+    ("sample_neyman_allocation", "CARTESIAN"): "weight-total and leftover-seat scalar broadcasts (1 row each) onto the ~20-stratum table",
+    ("sample_neyman_allocation", "GLOBAL_WINDOW"): "largest-remainder seat ranking over the ~20-stratum table",
+    ("corpus_keyness_loglikelihood", "CARTESIAN"): "token-total scalar broadcast (1 row) onto the vocabulary table",
+    ("agg_gini_inequality", "CARTESIAN"): "min-balance shift scalar broadcast (1 row)",
+    ("events_survival_kaplan_meier", "CARTESIAN"): "spell-count scalar broadcast (1 row) onto the duration table",
+    ("events_survival_kaplan_meier", "GLOBAL_WINDOW"): "risk-set/survival windows over the calendar-bounded duration table",
+    ("ml_calibration_reliability", "CARTESIAN"): "bin-mass total scalar broadcast (1 row) onto 10 bins",
+    ("corpus_word_burstiness", "CARTESIAN"): "doc-count scalar broadcast (1 row) onto the vocabulary table",
+    ("agg_kmv_running_daily", "CARTESIAN"): "days x per-day-sketch (k rows each) inequality join — sketch-scale by construction, never data-scale",
+    ("ml_auc_roc_exact", "GLOBAL_WINDOW"): "cumulative ranks over the DISTINCT-SCORE table (bounded by 1e-6 score resolution)",
+    ("corpus_heaps_law_curve", "CARTESIAN"): "max-doc-id and Heaps-beta scalar broadcasts (1 row each)",
+    ("corpus_heaps_law_curve", "GLOBAL_WINDOW"): "cumulative token/type sums over the 10-row decile table",
+    ("events_dow_hour_profile", "CARTESIAN"): "traffic-total scalar broadcast (1 row) onto <=168 cells",
+    ("agg_mom_waterfall", "GLOBAL_WINDOW"): "LAG over the calendar-bounded months table",
+    ("events_slo_error_budget_burn", "GLOBAL_WINDOW"): "7-day rolling window over the calendar-bounded days table",
+    ("sample_balanced_downsample", "CARTESIAN"): "min-class-count scalar broadcast (1 row)",
+    ("corpus_source_concentration", "CARTESIAN"): "corpus-total scalar broadcast (1 row) onto the per-source table",
+    ("corpus_bm25_search", "CARTESIAN"): "corpus-stats scalar broadcast (1 row; N, avgdl)",
+    ("sample_dsir_importance", "CARTESIAN"): "feature-total scalar broadcasts (1 row) onto the hashed-bucket table",
+    ("sample_dsir_gumbel", "CARTESIAN"): "feature-total scalar broadcasts (1 row) onto the hashed-bucket table",
+    ("dq_key_skew_report", "CARTESIAN"): "table-total scalar broadcast (1 row) onto the hot-key report",
+    ("text_ccnet_perplexity_buckets", "CARTESIAN"): "corpus-tercile threshold scalar broadcast (1 row)",
     ("join_cross_small", "CARTESIAN"): "deliberate 5x5x5 dim cross join (J3)",
     ("train_rendezvous_sharding", "CARTESIAN"): "broadcast 9-row shard spine (HRW candidate expand; map-only)",
     ("join_theta_ineq", "CARTESIAN"): "deliberate pure theta-join demo (J5); bounded filtered sides — join_range_binned is the scale path",
