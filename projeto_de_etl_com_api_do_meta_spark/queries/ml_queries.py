@@ -1530,3 +1530,191 @@ def ml_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# -- distribution drift: PSI + exact two-sample KS ------------------------------
+
+_ORACLE_PSI = """
+WITH halves AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END
+           AS half,
+         least(CAST(floor(value / 5.0) AS INTEGER), 9) AS bin
+  FROM events
+),
+c AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(SUM(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cur
+  FROM halves GROUP BY bin
+),
+t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+             CAST(SUM(n_cur) AS BIGINT) AS tc FROM c)
+SELECT bin, n_ref, n_cur,
+       round(((n_cur + 0.5) / (t.tc + 5.0) - (n_ref + 0.5) / (t.tr + 5.0))
+             * ln(((n_cur + 0.5) / (t.tc + 5.0))
+                  / ((n_ref + 0.5) / (t.tr + 5.0))), 8) AS psi_term
+FROM c, t ORDER BY bin
+"""
+
+
+@register(
+    "ml_psi_drift_report",
+    oracle=_ORACLE_PSI,
+    tags=("ml", "dq", "eval"),
+    doc=(
+        "Population Stability Index between the first and second half "
+        "of the month over binned event values — the drift monitor "
+        "production scoring pipelines run per batch (PSI > 0.2 = "
+        "investigate): per-bin (actual% - expected%) * ln(actual%/"
+        "expected%), smoothed +0.5/bin so empty bins stay finite. One "
+        "conditional count aggregate over 10 fixed-width bins + one "
+        "scalar totals broadcast; the per-bin float term is a single "
+        "expression over exact integers (sum the terms downstream for "
+        "the headline PSI). Same integer-division discipline as the "
+        "rest of the registry: the bin id comes from floor()."
+    ),
+)
+def ml_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref"
+        )
+        .otherwise("cur")
+        .alias("half"),
+        F.least(
+            F.floor(F.col("value") / 5.0).cast("int"), F.lit(9)
+        ).alias("bin"),
+    )
+    c = halves.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    t = c.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    cur_p = (F.col("n_cur") + 0.5) / (F.col("tc") + 5.0)
+    ref_p = (F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round((cur_p - ref_p) * F.log(cur_p / ref_p), 8).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+_ORACLE_KS = """
+WITH vals AS (
+  SELECT CAST(round(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'view')
+),
+per_v AS (
+  SELECT v,
+         CAST(SUM(is_a) AS BIGINT) AS ca,
+         CAST(SUM(1 - is_a) AS BIGINT) AS cb
+  FROM vals GROUP BY v
+),
+t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb FROM per_v),
+cume AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM per_v
+)
+-- D = max |ECDF_a - ECDF_b| kept EXACT: |cum_a*nb - cum_b*na| / (na*nb)
+SELECT t.na, t.nb,
+       CAST(MAX(abs(cum_a * t.nb - cum_b * t.na)) AS BIGINT) AS d_num,
+       CAST(t.na * t.nb AS BIGINT) AS d_den,
+       round(CAST(MAX(abs(cum_a * t.nb - cum_b * t.na)) AS DOUBLE)
+             / (CAST(t.na AS DOUBLE) * t.nb), 6) AS ks_d
+FROM cume, t GROUP BY t.na, t.nb
+"""
+
+
+@register(
+    "ml_ks_two_sample_exact",
+    oracle=_ORACLE_KS,
+    tags=("ml", "stats", "eval"),
+    doc=(
+        "EXACT two-sample Kolmogorov-Smirnov statistic between click and "
+        "view value distributions: D = max |ECDF_a - ECDF_b| carried as "
+        "the exact integer fraction |cum_a*nb - cum_b*na| / (na*nb) — "
+        "no float ECDFs, so the supremum is bit-reproducible (values "
+        "fixed-pointed to cents first, ties merged at the distinct-value "
+        "grain like the AUC rank path). One value-grain aggregate, "
+        "cumulative window over the bounded distinct-value table, one "
+        "max. The drift TEST companion to ml_psi_drift_report's "
+        "monitoring index."
+    ),
+)
+def ml_ks_two_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    from ..functions.safe_math import dec
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    vals = ev.select(
+        F.round(dec("value") * 100, 0).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    per_v = vals.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("cb"),
+    )
+    t = per_v.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cume = per_v.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    return (
+        cume.crossJoin(F.broadcast(t))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+                )
+            )
+            .cast("bigint")
+            .alias("d_num"),
+            (F.first("na") * F.first("nb")).cast("bigint").alias("d_den"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a") * F.col("nb")
+                        - F.col("cum_b") * F.col("na")
+                    )
+                ).cast("double")
+                / (F.first("na").cast("double") * F.first("nb")),
+                6,
+            ).alias("ks_d"),
+        )
+    )

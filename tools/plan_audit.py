@@ -72,6 +72,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("sample_dsir_gumbel", "CARTESIAN"): "feature-total scalar broadcasts (1 row) onto the hashed-bucket table",
     ("dq_key_skew_report", "CARTESIAN"): "table-total scalar broadcast (1 row) onto the hot-key report",
     ("text_ccnet_perplexity_buckets", "CARTESIAN"): "corpus-tercile threshold scalar broadcast (1 row)",
+    ("ml_psi_drift_report", "CARTESIAN"): "half-totals scalar broadcast (1 row) onto 10 bins",
+    ("ml_ks_two_sample_exact", "CARTESIAN"): "group-size scalar broadcast (1 row) onto the distinct-value table",
+    ("ml_ks_two_sample_exact", "GLOBAL_WINDOW"): "cumulative ECDF counts over the bounded distinct-value (cents) table",
     ("join_cross_small", "CARTESIAN"): "deliberate 5x5x5 dim cross join (J3)",
     ("train_rendezvous_sharding", "CARTESIAN"): "broadcast 9-row shard spine (HRW candidate expand; map-only)",
     ("join_theta_ineq", "CARTESIAN"): "deliberate pure theta-join demo (J5); bounded filtered sides — join_range_binned is the scale path",
