@@ -1507,3 +1507,106 @@ def events_slo_error_budget_burn(
         .otherwise("ok")
         .alias("alert"),
     ).orderBy("d")
+
+
+_ORACLE_INTERVAL_COALESCE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 600000000 AS e,   -- 10-minute activity window
+         event_id
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id
+                ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1
+              WHEN MAX(e) OVER (PARTITION BY user_id
+                ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM iv
+),
+blocks AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS UNBOUNDED PRECEDING) AS block_id
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, block_id,
+         MIN(s) AS block_start, MAX(e) AS block_end,
+         COUNT(*) AS n_events
+  FROM blocks GROUP BY user_id, block_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(block_end - block_start) AS BIGINT) AS covered_us
+FROM merged GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "events_interval_coalesce",
+    oracle=_ORACLE_INTERVAL_COALESCE,
+    tags=("events", "timeseries", "window"),
+    doc=(
+        "Interval COALESCING (merge overlapping/touching spans): each "
+        "event opens a 10-minute activity interval; per user, "
+        "overlapping intervals merge into maximal blocks via the "
+        "running-max-of-end break test (a new block starts only when "
+        "the next start exceeds every previous end — the packing/"
+        "scheduling primitive behind availability windows, downtime "
+        "merging, and span dedup in text rebuilds). One per-user window "
+        "pass (running MAX over epoch-micros integers — exact), then "
+        "two hash aggregates; reports blocks, events, and exact covered "
+        "microseconds per user."
+    ),
+)
+def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 600_000_000).alias("e"),
+        "event_id",
+    )
+    w_prev = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0)
+        .alias("brk"),
+        "event_id",
+    )
+    w_run = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    blocks = flagged.withColumn("block_id", F.sum("brk").over(w_run))
+    merged = blocks.groupBy("user_id", "block_id").agg(
+        F.min("s").alias("block_start"),
+        F.max("e").alias("block_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum(F.col("block_end") - F.col("block_start"))
+            .cast("bigint")
+            .alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
