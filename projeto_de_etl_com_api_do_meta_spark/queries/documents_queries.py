@@ -1997,3 +1997,67 @@ def corpus_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_ORACLE_FIELD_MI = """
+WITH joint AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM documents GROUP BY lang, source
+),
+mx AS (SELECT lang, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint GROUP BY lang),
+my AS (SELECT source, CAST(SUM(nxy) AS BIGINT) AS ny FROM joint
+       GROUP BY source),
+t AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint)
+SELECT j.lang, j.source, j.nxy,
+       round((CAST(j.nxy AS DOUBLE) / t.n)
+             * ln(CAST(j.nxy AS DOUBLE) * t.n
+                  / (CAST(mx.nx AS DOUBLE) * my.ny)), 8) AS mi_term
+FROM joint j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t
+ORDER BY j.lang, j.source
+"""
+
+
+@register(
+    "corpus_lang_source_mi",
+    oracle=_ORACLE_FIELD_MI,
+    tags=("corpus", "stats", "profiling"),
+    doc=(
+        "Mutual information between the lang and source fields, as "
+        "per-cell contributions p(x,y) * ln(p(x,y)/(p(x)p(y))) — the "
+        "field-association audit that flags when a 'language' split is "
+        "secretly a 'source' split (and vice versa), which silently "
+        "couples mixture weights; MI ~ 0 means the fields partition "
+        "independently. Three hash aggregates (joint + two marginals) "
+        "and one scalar total; each term is a single float expression "
+        "over exact integers (sum the cells downstream for the headline "
+        "MI in nats). The field-level sibling of corpus_pmi_bigrams."
+    ),
+)
+def corpus_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    )
+    mx = joint.groupBy("lang").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = joint.groupBy("source").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    t = joint.agg(F.sum("nxy").cast("bigint").alias("n"))
+    return (
+        joint.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            "nxy",
+            F.round(
+                (F.col("nxy").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("nxy").cast("double") * F.col("n")
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                ),
+                8,
+            ).alias("mi_term"),
+        )
+        .orderBy("lang", "source")
+    )
