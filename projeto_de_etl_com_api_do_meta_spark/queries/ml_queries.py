@@ -1718,3 +1718,124 @@ def ml_ks_two_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+# -- cumulative gains / lift table ---------------------------------------------
+
+_ORACLE_GAINS = """
+WITH scored AS (
+  SELECT label % 2 AS y,
+         CAST(round((0.7 * (label % 2)
+               + 0.3 * (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 1000) / 999.0) * 1000000, 0) AS BIGINT)
+           AS s_e6,
+         vec_id
+  FROM embeddings
+),
+ranked AS (
+  SELECT y, NTILE(10) OVER (ORDER BY s_e6 DESC, vec_id) AS decile
+  FROM scored
+),
+d AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM ranked GROUP BY decile
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt
+      FROM d),
+c AS (
+  SELECT decile, n, pos,
+         SUM(pos) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+         SUM(n) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM d
+)
+SELECT c.decile, c.n, c.pos,
+       CAST(floor(1000000.0 * c.cum_pos / t.pt) AS BIGINT) AS gain_ppm,
+       CAST(floor(1000000.0 * c.cum_pos * t.nt
+                  / (CAST(c.cum_n AS DOUBLE) * t.pt)) AS BIGINT)
+         AS lift_ppm
+FROM c, t ORDER BY c.decile
+"""
+
+
+@register(
+    "ml_gains_lift_table",
+    oracle=_ORACLE_GAINS,
+    tags=("ml", "eval", "scale-audit-only"),
+    doc=(
+        "Cumulative gains / lift table by score decile: what share of "
+        "all positives the top-k% of scores captures (gain) and how "
+        "much better than random that is (lift) — the targeting readout "
+        "next to AUC/calibration (same deterministic md5-blend scores). "
+        "Floored ppm over exact integers throughout. Tagged "
+        "scale-audit-only for the same reason as the exact equi-depth "
+        "histogram: NTILE over the full scored population is a total "
+        "order by contract — the 100 TB swap is percentile_approx "
+        "decile thresholds + a value-bucket join "
+        "(agg_histogram_equidepth_approx's pattern)."
+    ),
+)
+def ml_gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    ) / F.lit(999.0)
+    scored = emb.select(
+        (F.col("label") % 2).alias("y"),
+        F.round(
+            (F.lit(0.7) * (F.col("label") % 2) + F.lit(0.3) * noise) * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("s_e6"),
+        "vec_id",
+    )
+    ranked = scored.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("s_e6"), "vec_id"))
+        .alias("decile"),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    t = d.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("pos").cast("bigint").alias("pt"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("n").over(w).alias("cum_n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n",
+            "pos",
+            F.floor(F.lit(1000000.0) * F.col("cum_pos") / F.col("pt"))
+            .cast("bigint")
+            .alias("gain_ppm"),
+            F.floor(
+                F.lit(1000000.0) * F.col("cum_pos") * F.col("nt")
+                / (F.col("cum_n").cast("double") * F.col("pt"))
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )

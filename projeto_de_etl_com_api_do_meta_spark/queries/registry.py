@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "ml_ks_two_sample_exact",
     "events_interval_coalesce",
     "corpus_lang_source_mi",
+    "ml_gains_lift_table",
     # ---- r5 head: the one red r4 row (driver hash-fail was a DuckDB
     # HUGEINT dtype artifact; oracle now casts the outer SUM to BIGINT) and
     # the new SemDeDup scale-path twin (k ∝ N, r4 verdict item 2). ----

@@ -75,6 +75,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ml_psi_drift_report", "CARTESIAN"): "half-totals scalar broadcast (1 row) onto 10 bins",
     ("ml_ks_two_sample_exact", "CARTESIAN"): "group-size scalar broadcast (1 row) onto the distinct-value table",
     ("ml_ks_two_sample_exact", "GLOBAL_WINDOW"): "cumulative ECDF counts over the bounded distinct-value (cents) table",
+    ("corpus_lang_source_mi", "CARTESIAN"): "corpus-total scalar broadcast (1 row) onto the lang x source grid",
+    ("ml_gains_lift_table", "CARTESIAN"): "population-totals scalar broadcast (1 row) onto 10 deciles",
+    ("ml_gains_lift_table", "GLOBAL_WINDOW"): "exact NTILE contract (scale-audit-only tag; percentile_approx threshold twin is the scale path) + cumulative sums over 10 decile rows",
     ("join_cross_small", "CARTESIAN"): "deliberate 5x5x5 dim cross join (J3)",
     ("train_rendezvous_sharding", "CARTESIAN"): "broadcast 9-row shard spine (HRW candidate expand; map-only)",
     ("join_theta_ineq", "CARTESIAN"): "deliberate pure theta-join demo (J5); bounded filtered sides — join_range_binned is the scale path",
