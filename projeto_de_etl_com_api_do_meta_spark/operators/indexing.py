@@ -421,27 +421,31 @@ def bestfit_pack(
         # on the first entry of a fill run, so stepping left yields the
         # run's... largest id; we instead keep (fill, -bin_id) so the
         # predecessor within an equal-fill run is the lowest id).
-        from sortedcontainers import SortedList
+        # Stdlib bisect.insort on a plain list, not sortedcontainers: the
+        # latter resolved only transitively in this env (r6 ADVICE) and a
+        # leaner executor Python would fail at task runtime. Same O(log n)
+        # search; list-insert memmove is C-speed and fine at shard sizes.
+        import bisect
 
         pdf = pdf.sort_values(
             [size_col, id_col], ascending=[False, True], kind="mergesort"
         )
         sizes = pdf[size_col].to_numpy()
-        open_bins = SortedList()  # (fill, -bin_id) ascending
+        open_bins: list[tuple[int, float]] = []  # (fill, -bin_id) ascending
         fills: list[int] = []
         assign = np.empty(len(sizes), dtype="int64")
         neg_inf = float("-inf")
         for n, s in enumerate(sizes):
-            i = open_bins.bisect_left((budget - s + 1, neg_inf))
+            i = bisect.bisect_left(open_bins, (budget - s + 1, neg_inf))
             if i == 0:
                 b = len(fills)  # nothing fits: open a new bin
                 fills.append(0)
             else:
                 _, neg = open_bins.pop(i - 1)
-                b = -neg
+                b = int(-neg)
             fills[b] += s
             if fills[b] < budget:  # full bins leave the candidate set
-                open_bins.add((fills[b], -b))
+                bisect.insort(open_bins, (fills[b], -b))
             assign[n] = b
         out = pdf.copy()
         out["bin_id"] = assign

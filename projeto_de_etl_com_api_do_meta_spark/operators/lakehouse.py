@@ -587,6 +587,13 @@ def merge_into(
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no committed versions in {table_dir}")
+    # Pin the source ONCE before any of its three consumers (dup check, key
+    # bounds, anti-join/union per publish attempt): a non-deterministic or
+    # mutable-input source re-evaluated per consumer could pass the
+    # uniqueness check yet merge different rows, silently breaking the
+    # key-unique contract — and each commit-conflict retry would recompute
+    # the full source lineage (r6 ADVICE).
+    source = source.localCheckpoint(eager=True)
     dup = source.groupBy(key).count().where(F.col("count") > 1).limit(1)
     if dup.count():
         raise ValueError("merge source must be key-unique; dedup upstream")

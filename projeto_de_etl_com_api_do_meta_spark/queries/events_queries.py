@@ -1191,10 +1191,10 @@ grouped AS (
 ),
 ordered AS (
   SELECT dur, d, c,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM spells) -
+         CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM spells) -
            COALESCE(SUM(d + c) OVER (ORDER BY dur
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS n_risk
+           AS BIGINT) AS n_risk
   FROM grouped
 )
 SELECT dur AS duration_days, d AS n_events, c AS n_censored,

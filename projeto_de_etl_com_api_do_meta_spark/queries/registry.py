@@ -201,7 +201,6 @@ _PRIORITY: tuple[str, ...] = (
     "io_jsonl_quarantine_roundtrip",
     "join_interval_overlap",
     "lakehouse_time_travel_diff",
-    "lakehouse_incremental_scan",
     "web_domain_blocklist_filter",
     "corpus_wordpiece_tokenize",
     "warehouse_incremental_agg_retract",
@@ -281,6 +280,17 @@ _PRIORITY: tuple[str, ...] = (
     "window_first_last_nth",
     "window_rolling_median",
     "setop_intersect_except_all",
+    # ---- r7: former rows-only queries now oracle-backed via unrolled-
+    # recursion SQL twins (r6 verdict item 4) ----
+    "ml_logreg_gd_train",
+    "sample_coreset_kcenter",
+    "retrieval_mmr_rerank",
+)
+
+# A duplicate name silently burns a scoring slot if the list is ever sliced
+# positionally (r6 verdict item 3) — fail fast at import instead.
+assert len(_PRIORITY) == len(set(_PRIORITY)), sorted(
+    n for n in set(_PRIORITY) if _PRIORITY.count(n) > 1
 )
 
 #: Driver-verified green in CORRECTNESS_r01 + r02 — re-scoring these wastes

@@ -810,9 +810,78 @@ def pipeline_rag_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The greedy MMR recursion unrolls into SQL because k=5 is a bounded
+# constant: s_m picks the argmax of round(lam*rel - (1-lam)*max_sim, 6)
+# (ties -> lowest doc_id), r_m relaxes every remaining candidate's
+# max-sim-to-selected via greatest().  Scores are rounded to 6dp BEFORE
+# the argmax on both engines, which absorbs the numpy-BLAS vs sequential
+# float-association ulps in the pairwise cosines; constants are written
+# CAST(... AS DOUBLE) so (1.0 - 0.7) is the same binary double as
+# Python's 1 - lam.
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    lam = "CAST(0.7 AS DOUBLE)"
+    one_minus = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+    steps = [f"""
+s1 AS MATERIALIZED (
+  SELECT doc_id, round({lam} * rel, 6) AS score, u
+  FROM top ORDER BY score DESC, doc_id LIMIT 1
+),
+r1 AS MATERIALIZED (
+  SELECT t.doc_id, t.rel, t.u,
+         list_dot_product(t.u, (SELECT u FROM s1)) AS ms
+  FROM top t WHERE t.doc_id <> (SELECT doc_id FROM s1)
+)"""]
+    for m in range(2, _MMR_K + 1):
+        steps.append(f"""
+s{m} AS MATERIALIZED (
+  SELECT doc_id, round({lam} * rel - {one_minus} * ms, 6) AS score, u
+  FROM r{m - 1} ORDER BY score DESC, doc_id LIMIT 1
+)""")
+        if m < _MMR_K:
+            steps.append(f"""
+r{m} AS MATERIALIZED (
+  SELECT r.doc_id, r.rel, r.u,
+         greatest(r.ms, list_dot_product(r.u, (SELECT u FROM s{m}))) AS ms
+  FROM r{m - 1} r WHERE r.doc_id <> (SELECT doc_id FROM s{m})
+)""")
+    rows = "\n  UNION ALL\n  ".join(
+        f"SELECT {m} AS rank, (SELECT doc_id FROM s{m}) AS doc_id, "
+        f"(SELECT score FROM s{m}) AS mmr_score"
+        for m in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = {_RRF_QVEC}
+),
+cand AS MATERIALIZED (
+  SELECT vec_id AS doc_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         round(list_dot_product(q.qv,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                      list_transform(embedding, x -> CAST(x AS DOUBLE))))),
+               6) AS rel
+  FROM embeddings, q WHERE vec_id <> {_RRF_QVEC}
+),
+top AS MATERIALIZED (
+  SELECT doc_id, rel,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  FROM cand ORDER BY rel DESC, doc_id LIMIT {_RRF_DEPTH}
+),{",".join(steps)}
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, mmr_score
+FROM ({rows}) ORDER BY rank
+"""
+
+
 @register(
     "retrieval_mmr_rerank",
-    oracle=None,
+    oracle=_mmr_oracle(),
     tags=("retrieval", "similarity", "ml"),
     doc=(
         "Maximal Marginal Relevance rerank "
@@ -823,10 +892,11 @@ def pipeline_rag_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "The distributed part is the candidate scoring (the same "
         "broadcast cosine arm as retrieval_rrf_hybrid); the greedy "
         "quadratic selection runs on the DEPTH-BOUNDED candidate set "
-        "(bounded collect, <= retriever depth by contract). Rows-only: "
-        "the greedy argmax recursion is not SQL-expressible; selection "
-        "behavior (diversity vs the plain top-k) is pinned in "
-        "tests/test_retrieval_extra.py."
+        "(bounded collect, <= retriever depth by contract). The bounded "
+        "k makes the greedy argmax unrollable in SQL (r6 verdict item "
+        "4): scores 6dp-rounded before each argmax, ties to the lowest "
+        "doc_id on both engines; diversity-vs-plain-top-k behavior "
+        "pinned in tests/test_retrieval_extra.py."
     ),
 )
 def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,11 +10,17 @@ import os
 
 from projeto_de_etl_com_api_do_meta_spark.queries.registry import (
     QUERIES,
+    _PRIORITY,
     _driver_verified,
     _load_all,
 )
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_priority_names_are_unique():
+    # a duplicate silently burns a scoring slot (r6 verdict item 3)
+    assert len(_PRIORITY) == len(set(_PRIORITY))
 
 
 def test_driver_artifacts_are_absorbed():
