@@ -40,10 +40,13 @@ from .codecs import (
     encode_y4m,
     resize_ppm_nearest,
 )
+from .jpeg import JPEG_CONTENT_TYPE, decode_jpeg, encode_jpeg
 
 REAL_DECODER_NOTE = (
-    "Compressed formats (JPEG/MP3/H.264) need a pillow/ffmpeg kernel: same "
-    "signature seam as the real PPM/WAV/Y4M decoders in codecs.py."
+    "Compressed audio/video (MP3/H.264) need an ffmpeg kernel: same "
+    "signature seam as the real PPM/JPEG/WAV/Y4M decoders in codecs.py/"
+    "jpeg.py.  (JPEG is fully supported — jpeg.py is a real baseline "
+    "codec, no pillow needed.)"
 )
 
 
@@ -101,6 +104,52 @@ def attach_ppm_image(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return df.select("doc_id", text_col).mapInPandas(kernel, schema=schema)
+
+
+def jpeg_pixels_for_doc(doc_id: int) -> tuple[int, int, np.ndarray]:
+    """Deterministic per-doc test image: dimensions and a folded triangle-
+    wave pixel ramp derived from doc_id alone, so an external engine can
+    recompute the ORIGINAL pixel statistics from doc_id in plain SQL:
+
+        width  = 8 * (1 + doc_id % 3)        -- 8/16/24
+        height = 8 * (1 + doc_id % 2)        -- 8/16
+        px[r,c,ch] = abs(((3r + 5c + 37ch + doc_id) % 510) - 255)
+
+    The triangle wave is smooth (piecewise-linear, no wrap discontinuity),
+    so baseline JPEG at quality 95 round-trips it near-losslessly."""
+    doc_id = int(doc_id)
+    w = 8 * (1 + doc_id % 3)
+    h = 8 * (1 + doc_id % 2)
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    px = np.abs(((3 * r + 5 * c + 37 * ch + doc_id) % 510) - 255)
+    return w, h, px.astype(np.uint8)
+
+
+def attach_jpeg_image(df: DataFrame) -> DataFrame:
+    """Materialize a REAL baseline JPEG per document (pure-Python codec,
+    jpeg.py): deterministic dimensions + pixels from doc_id.  The binary
+    column holds genuine JFIF files any image tool can open."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("image_bytes", T.BinaryType()),
+            T.StructField("content_type", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id in batch["doc_id"]:
+                w, h, px = jpeg_pixels_for_doc(doc_id)
+                out.append(
+                    (doc_id, encode_jpeg(w, h, px.tobytes()), JPEG_CONTENT_TYPE)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.select("doc_id").mapInPandas(kernel, schema=schema)
 
 
 def attach_wav_audio(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -196,6 +245,10 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                 if ctype == PPM_CONTENT_TYPE:
                     w, h, px = decode_ppm(payload)
                     c, mean = 3, float(px.mean())
+                elif ctype == JPEG_CONTENT_TYPE:
+                    w, h, px = decode_jpeg(payload)
+                    c = 1 if px.ndim == 2 else px.shape[2]
+                    mean = float(px.mean())
                 elif ctype == "image/fake":
                     w, h, c, mean = decode_image_stub(payload)
                 else:
@@ -245,6 +298,17 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             ):
                 if ctype == PPM_CONTENT_TYPE:
                     resized = resize_ppm_nearest(bytes(payload), width, height)
+                elif ctype == JPEG_CONTENT_TYPE:
+                    w0, h0, px = decode_jpeg(bytes(payload))
+                    ys = (np.arange(height) * h0) // height
+                    xs = (np.arange(width) * w0) // width
+                    near = px[ys][:, xs]
+                    resized = encode_jpeg(
+                        width,
+                        height,
+                        near.tobytes(),
+                        channels=1 if near.ndim == 2 else 3,
+                    )
                 elif ctype == "image/fake":
                     resized = resize_image_stub(bytes(payload), width, height)
                 else:
