@@ -113,3 +113,73 @@ def test_delta_upsert_roundtrip_when_available(spark, tmp_path):
     delta_upsert(spark, batch, t, ["k"])  # retry is a no-op
     rows = {(r.k, r.v) for r in spark.read.format("delta").load(t).collect()}
     assert rows == {(1, "a2"), (2, "b")}
+
+
+def test_postgres_on_conflict_roundtrip_when_available():
+    """Environment-gated LIVE Postgres round-trip of the generated merge
+    SQL (r6 verdict item 6): skipped where psycopg2 or a reachable server
+    is absent, so the full S5-S8 path lights up without code changes the
+    moment the environment gains them.  DSN via SPARK_GRAFT_PG_DSN
+    (defaults to a local socket connection)."""
+    import os
+
+    import pytest as _pytest
+
+    psycopg2 = _pytest.importorskip("psycopg2")
+    dsn = os.environ.get("SPARK_GRAFT_PG_DSN", "dbname=postgres")
+    try:
+        conn = psycopg2.connect(dsn, connect_timeout=3)
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        _pytest.skip(f"no reachable Postgres: {exc}")
+    from projeto_de_etl_com_api_do_meta_spark.sinks.upsert import merge_sql
+
+    tbl, stg = "sg_merge_target", "temp_sg_merge_target"
+    cols = ["ad_id", "date_start", "spend", "payload"]
+    merge, drop, drop_safe = merge_sql(
+        tbl, cols, keys=["ad_id", "date_start"], staging_table=stg,
+        jsonb_columns=["payload"],
+    )
+    try:
+        with conn, conn.cursor() as cur:
+            cur.execute(f"DROP TABLE IF EXISTS {tbl}")
+            cur.execute(drop_safe)
+            cur.execute(
+                f"CREATE TABLE {tbl} (ad_id TEXT, date_start TEXT, "
+                "spend DOUBLE PRECISION, payload JSONB, "
+                "PRIMARY KEY (ad_id, date_start))"
+            )
+            cur.execute(
+                f"CREATE TABLE {stg} (ad_id TEXT, date_start TEXT, "
+                "spend DOUBLE PRECISION, payload TEXT)"
+            )
+            cur.execute(
+                f"INSERT INTO {stg} VALUES "
+                "('a1','2024-01-01',1.5,'{\"k\": 1}'), "
+                "('a2','2024-01-01',2.0,'{\"k\": 2}')"
+            )
+        with conn, conn.cursor() as cur:
+            cur.execute(merge)   # initial insert via staging
+            cur.execute(drop)
+        with conn, conn.cursor() as cur:  # conflicting second batch
+            cur.execute(
+                f"CREATE TABLE {stg} (ad_id TEXT, date_start TEXT, "
+                "spend DOUBLE PRECISION, payload TEXT)"
+            )
+            cur.execute(
+                f"INSERT INTO {stg} VALUES "
+                "('a1','2024-01-01',9.0,'{\"k\": 9}'), "
+                "('a3','2024-01-02',3.0,NULL)"
+            )
+            cur.execute(merge)   # ON CONFLICT DO UPDATE path
+            cur.execute(drop)
+        with conn, conn.cursor() as cur:
+            cur.execute(
+                f"SELECT ad_id, spend, payload->>'k' FROM {tbl} ORDER BY ad_id"
+            )
+            rows = cur.fetchall()
+        assert rows == [("a1", 9.0, "9"), ("a2", 2.0, "2"), ("a3", 3.0, None)]
+    finally:
+        with conn, conn.cursor() as cur:
+            cur.execute(f"DROP TABLE IF EXISTS {tbl}")
+            cur.execute(drop_safe)
+        conn.close()
