@@ -121,3 +121,101 @@ def kmv_set_ops(
             4,
         ).alias("est_intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) with cross-engine-exact registers.
+# ---------------------------------------------------------------------------
+
+#: Register count m = 2^P_BITS.  64 registers keeps the register table
+#: trivially broadcastable (any group's state is <= 64 rows) while being the
+#: real algorithm: alpha correction, small-range LinearCounting switch.
+HLL_P_BITS = 6
+HLL_M = 1 << HLL_P_BITS  # 64
+#: alpha_64 from the HLL paper (m = 64 uses the tabulated 0.709; the
+#: 0.7213/(1+1.079/m) formula is for m >= 128).
+HLL_ALPHA = 0.709
+_W_BITS = 60 - HLL_P_BITS  # 54 usable bits below the register index
+_W_MASK = (1 << _W_BITS) - 1
+
+
+def hll_rank_cols(col: Column | str) -> tuple[Column, Column]:
+    """(register index, rank) for one element.
+
+    Same md5 60-bit fixed-point hash as KMV, so DuckDB reproduces every
+    register EXACTLY: idx is the top P_BITS, rank is the number of leading
+    zeros of the remaining 54 bits plus one — computed as
+    ``55 - length(bin(w))``, which both engines evaluate identically
+    because bin() strips leading zeros in both (w = 0 -> rank 55).
+    """
+    h = kmv_hash(col)
+    idx = F.shiftright(h, _W_BITS)
+    w = h.bitwiseAND(F.lit(_W_MASK))
+    rank = F.when(w == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(w))
+    ).cast("int")
+    return idx.cast("int").alias("reg_idx"), rank.alias("rank")
+
+
+def hll_registers(df: DataFrame, col: str, group_cols: list[str]) -> DataFrame:
+    """The sketch: per (group, register) max rank.
+
+    Plan shape at 100 TB: one scan, map-side partial MAX into at most
+    |groups| x 64 cells — the classic mergeable-state aggregation.  No
+    distinct, no shuffle of raw values; duplicates are absorbed by MAX.
+    """
+    idx, rank = hll_rank_cols(col)
+    return (
+        df.select(*group_cols, idx, rank)
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Estimate from register state; returns one row per group with the
+    EXACT integer harmonic sum (the cross-engine invariant) beside the
+    float estimate.
+
+    ``sum_inv`` is sum(2^(55 - rank)) scaled by 2^55 so it stays an exact
+    BIGINT (missing registers contribute the full 2^55): float summation
+    of 2^-rank terms would be order-dependent past 53 bits of spread, an
+    integer sum is associative.  raw = alpha * m^2 / (sum_inv / 2^55);
+    LinearCounting (m * ln(m / V)) below the 2.5m small-range threshold
+    when any register is empty, per the paper.
+    """
+    two55 = 1 << 55
+    per_group = registers.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - max_rank)"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(two55)
+        ).alias("sum_inv"),
+        (F.lit(HLL_M) - F.count("*")).cast("int").alias("n_zero"),
+    )
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(two55))
+        / F.col("sum_inv").cast("double")
+    )
+    linear = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / F.col("n_zero").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero") > 0), linear
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        "sum_inv",
+        "n_zero",
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sketches across groups: element-wise register MAX — the
+    associative rollup that lets per-day / per-partition sketches combine
+    into any coarser scope without rescanning history."""
+    return registers.groupBy(*group_cols, "reg_idx").agg(
+        F.max("max_rank").alias("max_rank")
+    )

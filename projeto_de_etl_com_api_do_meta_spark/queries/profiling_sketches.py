@@ -501,3 +501,135 @@ def agg_kmv_running_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.select("d", "kth_hash", est.alias("est_cume_users")).orderBy("d")
+
+
+_HLL_HASH = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def _hll_regs_sql(col: str, group: str | None) -> str:
+    """Per-register max-rank CTE body over events for ``col`` (optionally
+    grouped), mirroring operators/sketches.hll_rank_cols bit-for-bit."""
+    h = _HLL_HASH.format(col=col)
+    g = f"{group}, " if group else ""
+    return f"""
+  SELECT {g}(h >> 54) AS reg_idx,
+         MAX(CASE WHEN (h & 18014398509481983) = 0 THEN 55
+                  ELSE 55 - length(bin(h & 18014398509481983)) END) AS max_rank
+  FROM (SELECT {g}{h} AS h FROM events WHERE {col} IS NOT NULL)
+  GROUP BY {g.rstrip(', ') + (', ' if g else '')}reg_idx
+"""
+
+
+_HLL_EST_SQL = """
+  SELECT scope,
+         (SUM(1::BIGINT << (55 - max_rank))
+          + (64 - COUNT(*)) * (1::BIGINT << 55)) AS sum_inv,
+         CAST(64 - COUNT(*) AS INTEGER) AS n_zero
+  FROM {regs} GROUP BY scope
+"""
+
+_ORACLE_HLL = f"""
+WITH per_type AS ({_hll_regs_sql("user_id", "event_type")}),
+all_ids AS ({_hll_regs_sql("event_id", None)}),
+merged AS (
+  SELECT reg_idx, MAX(max_rank) AS max_rank FROM per_type GROUP BY reg_idx
+),
+scoped AS (
+  SELECT 'type:' || event_type AS scope, reg_idx, max_rank FROM per_type
+  UNION ALL
+  SELECT 'merged:user_id', reg_idx, max_rank FROM merged
+  UNION ALL
+  SELECT 'all:event_id', reg_idx, max_rank FROM all_ids
+),
+est AS ({_HLL_EST_SQL.format(regs="scoped")}),
+exact AS (
+  SELECT 'type:' || event_type AS scope,
+         COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+  UNION ALL
+  SELECT 'merged:user_id', COUNT(DISTINCT user_id)
+  FROM events WHERE user_id IS NOT NULL
+  UNION ALL
+  SELECT 'all:event_id', COUNT(DISTINCT event_id)
+  FROM events WHERE event_id IS NOT NULL
+)
+SELECT e.scope, e.sum_inv, e.n_zero,
+       round(CASE WHEN CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+                       / CAST(e.sum_inv AS DOUBLE) <= 160.0
+                       AND e.n_zero > 0
+                  THEN 64.0 * ln(64.0 / CAST(e.n_zero AS DOUBLE))
+                  ELSE CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+                       / CAST(e.sum_inv AS DOUBLE)
+             END, 6) AS est_distinct,
+       x.exact_distinct
+FROM est e JOIN exact x USING (scope)
+ORDER BY scope
+"""
+
+
+@register(
+    "agg_hll_distinct_sketch",
+    oracle=_ORACLE_HLL,
+    tags=("agg", "sketch", "scale"),
+    doc=(
+        "Real HyperLogLog (Flajolet 2007: md5 fixed-point hash, 64 "
+        "registers = top-6-bit index + leading-zero rank, alpha_64 bias "
+        "correction, LinearCounting small-range switch) with CROSS-ENGINE-"
+        "EXACT state: ranks come from length(bin(w)) and the harmonic sum "
+        "is kept as an exact BIGINT (sum of 2^(55-rank), missing registers "
+        "= 2^55), so DuckDB reproduces every register and sum_inv "
+        "bit-for-bit — unlike approx_count_distinct's opaque binary state. "
+        "Three scopes demo the three uses: per-group sketches (user_id per "
+        "event_type, LinearCounting branch at fixture scale), an "
+        "element-wise register-MAX merge of those sketches (the rollup "
+        "that never rescans history), and a high-cardinality global sketch "
+        "(event_id, raw-estimate branch). Plan: one scan -> map-side "
+        "partial MAX into <= groups x 64 cells; exact_distinct is kept "
+        "beside the estimate for fixture-scale calibration only."
+    ),
+)
+def agg_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_type = hll_registers(
+        ev.where(F.col("user_id").isNotNull()), "user_id", ["event_type"]
+    )
+    all_ids = hll_registers(
+        ev.where(F.col("event_id").isNotNull()), "event_id", []
+    )
+    scoped = (
+        per_type.select(
+            F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+            "reg_idx",
+            "max_rank",
+        )
+        .unionByName(
+            hll_merge(per_type.drop("event_type"), []).select(
+                F.lit("merged:user_id").alias("scope"), "reg_idx", "max_rank"
+            )
+        )
+        .unionByName(
+            all_ids.select(
+                F.lit("all:event_id").alias("scope"), "reg_idx", "max_rank"
+            )
+        )
+    )
+    est = hll_estimate(scoped, ["scope"])
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy(F.concat(F.lit("type:"), F.col("event_type")).alias("scope"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            ev.where(F.col("user_id").isNotNull()).agg(
+                F.countDistinct("user_id").alias("exact_distinct")
+            ).select(F.lit("merged:user_id").alias("scope"), "exact_distinct")
+        )
+        .unionByName(
+            ev.where(F.col("event_id").isNotNull()).agg(
+                F.countDistinct("event_id").alias("exact_distinct")
+            ).select(F.lit("all:event_id").alias("scope"), "exact_distinct")
+        )
+    )
+    return est.join(exact, "scope").orderBy("scope")

@@ -58,3 +58,77 @@ def test_kmv_set_ops_overlap_sanity(spark):
     assert row.est_intersection == 0.0
     same = kmv_set_ops(a, a, "x", k).collect()[0]
     assert same.est_intersection == same.est_union
+
+
+def test_hll_register_contract(spark):
+    """Registers: at most m=64 per group, ranks in [1, 55]."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.sketches import (
+        HLL_M,
+        hll_registers,
+    )
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    regs = hll_registers(df, "k", []).collect()
+    assert 0 < len(regs) <= HLL_M
+    assert all(1 <= r["max_rank"] <= 55 for r in regs)
+    assert all(0 <= r["reg_idx"] < HLL_M for r in regs)
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """Element-wise register MAX of two halves == sketch of the whole —
+    the associativity that makes HLL state mergeable across partitions
+    and days without rescanning."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    lo = spark.range(0, 3000).select(F.col("id").alias("k"))
+    hi = spark.range(1500, 6000).select(F.col("id").alias("k"))  # overlap
+    both = lo.unionByName(hi)
+    tag = lambda df, t: hll_registers(df, "k", []).withColumn(  # noqa: E731
+        "part", F.lit(t)
+    )
+    merged = {
+        (r["reg_idx"], r["max_rank"])
+        for r in hll_merge(
+            tag(lo, "a").unionByName(tag(hi, "b")).drop("part"), []
+        ).collect()
+    }
+    direct = {
+        (r["reg_idx"], r["max_rank"])
+        for r in hll_registers(both, "k", []).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_error_within_bound(spark):
+    """Relative error within ~3 sigma of the 1.04/sqrt(m) HLL bound on a
+    high-cardinality domain (raw-estimate branch)."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 50_000
+    df = spark.range(0, n).select(F.col("id").alias("k"))
+    row = hll_estimate(hll_registers(df, "k", []), []).collect()[0]
+    rel = abs(row["est_distinct"] - n) / n
+    assert rel < 3 * 1.04 / (HLL_M ** 0.5), rel
+    assert row["n_zero"] == 0
+
+
+def test_hll_duplicates_are_absorbed(spark):
+    """MAX-register state is insensitive to duplication (the no-distinct
+    property that keeps the scan shuffle-free)."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    base = spark.range(0, 2000).select(F.col("id").alias("k"))
+    dup = base.unionByName(base).unionByName(base)
+    a = hll_estimate(hll_registers(base, "k", []), []).collect()[0]
+    b = hll_estimate(hll_registers(dup, "k", []), []).collect()[0]
+    assert a["sum_inv"] == b["sum_inv"] and a["est_distinct"] == b["est_distinct"]
