@@ -1905,3 +1905,122 @@ def ml_gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# -- isotonic calibration (PAVA) ------------------------------------------------
+
+_ORACLE_ISOTONIC = """
+WITH scored AS (
+  SELECT label % 2 AS y,
+         -- wider noise blend than the reliability query (0.4/0.6): the
+         -- label bands OVERLAP on [0.4, 0.6], so mixed bins produce real
+         -- monotonicity violators and PAVA actually pools
+         round(0.4 * (label % 2)
+               + 0.6 * (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 1000) / 999.0, 6) AS p
+  FROM embeddings
+),
+b AS (
+  SELECT least(CAST(floor(p * 50) AS INTEGER), 49) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1
+),
+pre AS (
+  SELECT bin, n, pos,
+         CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+  FROM b
+),
+-- the L2 isotonic fit has a closed minimax form (Barlow et al. 1972):
+-- iso_i = max_{j<=i} min_{k>=i} mean(y_{j..k}); each candidate mean is ONE
+-- correctly-rounded division of exact integer prefix-sum differences, so
+-- the doubles (and their max/min ordering) match PAVA's pooled-block
+-- averages bit-for-bit
+pair AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+           / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS block_avg
+  FROM pre j JOIN pre k ON j.bin <= k.bin
+),
+mins AS (
+  SELECT i.bin AS bin, p.jb, MIN(p.block_avg) AS mn
+  FROM b i JOIN pair p ON p.jb <= i.bin AND p.kb >= i.bin
+  GROUP BY i.bin, p.jb
+),
+iso AS (SELECT bin, MAX(mn) AS iso_rate FROM mins GROUP BY bin)
+SELECT b.bin, b.n, CAST(b.pos AS DOUBLE) / b.n AS frac_pos, iso.iso_rate
+FROM b JOIN iso USING (bin)
+ORDER BY bin
+"""
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=_ORACLE_ISOTONIC,
+    tags=("ml", "eval", "calibration"),
+    doc=(
+        "Isotonic-regression calibration map (pool-adjacent-violators) "
+        "over 50 score bins — the standard non-parametric recalibration "
+        "fitted on classifier/LLM-judge scores before thresholding "
+        "(complements ml_calibration_reliability's diagnostic). "
+        "Distributed part: one hash aggregate into <= 50 (bin, n, pos) "
+        "cells; PAVA then runs on that bounded state driver-side with "
+        "INTEGER accumulators (violation test by cross-multiplication, "
+        "never float compare), so every fitted value is one correctly-"
+        "rounded integer division. Oracle: the closed minimax form "
+        "iso_i = max_{j<=i} min_{k>=i} mean(y_j..k) over integer prefix "
+        "sums — provably equal to PAVA, and bit-equal in double because "
+        "IEEE division is correctly rounded and max/min are monotone. "
+        "Same md5-noise score fixture as the reliability query."
+    ),
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    ) / F.lit(999.0)
+    scored = emb.select(
+        (F.col("label") % 2).alias("y"),
+        F.round(F.lit(0.4) * (F.col("label") % 2) + F.lit(0.6) * noise, 6)
+        .alias("p"),
+    )
+    binned = (
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 50).cast("int"), F.lit(49)).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+        .orderBy("bin")
+    )
+    rows = binned.collect()  # <= 50 rows: the bounded-state contract
+
+    # weighted PAVA, integer accumulators: pool while prev block average >
+    # current block average (cross-multiplied, exact)
+    blocks: list[list] = []  # [pos, n, [bins...]]
+    for r in rows:
+        blocks.append([int(r["pos"]), int(r["n"]), [(int(r["bin"]), int(r["n"]), int(r["pos"]))]])
+        while (
+            len(blocks) > 1
+            and blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
+        ):
+            p2, n2, b2 = blocks.pop()
+            p1, n1, b1 = blocks.pop()
+            blocks.append([p1 + p2, n1 + n2, b1 + b2])
+
+    out = []
+    for pos, n, members in blocks:
+        iso = float(pos) / float(n)
+        for bin_id, bn, bpos in members:
+            out.append((bin_id, bn, float(bpos) / float(bn), iso))
+    out.sort()
+    return spark.createDataFrame(
+        out, "bin int, n bigint, frac_pos double, iso_rate double"
+    )

@@ -152,3 +152,24 @@ def test_logreg_gd_weights_track_true_direction(spark):
     w = {r.pos: r.weight for r in logreg_gd_train(df, iters=12, lr=1.0).collect()}
     assert w[2] > 0
     assert w[2] > 3 * max(abs(w[0]), abs(w[1]), abs(w[3]))
+
+
+def test_isotonic_calibration_properties(spark):
+    """PAVA invariants on the fixture: output is non-decreasing in bin,
+    mass-preserving within pooled blocks (sum iso*n == sum pos overall),
+    and at least one violator bin was actually pooled (iso != raw rate)."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.ml_queries import (
+        ml_isotonic_calibration,
+    )
+
+    rows = ml_isotonic_calibration(spark, "/root/testdata/sf0.001").collect()
+    assert rows == sorted(rows, key=lambda r: r["bin"])
+    isos = [r["iso_rate"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(isos, isos[1:])), "not monotone"
+    total_pos = sum(r["frac_pos"] * r["n"] for r in rows)
+    total_iso = sum(r["iso_rate"] * r["n"] for r in rows)
+    assert abs(total_pos - total_iso) < 1e-6, "mass not preserved"
+    assert any(abs(r["iso_rate"] - r["frac_pos"]) > 1e-9 for r in rows), (
+        "fixture produced no violators; pooling untested"
+    )
+    assert all(0.0 <= v <= 1.0 for v in isos)
