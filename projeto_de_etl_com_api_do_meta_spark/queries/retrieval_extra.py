@@ -928,3 +928,121 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_DEPTH)
     )
     return mmr_rerank(cands, k=5, lam=0.7)
+
+
+# -- ColBERT-style late interaction (MaxSim) ----------------------------------
+
+_COLBERT_CHUNKS = 8   # token vectors per doc = 64-dim fixture / 8-dim chunks
+_COLBERT_DIM = 8
+_COLBERT_TOPK = 10
+
+
+def _maxsim_sql() -> str:
+    """MaxSim in DuckDB: score(q, d) = sum_i max_j cos(q_i, d_j) over the
+    8x8 chunk grid, every float op written in the exact shape the Spark
+    expression tree evaluates (dot = sequential fold, cos = dot/(qn*dn),
+    greatest over j, left-associated sum over i)."""
+    def sl(v: str, i: int) -> str:
+        return f"{v}[{1 + _COLBERT_DIM * i}:{_COLBERT_DIM * (i + 1)}]"
+
+    qn = [f"sqrt(list_dot_product({sl('q.qv', i)}, {sl('q.qv', i)}))" for i in range(_COLBERT_CHUNKS)]
+    dn = [f"sqrt(list_dot_product({sl('c.dv', j)}, {sl('c.dv', j)}))" for j in range(_COLBERT_CHUNKS)]
+    maxes = []
+    for i in range(_COLBERT_CHUNKS):
+        cos = [
+            f"(list_dot_product({sl('q.qv', i)}, {sl('c.dv', j)}) / ({qn[i]} * {dn[j]}))"
+            for j in range(_COLBERT_CHUNKS)
+        ]
+        maxes.append("greatest(" + ", ".join(cos) + ")")
+    score = " + ".join(maxes)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = {_RRF_QVEC}
+),
+cand AS MATERIALIZED (
+  SELECT vec_id AS doc_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings WHERE vec_id <> {_RRF_QVEC}
+),
+scored AS (
+  SELECT c.doc_id, round({score}, 6) AS maxsim_score
+  FROM cand c, q
+),
+top AS (
+  SELECT doc_id, maxsim_score
+  FROM scored ORDER BY maxsim_score DESC, doc_id LIMIT {_COLBERT_TOPK}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY maxsim_score DESC, doc_id) AS INTEGER)
+         AS rank,
+       doc_id, maxsim_score
+FROM top ORDER BY rank
+"""
+
+
+@register(
+    "retrieval_colbert_maxsim",
+    oracle=_maxsim_sql(),
+    tags=("retrieval", "similarity", "ml"),
+    doc=(
+        "ColBERT-style late-interaction scoring (Khattab & Zaharia 2020): "
+        "docs and query are bags of token vectors (the 64-dim fixture "
+        "embedding sliced into 8 chunks of 8 dims, the standard "
+        "fixed-width packing for token-level vectors in a flat array "
+        "column); score = sum over query tokens of the max cosine against "
+        "any doc token.  All 64 chunk-pair cosines are built-in "
+        "expressions (slice / zip_with / aggregate folds — one "
+        "whole-stage-codegen projection, no UDF, no explode-shuffle: at "
+        "100 TB this is a broadcast map-side scan like the brute-force "
+        "ANN arm).  Scores rounded 6dp before the top-k argsort, ties to "
+        "the lowest doc_id; the oracle mirrors every fold/divide/greatest "
+        "in the same shape."
+    ),
+)
+def retrieval_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def sl(col: str, i: int) -> str:
+        return f"slice({col}, {1 + _COLBERT_DIM * i}, {_COLBERT_DIM})"
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    qn = [f"sqrt({dot(sl('qv', i), sl('qv', i))})" for i in range(_COLBERT_CHUNKS)]
+    dn = [f"sqrt({dot(sl('dv', j), sl('dv', j))})" for j in range(_COLBERT_CHUNKS)]
+    maxes = []
+    for i in range(_COLBERT_CHUNKS):
+        cos = [
+            f"({dot(sl('qv', i), sl('dv', j))} / ({qn[i]} * {dn[j]}))"
+            for j in range(_COLBERT_CHUNKS)
+        ]
+        maxes.append("greatest(" + ", ".join(cos) + ")")
+    score = " + ".join(maxes)
+
+    to_double = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    q = (
+        emb.where(F.col("vec_id") == _RRF_QVEC)
+        .select(F.expr(to_double).alias("qv"))
+    )
+    cand = (
+        emb.where(F.col("vec_id") != _RRF_QVEC)
+        .select(F.col("vec_id").alias("doc_id"), F.expr(to_double).alias("dv"))
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "doc_id", F.round(F.expr(score), 6).alias("maxsim_score")
+    )
+    top = scored.orderBy(
+        F.col("maxsim_score").desc(), F.col("doc_id")
+    ).limit(_COLBERT_TOPK)
+    w = Window.orderBy(F.col("maxsim_score").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "maxsim_score",
+    ).orderBy("rank")

@@ -198,3 +198,47 @@ def test_mmr_rerank_empty_input(spark):
 
     df = spark.createDataFrame([], "doc_id long, rel double, v array<double>")
     assert mmr_rerank(df).count() == 0
+
+
+def test_colbert_maxsim_matches_numpy_reference(spark):
+    """MaxSim scores agree with an independent numpy implementation, the
+    self-match scores exactly n_chunks, and scores are bounded by it."""
+    import numpy as np
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.retrieval_extra import (
+        _COLBERT_CHUNKS,
+        _COLBERT_DIM,
+        _RRF_QVEC,
+        retrieval_colbert_maxsim,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = retrieval_colbert_maxsim(spark, sf).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+
+    def chunks(v):
+        c = v.reshape(_COLBERT_CHUNKS, _COLBERT_DIM)
+        return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    qc = chunks(emb[_RRF_QVEC])
+
+    def maxsim(doc):
+        sim = qc @ chunks(emb[doc]).T  # 8x8 cosine grid
+        return float(sim.max(axis=1).sum())
+
+    for r in rows:
+        assert abs(r["maxsim_score"] - maxsim(r["doc_id"])) < 1e-5
+        assert r["maxsim_score"] <= _COLBERT_CHUNKS + 1e-9
+    # the spark top-k is the true numpy top-k
+    all_scores = sorted(
+        ((round(maxsim(d), 6), -d) for d in emb if d != _RRF_QVEC),
+        reverse=True,
+    )[: len(rows)]
+    assert [(-i, s) for s, i in all_scores] == [
+        (r["doc_id"], r["maxsim_score"]) for r in rows
+    ]
