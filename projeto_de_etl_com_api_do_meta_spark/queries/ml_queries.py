@@ -2024,3 +2024,168 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "bin int, n bigint, frac_pos double, iso_rate double"
     )
+
+
+# -- Poisson bootstrap confidence intervals ------------------------------------
+
+#: Poisson(1) CDF thresholds for inverse-CDF sampling (repr'd doubles so
+#: the Spark literal and the SQL CAST parse to the same binary64).
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+)
+_BOOT_REPS = 200
+_BOOT_SPACE = "1152921504606846976.0"  # 16^15 = 2^60, exact in double
+
+
+def _pois_case(u: str) -> str:
+    """CASE chain mapping a uniform in [0,1) to a Poisson(1) draw (shared
+    SQL shape for Spark's F.expr and DuckDB)."""
+    whens = "\n".join(
+        f"WHEN {u} < CAST({t} AS DOUBLE) THEN {k}"
+        for k, t in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {whens} ELSE 8 END)"
+
+
+def _bootstrap_oracle() -> str:
+    u = f"(CAST(h AS DOUBLE) / {_BOOT_SPACE})"
+    return f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 1000000.0, 0) AS BIGINT) AS v_e6
+  FROM events WHERE value IS NOT NULL
+),
+fan AS (
+  SELECT event_type, v_e6, r.rep,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                             || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM base, range(0, {_BOOT_REPS}) r(rep)
+),
+weighted AS (
+  SELECT event_type, rep, {_pois_case(u)} AS w, v_e6 FROM fan
+),
+reps AS (
+  SELECT event_type, rep,
+         CAST(SUM(CAST(w AS BIGINT) * v_e6) AS BIGINT) AS swv,
+         CAST(SUM(CAST(w AS BIGINT)) AS BIGINT) AS sw
+  FROM weighted GROUP BY event_type, rep
+),
+means AS (
+  SELECT event_type,
+         CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 1000000.0 AS m,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE)
+                                     / 1000000.0, rep) AS r
+  FROM reps
+),
+obs AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v_e6) AS BIGINT) AS sv
+  FROM base GROUP BY event_type
+)
+SELECT o.event_type, o.n,
+       CAST(o.sv AS DOUBLE) / CAST(o.n AS DOUBLE) / 1000000.0 AS mean_obs,
+       lo.m AS ci_lo, hi.m AS ci_hi
+FROM obs o
+JOIN means lo ON lo.event_type = o.event_type AND lo.r = 6
+JOIN means hi ON hi.event_type = o.event_type AND hi.r = 195
+ORDER BY o.event_type
+"""
+
+
+@register(
+    "ml_bootstrap_ci_poisson",
+    oracle=_bootstrap_oracle(),
+    tags=("ml", "eval", "sampling", "scale"),
+    doc=(
+        "Distributed 95% bootstrap confidence interval for the per-type "
+        "mean metric via POISSON(1) resampling — the shuffle-free "
+        "bootstrap used at cluster scale (Chamandy et al. 2012, 'Estimating "
+        "uncertainty for massive data streams'; the trick behind bag-of-"
+        "little-bootstraps): instead of materializing B resamples, each "
+        "row gets a deterministic Poisson(1) weight per replicate "
+        "(inverse-CDF on an md5 fixed-point uniform), so the whole thing "
+        "is ONE scan fanned x200 with map-side combine into types x reps "
+        "cells — no resampling shuffle, no driver loop. Values are "
+        "fixed-pointed to 1e-6 so per-replicate sums are exact integers "
+        "(order-free); CI bounds are the 6th/195th order statistics of "
+        "the 200 replicate means (2.5%/97.5%). Exactly reproducible in "
+        "SQL — a seeded-RNG bootstrap could only ever be rows-only."
+    ),
+)
+def ml_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1000000.0, 0).cast("bigint").alias("v_e6"),
+    )
+    fan = base.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1)))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = f"(CAST(h AS DOUBLE) / {_BOOT_SPACE})"
+    weighted = fan.withColumn("h", h).withColumn(
+        "w", F.expr(_pois_case(u)).cast("long")
+    )
+    reps = weighted.groupBy("event_type", "rep").agg(
+        F.sum(F.col("w") * F.col("v_e6")).cast("bigint").alias("swv"),
+        F.sum("w").cast("bigint").alias("sw"),
+    )
+    m = F.col("swv").cast("double") / F.col("sw").cast("double") / F.lit(
+        1000000.0
+    )
+    means = reps.select(
+        "event_type",
+        m.alias("m"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(m, F.col("rep")))
+        .alias("r"),
+    )
+    obs = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v_e6").cast("bigint").alias("sv"),
+    )
+    lo = means.where(F.col("r") == 6).select(
+        "event_type", F.col("m").alias("ci_lo")
+    )
+    hi = means.where(F.col("r") == 195).select(
+        "event_type", F.col("m").alias("ci_hi")
+    )
+    return (
+        obs.select(
+            "event_type",
+            "n",
+            (
+                F.col("sv").cast("double") / F.col("n").cast("double")
+                / F.lit(1000000.0)
+            ).alias("mean_obs"),
+        )
+        .join(lo, "event_type")
+        .join(hi, "event_type")
+        .orderBy("event_type")
+    )

@@ -173,3 +173,19 @@ def test_isotonic_calibration_properties(spark):
         "fixture produced no violators; pooling untested"
     )
     assert all(0.0 <= v <= 1.0 for v in isos)
+
+
+def test_bootstrap_ci_poisson_properties(spark):
+    """CI brackets the observed mean, is ordered, and has plausible width
+    (shrinks like 1/sqrt(n): the half-width should be within an order of
+    magnitude of the normal-theory se on the fixture)."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.ml_queries import (
+        ml_bootstrap_ci_poisson,
+    )
+
+    rows = ml_bootstrap_ci_poisson(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo"] <= r["mean_obs"] <= r["ci_hi"], r
+        width = r["ci_hi"] - r["ci_lo"]
+        assert 0 < width < 2.0 * abs(r["mean_obs"]) + 1.0, r
