@@ -111,6 +111,13 @@ HEADLINE: tuple[str, ...] = (
     "agg_kmv_distinct_sketch",
     "multimodal_clip_pair_filter",
     "pipeline_rag_funnel",
+    # round-7: the heaviest new family representatives — real-JPEG codec
+    # round-trip (Arrow-batched Python), late-interaction MaxSim (64
+    # chunk-cosines in one codegen projection), Poisson-bootstrap CI
+    # (x200 replicate fan-out, exact-integer combine)
+    "multimodal_jpeg_roundtrip",
+    "retrieval_colbert_maxsim",
+    "ml_bootstrap_ci_poisson",
 )
 
 

@@ -2130,6 +2130,10 @@ def ml_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 1000000.0, 0).cast("bigint").alias("v_e6"),
     )
+    # the x200 fan-out is md5-CPU-bound: byte-based input splits undersize
+    # it (x16 probe: 1.6M events arrived as 9 partitions), so spread the
+    # narrow base across the cluster's parallelism before exploding
+    base = base.repartition(spark.sparkContext.defaultParallelism)
     fan = base.withColumn(
         "rep", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1)))
     )

@@ -1033,6 +1033,9 @@ def retrieval_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         emb.where(F.col("vec_id") != _RRF_QVEC)
         .select(F.col("vec_id").alias("doc_id"), F.expr(to_double).alias("dv"))
+        # 64 fold-dots per row is compute-bound: don't let byte-based input
+        # splits cap the parallelism (x16 probe: 3 partitions for 32 cores)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     scored = cand.crossJoin(F.broadcast(q)).select(
         "doc_id", F.round(F.expr(score), 6).alias("maxsim_score")
