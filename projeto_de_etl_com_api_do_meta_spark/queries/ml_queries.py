@@ -2041,7 +2041,11 @@ _POIS_CDF = (
     "0.9999897508033253",
 )
 _BOOT_REPS = 200
-_BOOT_SPACE = "1152921504606846976.0"  # 16^15 = 2^60, exact in double
+#: md5 digests are 128 bits = four independent 32-bit uniforms; hashing
+#: once per GROUP of 4 replicates quarters the digest count — the probe
+#: showed the md5 chain dominating the whole query (SCALE_PROBE_r07).
+_BOOT_GRPS = _BOOT_REPS // 4
+_BOOT_SPACE32 = "4294967296.0"  # 2^32, exact in double
 
 
 def _pois_case(u: str) -> str:
@@ -2055,7 +2059,7 @@ def _pois_case(u: str) -> str:
 
 
 def _bootstrap_oracle() -> str:
-    u = f"(CAST(h AS DOUBLE) / {_BOOT_SPACE})"
+    u = f"(CAST(h AS DOUBLE) / {_BOOT_SPACE32})"
     return f"""
 WITH base AS (
   SELECT event_type, event_id,
@@ -2063,13 +2067,17 @@ WITH base AS (
   FROM events WHERE value IS NOT NULL
 ),
 fan AS (
-  SELECT event_type, v_e6, r.rep,
-         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
-                             || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM base, range(0, {_BOOT_REPS}) r(rep)
+  SELECT event_type, v_e6, g.grp,
+         md5(CAST(event_id * {_BOOT_GRPS} + g.grp AS VARCHAR)) AS dg
+  FROM base, range(0, {_BOOT_GRPS}) g(grp)
+),
+lanes AS (
+  SELECT event_type, v_e6, grp * 4 + k.k AS rep,
+         ('0x' || substr(dg, 1 + 8 * k.k, 8))::BIGINT AS h
+  FROM fan, range(0, 4) k(k)
 ),
 weighted AS (
-  SELECT event_type, rep, {_pois_case(u)} AS w, v_e6 FROM fan
+  SELECT event_type, rep, {_pois_case(u)} AS w, v_e6 FROM lanes
 ),
 reps AS (
   SELECT event_type, rep,
@@ -2111,7 +2119,8 @@ ORDER BY o.event_type
         "uncertainty for massive data streams'; the trick behind bag-of-"
         "little-bootstraps): instead of materializing B resamples, each "
         "row gets a deterministic Poisson(1) weight per replicate "
-        "(inverse-CDF on an md5 fixed-point uniform), so the whole thing "
+        "(inverse-CDF on md5 fixed-point uniforms, four 32-bit lanes per "
+        "digest so the hash count is reps/4 per row), so the whole thing "
         "is ONE scan fanned x200 with map-side combine into types x reps "
         "cells — no resampling shuffle, no driver loop. Values are "
         "fixed-pointed to 1e-6 so per-replicate sums are exact integers "
@@ -2134,28 +2143,26 @@ def ml_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it (x16 probe: 1.6M events arrived as 9 partitions), so spread the
     # narrow base across the cluster's parallelism before exploding
     base = base.repartition(spark.sparkContext.defaultParallelism)
+    # one digest per 4-replicate lane group: md5 is the dominant cost
+    # (SCALE_PROBE_r07), and its 128 bits carry four 32-bit uniforms
     fan = base.withColumn(
-        "rep", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1)))
-    )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("event_id").cast("string"),
-                    F.lit(":"),
-                    F.col("rep").cast("string"),
-                )
-            ),
-            1,
-            15,
+        "grp", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_GRPS - 1)))
+    ).withColumn(
+        "dg",
+        F.md5(
+            (F.col("event_id") * _BOOT_GRPS + F.col("grp")).cast("string")
         ),
-        16,
-        10,
-    ).cast("long")
-    u = f"(CAST(h AS DOUBLE) / {_BOOT_SPACE})"
-    weighted = fan.withColumn("h", h).withColumn(
-        "w", F.expr(_pois_case(u)).cast("long")
     )
+    lanes = fan.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(3)))).select(
+        "event_type",
+        "v_e6",
+        (F.col("grp") * 4 + F.col("k")).alias("rep"),
+        F.conv(
+            F.substring("dg", F.lit(1) + F.col("k") * 8, 8), 16, 10
+        ).cast("long").alias("h"),
+    )
+    u = f"(CAST(h AS DOUBLE) / {_BOOT_SPACE32})"
+    weighted = lanes.withColumn("w", F.expr(_pois_case(u)).cast("long"))
     reps = weighted.groupBy("event_type", "rep").agg(
         F.sum(F.col("w") * F.col("v_e6")).cast("bigint").alias("swv"),
         F.sum("w").cast("bigint").alias("sw"),
