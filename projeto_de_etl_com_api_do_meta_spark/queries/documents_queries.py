@@ -2061,3 +2061,241 @@ def corpus_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# -- Pareto frontier (skyline) selection ----------------------------------------
+
+_ORACLE_SKYLINE = r"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_words,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+           AS BIGINT) AS n_distinct,
+         n_chars
+  FROM documents
+)
+SELECT f.doc_id, f.n_words, f.n_distinct, f.n_chars
+FROM feats f
+WHERE NOT EXISTS (
+  SELECT 1 FROM feats g
+  WHERE g.n_words >= f.n_words AND g.n_distinct >= f.n_distinct
+    AND g.n_chars >= f.n_chars
+    AND (g.n_words > f.n_words OR g.n_distinct > f.n_distinct
+         OR g.n_chars > f.n_chars)
+)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "sample_pareto_frontier",
+    oracle=_ORACLE_SKYLINE,
+    tags=("sampling", "curation", "scale"),
+    doc=(
+        "Pareto-frontier (skyline) document selection over three maximize "
+        "objectives (word count, distinct-word count, char count) — the "
+        "multi-objective shortlist operator for curation tradeoffs (keep "
+        "every document not dominated on quality x diversity x length). "
+        "Distributive two-phase plan (Borzsony et al. 2001): a numpy "
+        "local skyline per partition inside ONE mapInPandas pass (any "
+        "locally-dominated point is globally dominated, so "
+        "skyline(S) = skyline(union of local skylines) exactly), then the "
+        "small candidate set closes under a broadcast dominance anti-join "
+        "— the full table is never self-joined.  Integer features only, "
+        "so dominance has no float-compare hazard; oracle is the "
+        "quadratic NOT EXISTS form."
+    ),
+)
+def sample_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pin_query_session_conf(spark)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    feats = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_distinct", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+    def local_skyline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition skyline: O(n * |local frontier|) dominance sweep
+        # over the partition sorted by falling objective sum — survivors
+        # only; ties (identical vectors) all survive (strict-> rule)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            yield pdf
+            return
+        m = pdf[["n_words", "n_distinct", "n_chars"]].to_numpy(np.int64)
+        order = np.argsort(-(m.sum(axis=1)), kind="mergesort")
+        keep: list[int] = []
+        kept = np.empty((0, 3), dtype=np.int64)
+        for i in order:
+            dom = (kept >= m[i]).all(axis=1) & (kept > m[i]).any(axis=1)
+            if not dom.any():
+                keep.append(i)
+                kept = np.vstack([kept, m[i]])
+        yield pdf.iloc[sorted(keep)]
+
+    cand = feats.mapInPandas(local_skyline, schema=schema)
+    # global close: candidates are few, so broadcast the dominance check
+    g = F.broadcast(
+        cand.select(
+            F.col("n_words").alias("gw"),
+            F.col("n_distinct").alias("gd"),
+            F.col("n_chars").alias("gc"),
+        )
+    )
+    dominated = (
+        (F.col("gw") >= F.col("n_words"))
+        & (F.col("gd") >= F.col("n_distinct"))
+        & (F.col("gc") >= F.col("n_chars"))
+        & (
+            (F.col("gw") > F.col("n_words"))
+            | (F.col("gd") > F.col("n_distinct"))
+            | (F.col("gc") > F.col("n_chars"))
+        )
+    )
+    return (
+        cand.join(g, on=dominated, how="left_anti")
+        .select("doc_id", "n_words", "n_distinct", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# -- water-filling token budget allocation --------------------------------------
+
+_ORACLE_WATERFILL = r"""
+WITH counts AS (
+  SELECT source,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS c
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM counts
+),
+ranked AS (
+  SELECT source, c,
+         CAST(ROW_NUMBER() OVER (ORDER BY c, source) AS BIGINT) AS rk,
+         CAST(SUM(c) OVER (ORDER BY c, source) AS BIGINT) AS p
+  FROM counts
+),
+jrow AS (
+  SELECT r.rk AS j, r.p AS pj
+  FROM ranked r, tot
+  WHERE r.p + (tot.n - r.rk) * r.c <= tot.t // 2
+  ORDER BY r.rk DESC LIMIT 1
+),
+lvl AS (
+  SELECT (tot.t // 2) - COALESCE(jrow.pj, 0) AS num,
+         tot.n - COALESCE(jrow.j, 0) AS den,
+         COALESCE(jrow.j, 0) AS j
+  FROM tot LEFT JOIN jrow ON TRUE
+)
+SELECT r.source, r.c AS tokens,
+       CASE WHEN r.rk <= lvl.j THEN CAST(r.c AS DOUBLE)
+            ELSE CAST(lvl.num AS DOUBLE) / CAST(lvl.den AS DOUBLE)
+       END AS alloc_tokens,
+       r.rk <= lvl.j AS saturated
+FROM ranked r, lvl
+ORDER BY r.source
+"""
+
+
+@register(
+    "corpus_waterfill_budget",
+    oracle=_ORACLE_WATERFILL,
+    tags=("corpus", "sampling", "curation"),
+    doc=(
+        "Water-filling token-budget allocation across sources: given a "
+        "global budget (half the corpus here), find the level L with "
+        "sum(min(tokens_s, L)) = budget and allocate min(tokens_s, L) — "
+        "the max-min-fair mixture planner (small sources keep everything, "
+        "large sources are capped at one common level; the continuous "
+        "relaxation of temperature sampling's cap). Closed form on sorted "
+        "prefix sums: the break rank is the largest j with "
+        "P_j + (n-j)*c_j <= B, L = (B-P_j)/(n-j) — all integer arithmetic "
+        "until the single final division, so both engines emit the "
+        "identical double. Distributed part is the per-source token "
+        "count; the allocator runs on the <= |sources| ranked rows "
+        "(bounded window, allowlisted)."
+    ),
+)
+def corpus_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("c")
+    )
+    tot = counts.agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("c", "source")
+    ranked = counts.select(
+        "source",
+        "c",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.sum("c").over(w).cast("bigint").alias("p"),
+    )
+    rt = ranked.crossJoin(F.broadcast(tot))
+    jrow = (
+        rt.where(
+            F.col("p") + (F.col("n") - F.col("rk")) * F.col("c")
+            <= F.expr("t DIV 2")
+        )
+        .orderBy(F.col("rk").desc())
+        .limit(1)
+        .select(F.col("rk").alias("j"), F.col("p").alias("pj"))
+    )
+    lvl = (
+        tot.crossJoin(F.broadcast(jrow))
+        .select(
+            (F.expr("t DIV 2") - F.coalesce(F.col("pj"), F.lit(0))).alias(
+                "num"
+            ),
+            (F.col("n") - F.coalesce(F.col("j"), F.lit(0))).alias("den"),
+            F.coalesce(F.col("j"), F.lit(0)).alias("j"),
+        )
+    )
+    # crossJoin(broadcast(jrow)) drops the row when jrow is empty; emulate
+    # LEFT JOIN ON TRUE so the j=0 (nothing saturated) case still allocates
+    empty_lvl = tot.select(
+        F.expr("t DIV 2").alias("num"),
+        F.col("n").alias("den"),
+        F.lit(0).cast("bigint").alias("j"),
+    )
+    lvl = lvl.unionByName(empty_lvl).orderBy(F.col("j").desc()).limit(1)
+    alloc = F.when(
+        F.col("rk") <= F.col("j"), F.col("c").cast("double")
+    ).otherwise(F.col("num").cast("double") / F.col("den").cast("double"))
+    return (
+        ranked.crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            F.col("c").alias("tokens"),
+            alloc.alias("alloc_tokens"),
+            (F.col("rk") <= F.col("j")).alias("saturated"),
+        )
+        .orderBy("source")
+    )

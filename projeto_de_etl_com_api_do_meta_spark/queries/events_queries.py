@@ -1610,3 +1610,123 @@ def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# -- seasonal decomposition (trend / day-of-week / residual) --------------------
+
+_ORACLE_SEASONAL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 10000.0, 0) AS BIGINT)) AS BIGINT)
+           AS v_e4
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+win AS (
+  SELECT d, v_e4,
+         CAST(SUM(v_e4) OVER w AS BIGINT) AS t7,
+         CAST(COUNT(*) OVER w AS BIGINT) AS c7,
+         CAST(MAX(d) OVER w - MIN(d) OVER w AS INTEGER) AS span
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+valid AS (
+  SELECT d, v_e4,
+         CASE WHEN c7 = 7 AND span = 6 THEN t7 END AS t7,
+         CAST(d - DATE '1970-01-05' AS INTEGER) % 7 AS dow
+  FROM win
+),
+seas AS (
+  SELECT dow,
+         CAST(SUM(7 * v_e4 - t7) AS BIGINT) AS s_sum,
+         CAST(COUNT(t7) AS BIGINT) AS s_cnt
+  FROM valid WHERE t7 IS NOT NULL GROUP BY dow
+)
+SELECT v.d AS day,
+       CAST(v.v_e4 AS DOUBLE) / 10000.0 AS value,
+       CAST(v.t7 AS DOUBLE) / 70000.0 AS trend,
+       CAST(s.s_sum AS DOUBLE) / CAST(s.s_cnt AS DOUBLE) / 70000.0
+         AS seasonal,
+       CAST(v.v_e4 AS DOUBLE) / 10000.0
+         - CAST(v.t7 AS DOUBLE) / 70000.0
+         - CAST(s.s_sum AS DOUBLE) / CAST(s.s_cnt AS DOUBLE) / 70000.0
+         AS residual
+FROM valid v LEFT JOIN seas s ON s.dow = v.dow
+ORDER BY day
+"""
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle=_ORACLE_SEASONAL,
+    tags=("events", "timeseries"),
+    doc=(
+        "Classical seasonal decomposition of the daily metric series: "
+        "trend = centered 7-day moving average (defined only where the "
+        "window covers 7 CONSECUTIVE days — count and span both checked), "
+        "seasonal = day-of-week mean of the detrended series, residual = "
+        "value - trend - seasonal.  Complements the EWMA/Holt folds with "
+        "the decomposition view.  All state is integer fixed-point until "
+        "the final projection: detrended values are kept as 7*v - sum7 "
+        "(exact BIGINT, no rational intermediates), day-of-week is "
+        "epoch-days mod 7 (engine-neutral, Monday=0), so every output "
+        "double is one identical division chain on both engines.  The "
+        "global-order window is bounded by calendar days (allowlisted "
+        "global sort)."
+    ),
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 10000.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("v_e4")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    win = daily.select(
+        "d",
+        "v_e4",
+        F.sum("v_e4").over(w).cast("bigint").alias("t7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("c7"),
+        F.datediff(F.max("d").over(w), F.min("d").over(w)).alias("span"),
+    )
+    valid = win.select(
+        "d",
+        "v_e4",
+        F.when((F.col("c7") == 7) & (F.col("span") == 6), F.col("t7")).alias(
+            "t7"
+        ),
+        (F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")) % 7).alias(
+            "dow"
+        ),
+    )
+    seas = (
+        valid.where(F.col("t7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum(F.lit(7) * F.col("v_e4") - F.col("t7"))
+            .cast("bigint")
+            .alias("s_sum"),
+            F.count("t7").cast("bigint").alias("s_cnt"),
+        )
+    )
+    value = F.col("v_e4").cast("double") / F.lit(10000.0)
+    trend = F.col("t7").cast("double") / F.lit(70000.0)
+    seasonal = (
+        F.col("s_sum").cast("double")
+        / F.col("s_cnt").cast("double")
+        / F.lit(70000.0)
+    )
+    return (
+        valid.join(F.broadcast(seas), "dow", "left")
+        .select(
+            F.col("d").alias("day"),
+            value.alias("value"),
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            (value - trend - seasonal).alias("residual"),
+        )
+        .orderBy("day")
+    )

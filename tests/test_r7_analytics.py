@@ -1,0 +1,99 @@
+"""Round-7 analytics operators: Pareto frontier, seasonal decomposition,
+water-filling budget allocation — property tests against brute force."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pareto_frontier_is_exact(spark):
+    """Two-phase skyline == brute-force skyline on the full fixture."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.documents_queries import (
+        sample_pareto_frontier,
+    )
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+
+    got = {
+        r["doc_id"]
+        for r in sample_pareto_frontier(spark, SF).collect()
+    }
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    feats = [
+        (r["doc_id"], r["w"], r["d"], r["c"])
+        for r in load_table(spark, SF, "documents")
+        .select(
+            "doc_id",
+            F.size(toks).alias("w"),
+            F.size(F.array_distinct(toks)).alias("d"),
+            F.col("n_chars").alias("c"),
+        )
+        .collect()
+    ]
+
+    def dominated(a, b):  # b dominates a
+        return all(y >= x for x, y in zip(a[1:], b[1:])) and any(
+            y > x for x, y in zip(a[1:], b[1:])
+        )
+
+    brute = {
+        a[0] for a in feats if not any(dominated(a, b) for b in feats)
+    }
+    assert got == brute and got
+
+
+def test_seasonal_decompose_identity_and_shape(spark):
+    from projeto_de_etl_com_api_do_meta_spark.queries.events_queries import (
+        events_seasonal_decompose,
+    )
+
+    rows = events_seasonal_decompose(spark, SF).collect()
+    days = [r["day"] for r in rows]
+    assert days == sorted(days)
+    interior = [r for r in rows if r["trend"] is not None]
+    assert len(interior) >= len(rows) - 6  # only window edges lose trend
+    for r in interior:
+        assert r["residual"] == pytest.approx(
+            r["value"] - r["trend"] - r["seasonal"], abs=1e-9
+        )
+    # seasonal is a pure day-of-week function: at most 7 distinct values
+    seas = {
+        r["day"].toordinal() % 7: r["seasonal"]
+        for r in interior
+    }
+    for r in interior:
+        assert r["seasonal"] == seas[r["day"].toordinal() % 7]
+    # edges (first/last 3 days) have no trend
+    for r in rows[:3] + rows[-3:]:
+        assert r["trend"] is None
+
+
+def test_waterfill_budget_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.queries.documents_queries import (
+        corpus_waterfill_budget,
+    )
+
+    rows = corpus_waterfill_budget(spark, SF).collect()
+    assert rows
+    total = (
+        load_table(spark, SF, "documents")
+        .select(F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))))
+        .collect()[0][0]
+    )
+    budget = total // 2
+    got = sum(r["alloc_tokens"] for r in rows)
+    assert got == pytest.approx(budget, abs=1e-6 * max(budget, 1))
+    level = max(r["alloc_tokens"] for r in rows if not r["saturated"])
+    for r in rows:
+        assert r["alloc_tokens"] <= r["tokens"] + 1e-9
+        if r["saturated"]:
+            assert r["alloc_tokens"] == pytest.approx(float(r["tokens"]))
+            assert r["tokens"] <= level + 1e-9
+        else:
+            assert r["alloc_tokens"] == pytest.approx(level)
