@@ -197,3 +197,41 @@ def test_rag_funnel_arms_are_depth_bounded_and_broadcast(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_colbert_maxsim_is_broadcast_codegen_no_python(spark, sf_dir):
+    """The 64 chunk-cosines must stay JVM-side: broadcast NL join for the
+    1-row query side, no BatchEvalPython/ArrowEvalPython anywhere, and no
+    sort-merge/shuffle join of the candidate table."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.retrieval_extra import (
+        retrieval_colbert_maxsim,
+    )
+
+    plan = _formatted_plan(retrieval_colbert_maxsim(spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "EvalPython" not in plan  # no Python UDF on the scoring path
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_sketch_has_partial_max_aggregation(spark, sf_dir):
+    """Register state must form map-side (partial_max) before the shuffle
+    — the property that keeps the scan's shuffle O(groups x 64)."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.profiling_sketches import (
+        agg_hll_distinct_sketch,
+    )
+
+    plan = _formatted_plan(agg_hll_distinct_sketch(spark, sf_dir))
+    assert "partial_max" in plan
+    assert "EvalPython" not in plan
+
+
+def test_bootstrap_fanout_aggregates_map_side(spark, sf_dir):
+    """The x200 replicate fan-out must combine map-side into (type, rep)
+    cells (partial_sum), never shuffle the exploded rows raw."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.ml_queries import (
+        ml_bootstrap_ci_poisson,
+    )
+
+    plan = _formatted_plan(ml_bootstrap_ci_poisson(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
