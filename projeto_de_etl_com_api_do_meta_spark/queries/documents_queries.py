@@ -2299,3 +2299,136 @@ def corpus_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- BPE tokenizer TRAINING (iterative merges) ----------------------------------
+
+_BPE_MERGES = 8
+
+
+def _bpe_oracle() -> str:
+    """Unrolled 8-step BPE training in SQL.  Each step: corpus-weighted
+    pair counts over the current symbolization, argmax (ties -> lexico-
+    graphically smallest pair), then the merge applied via plain replace()
+    on the DOUBLE-SPACE token encoding ('  a  b  '): the single-space
+    pattern ' a  b ' consumes one space from each double gap, so adjacent
+    merges in one word chain correctly and token-boundary false positives
+    are impossible — identical left-to-right non-overlapping semantics in
+    both engines' replace()."""
+    steps = []
+    for s in range(1, _BPE_MERGES + 1):
+        prev = f"ws{s - 1}"
+        steps.append(f"""
+p{s} AS MATERIALIZED (
+  SELECT w.s[i] || '+' || w.s[i + 1] AS pair, CAST(SUM(w.cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, regexp_split_to_array(trim(sym), ' +') AS s
+        FROM {prev}) w,
+       unnest(range(1, len(w.s))) r(i)
+  GROUP BY pair
+),
+b{s} AS MATERIALIZED (SELECT pair, c FROM p{s} ORDER BY c DESC, pair LIMIT 1),
+ws{s} AS MATERIALIZED (
+  SELECT cnt,
+         replace(sym,
+                 ' ' || replace((SELECT pair FROM b{s}), '+', '  ') || ' ',
+                 ' ' || replace((SELECT pair FROM b{s}), '+', '') || ' ')
+           AS sym
+  FROM {prev}
+)""")
+    rows = "\n  UNION ALL\n  ".join(
+        f"SELECT {s} AS rank, (SELECT pair FROM b{s}) AS pair, "
+        f"(SELECT c FROM b{s}) AS support"
+        for s in range(1, _BPE_MERGES + 1)
+    )
+    return rf"""
+WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+ws0 AS MATERIALIZED (
+  SELECT cnt, '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS sym
+  FROM words
+),{",".join(steps)}
+SELECT CAST(rank AS INTEGER) AS rank, pair, support
+FROM ({rows}) ORDER BY rank
+"""
+
+
+@register(
+    "corpus_bpe_train",
+    oracle=_bpe_oracle(),
+    tags=("corpus", "tokenizer", "training", "iterative"),
+    doc=(
+        "BPE tokenizer TRAINING (Sennrich et al. 2016), distributed: the "
+        "corpus collapses ONCE into the (word, frequency) vocabulary "
+        "table; each of the 8 merge rounds is then one vocabulary-scale "
+        "pair-count aggregate + a 1-row driver argmax + a pure replace() "
+        "column rewrite — corpus-scale work is a single word-count scan, "
+        "iteration state is the merge list (driver) and the cached vocab "
+        "table (executors), the wordpiece/unigram house pattern. "
+        "Symbolization uses the double-space token encoding so the merge "
+        "is a plain string replace with exact left-to-right BPE "
+        "semantics (adjacent merges chain, no boundary false positives) "
+        "— bit-identical in DuckDB, which lets the whole 8-step training "
+        "recursion unroll into an exact SQL oracle (same pattern as "
+        "ml_logreg_gd_train). Ties break to the lexicographically "
+        "smallest pair on both engines."
+    ),
+)
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ws = words.select(
+        "cnt",
+        F.concat(
+            F.lit("  "), F.regexp_replace(F.col("w"), "(.)", "$1  ")
+        ).alias("sym"),
+    ).persist()
+    try:
+        merges: list[tuple[int, str, int]] = []
+        cur = ws
+        pair_expr = (
+            "CASE WHEN size(s) >= 2 THEN "
+            "transform(sequence(1, size(s) - 1), i -> s[i-1] || '+' || s[i]) "
+            "ELSE CAST(array() AS array<string>) END"
+        )
+        for step in range(1, _BPE_MERGES + 1):
+            pairs = (
+                cur.select(
+                    "cnt",
+                    F.split(F.trim(F.col("sym")), " +").alias("s"),
+                )
+                .select("cnt", F.explode(F.expr(pair_expr)).alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("cnt").cast("bigint").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("pair"))
+                .limit(1)
+                .collect()
+            )
+            best = pairs[0]
+            merges.append((step, best["pair"], int(best["c"])))
+            a, b = best["pair"].split("+", 1)
+            cur = cur.withColumn(
+                "sym",
+                F.expr(
+                    f"replace(sym, ' {a}  {b} ', ' {a}{b} ')"
+                ),
+            )
+            # pin each round's rewrite so round k+1 re-aggregates k's
+            # output, not an 8-deep recomputed lineage
+            cur = cur.localCheckpoint(eager=True)
+        return spark.createDataFrame(
+            merges, "rank int, pair string, support bigint"
+        )
+    finally:
+        ws.unpersist()

@@ -97,3 +97,54 @@ def test_waterfill_budget_invariants(spark):
             assert r["tokens"] <= level + 1e-9
         else:
             assert r["alloc_tokens"] == pytest.approx(level)
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """8 merges equal a pure-Python reference BPE trainer (corpus-weighted
+    pair counts, lexicographic ties, left-to-right merge application)."""
+    import collections
+    import re
+
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.queries.documents_queries import (
+        _BPE_MERGES,
+        corpus_bpe_train,
+    )
+
+    got = [
+        (r["rank"], r["pair"], r["support"])
+        for r in corpus_bpe_train(spark, SF).collect()
+    ]
+    assert [g[0] for g in got] == list(range(1, _BPE_MERGES + 1))
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, SF, "documents").select("text").collect()
+    ]
+    vocab = collections.Counter(
+        w for t in texts for w in re.split(r"\s+", t.strip().lower()) if w
+    )
+    words = {w: (list(w), c) for w, (c) in ((w, c) for w, c in vocab.items())}
+    expected = []
+    for rank in range(1, _BPE_MERGES + 1):
+        pc = collections.Counter()
+        for syms, c in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        (a, b), support = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        expected.append((rank, f"{a}+{b}", support))
+        for w, (syms, c) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, c)
+    assert got == expected
