@@ -2136,10 +2136,10 @@ def sample_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-partition skyline: O(n * |local frontier|) dominance sweep
         # over the partition sorted by falling objective sum — survivors
         # only; ties (identical vectors) all survive (strict-> rule)
-        pdf = pd.concat(list(batches), ignore_index=True)
-        if pdf.empty:
-            yield pdf
+        parts = [b for b in batches if len(b)]
+        if not parts:  # empty partition: yield nothing
             return
+        pdf = pd.concat(parts, ignore_index=True)
         m = pdf[["n_words", "n_distinct", "n_chars"]].to_numpy(np.int64)
         order = np.argsort(-(m.sum(axis=1)), kind="mergesort")
         keep: list[int] = []
