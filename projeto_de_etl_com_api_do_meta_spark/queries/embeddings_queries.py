@@ -1803,3 +1803,122 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_greedy(emb, k=8)
+
+
+# -- clustering quality: centroid silhouette ------------------------------------
+
+_ORACLE_SILHOUETTE = """
+WITH comp AS MATERIALIZED (
+  SELECT label, i,
+         CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                             * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1099511627776.0 AS c
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY label, i
+),
+cent AS MATERIALIZED (
+  SELECT label AS clabel, list(c ORDER BY i) AS cv FROM comp GROUP BY label
+),
+vecs AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dist AS (
+  SELECT vecs.vec_id, vecs.label, cent.clabel,
+         sqrt(list_sum(list_transform(list_zip(vecs.v, cent.cv),
+                                      p -> (p[1] - p[2]) * (p[1] - p[2]))))
+           AS d
+  FROM vecs, cent
+),
+ab AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN clabel = label THEN d END) AS a,
+         MIN(CASE WHEN clabel <> label THEN d END) AS b
+  FROM dist GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(floor((b - a) / greatest(a, b) * 1000000000.0)
+                           AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000000.0, 6) AS mean_silhouette
+FROM ab GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "embed_silhouette_labels",
+    oracle=_ORACLE_SILHOUETTE,
+    tags=("similarity", "ml", "eval"),
+    doc=(
+        "Centroid-based (simplified) silhouette score per cluster — the "
+        "O(n*k) clustering-quality audit (full silhouette is O(n^2) and "
+        "never runs at corpus scale): a = distance to own centroid, b = "
+        "nearest other centroid, s = (b-a)/max(a,b), averaged per label. "
+        "Plan: decimal-exact centroids (one posexplode aggregate), tiny "
+        "centroid table broadcast-cross-joined against the vectors (n x k "
+        "rows), per-row sequential zip_with fold for the distance (bit-"
+        "identical to DuckDB's list fold), per-vector a/b via conditional "
+        "MAX/MIN, and the final mean in 1e-9 fixed point so no order-"
+        "dependent float summation crosses the oracle."
+    ),
+)
+def embed_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import centroids_per_label
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        centroids_per_label(emb)
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "avg_component"))
+                ),
+                lambda s: s.avg_component,
+            ).alias("cv")
+        )
+    )
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    dist = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", d.alias("d")
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias(
+            "b"
+        ),
+    )
+    s_e9 = F.floor(
+        (F.col("b") - F.col("a"))
+        / F.greatest(F.col("a"), F.col("b"))
+        * 1000000000.0
+    ).cast("bigint")
+    return (
+        ab.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(s_e9).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000000.0),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

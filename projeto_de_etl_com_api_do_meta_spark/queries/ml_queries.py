@@ -2200,3 +2200,182 @@ def ml_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hi, "event_type")
         .orderBy("event_type")
     )
+
+
+# -- retrieval eval: nDCG@k ------------------------------------------------------
+
+_NDCG_K = 10
+#: rank discounts floor(1e9 / log2(r+1)) precomputed in Python: neither
+#: engine evaluates a log, so there is no cross-engine libm ULP exposure;
+#: DCG/IDCG stay exact BIGINT sums.
+_NDCG_DISC = tuple(
+    int(1e9 // __import__("math").log2(r + 1)) for r in range(1, _NDCG_K + 1)
+)
+_NDCG_CUM = tuple(
+    sum(_NDCG_DISC[: m + 1]) for m in range(_NDCG_K)
+)
+_NDCG_QUERIES = 5  # vec_id 0..4
+
+
+def _ndcg_disc_case(rank: str) -> str:
+    whens = "\n".join(
+        f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_DISC)
+    )
+    return f"(CASE {rank} {whens} END)"
+
+
+def _ndcg_cum_case(m: str) -> str:
+    whens = "\n".join(
+        f"WHEN {r + 1} THEN {c}" for r, c in enumerate(_NDCG_CUM)
+    )
+    return f"(CASE {m} {whens} END)"
+
+
+def _ndcg_oracle() -> str:
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS qid, label AS qlabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {_NDCG_QUERIES}
+),
+c AS MATERIALIZED (
+  SELECT vec_id AS did, label AS dlabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.qid, q.qlabel, c.did, c.dlabel,
+         round(list_dot_product(q.qv, c.dv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.dv, c.dv))), 6) AS cos
+  FROM q, c WHERE q.qid <> c.did
+),
+ranked AS (
+  SELECT qid, qlabel, dlabel,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, did) AS r
+  FROM scored
+),
+dcg AS (
+  SELECT qid, qlabel,
+         CAST(SUM(CASE WHEN dlabel = qlabel
+                       THEN {_ndcg_disc_case("r")} ELSE 0 END) AS BIGINT)
+           AS dcg_e9,
+         CAST(SUM(CASE WHEN dlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_topk
+  FROM ranked WHERE r <= {_NDCG_K} GROUP BY qid, qlabel
+),
+pool AS (
+  SELECT q.qid,
+         CAST(least({_NDCG_K},
+                    (SELECT COUNT(*) FROM embeddings e
+                     WHERE e.label = q.qlabel
+                       AND e.vec_id <> q.qid)) AS BIGINT) AS m
+  FROM q
+)
+SELECT d.qid AS query_id, d.n_rel_topk, d.dcg_e9,
+       CAST(d.dcg_e9 AS DOUBLE)
+         / CAST({_ndcg_cum_case("CAST(p.m AS INTEGER)")} AS DOUBLE)
+         AS ndcg
+FROM dcg d JOIN pool p ON p.qid = d.qid
+ORDER BY query_id
+"""
+
+
+@register(
+    "ml_eval_ndcg",
+    oracle=_ndcg_oracle(),
+    tags=("ml", "eval", "retrieval"),
+    doc=(
+        "nDCG@10 retrieval evaluation over 5 pinned query vectors: rank "
+        "all candidates by 6dp-rounded cosine (ties to lowest id), binary "
+        "relevance = same label, DCG with the standard 1/log2(r+1) "
+        "discounts and IDCG normalized to the true relevant-pool size. "
+        "The rank discounts are PRECOMPUTED integer constants (floor of "
+        "1e9/log2) baked into both engines' expressions, so no libm log "
+        "crosses the oracle and DCG/IDCG remain exact BIGINT sums — the "
+        "standard trick for reproducible ranking metrics. Plan: broadcast "
+        "query side, one codegen cosine projection, per-query top-k "
+        "window on the depth-bounded candidate set."
+    ),
+)
+def ml_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    q = emb.where(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.expr(to_d).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("did"),
+        F.col("label").alias("dlabel"),
+        F.expr(to_d).alias("dv"),
+    )
+    cos = F.round(
+        F.expr(dot.format(a="qv", b="dv"))
+        / (
+            F.sqrt(F.expr(dot.format(a="qv", b="qv")))
+            * F.sqrt(F.expr(dot.format(a="dv", b="dv")))
+        ),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("qid") != F.col("did"))
+        .select("qid", "qlabel", "did", "dlabel", cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("did"))
+    ranked = scored.select(
+        "qid", "qlabel", "dlabel", F.row_number().over(w).alias("r")
+    ).where(F.col("r") <= _NDCG_K)
+    rel = F.when(F.col("dlabel") == F.col("qlabel"), 1).otherwise(0)
+    dcg = ranked.groupBy("qid", "qlabel").agg(
+        F.sum(
+            F.when(
+                F.col("dlabel") == F.col("qlabel"),
+                F.expr(_ndcg_disc_case("r")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dcg_e9"),
+        F.sum(rel).cast("bigint").alias("n_rel_topk"),
+    )
+    pool = (
+        q.alias("q")
+        .join(
+            emb.select(
+                F.col("label").alias("plabel"), F.col("vec_id").alias("pid")
+            ),
+            (F.col("plabel") == F.col("qlabel"))
+            & (F.col("pid") != F.col("qid")),
+        )
+        .groupBy("qid")
+        .agg(
+            F.least(F.lit(_NDCG_K), F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("m")
+        )
+    )
+    return (
+        dcg.join(pool, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_rel_topk",
+            "dcg_e9",
+            (
+                F.col("dcg_e9").cast("double")
+                / F.expr(
+                    _ndcg_cum_case("CAST(m AS INT)")
+                ).cast("double")
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

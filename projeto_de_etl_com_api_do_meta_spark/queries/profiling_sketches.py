@@ -522,8 +522,8 @@ def _hll_regs_sql(col: str, group: str | None) -> str:
 
 _HLL_EST_SQL = """
   SELECT scope,
-         (SUM(1::BIGINT << (55 - max_rank))
-          + (64 - COUNT(*)) * (1::BIGINT << 55)) AS sum_inv,
+         CAST(SUM(1::BIGINT << (55 - max_rank))
+              + (64 - COUNT(*)) * (1::BIGINT << 55) AS BIGINT) AS sum_inv,
          CAST(64 - COUNT(*) AS INTEGER) AS n_zero
   FROM {regs} GROUP BY scope
 """

@@ -148,3 +148,58 @@ def test_bpe_train_matches_reference_implementation(spark):
                     i += 1
             words[w] = (out, c)
     assert got == expected
+
+
+def test_silhouette_bounds_and_separation(spark):
+    from projeto_de_etl_com_api_do_meta_spark.queries.embeddings_queries import (
+        embed_silhouette_labels,
+    )
+
+    rows = embed_silhouette_labels(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+    # fixture labels are geometrically uncorrelated, so the simplified
+    # silhouette must sit near zero (a strongly positive or negative value
+    # would mean the metric is broken, not the data)
+    overall = sum(r["mean_silhouette"] * r["n"] for r in rows) / sum(
+        r["n"] for r in rows
+    )
+    assert abs(overall) < 0.1
+
+
+def test_ndcg_matches_numpy_reference(spark):
+    import math
+
+    import numpy as np
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.queries.ml_queries import (
+        _NDCG_K,
+        _NDCG_QUERIES,
+        ml_eval_ndcg,
+    )
+
+    got = {r["query_id"]: r for r in ml_eval_ndcg(spark, SF).collect()}
+    assert set(got) == set(range(_NDCG_QUERIES))
+    data = {
+        r["vec_id"]: (r["label"], np.array(r["embedding"], np.float64))
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    for qid in range(_NDCG_QUERIES):
+        qlabel, qv = data[qid]
+        scored = sorted(
+            (
+                (-round(float(qv @ dv / (np.linalg.norm(qv) * np.linalg.norm(dv))), 6), did)
+                for did, (_, dv) in data.items()
+                if did != qid
+            )
+        )[:_NDCG_K]
+        dcg = sum(
+            (1.0 / math.log2(r + 2)) if data[did][0] == qlabel else 0.0
+            for r, (_, did) in enumerate(scored)
+        )
+        m = min(_NDCG_K, sum(1 for d, (l, _) in data.items() if l == qlabel and d != qid))
+        idcg = sum(1.0 / math.log2(r + 2) for r in range(m))
+        assert got[qid]["ndcg"] == pytest.approx(dcg / idcg, abs=2e-6)
+        assert 0.0 <= got[qid]["ndcg"] <= 1.0
