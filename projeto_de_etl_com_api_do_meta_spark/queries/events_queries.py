@@ -1730,3 +1730,144 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# -- CUSUM changepoint detection -------------------------------------------------
+
+_ORACLE_CUSUM = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 10000.0, 0) AS BIGINT))
+              // COUNT(*) AS BIGINT) AS m_e4
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list(d ORDER BY d) AS days,
+         list(CAST(m_e4 AS DOUBLE) / 10000.0 ORDER BY d) AS xs,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(m_e4) AS BIGINT) AS s1,
+         CAST(SUM(m_e4 * m_e4) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+),
+params AS (
+  SELECT *,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS mu,
+         sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+              / CAST(n * n AS DOUBLE)) / 10000.0 AS sd
+  FROM series
+),
+folded AS (
+  SELECT event_type, days, n, mu, sd,
+         list_reduce(
+           list_prepend([0.0, 0.0, 0.0, -1.0, 0.0],
+                        list_transform(xs, x -> [x, 0.0, 0.0, 0.0, 0.0])),
+           (acc, e) -> [
+             greatest(0.0, acc[1] + (e[1] - mu - 0.5 * sd)),
+             greatest(0.0, acc[2] + (mu - e[1] - 0.5 * sd)),
+             greatest(acc[3],
+                      greatest(0.0, acc[1] + (e[1] - mu - 0.5 * sd)),
+                      greatest(0.0, acc[2] + (mu - e[1] - 0.5 * sd))),
+             CASE WHEN acc[4] >= 0.0 THEN acc[4]
+                  WHEN greatest(
+                         greatest(0.0, acc[1] + (e[1] - mu - 0.5 * sd)),
+                         greatest(0.0, acc[2] + (mu - e[1] - 0.5 * sd)))
+                       > 4.0 * sd
+                  THEN acc[5] + 1.0 ELSE -1.0 END,
+             acc[5] + 1.0]) AS st
+  FROM params
+)
+SELECT event_type,
+       n AS n_days,
+       round(mu, 6) AS mean_daily,
+       round(sd, 6) AS sd_daily,
+       round(st[3], 6) AS max_cusum,
+       CASE WHEN st[4] >= 0.0 THEN days[CAST(st[4] AS INTEGER)] END
+         AS first_alarm_day
+FROM folded ORDER BY event_type
+"""
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle=_ORACLE_CUSUM,
+    tags=("events", "timeseries", "anomaly"),
+    doc=(
+        "Two-sided CUSUM changepoint detector (Page 1954) on the daily "
+        "mean-value series per event type: S+_t = max(0, S+ + (x-mu-k)), "
+        "S-_t symmetric, k = 0.5 sd slack, alarm at 4 sd — the classic "
+        "sequential drift detector that a rolling z-score misses (it "
+        "accumulates many small shifts). Third member of the "
+        "sequential-fold family (EWMA, Holt): day-bounded VECTOR-state "
+        "fold [S+, S-, running max, first-alarm idx, i] executed as one "
+        "deterministic array fold JVM-side — bit-identical to DuckDB's "
+        "list_reduce with a prepended zero-init element. Daily means and "
+        "sd come from exact integer sums (floor-divided fixed point), so "
+        "mu/sd/every fold step are the same doubles on both engines."
+    ),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 10000.0, 0) AS BIGINT)) "
+            "DIV count(*) AS BIGINT)"
+        ).alias("m_e4")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, m_e4))), "
+               "s -> s.d)").alias("days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, m_e4))), "
+            "s -> CAST(s.m_e4 AS DOUBLE) / 10000.0)"
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m_e4").cast("bigint").alias("s1"),
+        F.sum(F.col("m_e4") * F.col("m_e4")).cast("bigint").alias("s2"),
+    )
+    params = series.withColumn(
+        "mu",
+        F.col("s1").cast("double") / F.col("n").cast("double") / F.lit(1e4),
+    ).withColumn(
+        "sd",
+        F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("n")).cast("double")
+        )
+        / F.lit(1e4),
+    )
+    fold = """
+aggregate(
+  transform(xs, x -> array(x, 0D, 0D, 0D, 0D)),
+  array(0D, 0D, 0D, -1D, 0D),
+  (acc, e) -> array(
+    greatest(0D, acc[0] + (e[0] - mu - 0.5 * sd)),
+    greatest(0D, acc[1] + (mu - e[0] - 0.5 * sd)),
+    greatest(acc[2],
+             greatest(0D, acc[0] + (e[0] - mu - 0.5 * sd)),
+             greatest(0D, acc[1] + (mu - e[0] - 0.5 * sd))),
+    CASE WHEN acc[3] >= 0D THEN acc[3]
+         WHEN greatest(
+                greatest(0D, acc[0] + (e[0] - mu - 0.5 * sd)),
+                greatest(0D, acc[1] + (mu - e[0] - 0.5 * sd)))
+              > 4.0 * sd
+         THEN acc[4] + 1D ELSE -1D END,
+    acc[4] + 1D))
+"""
+    folded = params.withColumn("st", F.expr(fold))
+    return folded.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round("mu", 6).alias("mean_daily"),
+        F.round("sd", 6).alias("sd_daily"),
+        F.round(F.expr("st[2]"), 6).alias("max_cusum"),
+        F.expr(
+            "CASE WHEN st[3] >= 0D "
+            "THEN element_at(days, CAST(st[3] AS INT)) END"
+        ).alias("first_alarm_day"),
+    ).orderBy("event_type")

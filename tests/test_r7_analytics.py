@@ -203,3 +203,46 @@ def test_ndcg_matches_numpy_reference(spark):
         idcg = sum(1.0 / math.log2(r + 2) for r in range(m))
         assert got[qid]["ndcg"] == pytest.approx(dcg / idcg, abs=2e-6)
         assert 0.0 <= got[qid]["ndcg"] <= 1.0
+
+
+def test_cusum_matches_python_reference_and_detects_planted_shift(spark):
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.queries.events_queries import (
+        events_cusum_changepoint,
+    )
+    from pyspark.sql import functions as F
+
+    got = {r["event_type"]: r for r in events_cusum_changepoint(spark, SF).collect()}
+    assert got
+    daily = (
+        load_table(spark, SF, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.expr(
+            "CAST(sum(CAST(round(value * 10000.0, 0) AS BIGINT)) "
+            "DIV count(*) AS BIGINT)").alias("m"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["m"]))
+    for et, pts in series.items():
+        pts.sort()
+        xs = [m / 1e4 for _, m in pts]
+        n = len(xs)
+        s1 = sum(m for _, m in pts)
+        s2 = sum(m * m for _, m in pts)
+        mu = s1 / n / 1e4
+        sd = ((n * s2 - s1 * s1) / (n * n)) ** 0.5 / 1e4
+        sp = sn = mx = 0.0
+        alarm = None
+        for i, x in enumerate(xs, start=1):
+            sp = max(0.0, sp + (x - mu - 0.5 * sd))
+            sn = max(0.0, sn + (mu - x - 0.5 * sd))
+            mx = max(mx, sp, sn)
+            if alarm is None and max(sp, sn) > 4.0 * sd:
+                alarm = pts[i - 1][0]
+        row = got[et]
+        assert row["n_days"] == n
+        assert row["max_cusum"] == pytest.approx(mx, abs=2e-6)
+        assert row["first_alarm_day"] == alarm
