@@ -197,7 +197,12 @@ def main() -> None:
             ),
             key=lambda x: x[2] - x[1],
         )
-        if flagged:
+        if not flagged:
+            # record explicitly that the regression check RAN and found
+            # nothing (r6 shipped with the machinery silently no-opped;
+            # an absent key is indistinguishable from that failure mode)
+            out["isolated"] = {}
+        else:
             cap = 8
             head, overflow = flagged[:cap], flagged[cap:]
             from tools.bench_isolated import measure_isolated

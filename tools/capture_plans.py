@@ -93,6 +93,28 @@ FLAGSHIPS = [
         "BroadcastExchange scalar aggregates joined map-side; the final "
         "top-10 is TakeOrderedAndProject, not a global sort.",
     ),
+    (
+        "retrieval_colbert_maxsim",
+        "ColBERT late-interaction scoring: the 1-row query side is "
+        "BroadcastExchange into the candidate scan; all 64 chunk-pair "
+        "cosines are one WholeStageCodegen projection (no EvalPython, no "
+        "explode); the top-10 is TakeOrderedAndProject on the 6dp-rounded "
+        "score.",
+    ),
+    (
+        "agg_hll_distinct_sketch",
+        "HyperLogLog registers: one scan, partial_max map-side combine "
+        "into <= groups x 64 register cells before the exchange — the "
+        "shuffle carries sketch state, never raw values; the merge scope "
+        "is a second tiny MAX over the same cells.",
+    ),
+    (
+        "ml_bootstrap_ci_poisson",
+        "Poisson bootstrap: the x200 replicate fan-out (4 uniform lanes "
+        "per md5 digest) feeds partial_sum map-side combine into "
+        "(type, rep) cells — exploded rows never shuffle raw; CI order "
+        "statistics run on the tiny replicate-mean table.",
+    ),
 ]
 
 
