@@ -119,3 +119,45 @@ def pin_query_session_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on EXECUTOR Python workers regardless
+    of the driver's working directory.
+
+    mapInPandas/applyInPandas kernels reference package functions (codecs,
+    fixtures); cloudpickle serializes those as module imports, so a foreign
+    SparkSession started outside the repo root fails in the worker with
+    ModuleNotFoundError (found by the hostile-session smoke, cwd=/tmp).
+    Shipping a one-time zip of the package via addPyFile puts it on every
+    worker's import path — the standard dependency mechanism, and a no-op
+    for sessions already rooted here."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pkg_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — e.g. a stopped context; kernels on
+        pass  # a repo-rooted session still import via cwd
+    sc._pkg_shipped = True
