@@ -633,3 +633,79 @@ def agg_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.join(exact, "scope").orderBy("scope")
+
+
+_ORACLE_HLL_RUNNING = f"""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+regs AS (
+  SELECT d, (h >> 54) AS reg_idx,
+         MAX(CASE WHEN (h & 18014398509481983) = 0 THEN 55
+                  ELSE 55 - length(bin(h & 18014398509481983)) END)
+           AS max_rank
+  FROM (SELECT CAST(ts AS DATE) AS d,
+               {_HLL_HASH.format(col="user_id")} AS h
+        FROM events WHERE user_id IS NOT NULL)
+  GROUP BY d, reg_idx
+),
+cume AS (
+  SELECT days.d AS scope, r.reg_idx, MAX(r.max_rank) AS max_rank
+  FROM days JOIN regs r ON r.d <= days.d
+  GROUP BY days.d, r.reg_idx
+),
+est AS ({_HLL_EST_SQL.format(regs="cume")})
+SELECT scope AS d, sum_inv, n_zero,
+       round(CASE WHEN CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+                       / CAST(sum_inv AS DOUBLE) <= 160.0
+                       AND n_zero > 0
+                  THEN 64.0 * ln(64.0 / CAST(n_zero AS DOUBLE))
+                  ELSE CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+                       / CAST(sum_inv AS DOUBLE)
+             END, 6) AS est_cume_users
+FROM est ORDER BY d
+"""
+
+
+@register(
+    "agg_hll_running_daily",
+    oracle=_ORACLE_HLL_RUNNING,
+    tags=("agg", "sketch", "timeseries", "scale"),
+    doc=(
+        "Running cumulative distinct-user estimate per day from MERGED "
+        "daily HyperLogLog sketches — the HLL twin of "
+        "agg_kmv_running_daily, now exactly oracle-checkable because the "
+        "register state is cross-engine-exact (md5 ranks + BIGINT "
+        "harmonic sums): each day contributes a <= 64-cell register "
+        "sketch, and day D's cumulative estimate is the element-wise "
+        "register MAX over days <= D — history is never rescanned, the "
+        "running state is days x 64 cells. One scan builds the daily "
+        "registers (map-side partial MAX); the cumulative merge is a "
+        "days-spine range join over the tiny register table."
+    ),
+)
+def agg_hll_running_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    daily = hll_registers(
+        ev.select(F.col("ts").cast("date").alias("d"), "user_id"),
+        "user_id",
+        ["d"],
+    )
+    days = ev.select(F.col("ts").cast("date").alias("scope")).distinct()
+    cume = (
+        days.join(
+            F.broadcast(daily), daily["d"] <= days["scope"], "inner"
+        )
+        .groupBy("scope", "reg_idx")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    est = hll_estimate(cume, ["scope"])
+    return est.select(
+        F.col("scope").alias("d"),
+        "sum_inv",
+        "n_zero",
+        F.col("est_distinct").alias("est_cume_users"),
+    ).orderBy("d")

@@ -132,3 +132,29 @@ def test_hll_duplicates_are_absorbed(spark):
     a = hll_estimate(hll_registers(base, "k", []), []).collect()[0]
     b = hll_estimate(hll_registers(dup, "k", []), []).collect()[0]
     assert a["sum_inv"] == b["sum_inv"] and a["est_distinct"] == b["est_distinct"]
+
+
+def test_hll_running_daily_monotone_and_consistent(spark):
+    """Cumulative register merge: day-D estimate equals a fresh sketch of
+    all data <= D (spot-checked on the last day), and sum_inv is
+    non-increasing over days (registers only grow)."""
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+    from projeto_de_etl_com_api_do_meta_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from projeto_de_etl_com_api_do_meta_spark.queries.profiling_sketches import (
+        agg_hll_running_daily,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = agg_hll_running_daily(spark, sf).collect()
+    assert rows == sorted(rows, key=lambda r: r["d"])
+    invs = [r["sum_inv"] for r in rows]
+    assert all(a >= b for a, b in zip(invs, invs[1:]))
+    ev = load_table(spark, sf, "events").where(F.col("user_id").isNotNull())
+    fresh = hll_estimate(hll_registers(ev, "user_id", []), []).collect()[0]
+    assert rows[-1]["sum_inv"] == fresh["sum_inv"]
+    assert rows[-1]["est_cume_users"] == fresh["est_distinct"]
