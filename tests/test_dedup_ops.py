@@ -220,3 +220,48 @@ def test_key_skew_report_flags_planted_hot_key(spark):
     assert top[0].vs_mean_bp == 1000 * 101 * 10000 // 1100
     assert top[0].vs_mean_bp > 10 * 10000  # unmistakably "salt this"
     assert top[1].vs_mean_bp < 10000  # the cold keys sit below the mean
+
+
+def test_star_components_match_unionfind_and_converge_logarithmically(spark):
+    """Large-star/small-star CC equals a union-find ground truth on
+    adversarial shapes, and a 64-chain converges in far fewer rounds than
+    its diameter (the O(log n) property that motivates the variant)."""
+    import random
+
+    from projeto_de_etl_com_api_do_meta_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    def uf(edges, nodes):
+        p = {n: n for n in nodes}
+
+        def find(x):
+            while p[x] != x:
+                p[x] = p[p[x]]
+                x = p[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                p[max(ra, rb)] = min(ra, rb)
+        comp: dict = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(ns) for ns in comp.values() for n in ns}
+
+    rng = random.Random(3)
+    cases = [
+        ("chain64", [(i, i + 1) for i in range(63)]),
+        ("two-comps", [(0, 1), (1, 2), (10, 11), (12, 11)]),
+        ("rand", [(rng.randrange(40), rng.randrange(40)) for _ in range(50)]),
+    ]
+    for name, edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        labels, rounds = connected_components_star(df)
+        got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+        assert got == uf(edges, nodes), name
+        if name == "chain64":
+            assert rounds <= 12, rounds  # diameter is 63
