@@ -1871,3 +1871,97 @@ aggregate(
             "THEN element_at(days, CAST(st[3] AS INT)) END"
         ).alias("first_alarm_day"),
     ).orderBy("event_type")
+
+
+# -- seasonal-adjusted anomaly flags ---------------------------------------------
+
+_ORACLE_SEASONAL_ANOM = f"""
+WITH base AS ({_ORACLE_SEASONAL.replace("ORDER BY day", "")}),
+res AS (SELECT day, value, residual FROM base WHERE residual IS NOT NULL),
+med AS (
+  SELECT residual AS med FROM (
+    SELECT residual, ROW_NUMBER() OVER (ORDER BY residual, day) AS r,
+           COUNT(*) OVER () AS n
+    FROM res
+  ) WHERE r = (n + 1) // 2
+),
+mad AS (
+  SELECT dev AS mad FROM (
+    SELECT abs(res.residual - med.med) AS dev,
+           ROW_NUMBER() OVER (ORDER BY abs(res.residual - med.med),
+                              res.day) AS r,
+           COUNT(*) OVER () AS n
+    FROM res, med
+  ) WHERE r = (n + 1) // 2
+)
+SELECT res.day, round(res.value, 6) AS value,
+       round(res.residual, 6) AS residual,
+       round(med.med, 6) AS med_residual,
+       round(mad.mad, 6) AS mad_residual,
+       abs(res.residual - med.med) > 3.5 * mad.mad AS is_anomaly
+FROM res, med, mad
+ORDER BY res.day
+"""
+
+
+@register(
+    "events_seasonal_anomaly",
+    oracle=_ORACLE_SEASONAL_ANOM,
+    tags=("events", "timeseries", "anomaly", "dq"),
+    doc=(
+        "Seasonality-adjusted anomaly flags: the residual series from the "
+        "trend + day-of-week decomposition (events_seasonal_decompose) "
+        "screened with the robust median/MAD rule (|r - med| > 3.5 MAD) — "
+        "detrending first is what keeps weekday troughs from reading as "
+        "anomalies, MAD is what keeps one real spike from inflating the "
+        "threshold (a sd-based rule masks itself). Lower-median order "
+        "statistics (explicit ROW_NUMBER selection, never an "
+        "interpolating median()) make both engines pick the identical "
+        "residual; every residual double is already bit-identical from "
+        "the integer fixed-point decomposition."
+    ),
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    res = (
+        events_seasonal_decompose(spark, sf_dir)
+        .where(F.col("residual").isNotNull())
+        .select("day", "value", "residual")
+    )
+    n_w = Window.orderBy(F.lit(1))
+    med = res.select(
+        "residual",
+        F.row_number().over(Window.orderBy("residual", "day")).alias("r"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    ).where(F.col("r") == F.expr("(n + 1) DIV 2")).select(
+        F.col("residual").alias("med")
+    )
+    with_med = res.crossJoin(F.broadcast(med))
+    mad = with_med.select(
+        F.abs(F.col("residual") - F.col("med")).alias("dev"),
+        F.row_number()
+        .over(
+            Window.orderBy(F.abs(F.col("residual") - F.col("med")), F.col("day"))
+        )
+        .alias("r"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    ).where(F.col("r") == F.expr("(n + 1) DIV 2")).select(
+        F.col("dev").alias("mad")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.round("value", 6).alias("value"),
+            F.round("residual", 6).alias("residual"),
+            F.round("med", 6).alias("med_residual"),
+            F.round("mad", 6).alias("mad_residual"),
+            (
+                F.abs(F.col("residual") - F.col("med"))
+                > F.lit(3.5) * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

@@ -246,3 +246,24 @@ def test_cusum_matches_python_reference_and_detects_planted_shift(spark):
         assert row["n_days"] == n
         assert row["max_cusum"] == pytest.approx(mx, abs=2e-6)
         assert row["first_alarm_day"] == alarm
+
+
+def test_seasonal_anomaly_robust_rule(spark):
+    from projeto_de_etl_com_api_do_meta_spark.queries.events_queries import (
+        events_seasonal_anomaly,
+    )
+
+    rows = events_seasonal_anomaly(spark, SF).collect()
+    assert rows
+    med = rows[0]["med_residual"]
+    mad = rows[0]["mad_residual"]
+    assert all(r["med_residual"] == med and r["mad_residual"] == mad for r in rows)
+    assert mad >= 0
+    for r in rows:
+        expect = abs(r["residual"] - med) > 3.5 * mad
+        # rounded columns may sit within 1e-6 of the cutoff; recompute loosely
+        if abs(abs(r["residual"] - med) - 3.5 * mad) > 1e-5:
+            assert r["is_anomaly"] == expect, r
+    # robust rule: anomalies are a small minority
+    frac = sum(r["is_anomaly"] for r in rows) / len(rows)
+    assert frac < 0.3
