@@ -638,20 +638,28 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # fixpoint: same canonical edge set as last round
-        canon_old = e.select(
-            F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y")
-        ).distinct()
-        canon_new = small.select(
-            F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y")
-        ).distinct()
-        changed = (
-            canon_new.exceptAll(canon_old).count()
-            + canon_old.exceptAll(canon_new).count()
-        )
+        # fixpoint: same canonical edge set as last round.  Checked with a
+        # single order-free aggregate fingerprint (count + xor-ish hash
+        # sum) instead of two exceptAll set differences — the check is
+        # per-round overhead, and at x16 corpus scale the exceptAll pair
+        # cost dominated the whole operator (SCALE_PROBE_r07).
+        def _fp(df: DataFrame):
+            # pmod into 31 bits keeps the sum ANSI-overflow-safe up to
+            # ~2^32 edges per fixpoint check (shard the check past that)
+            h = F.pmod(
+                F.xxhash64(F.greatest("u", "v"), F.least("u", "v")),
+                F.lit(2147483647),
+            )
+            return df.select(
+                F.count(F.lit(1)).alias("n"), F.sum(h).alias("h")
+            ).collect()[0]
+        if rounds == 1:
+            old_fp = _fp(e)
+        new_fp = _fp(small)
         e = small
-        if changed == 0:
+        if (new_fp["n"], new_fp["h"]) == (old_fp["n"], old_fp["h"]):
             break
+        old_fp = new_fp
     # converged: e is a star forest pointing at component minima
     roots = e.select(
         F.greatest("u", "v").alias("node"), F.least("u", "v").alias("label")
