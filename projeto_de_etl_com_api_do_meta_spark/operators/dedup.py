@@ -353,17 +353,23 @@ def connected_components(
     rounds suffice.  Each round persists its labels and checks convergence
     with a count — an iterative algorithm, NOT expressible as one SQL query
     (the oracle uses a recursive CTE)."""
+    # localCheckpoint, not persist: persist caches data but leaves the
+    # logical plan uncut, so per-round lineage compounds and the driver
+    # OOMs on plan strings alone once rounds outgrow shallow graphs
+    # (surfaced by the 10k-chain micro-probe while benchmarking the
+    # star variant; flagship near-dup graphs converge in ~3-5 rounds and
+    # never tripped it).
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
         .unionByName(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         # Min label among each node's neighbors (one shuffle on dst).
@@ -378,18 +384,16 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
             .where(F.col("label") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
