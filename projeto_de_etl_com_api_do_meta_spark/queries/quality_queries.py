@@ -4,6 +4,7 @@ README.md:150-153) — each check is one scan + one reduce, oracle-verified."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.quality import null_rate_report, referential_violations
@@ -306,4 +307,111 @@ def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "n_rows long, n_nonpos_price long, n_null_custkey long, total_cents long",
+    )
+
+
+# -- declarative constraint suite (Deequ-style) ----------------------------------
+
+_ORACLE_CONSTRAINTS = """
+WITH scan AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS v_notnull,
+         CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+           AS v_unique,
+         CAST(COUNT(*) FILTER (WHERE o_totalprice < 0
+                                  OR o_totalprice > 1000000) AS BIGINT)
+           AS v_range,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                                  OR o_orderstatus IS NULL) AS BIGINT)
+           AS v_domain
+  FROM orders
+),
+ref AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_ref
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+)
+SELECT * FROM (
+  SELECT 'not_null:o_custkey' AS constraint_id, n AS n_checked,
+         v_notnull AS n_violations, v_notnull = 0 AS passed FROM scan
+  UNION ALL
+  SELECT 'unique:o_orderkey', n, v_unique, v_unique = 0 FROM scan
+  UNION ALL
+  SELECT 'range:o_totalprice:[0,1000000]', n, v_range, v_range = 0 FROM scan
+  UNION ALL
+  SELECT 'domain:o_orderstatus:{O,F,P}', n, v_domain, v_domain = 0 FROM scan
+  UNION ALL
+  SELECT 'referential:o_custkey->customer.c_custkey',
+         (SELECT n FROM scan), v_ref, v_ref = 0 FROM ref
+) ORDER BY constraint_id
+"""
+
+
+@register(
+    "dq_constraint_suite",
+    oracle=_ORACLE_CONSTRAINTS,
+    tags=("dq", "profiling", "scale"),
+    doc=(
+        "Declarative data-quality constraint suite (the Deequ/"
+        "great-expectations shape): not-null, key-uniqueness, numeric "
+        "range, value domain, and referential integrity validated in ONE "
+        "pass — the four row-local constraints fold into a single "
+        "conditional aggregate over the fact scan (map-side combinable; "
+        "at 100 TB this is one read, not five), and only the referential "
+        "check pays a join (broadcast, dim-sized). Output is the audit "
+        "report: per-constraint checked/violation counts + verdict."
+    ),
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    scan = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).cast("bigint").alias(
+            "v_notnull"
+        ),
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("v_unique"),
+        F.count_if(
+            (F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1000000)
+        )
+        .cast("bigint")
+        .alias("v_range"),
+        F.count_if(
+            ~F.col("o_orderstatus").isin("O", "F", "P")
+            | F.col("o_orderstatus").isNull()
+        )
+        .cast("bigint")
+        .alias("v_domain"),
+    )
+    ref = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(customer.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v_ref"))
+    )
+    s = scan.crossJoin(F.broadcast(ref))
+
+    def row(cid: str, viol: str):
+        return s.select(
+            F.lit(cid).alias("constraint_id"),
+            F.col("n").alias("n_checked"),
+            F.col(viol).alias("n_violations"),
+            (F.col(viol) == 0).alias("passed"),
+        )
+
+    return (
+        row("not_null:o_custkey", "v_notnull")
+        .unionByName(row("unique:o_orderkey", "v_unique"))
+        .unionByName(row("range:o_totalprice:[0,1000000]", "v_range"))
+        .unionByName(row("domain:o_orderstatus:{O,F,P}", "v_domain"))
+        .unionByName(
+            row("referential:o_custkey->customer.c_custkey", "v_ref")
+        )
+        .orderBy("constraint_id")
     )

@@ -1731,3 +1731,58 @@ def warehouse_accumulating_snapshot(
         )
         .orderBy("o_orderstatus")
     )
+
+
+_ORACLE_GZIP_ROUNDTRIP = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_even_ids
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "io_gzip_jsonl_roundtrip",
+    oracle=_ORACLE_GZIP_ROUNDTRIP,
+    tags=("io", "scale"),
+    doc=(
+        "Compressed text ingestion (SURVEY S9 extension): documents "
+        "written as GZIP-compressed JSONL (spark codec option), read back "
+        "through spark.read.json's transparent .gz decompression, and "
+        "audited per-lang against the source — the web-crawl delivery "
+        "format (WET/WARC-derived corpora ship gzipped). Scale note "
+        "encoded in the round-trip: gzip is NOT splittable, so one .gz "
+        "file = one input task; the write side therefore controls "
+        "parallelism by partition count BEFORE the codec (32 files here), "
+        "which is exactly how a 100 TB gzipped corpus must arrive — many "
+        "files, not one."
+    ),
+)
+def io_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    target = tempfile.mkdtemp(prefix="gzip_rt_") + "/docs_gz"
+    (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(target)
+    )
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        target
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_even_ids"),
+        )
+        .orderBy("lang")
+    )
