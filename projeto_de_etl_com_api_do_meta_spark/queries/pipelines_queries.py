@@ -1463,3 +1463,77 @@ def stream_cdc_fenced_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "cents", F.col("seq").cast("bigint").alias("seq"))
         .orderBy("user_id")
     )
+
+
+# Streaming HLL: the sketch's MAX-register state is exactly the kind of
+# small mergeable aggregate streaming engines are built around — the
+# running register table (days x 64 cells) IS the stream state, and the
+# estimate projects off whatever the state holds at any trigger.
+_ORACLE_STREAM_HLL = """
+WITH regs AS (
+  SELECT CAST(ts AS DATE) AS day, (h >> 54) AS reg_idx,
+         MAX(CASE WHEN (h & 18014398509481983) = 0 THEN 55
+                  ELSE 55 - length(bin(h & 18014398509481983)) END)
+           AS max_rank
+  FROM (SELECT ts,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS h
+        FROM events WHERE user_id IS NOT NULL)
+  GROUP BY day, reg_idx
+)
+SELECT day,
+       CAST(SUM(1::BIGINT << (55 - max_rank))
+            + (64 - COUNT(*)) * (1::BIGINT << 55) AS BIGINT) AS sum_inv,
+       CAST(64 - COUNT(*) AS INTEGER) AS n_zero
+FROM regs GROUP BY day ORDER BY day
+"""
+
+
+@register(
+    "stream_hll_daily_users",
+    oracle=_ORACLE_STREAM_HLL,
+    tags=("streaming", "sketch", "scale"),
+    doc=(
+        "HyperLogLog register state maintained INSIDE Structured "
+        "Streaming: the per-(day, register) MAX-rank aggregate runs as "
+        "the streaming stateful operator (complete mode under "
+        "AvailableNow replay), so the stream's state store holds <= days "
+        "x 64 BIGINT cells — the sketch IS the state, distinct users are "
+        "never buffered. The exact BIGINT harmonic sum projects off the "
+        "replayed state and must equal the batch registers bit-for-bit "
+        "(stream/batch parity, the same contract as the other stream_* "
+        "rows; estimate derivation is pinned by agg_hll_distinct_sketch)."
+    ),
+)
+def stream_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import hll_rank_cols
+
+    pin_query_session_conf(spark)
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        ev = read_events_stream(spark, sf_dir).where(
+            F.col("user_id").isNotNull()
+        )
+        idx, rank = hll_rank_cols("user_id")
+        regs = (
+            ev.select(F.col("ts").cast("date").alias("day"), idx, rank)
+            .groupBy("day", "reg_idx")
+            .agg(F.max("rank").alias("max_rank"))
+        )
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            state = run_available_now(regs, ckpt)
+    two55 = 1 << 55
+    return (
+        state.groupBy("day")
+        .agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - max_rank)"))
+                + (F.lit(64) - F.count("*")) * F.lit(two55)
+            )
+            .cast("bigint")
+            .alias("sum_inv"),
+            (F.lit(64) - F.count("*")).cast("int").alias("n_zero"),
+        )
+        .orderBy("day")
+    )
