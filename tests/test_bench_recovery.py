@@ -46,3 +46,18 @@ def test_latest_prev_bench_never_returns_queryless():
     p = bench._latest_prev_bench()
     if p is not None:
         assert p.get("queries"), "recovered bench must carry a queries map"
+
+
+def test_headline_names_all_registered():
+    """A renamed/removed registry query must not silently shrink the bench
+    (bench.py filters unknown names instead of failing)."""
+    from bench import HEADLINE
+    from projeto_de_etl_com_api_do_meta_spark.queries.registry import (
+        QUERIES,
+        _load_all,
+    )
+
+    _load_all()
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    assert len(set(HEADLINE)) == len(HEADLINE)
