@@ -61,17 +61,21 @@ HEADLINE: tuple[str, ...] = (
     "join_full_outer_fanout",
     "events_incremental_rollup",
     "agg_udaf_pandas",  # first pandas-exec query: absorbs Python worker spin-up
-    "dedup_exact_docs",
+    # r8 prune (VERDICT r7 item 4): eight more sub-second entries rotated
+    # out (dedup_exact_docs, text_substring_dup_spans, train_sft_chat_flatten,
+    # multimodal_clip_pair_filter, embed_covariance_matrix,
+    # agg_kmv_distinct_sketch, corpus_bm25_search, embed_kmeans_lloyd) —
+    # the stdout JSON line must stay well inside the driver's ~2000-char
+    # parse window even WITH an "isolated" section attached; each family's
+    # heaviest representative stays.
     "dedup_containment_pairs",
     "text_decontaminate_bloom",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "embed_knn_bruteforce",
     "embed_ann_ivf",
-    "embed_kmeans_lloyd",
     "embed_power_iteration",
     "dedup_jaccard_prefix_filter",
-    "text_substring_dup_spans",
     "stream_tumbling_daily",
     "stream_stream_join_clicks",
     "stream_chained_windows",
@@ -97,19 +101,14 @@ HEADLINE: tuple[str, ...] = (
     "dedup_semantic_twolevel_scaled",
     # round-5 continuation: ranked retrieval + importance-based selection,
     # corpus-relative perplexity bucketing, SFT flattening
-    "corpus_bm25_search",
     "sample_dsir_importance",
     "text_ccnet_perplexity_buckets",
-    "train_sft_chat_flatten",
     "pipeline_sft_funnel",
     # round-6: lakehouse MERGE (full DML path incl. table build), exact
     # Kneser-Ney model build, integer-exact covariance, KMV sketching,
     # CLIP-style pair gating
     "lakehouse_merge_upsert",
     "text_kneser_ney_bigram",
-    "embed_covariance_matrix",
-    "agg_kmv_distinct_sketch",
-    "multimodal_clip_pair_filter",
     "pipeline_rag_funnel",
     # round-7: the heaviest new family representatives — real-JPEG codec
     # round-trip (Arrow-batched Python), late-interaction MaxSim (64
@@ -243,6 +242,17 @@ def main() -> None:
         slim.pop("isolated_skipped_over_cap", None)
         slim.pop("isolated", None)
         line = json.dumps(slim, separators=(",", ":"))
+    # HARD guard (r7 verdict item 4): a line the driver can't parse costs a
+    # whole round of regression tracking (BENCH_r05).  If even the shaved
+    # line exceeds the window the headline set has outgrown its budget —
+    # fail the run loudly so the overflow is fixed at commit time, never
+    # discovered one round later in an unparsed artifact.
+    if len(line) > 1800:
+        raise SystemExit(
+            f"bench stdout line is {len(line)} chars (> 1800): prune the "
+            "HEADLINE set — the driver's ~2000-char parse window would "
+            "silently drop this artifact"
+        )
     sys.stderr.flush()
     time.sleep(0.2)  # let the JVM's async stderr writers finish
     sys.stdout.flush()

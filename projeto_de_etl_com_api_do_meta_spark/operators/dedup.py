@@ -659,10 +659,21 @@ def connected_components_star(
             ).collect()[0]
         if rounds == 1:
             old_fp = _fp(e)
+        prev = e
         new_fp = _fp(small)
         e = small
         if (new_fp["n"], new_fp["h"]) == (old_fp["n"], old_fp["h"]):
-            break
+            # The fingerprint is probabilistic — a collision between two
+            # DIFFERENT consecutive edge sets would end the loop early and
+            # silently mislabel.  Confirm the fixpoint EXACTLY once, paid
+            # only at apparent convergence (never per round): counts are
+            # already equal via the fingerprint, and both sets are
+            # distinct, so one-sided anti-join emptiness == set equality.
+            if (
+                small.join(prev, ["u", "v"], "left_anti").limit(1).count()
+                == 0
+            ):
+                break
         old_fp = new_fp
     # converged: e is a star forest pointing at component minima
     roots = e.select(
@@ -676,3 +687,90 @@ def connected_components_star(
         )
     )
     return labels, rounds
+
+
+def jaccard_pairs_capped(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    cap_frac: float = 0.002,
+    cap_min: int = 5,
+) -> DataFrame:
+    """Frequency-capped n-gram Jaccard similarity join — the SCALE-SAFE
+    pair generator (hot-shingle mitigation as code, SCALE.md).
+
+    Shingles appearing in more than ``max(cap_min, ceil(cap_frac * N))``
+    documents (boilerplate, stop phrases) are dropped consistently from
+    EVERY document's set before pair generation, so per-shingle pair work
+    is bounded by cap² no matter how hot the phrase.  The cap is a
+    document-frequency FRACTION (an absolute cap empties every set once
+    corpus growth makes the average shingle hot — SCALE_PROBE_r03), with a
+    small-corpus floor.  Pair generation aggregates each cold shingle's
+    ≤cap posting list and expands i<j pairs locally — one shuffle of the
+    postings, never a posting self-join, and no broadcast of the
+    (possibly huge at 100 TB) hot set.
+
+    Semantics are deterministic (similarity over the capped sets, sizes
+    and intersections consistently capped), so results are value-exact
+    against a SQL twin.  This is the generator the connected-components
+    queries compose on: the naive :func:`jaccard_pairs` self-join OOMs at
+    x64 corpus scale in pair generation (SCALE_PROBE_r07), while this
+    form's shuffle volume is linear in posting size with a cap² local
+    expansion.  Returns (doc_a, doc_b, n_inter, size_a, size_b, jaccard)
+    with jaccard >= threshold over the capped sets.
+    """
+    sh = spread(df, id_col).select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
+    )
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    cap_row = df.agg(
+        F.greatest(
+            F.lit(cap_min).cast("long"),
+            F.ceil(F.lit(cap_frac) * F.count(F.lit(1))),
+        ).alias("cap")
+    )
+    # Two passes so no unbounded per-shingle state ever materializes: pass 1
+    # is a map-side-combinable df count; pass 2 keeps only cold shingles via
+    # a shuffle equi-join (NOT a broadcast — at 100 TB either side of the
+    # hot/cold split can exceed broadcast limits).
+    cold = (
+        posting.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))  # postings are distinct per doc
+        .crossJoin(F.broadcast(cap_row))
+        .where(F.col("df") <= F.col("cap"))
+        .select("shingle")
+    )
+    kept = posting.join(cold, "shingle").persist()
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # Cold posting lists are ≤ cap entries, so collect_list is bounded and
+    # the i<j expansion is local per shingle — cap² pairs worst case.
+    pair_expand = F.expr(
+        "flatten(transform(docs, (a, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "b -> struct(a AS doc_a, b AS doc_b))))"
+    )
+    inter = (
+        kept.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .select(F.explode(pair_expand).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "size_a", "size_b", "jaccard")
+    )

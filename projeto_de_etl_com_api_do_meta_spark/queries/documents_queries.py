@@ -382,6 +382,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-shingle document-frequency cap shared by every capped-generator query
+# (see jaccard_pairs_capped): a FRACTION of the corpus with a small-corpus
+# floor, not an absolute count — an absolute cap degenerates at scale (once
+# corpus growth makes the average shingle df exceed it, every shingle is
+# "hot" and all sets empty out; measured in SCALE_PROBE_r03).
+_DF_CAP_FRAC = 0.002
+_DF_CAP_MIN = 5
+
 _ORACLE_COMPONENTS = r"""
 WITH RECURSIVE t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
@@ -420,25 +428,83 @@ reach(n, m) AS (
 SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
 """
 
+#: Components over the FREQUENCY-CAPPED pair graph — the edge set the
+#: scale-safe generator (jaccard_pairs_capped) produces.  Same recursive
+#: reach as _ORACLE_COMPONENTS, different pair CTE: hot shingles
+#: (df > max(cap_min, ceil(cap_frac·N))) are dropped from every set before
+#: the posting join, exactly as the Spark side does.
+_ORACLE_COMPONENTS_CAPPED = rf"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingles
+  FROM t
+),
+nd AS (
+  SELECT greatest({_DF_CAP_MIN}, CAST(ceil({_DF_CAP_FRAC} * COUNT(*)) AS BIGINT)) AS cap
+  FROM documents
+),
+posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+kept AS (
+  SELECT doc_id, shingle FROM posting
+  QUALIFY COUNT(DISTINCT doc_id) OVER (PARTITION BY shingle)
+          <= (SELECT cap FROM nd)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(CAST(i.n_inter AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - i.n_inter), 6) >= 0.12
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+)
+SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+"""
+
 
 @register(
     "dedup_cluster_components",
-    oracle=_ORACLE_COMPONENTS,
+    oracle=_ORACLE_COMPONENTS_CAPPED,
     tags=("dedup", "graph", "north-star"),
     doc=(
         "Near-dup clustering: connected components over the Jaccard>=0.12 "
         "pair graph via iterative min-label propagation (Pregel-style edge "
         "join + min-agg per round, converges in O(diameter)). The dedup "
         "final step: every doc labeled with its cluster's canonical min id. "
-        "Oracle: DuckDB recursive CTE."
+        "Recomposed (r8, VERDICT r7 item 1) on the FREQUENCY-CAPPED pair "
+        "generator: the naive posting self-join OOMed pair generation at "
+        "x64 corpus scale (SCALE_PROBE_r07) while the CC phase itself was "
+        "fine — the capped generator bounds per-shingle pair work at cap². "
+        "Oracle: DuckDB recursive CTE over the identically-capped edges."
     ),
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components
+    from ..operators.dedup import connected_components, jaccard_pairs_capped
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = jaccard_pairs(docs, threshold=0.12).select("doc_a", "doc_b")
+    pairs = jaccard_pairs_capped(
+        docs, threshold=0.12, cap_frac=_DF_CAP_FRAC, cap_min=_DF_CAP_MIN
+    ).select("doc_a", "doc_b")
     return connected_components(pairs)
 
 
@@ -705,7 +771,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Canonical-document selection per near-dup cluster -------------------------
 
 _ORACLE_CANONICAL = (
-    _ORACLE_COMPONENTS.replace(
+    _ORACLE_COMPONENTS_CAPPED.replace(
         "SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n",
         """, comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
 labeled AS (
@@ -739,19 +805,23 @@ ORDER BY doc_id""",
         "keeping its best representative (longest text, doc_id "
         "tie-break); every document labeled (cluster_id, canonical_id, "
         "keep). Selection is one per-cluster window over bounded cluster "
-        "sizes; singletons join in via left join, no extra pass."
+        "sizes; singletons join in via left join, no extra pass. "
+        "Recomposed (r8) on the frequency-capped pair generator like the "
+        "components queries — same oracle shape over capped edges."
     ),
 )
 def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from ..operators.dedup import connected_components
+    from ..operators.dedup import connected_components, jaccard_pairs_capped
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars"
     )
-    pairs = jaccard_pairs(docs, threshold=0.12).select("doc_a", "doc_b")
+    pairs = jaccard_pairs_capped(
+        docs, threshold=0.12, cap_frac=_DF_CAP_FRAC, cap_min=_DF_CAP_MIN
+    ).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     labeled = (
         docs.join(comp.withColumnRenamed("doc_id", "cid_doc"),
@@ -1020,15 +1090,11 @@ def dedup_containment_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFra
 
 # -- Frequency-capped Jaccard (hot-shingle mitigation as code) ----------------
 
-#: The cap is a document-frequency FRACTION of the corpus (with a small-corpus
-#: floor), not an absolute count: an absolute cap degenerates at scale — once
-#: corpus growth makes the average shingle df exceed it, every shingle is
-#: "hot" and all sets empty out (measured: SCALE_PROBE_r03 found 110 pairs at
-#: x1 and 0 at x4+ with the old `df > 10`).  A fraction tracks corpus size, so
-#: "boilerplate" keeps meaning "appears in >0.2% of documents" at any N.
-_DF_CAP_FRAC = 0.002
-_DF_CAP_MIN = 5
-
+#: The cap constants (_DF_CAP_FRAC / _DF_CAP_MIN) are defined next to
+#: _ORACLE_COMPONENTS above: since r8 the components/canonical family
+#: shares them.  Rationale (why a FRACTION, not an absolute count):
+#: measured in SCALE_PROBE_r03 — 110 pairs at x1 and 0 at x4+ with the
+#: old `df > 10`, because corpus growth made the whole vocabulary "hot".
 _ORACLE_JACCARD_CAPPED = rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -1094,62 +1160,12 @@ WHERE round(CAST(i.n_inter AS DOUBLE)
     ),
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs_capped
+
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    from ..operators.dedup import word_shingles
-
-    sh = spread(docs, "doc_id").select(
-        "doc_id", word_shingles("text", 3).alias("shingles")
-    )
-    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    cap_row = docs.agg(
-        F.greatest(
-            F.lit(_DF_CAP_MIN).cast("long"),
-            F.ceil(F.lit(_DF_CAP_FRAC) * F.count(F.lit(1))),
-        ).alias("cap")
-    )
-    # Two passes so no unbounded per-shingle state ever materializes: pass 1
-    # is a map-side-combinable df count; pass 2 keeps only cold shingles via
-    # a shuffle equi-join (NOT a broadcast — at 100 TB either side of the
-    # hot/cold split can exceed broadcast limits).
-    cold = (
-        posting.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))  # postings are distinct per doc
-        .crossJoin(F.broadcast(cap_row))
-        .where(F.col("df") <= F.col("cap"))
-        .select("shingle")
-    )
-    kept = posting.join(cold, "shingle").persist()
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    # Cold posting lists are ≤ cap entries, so collect_list is bounded and
-    # the i<j expansion is local per shingle — cap² pairs worst case.
-    pair_expand = F.expr(
-        "flatten(transform(docs, (a, i) -> "
-        "transform(slice(docs, i + 2, size(docs)), "
-        "b -> struct(a AS doc_a, b AS doc_b))))"
-    )
-    inter = (
-        kept.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .select(F.explode(pair_expand).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= 0.12)
-        .select("doc_a", "doc_b", "n_inter", "size_a", "size_b", "jaccard")
+    return jaccard_pairs_capped(
+        docs, threshold=0.12, cap_frac=_DF_CAP_FRAC, cap_min=_DF_CAP_MIN
     )
 
 
@@ -2320,7 +2336,7 @@ def _bpe_oracle() -> str:
         prev = f"ws{s - 1}"
         steps.append(f"""
 p{s} AS MATERIALIZED (
-  SELECT w.s[i] || '+' || w.s[i + 1] AS pair, CAST(SUM(w.cnt) AS BIGINT) AS c
+  SELECT w.s[i] || chr(1) || w.s[i + 1] AS pair, CAST(SUM(w.cnt) AS BIGINT) AS c
   FROM (SELECT cnt, regexp_split_to_array(trim(sym), ' +') AS s
         FROM {prev}) w,
        unnest(range(1, len(w.s))) r(i)
@@ -2330,13 +2346,17 @@ b{s} AS MATERIALIZED (SELECT pair, c FROM p{s} ORDER BY c DESC, pair LIMIT 1),
 ws{s} AS MATERIALIZED (
   SELECT cnt,
          replace(sym,
-                 ' ' || replace((SELECT pair FROM b{s}), '+', '  ') || ' ',
-                 ' ' || replace((SELECT pair FROM b{s}), '+', '') || ' ')
+                 ' ' || replace((SELECT pair FROM b{s}), chr(1), '  ') || ' ',
+                 ' ' || replace((SELECT pair FROM b{s}), chr(1), '') || ' ')
            AS sym
   FROM {prev}
 )""")
+    # pair halves are chr(1)-joined internally (a token can contain '+',
+    # a quote, or a backslash without ambiguity — ADVICE r7 item 1); the
+    # OUTPUT keeps the readable 'a+b' form on both engines.
     rows = "\n  UNION ALL\n  ".join(
-        f"SELECT {s} AS rank, (SELECT pair FROM b{s}) AS pair, "
+        f"SELECT {s} AS rank, "
+        f"replace((SELECT pair FROM b{s}), chr(1), '+') AS pair, "
         f"(SELECT c FROM b{s}) AS support"
         for s in range(1, _BPE_MERGES + 1)
     )
@@ -2397,9 +2417,16 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         merges: list[tuple[int, str, int]] = []
         cur = ws
+        # Pair halves are joined with \x01 (cannot appear in a token: the
+        # fixture split is on whitespace and \x01 would itself be part of
+        # a token only if present in raw text — and even then the merge
+        # REPLACE below is built from literal column args, never
+        # interpolated SQL, so a quote/backslash/+ in a token can no
+        # longer break the expression or diverge from the oracle, which
+        # splits on the same chr(1)).  ADVICE r7 item 1.
         pair_expr = (
             "CASE WHEN size(s) >= 2 THEN "
-            "transform(sequence(1, size(s) - 1), i -> s[i-1] || '+' || s[i]) "
+            "transform(sequence(1, size(s) - 1), i -> s[i-1] || char(1) || s[i]) "
             "ELSE CAST(array() AS array<string>) END"
         )
         for step in range(1, _BPE_MERGES + 1):
@@ -2416,12 +2443,16 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect()
             )
             best = pairs[0]
-            merges.append((step, best["pair"], int(best["c"])))
-            a, b = best["pair"].split("+", 1)
+            # output keeps the human-readable 'a+b' form; both engines
+            # derive it from the \x01-joined pair identically
+            merges.append((step, best["pair"].replace("\x01", "+"), int(best["c"])))
+            a, b = best["pair"].split("\x01", 1)
             cur = cur.withColumn(
                 "sym",
-                F.expr(
-                    f"replace(sym, ' {a}  {b} ', ' {a}{b} ')"
+                F.replace(
+                    F.col("sym"),
+                    F.lit(f" {a}  {b} "),
+                    F.lit(f" {a}{b} "),
                 ),
             )
             # pin each round's rewrite so round k+1 re-aggregates k's
@@ -2436,7 +2467,7 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_components_star",
-    oracle=_ORACLE_COMPONENTS,
+    oracle=_ORACLE_COMPONENTS_CAPPED,
     tags=("dedup", "graph", "north-star", "scale"),
     doc=(
         "Connected components over the same Jaccard>=0.12 pair graph via "
@@ -2447,14 +2478,21 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(measured: a 256-chain takes 9 rounds vs 255). Each round is two "
         "single-shuffle groupBy-min rewrites with per-round "
         "localCheckpoint lineage cuts; identical labeling (component min) "
-        "and the identical recursive-CTE oracle as the propagation form."
+        "and the identical recursive-CTE oracle as the propagation form. "
+        "Recomposed (r8, VERDICT r7 item 1) on the FREQUENCY-CAPPED pair "
+        "generator — the naive self-join OOMed pair generation at x64 "
+        "(SCALE_PROBE_r07) while the CC phase converged fine; the capped "
+        "generator's per-shingle work is bounded at cap², end-to-end "
+        "x64 re-probe in SCALE_PROBE_r08."
     ),
 )
 def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components_star
+    from ..operators.dedup import connected_components_star, jaccard_pairs_capped
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = jaccard_pairs(docs, threshold=0.12).select("doc_a", "doc_b")
+    pairs = jaccard_pairs_capped(
+        docs, threshold=0.12, cap_frac=_DF_CAP_FRAC, cap_min=_DF_CAP_MIN
+    ).select("doc_a", "doc_b")
     labels, _rounds = connected_components_star(pairs)
     return labels

@@ -2364,17 +2364,23 @@ def ml_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("m")
         )
     )
+    # LEFT join + m>0 guard (ADVICE r7 item 3): a pinned query whose label
+    # has no other members must keep its row with NULL ndcg — the inner
+    # join dropped it while the DuckDB oracle (whose CASE has no arm for
+    # m=0) kept it.  Not triggerable by current fixtures, but a latent
+    # row-count parity break on real data.
     return (
-        dcg.join(pool, "qid")
+        dcg.join(pool, "qid", "left")
         .select(
             F.col("qid").alias("query_id"),
             "n_rel_topk",
             "dcg_e9",
-            (
+            F.when(
+                F.col("m") > 0,
                 F.col("dcg_e9").cast("double")
                 / F.expr(
                     _ndcg_cum_case("CAST(m AS INT)")
-                ).cast("double")
+                ).cast("double"),
             ).alias("ndcg"),
         )
         .orderBy("query_id")

@@ -464,7 +464,10 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Binary-column multimodal pipeline with a REAL codec: genuine PPM "
         "(netpbm P6) files are encoded into the binary column and the "
         "extractor genuinely parses headers + pixel data (stdlib+numpy, "
-        "codecs.py) — all via Arrow-batched mapInPandas."
+        "codecs.py) — all via Arrow-batched mapInPandas. No SQL oracle: "
+        "the payload is produced/parsed by the Python codec, which DuckDB "
+        "cannot run; semantics pinned by the codec unit tests "
+        "(tests/test_codecs.py) and the driver rows-only check."
     ),
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +486,9 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Audio binary-column pipeline with a REAL codec: genuine RIFF/WAV "
         "PCM16 clips in the binary column, chunk-walking WAV parser in the "
         "extractor (codecs.py) -> duration/RMS/zero-crossing features via "
-        "Arrow-batched mapInPandas."
+        "Arrow-batched mapInPandas. No SQL oracle: the WAV payload is "
+        "built/parsed by the Python codec DuckDB cannot run; semantics "
+        "pinned by codec unit tests + rows-only check."
     ),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,7 +507,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Video frame sampling with a REAL container format: genuine "
         "YUV4MPEG2 (y4m, C444) streams in the binary column, real FRAME-"
         "marker parser (codecs.py), row-expanding mapInPandas (one row per "
-        "sampled frame)."
+        "sampled frame). No SQL oracle: container bytes are produced/"
+        "parsed by the Python codec DuckDB cannot run; semantics pinned "
+        "by codec unit tests + rows-only check."
     ),
 )
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -963,7 +970,10 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "REAL image resize pipeline: PPM files decoded, nearest-neighbor "
         "resampled to 16x16, re-encoded — all inside Arrow-batched "
         "mapInPandas; output rows carry the resized genuine PPM payloads "
-        "plus integrity metadata (byte size, crc32)."
+        "plus integrity metadata (byte size, crc32). No SQL oracle: the "
+        "resampled payload exists only through the Python codec; the "
+        "crc32/byte-size integrity columns are pinned by codec unit "
+        "tests + the rows-only check."
     ),
 )
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -709,3 +709,66 @@ def agg_hll_running_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_zero",
         F.col("est_distinct").alias("est_cume_users"),
     ).orderBy("d")
+
+
+_ORACLE_HLL_USERS = f"""
+WITH per_type AS ({_hll_regs_sql("user_id", "event_type")}),
+merged AS (
+  SELECT reg_idx, MAX(max_rank) AS max_rank FROM per_type GROUP BY reg_idx
+),
+scoped AS (
+  SELECT event_type AS scope, reg_idx, max_rank FROM per_type
+  UNION ALL
+  SELECT 'ALL', reg_idx, max_rank FROM merged
+),
+est AS ({_HLL_EST_SQL.format(regs="scoped")})
+SELECT scope AS event_type, sum_inv, n_zero,
+       round(CASE WHEN CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+                       / CAST(sum_inv AS DOUBLE) <= 160.0
+                       AND n_zero > 0
+                  THEN 64.0 * ln(64.0 / CAST(n_zero AS DOUBLE))
+                  ELSE CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+                       / CAST(sum_inv AS DOUBLE)
+             END, 6) AS approx_users
+FROM est ORDER BY event_type
+"""
+
+
+@register(
+    "agg_hll_users_md5",
+    oracle=_ORACLE_HLL_USERS,
+    tags=("agg", "sketch", "scale"),
+    doc=(
+        "Oracle-backed TWIN of agg_hll_sketch_users (VERDICT r7 item 6): "
+        "the identical output shape — distinct-user estimate per "
+        "event_type plus an ALL row merged from the per-type sketches — "
+        "but built on the house cross-engine-exact HLL (md5 fixed-point "
+        "ranks, BIGINT harmonic sums) instead of Spark's opaque "
+        "DataSketches binary state, so DuckDB reproduces every register "
+        "bit-for-bit. The rows-only original stays registered to cover "
+        "the built-in hll_sketch_agg/hll_union_agg surface; this twin "
+        "pins the semantics with a hard value check. Same plan shape: "
+        "one scan, map-side partial MAX into <= types x 64 cells, "
+        "element-wise-MAX merge for the ALL scope."
+    ),
+)
+def agg_hll_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_type = hll_registers(ev, "user_id", ["event_type"])
+    scoped = per_type.select(
+        F.col("event_type").alias("scope"), "reg_idx", "max_rank"
+    ).unionByName(
+        hll_merge(per_type.drop("event_type"), []).select(
+            F.lit("ALL").alias("scope"), "reg_idx", "max_rank"
+        )
+    )
+    est = hll_estimate(scoped, ["scope"])
+    return est.select(
+        F.col("scope").alias("event_type"),
+        "sum_inv",
+        "n_zero",
+        F.col("est_distinct").alias("approx_users"),
+    ).orderBy("event_type")

@@ -227,8 +227,11 @@ def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Stratified Bernoulli sampling with per-language fractions "
         "(df.sampleBy, seeded): the corpus-rebalancing step of a data "
         "pipeline (e.g. downsample the dominant language). Per-row "
-        "coin-flips — no shuffle, no state; for run-invariant membership "
-        "use sample_hash_split's md5-bucket filter instead."
+        "coin-flips — no shuffle, no state. No SQL oracle: sampleBy "
+        "membership depends on Spark's per-partition rng stream, which "
+        "no other engine reproduces; rate/bounds pinned by "
+        "tests/test_training_ops.py, and sample_stratified_md5 is the "
+        "oracle-backed run-invariant twin."
     ),
 )
 def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +240,55 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.25, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0}
     sampled = docs.sampleBy("lang", fractions=fractions, seed=42)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+_ORACLE_STRATIFIED_MD5 = """
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+           AS bucket
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_sampled
+FROM b
+WHERE bucket < CASE WHEN lang = 'en' THEN 2500 ELSE 10000 END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "sample_stratified_md5",
+    oracle=_ORACLE_STRATIFIED_MD5,
+    tags=("training", "sampling"),
+    doc=(
+        "Oracle-backed TWIN of sample_stratified_by_lang (VERDICT r7 "
+        "item 6): the same per-language downsampling (en at 25%, the "
+        "rest kept) but with RUN-INVARIANT membership — admission is an "
+        "md5 bucket of the document key (sample_hash_split's trick), not "
+        "an rng coin-flip, so the selected set is identical across runs, "
+        "engines, and partitionings and the per-language counts check "
+        "exactly against SQL. This is also the form a production corpus "
+        "rebalance should use: a document never migrates in/out of the "
+        "sample when the corpus grows. Pure per-row expression + one "
+        "map-side-combinable count — no shuffle of document rows."
+    ),
+)
+def sample_stratified_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    keep = bucket < F.when(F.col("lang") == "en", 2500).otherwise(10000)
+    return (
+        docs.where(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
 
 
 # ---------------------------------------------------------------------------

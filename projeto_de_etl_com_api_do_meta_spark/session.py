@@ -136,26 +136,54 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_pkg_shipped", False):
         return
+    import hashlib
     import os
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
+    # Content-hash the sources first: the digest names the zip, so a stale
+    # or partial file from a crashed earlier write (or a pid-reuse
+    # collision in a shared tmpdir) can never be picked up — a foreign
+    # file simply has a different name, and a matching name implies the
+    # exact bytes we would have written anyway.
+    sources: list[tuple[str, str]] = []
+    digest = hashlib.sha256()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+            sources.append((full, rel))
+            digest.update(rel.encode())
+            with open(full, "rb") as fh:
+                digest.update(fh.read())
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}_pyfiles_{os.getpid()}.zip"
+        tempfile.gettempdir(),
+        f"{pkg_name}_pyfiles_{digest.hexdigest()[:16]}.zip",
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if not f.endswith(".py"):
-                        continue
-                    full = os.path.join(root, f)
-                    rel = os.path.join(
-                        pkg_name, os.path.relpath(full, pkg_dir)
-                    )
+        # mkstemp + os.replace: the published name only ever points at a
+        # COMPLETE zip (rename is atomic on POSIX), so concurrent sessions
+        # racing on the same digest each publish identical bytes.
+        fd, tmp_path = tempfile.mkstemp(
+            suffix=".zip", dir=tempfile.gettempdir()
+        )
+        try:
+            with os.fdopen(fd, "wb") as raw, zipfile.ZipFile(
+                raw, "w", zipfile.ZIP_STORED
+            ) as zf:
+                for full, rel in sources:
                     zf.write(full, rel)
+            os.replace(tmp_path, zip_path)
+        except BaseException:
+            try:
+                os.unlink(tmp_path)
+            except OSError:
+                pass
+            raise
     try:
         sc.addPyFile(zip_path)
     except Exception:  # noqa: BLE001 — e.g. a stopped context; kernels on

@@ -61,3 +61,27 @@ def test_headline_names_all_registered():
     missing = [n for n in HEADLINE if n not in QUERIES]
     assert not missing, missing
     assert len(set(HEADLINE)) == len(HEADLINE)
+
+
+def test_headline_line_budget():
+    """The stdout metric line must fit the driver's ~2000-char parse window
+    with headroom for an "isolated" section (r7 verdict item 4): simulate a
+    worst-plausible line from the CURRENT headline set — 4-char timings
+    ("12.34") per query plus an 8-entry isolated map — and assert it stays
+    under the 1800-char hard guard bench.py enforces at emit time."""
+    from bench import HEADLINE
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": 999.999,
+            "unit": "sec",
+            "queries": {n: 12.34 for n in HEADLINE},
+            "sf": 0.1,
+            "isolated": {n: 12.345 for n in HEADLINE[:8]},
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= 1800, (
+        f"worst-case bench line is {len(line)} chars; prune HEADLINE"
+    )

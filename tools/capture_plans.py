@@ -17,6 +17,26 @@ import sys
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO_ROOT)
 
+#: Standing performance findings, regenerated into PLANS.md's header so
+#: they survive plan re-capture.
+PERF_NOTES = """
+## Perf notes (standing findings)
+
+- **r8 root-cause: the r7 `perf_daily_fact` / `join_full_outer_fanout`
+  "regression" is NOT an `addPyFile` tax.** Suspect was session.py's
+  `_ship_package` (commit 1afafa7) adding a constant per-job cost.
+  Measured (tools/probe_addpyfile_tax.py, one session, 7 reps each,
+  before vs after the hook fires, plus a flipped-order control): medians
+  with the hook are equal-or-faster in both orders (hook-second:
+  perf_daily_fact 2.04→1.92 s, no-op count 0.102→0.082 s — i.e. pure
+  warmup drift; hook-first control shows the same plateau). addPyFile is
+  one sc.addFile call per SESSION; it adds nothing per job. The r7
+  deltas (~0.3 s on ~1 s queries, isolated ≈ shared) are attributed to
+  headline-set composition changing shared-JVM cache/GC pressure — the
+  r4-pinned noise mode — not to any code path. Artifact:
+  SCALE_PROBE_r08.json, probe `addpyfile_tax`.
+"""
+
 #: (query, what to look for in the plan — the annotation printed above it)
 FLAGSHIPS = [
     (
@@ -139,7 +159,7 @@ def main() -> int:
         "(auto-generated by tools/capture_plans.py)\n\n"
         "Mechanically enforced by tests/test_plan_shapes.py and "
         "tools/plan_audit.py; captured here for review. "
-        f"Fixture: {a.sf}.\n"
+        f"Fixture: {a.sf}.\n" + PERF_NOTES
     ]
     for name, note in FLAGSHIPS:
         df = QUERIES[name].fn(spark, a.sf)
