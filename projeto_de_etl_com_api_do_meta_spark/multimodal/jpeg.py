@@ -7,19 +7,21 @@ mapInPandas kernels even in environments without an imaging stack:
 * **Encoder** (`encode_jpeg`): 8x8 FDCT, Annex-K quantization tables scaled
   by libjpeg's public quality formula, zig-zag, DC-diff + AC run-length
   Huffman entropy coding with the Annex-K typical tables, 0xFF byte
-  stuffing.  Interleaved YCbCr 4:4:4 (no subsampling: one 8x8 block per
-  component per MCU), so the decoder never upsamples and the round-trip
-  error is pure quantization noise.
+  stuffing.  Interleaved YCbCr 4:4:4 by default, or 4:2:0 (Y at 2x2
+  sampling, chroma 2x2 box-averaged, 16x16 MCUs — the dominant wild
+  format) via ``subsampling="420"``.
 * **Decoder** (`decode_jpeg`): a spec-driven segment parser (SOI/APPn/COM/
   DQT/DHT/SOF0/DRI/SOS/EOI) — it reads the quant + Huffman tables FROM THE
   STREAM (not from constants shared with the encoder), builds canonical
-  prefix codes, entropy-decodes MCUs with restart-marker support, then
-  dequantize -> IDCT -> level shift -> YCbCr->RGB.  Decoding real-world
-  baseline 4:4:4 / grayscale JPEGs works, not just our own output.
+  prefix codes, entropy-decodes interleaved MCUs for any 1-2x sampling
+  factors (4:4:4, 4:2:0, 4:2:2, 4:4:0) with restart-marker support, then
+  dequantize -> IDCT -> level shift -> chroma pixel-replication upsample
+  -> YCbCr->RGB.  Decoding real-world baseline JPEGs (incl. 4:2:0, r8)
+  works, not just our own output.
 
-Only baseline features used by the encoder are *required* of inputs:
-8-bit precision, 1 or 3 components, 1x1 sampling (4:4:4).  Progressive
-(SOF2) and subsampled streams raise ``ValueError`` with a clear message.
+Required of inputs: 8-bit precision, 1 or 3 components, sampling factors
+1-2.  Progressive (SOF2) / arithmetic streams and >2x sampling raise
+``ValueError`` with a clear message.
 
 Scale posture: the codec is called from Arrow-batched ``mapInPandas``
 kernels (`binary_ops.py`) — pure executor-side CPU with no driver
@@ -219,15 +221,73 @@ class _BitWriter:
 # -- Encoder -------------------------------------------------------------------
 
 
+def _write_block(
+    w: "_BitWriter",
+    zz: np.ndarray,
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+    pred: list[int],
+    ci: int,
+) -> None:
+    """Entropy-code one zig-zagged quantized block (DC diff + AC RLE)."""
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    size, bits = _magnitude(diff)
+    code, length = dc_tab[size]
+    w.write(code, length)
+    if size:
+        w.write(bits, size)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    last = int(last_nz[-1]) + 1 if len(last_nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_tab[(run << 4) | size]
+        w.write(code, length)
+        w.write(bits, size)
+        run = 0
+    if last < 63:
+        code, length = ac_tab[0x00]  # EOB
+        w.write(code, length)
+
+
+def _plane_zz(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Batched FDCT + quantize + zig-zag for one component plane whose
+    dims are already multiples of 8; returns (nby, nbx, 64) int64."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+    coefs = np.einsum("ux,bcxy,vy->bcuv", _DCT, blocks, _DCT)
+    q = np.round(coefs / qt.reshape(8, 8)).astype(np.int64)
+    return q.reshape(nby, nbx, 64)[:, :, _ZIGZAG]
+
+
 def encode_jpeg(
-    width: int, height: int, rgb: bytes, quality: int = 95, channels: int = 3
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 95,
+    channels: int = 3,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode raw RGB (len == w*h*3) or grayscale (len == w*h, channels=1)
-    bytes as a baseline JFIF 4:4:4 / single-component JPEG."""
+    bytes as a baseline JFIF JPEG.  ``subsampling`` is "444" (one 8x8
+    block per component per MCU) or "420" (Y at 2x2 sampling, chroma 2x2
+    box-averaged — the dominant wild format; 16x16 MCUs)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     if len(rgb) != width * height * channels:
         raise ValueError(f"need {width * height * channels} bytes, got {len(rgb)}")
+    sub420 = subsampling == "420" and channels == 3
     px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, channels)
     if channels == 3:
         ycc = px.astype(np.float64) @ _RGB2YCC.T
@@ -238,28 +298,14 @@ def encode_jpeg(
     qt_lum = _scaled_qt(_QT_LUM, quality)
     qt_chr = _scaled_qt(_QT_CHR, quality)
 
-    # pad to multiples of 8 by edge replication
-    ph = (height + 7) // 8 * 8
-    pw = (width + 7) // 8 * 8
+    # pad by edge replication to the MCU grain (8 for 4:4:4, 16 for 4:2:0)
+    grain = 16 if sub420 else 8
+    ph = (height + grain - 1) // grain * grain
+    pw = (width + grain - 1) // grain * grain
     padded = np.empty((ph, pw, channels))
     padded[:height, :width] = ycc
     padded[height:, :width] = ycc[height - 1 : height, :]
     padded[:, width:] = padded[:, width - 1 : width]
-
-    # all blocks per component at once: (nb_y, nb_x, 8, 8) -> FDCT batched
-    nby, nbx = ph // 8, pw // 8
-    comp_qts = [(0, qt_lum)] if channels == 1 else [
-        (0, qt_lum), (1, qt_chr), (2, qt_chr)
-    ]
-    comps_zz: list[np.ndarray] = []
-    for ci, qt in comp_qts:
-        blocks = (
-            padded[:, :, ci].reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-            - 128.0
-        )
-        coefs = np.einsum("ux,bcxy,vy->bcuv", _DCT, blocks, _DCT)
-        q = np.round(coefs / qt.reshape(8, 8)).astype(np.int64)
-        comps_zz.append(q.reshape(nby, nbx, 64)[:, :, _ZIGZAG])
 
     dc_lum = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_lum = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
@@ -269,38 +315,39 @@ def encode_jpeg(
 
     w = _BitWriter()
     pred = [0] * channels
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci in range(channels):
-                zz = comps_zz[ci][by, bx]
-                dc_tab, ac_tab = tables[ci]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, length = dc_tab[size]
-                w.write(code, length)
-                if size:
-                    w.write(bits, size)
-                run = 0
-                last_nz = np.nonzero(zz[1:])[0]
-                last = int(last_nz[-1]) + 1 if len(last_nz) else 0
-                for k in range(1, last + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_tab[0xF0]  # ZRL
-                        w.write(code, length)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    code, length = ac_tab[(run << 4) | size]
-                    w.write(code, length)
-                    w.write(bits, size)
-                    run = 0
-                if last < 63:
-                    code, length = ac_tab[0x00]  # EOB
-                    w.write(code, length)
+    if sub420:
+        # planes: Y full-res, Cb/Cr 2x2 box means (the libjpeg h2v2 filter)
+        yz = _plane_zz(padded[:, :, 0], qt_lum)
+        cbz = _plane_zz(
+            padded[:, :, 1].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)),
+            qt_chr,
+        )
+        crz = _plane_zz(
+            padded[:, :, 2].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)),
+            qt_chr,
+        )
+        # MCU interleave per T.81 A.2.3: 4 Y blocks (2x2), then Cb, then Cr
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for vy in range(2):
+                    for vx in range(2):
+                        _write_block(
+                            w, yz[2 * my + vy, 2 * mx + vx],
+                            dc_lum, ac_lum, pred, 0,
+                        )
+                _write_block(w, cbz[my, mx], dc_chr, ac_chr, pred, 1)
+                _write_block(w, crz[my, mx], dc_chr, ac_chr, pred, 2)
+    else:
+        comp_qts = [(0, qt_lum)] if channels == 1 else [
+            (0, qt_lum), (1, qt_chr), (2, qt_chr)
+        ]
+        comps_zz = [_plane_zz(padded[:, :, ci], qt) for ci, qt in comp_qts]
+        nby, nbx = ph // 8, pw // 8
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(channels):
+                    dc_tab, ac_tab = tables[ci]
+                    _write_block(w, comps_zz[ci][by, bx], dc_tab, ac_tab, pred, ci)
     w.flush()
 
     out = bytearray()
@@ -314,7 +361,8 @@ def encode_jpeg(
         ">HBHHB", 8 + 3 * channels, 8, height, width, channels
     )
     for cid, tq in (((1, 0),) if channels == 1 else ((1, 0), (2, 1), (3, 1))):
-        out += struct.pack("BBB", cid, 0x11, tq)  # 1x1 sampling
+        hv = 0x22 if (sub420 and cid == 1) else 0x11
+        out += struct.pack("BBB", cid, hv, tq)
     dht_segs = (
         ((0x00, _DC_LUM_BITS, _DC_LUM_VALS), (0x10, _AC_LUM_BITS, _AC_LUM_VALS))
         if channels == 1
@@ -476,9 +524,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
-                if hv != 0x11:
+                h, v = hv >> 4, hv & 0x0F
+                if h not in (1, 2) or v not in (1, 2):
                     raise ValueError(
-                        "subsampled JPEG not supported (4:4:4/grayscale only)"
+                        f"sampling factor {h}x{v} not supported (1-2 only)"
                     )
                 comps.append((cid, tq, hv))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -510,48 +559,76 @@ def _decode_scan(
     restart_interval: int,
 ) -> tuple[int, int, np.ndarray]:
     nc = len(comps)
-    nby, nbx = (height + 7) // 8, (width + 7) // 8
-    coef = [np.zeros((nby, nbx, 8, 8), dtype=np.float64) for _ in range(nc)]
+    # MCU geometry per T.81 A.2.3: in an interleaved scan each component
+    # contributes h x v blocks per MCU; a single-component scan (nc == 1,
+    # our grayscale) degenerates to one block per MCU since its hv is 1x1.
+    hs = [((hv >> 4), (hv & 0x0F)) for _, _, hv in comps]
+    hmax = max(h for h, _ in hs)
+    vmax = max(v for _, v in hs)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    coef = [
+        np.zeros((mcuy * v, mcux * h, 8, 8), dtype=np.float64)
+        for (h, v) in hs
+    ]
     r = _BitReader(payload, pos)
     pred = [0] * nc
     zz = np.zeros(64, dtype=np.int64)
     mcu = 0
-    for by in range(nby):
-        for bx in range(nbx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 r.align_restart()
                 pred = [0] * nc
             mcu += 1
             for ci in range(nc):
+                h, v = hs[ci]
                 dc_lut, ac_lut = scan_tabs[ci]
-                zz[:] = 0
-                size = _decode_symbol(r, dc_lut)
-                diff = _extend(r.receive(size), size)
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _decode_symbol(r, ac_lut)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(r.receive(size), size)
-                    k += 1
                 qt = qts[comps[ci][1]]
-                block = np.empty(64, dtype=np.float64)
-                block[_ZIGZAG] = zz
-                coef[ci][by, bx] = block.reshape(8, 8) * qt
+                for vy in range(v):
+                    for vx in range(h):
+                        zz[:] = 0
+                        size = _decode_symbol(r, dc_lut)
+                        diff = _extend(r.receive(size), size)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(r, ac_lut)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC coefficient index overflow")
+                            zz[k] = _extend(r.receive(size), size)
+                            k += 1
+                        block = np.empty(64, dtype=np.float64)
+                        block[_ZIGZAG] = zz
+                        coef[ci][my * v + vy, mx * h + vx] = (
+                            block.reshape(8, 8) * qt
+                        )
 
     planes = []
     for ci in range(nc):
+        h, v = hs[ci]
         spatial = np.einsum("xu,bcuv,yv->bcxy", _DCT.T, coef[ci], _DCT.T)
-        img = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
+        img = (
+            spatial.transpose(0, 2, 1, 3).reshape(mcuy * v * 8, mcux * h * 8)
+            + 128.0
+        )
+        # component's true extent (A.1.1: ceil(dim * sampling / max)),
+        # then JFIF simple pixel-replication upsampling back to full size
+        ch = (height * v + vmax - 1) // vmax
+        cw = (width * h + hmax - 1) // hmax
+        img = img[:ch, :cw]
+        if v != vmax or h != hmax:
+            img = np.repeat(
+                np.repeat(img, vmax // v, axis=0), hmax // h, axis=1
+            )
         planes.append(img[:height, :width])
     if nc == 1:
         return width, height, np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -2120,7 +2120,18 @@ ORDER BY doc_id
         "small candidate set closes under a broadcast dominance anti-join "
         "— the full table is never self-joined.  Integer features only, "
         "so dominance has no float-compare hazard; oracle is the "
-        "quadratic NOT EXISTS form."
+        "quadratic NOT EXISTS form. ADVERSARIAL BOUND (r8, VERDICT r7 "
+        "item 5): on anti-correlated objectives the local frontiers do "
+        "not shrink and the close is O(k^2) dominance evaluations over "
+        "k candidates — measured on a pure anti-chain "
+        "(tools/probe_skyline_antichain.py, SCALE_PROBE_r08): k=5k 8.3s, "
+        "20k 22.6s, 60k 228s on 32 cores. The operator therefore counts "
+        "candidates (one cheap agg over the persisted local frontiers) "
+        "and raises past 100k instead of running an unbounded quadratic; "
+        "no partitioning scheme escapes this worst case — a true "
+        "anti-chain's frontier IS the whole input, so the exact answer "
+        "is itself Theta(n) and every published exact close (BNL/SFS/"
+        "grid) degrades to quadratic pair work on it."
     ),
 )
 def sample_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2167,7 +2178,18 @@ def sample_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 kept = np.vstack([kept, m[i]])
         yield pdf.iloc[sorted(keep)]
 
-    cand = feats.mapInPandas(local_skyline, schema=schema)
+    cand = feats.mapInPandas(local_skyline, schema=schema).persist()
+    # Disclosed adversarial guard (see docstring): the close below is
+    # O(k^2); past 100k candidates (anti-correlated objectives) fail
+    # loudly with the measured curve instead of running for hours.
+    k = cand.count()
+    if k > 100_000:
+        raise ValueError(
+            f"pareto frontier close aborted: {k} skyline candidates — "
+            "objectives are anti-correlated and the O(k^2) dominance "
+            "close would exceed the documented budget (measured: 60k "
+            "candidates = 228s on 32 cores, SCALE_PROBE_r08)"
+        )
     # global close: candidates are few, so broadcast the dominance check
     g = F.broadcast(
         cand.select(
