@@ -1,0 +1,649 @@
+"""Statistical-evaluation registry queries (r8): model/experiment metrics a
+training-data pipeline runs beside curation — Brier decomposition, rater
+agreement (Cohen's kappa), paired-classifier McNemar test, rank
+correlations (Kendall tau-b, Spearman), Welch two-sample t.
+
+Reference analog: the reference computes no statistics beyond sums/ratios
+(``src/transform.py``); these extend the engine's eval surface the same way
+ml_auc_roc_exact / events_ab_test_ztest did in earlier rounds.
+
+Determinism contracts (cross-engine exactness):
+* Pseudo-probabilities / noise reuse the house md5 fixed-point derivation
+  (``(md5(id) first-8-hex) % 1000 / 999``) so both engines score identical
+  inputs; probabilities are quantized to e6 integers before any sum.
+* Every cross-row accumulation is an exact BIGINT (counts, e4/e6-scaled
+  sums, squared e4 sums) or an exact DECIMAL sum of per-group rationals
+  rounded at 12dp — never an order-dependent double sum.
+* Final statistics are single rational expressions over those exact
+  aggregates, rounded to 6dp identically in both engines.
+
+Scale posture: every query here is one scan -> one map-side-combinable
+hash aggregate (plus a <=31-row self-join for the rank correlations over
+the daily spine) — no shuffle of raw rows beyond the group keys, no
+collect, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..session import pin_query_session_conf
+from .registry import register
+
+# md5-derived noise in [0, 1], same derivation as ml_calibration_reliability
+_NOISE_SQL = "((('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8))::BIGINT % 1000) / 999.0)"
+
+
+def _noise(id_col: str) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    ) / F.lit(999.0)
+
+
+# -- Brier score + Murphy decomposition ----------------------------------------
+
+_ORACLE_BRIER = f"""
+WITH scored AS (
+  SELECT label % 2 AS y,
+         CAST(round((0.7 * (label % 2)
+               + 0.3 * {_NOISE_SQL.format(id="vec_id")}) * 1000000, 0) AS BIGINT)
+           AS p_e6
+  FROM embeddings
+),
+bins AS (
+  SELECT least(CAST(floor(p_e6 / 100000.0) AS INTEGER), 9) AS bin,
+         COUNT(*) AS n_k,
+         CAST(SUM(p_e6) AS BIGINT) AS s_k,
+         CAST(SUM(y) AS BIGINT) AS y_k
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(p_e6 * p_e6) AS BIGINT) AS sum_p2,
+         CAST(SUM(p_e6 * y) AS BIGINT) AS sum_py
+  FROM scored
+),
+parts AS (
+  SELECT CAST(SUM(CAST(round(
+           power(CAST(s_k - 1000000 * y_k AS DOUBLE) / 1000000.0, 2) / n_k,
+           12) AS DECIMAL(30,12))) AS DECIMAL(30,12)) AS rel_num,
+         CAST(SUM(CAST(round(
+           power(CAST(y_k AS DOUBLE) / n_k
+                 - (SELECT CAST(pos AS DOUBLE) / n FROM tot), 2) * n_k,
+           12) AS DECIMAL(30,12))) AS DECIMAL(30,12)) AS res_num
+  FROM bins
+)
+SELECT t.n, t.pos,
+       round((CAST(t.sum_p2 AS DOUBLE) - 2000000.0 * t.sum_py
+              + 1000000000000.0 * t.pos) / (1000000000000.0 * t.n), 6)
+         AS brier,
+       round(CAST(p.rel_num AS DOUBLE) / t.n, 6) AS reliability,
+       round(CAST(p.res_num AS DOUBLE) / t.n, 6) AS resolution,
+       round(CAST(t.pos AS DOUBLE) / t.n
+             * (1.0 - CAST(t.pos AS DOUBLE) / t.n), 6) AS uncertainty
+FROM tot t, parts p
+"""
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle=_ORACLE_BRIER,
+    tags=("ml", "eval"),
+    doc=(
+        "Brier score with the Murphy (1973) three-way decomposition "
+        "(reliability - resolution + uncertainty) over 10 probability "
+        "bins, on the same md5-deterministic pseudo-probabilities as "
+        "ml_calibration_reliability. The Brier total is a pure integer "
+        "path (e6-quantized p: sum p^2, sum p*y, sum y as BIGINTs); the "
+        "per-bin reliability/resolution terms are rationals rounded at "
+        "12dp and summed as exact DECIMALs, so no order-dependent float "
+        "sum crosses the oracle. One scan, two hash aggregates."
+    ),
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.col("label") % 2).alias("y"),
+        F.round(
+            (F.lit(0.7) * (F.col("label") % 2) + F.lit(0.3) * _noise("vec_id"))
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("p_e6"),
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("p_e6") / 100000.0).cast("int"), F.lit(9)).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("p_e6").cast("bigint").alias("s_k"),
+        F.sum("y").cast("bigint").alias("y_k"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(F.col("p_e6") * F.col("p_e6")).cast("bigint").alias("sum_p2"),
+        F.sum(F.col("p_e6") * F.col("y")).cast("bigint").alias("sum_py"),
+    )
+    parts = bins.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                F.pow(
+                    (F.col("s_k") - F.lit(1000000) * F.col("y_k")).cast("double")
+                    / 1000000.0,
+                    2,
+                )
+                / F.col("n_k"),
+                12,
+            ).cast("decimal(30,12)")
+        ).alias("rel_num"),
+        F.sum(
+            F.round(
+                F.pow(
+                    F.col("y_k").cast("double") / F.col("n_k")
+                    - F.col("pos").cast("double") / F.col("n"),
+                    2,
+                )
+                * F.col("n_k"),
+                12,
+            ).cast("decimal(30,12)")
+        ).alias("res_num"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(parts))
+        .select(
+            "n",
+            "pos",
+            F.round(
+                (
+                    F.col("sum_p2").cast("double")
+                    - F.lit(2000000.0) * F.col("sum_py")
+                    + F.lit(1000000000000.0) * F.col("pos")
+                )
+                / (F.lit(1000000000000.0) * F.col("n")),
+                6,
+            ).alias("brier"),
+            F.round(F.col("rel_num").cast("double") / F.col("n"), 6).alias(
+                "reliability"
+            ),
+            F.round(F.col("res_num").cast("double") / F.col("n"), 6).alias(
+                "resolution"
+            ),
+            F.round(
+                F.col("pos").cast("double")
+                / F.col("n")
+                * (F.lit(1.0) - F.col("pos").cast("double") / F.col("n")),
+                6,
+            ).alias("uncertainty"),
+        )
+    )
+
+
+# -- Cohen's kappa (two deterministic raters) -----------------------------------
+
+_ORACLE_KAPPA = f"""
+WITH rated AS (
+  SELECT CASE WHEN value > 100 THEN 1 ELSE 0 END AS a,
+         CASE WHEN value + 50.0 * {_NOISE_SQL.format(id="event_id")} > 100
+              THEN 1 ELSE 0 END AS b
+  FROM events
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         CAST(SUM(a) AS BIGINT) AS na,
+         CAST(SUM(b) AS BIGINT) AS nb
+  FROM rated
+)
+SELECT n, agree, na, nb,
+       round(CAST(agree AS DOUBLE) / n, 6) AS po,
+       round((CAST(na AS DOUBLE) * nb + CAST(n - na AS DOUBLE) * (n - nb))
+             / (CAST(n AS DOUBLE) * n), 6) AS pe,
+       round((CAST(agree AS DOUBLE) / n
+              - (CAST(na AS DOUBLE) * nb + CAST(n - na AS DOUBLE) * (n - nb))
+                / (CAST(n AS DOUBLE) * n))
+             / (1.0 - (CAST(na AS DOUBLE) * nb
+                       + CAST(n - na AS DOUBLE) * (n - nb))
+                      / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+FROM c
+"""
+
+
+@register(
+    "ml_cohens_kappa",
+    oracle=_ORACLE_KAPPA,
+    tags=("ml", "eval"),
+    doc=(
+        "Cohen's kappa inter-rater agreement between two deterministic "
+        "binary raters over events (threshold rater vs md5-noise-shifted "
+        "threshold rater): kappa = (po - pe) / (1 - pe) from four exact "
+        "BIGINT counts in ONE conditional-aggregate scan — the standard "
+        "label-quality gate before using crowd/model labels for training. "
+        "All ratios are single rational expressions over integer counts."
+    ),
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    rated = ev.select(
+        F.when(F.col("value") > 100, 1).otherwise(0).alias("a"),
+        F.when(F.col("value") + F.lit(50.0) * _noise("event_id") > 100, 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    c = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    po = F.col("agree").cast("double") / F.col("n")
+    pe = (
+        F.col("na").cast("double") * F.col("nb")
+        + (F.col("n") - F.col("na")).cast("double") * (F.col("n") - F.col("nb"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return c.select(
+        "n",
+        "agree",
+        "na",
+        "nb",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+# -- McNemar paired test ---------------------------------------------------------
+
+_ORACLE_MCNEMAR = f"""
+WITH scored AS (
+  SELECT CASE WHEN event_type IN ('purchase', 'cart') THEN 1 ELSE 0 END AS y,
+         CASE WHEN value > 60 THEN 1 ELSE 0 END AS pred_a,
+         CASE WHEN value + 50.0 * {_NOISE_SQL.format(id="event_id")} > 80
+              THEN 1 ELSE 0 END AS pred_b
+  FROM events
+),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN pred_a = y AND pred_b <> y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN pred_a <> y AND pred_b = y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM scored
+)
+SELECT n, b, c,
+       round(power(abs(CAST(b AS DOUBLE) - c) - 1.0, 2)
+             / (CAST(b AS DOUBLE) + c), 6) AS mcnemar_chi2
+FROM c
+"""
+
+
+@register(
+    "ml_mcnemar_test",
+    oracle=_ORACLE_MCNEMAR,
+    tags=("ml", "eval"),
+    doc=(
+        "McNemar paired test between two deterministic classifiers on the "
+        "same events (continuity-corrected chi2 = (|b-c|-1)^2/(b+c) over "
+        "the discordant-pair counts): the correct A/B test for 'did "
+        "classifier B beat classifier A on the SAME examples', where an "
+        "unpaired test overstates significance. One conditional-aggregate "
+        "scan, exact BIGINT discordant counts, one rational statistic."
+    ),
+)
+def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.when(F.col("event_type").isin("purchase", "cart"), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.when(F.col("value") > 60, 1).otherwise(0).alias("pred_a"),
+        F.when(F.col("value") + F.lit(50.0) * _noise("event_id") > 80, 1)
+        .otherwise(0)
+        .alias("pred_b"),
+    )
+    c = scored.agg(
+        F.sum(
+            F.when(
+                (F.col("pred_a") == F.col("y")) & (F.col("pred_b") != F.col("y")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") != F.col("y")) & (F.col("pred_b") == F.col("y")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return c.select(
+        "n",
+        "b",
+        "c",
+        F.round(
+            F.pow(F.abs(F.col("b").cast("double") - F.col("c")) - 1.0, 2)
+            / (F.col("b").cast("double") + F.col("c")),
+            6,
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# -- Kendall tau-b over the daily spine ------------------------------------------
+
+_ORACLE_KENDALL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS rev_e4
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.cnt AS xa, a.rev_e4 AS ya, b.cnt AS xb, b.rev_e4 AS yb
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+    CAST(SUM(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+    CAST(SUM(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+    CAST(SUM(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END) AS BIGINT) AS tie_y,
+    CAST(COUNT(*) AS BIGINT) AS n0
+  FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       conc, disc, tie_x, tie_y,
+       round((CAST(conc AS DOUBLE) - disc)
+             / sqrt(CAST(n0 - tie_x AS DOUBLE) * (n0 - tie_y)), 6) AS tau_b
+FROM agg
+"""
+
+
+@register(
+    "ml_kendall_tau_daily",
+    oracle=_ORACLE_KENDALL,
+    tags=("ml", "eval", "timeseries"),
+    doc=(
+        "Kendall tau-b rank correlation between daily event count and "
+        "daily revenue: concordant/discordant/tied pair counts over the "
+        "bounded daily spine (<=31 rows -> <=465 pairs, a broadcast "
+        "self-join over an aggregate, never over raw events). Revenue is "
+        "compared as an exact e4-scaled BIGINT so no float-sum ordering "
+        "can flip a pair across engines; tau-b is one rational over the "
+        "exact counts. The monotone-association check for metric drift "
+        "(vs ml_spearman_rho_daily's rank-difference form)."
+    ),
+)
+def ml_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_e4"),
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("cnt").alias("xa"), F.col("rev_e4").alias("ya")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("cnt").alias("xb"), F.col("rev_e4").alias("yb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db"))
+    agg = pairs.agg(
+        F.sum(
+            F.when(
+                ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+                | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+                | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("disc"),
+        F.sum(
+            F.when(
+                (F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tie_x"),
+        F.sum(
+            F.when(
+                (F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tie_y"),
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return agg.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        "conc",
+        "disc",
+        "tie_x",
+        "tie_y",
+        F.round(
+            (F.col("conc").cast("double") - F.col("disc"))
+            / F.sqrt(
+                (F.col("n0") - F.col("tie_x")).cast("double")
+                * (F.col("n0") - F.col("tie_y"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# -- Spearman rho over the daily spine -------------------------------------------
+
+_ORACLE_SPEARMAN = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS rev_e4
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cnt, d) AS rx,
+         ROW_NUMBER() OVER (ORDER BY rev_e4, d) AS ry
+  FROM daily
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+  FROM ranked
+)
+SELECT n, sum_d2,
+       round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0)), 6) AS rho
+FROM agg
+"""
+
+
+@register(
+    "ml_spearman_rho_daily",
+    oracle=_ORACLE_SPEARMAN,
+    tags=("ml", "eval", "timeseries"),
+    doc=(
+        "Spearman rank correlation between daily event count and daily "
+        "revenue via the classic 1 - 6*sum(d^2)/(n(n^2-1)) form, ranks "
+        "assigned by the TOTAL order (metric, day) so tie-handling is "
+        "bit-identical across engines (documented: day-ordinal tie-break "
+        "rather than average ranks). Revenue ranks compare e4-scaled "
+        "exact BIGINTs; the window runs over the <=31-row daily "
+        "aggregate, never raw events."
+    ),
+)
+def ml_spearman_rho_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_e4"),
+    )
+    ranked = daily.select(
+        F.row_number().over(Window.orderBy("cnt", "d")).alias("rx"),
+        F.row_number().over(Window.orderBy("rev_e4", "d")).alias("ry"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("bigint")
+        .alias("sum_d2"),
+    )
+    return agg.select(
+        "n",
+        "sum_d2",
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("sum_d2").cast("double")
+            / (
+                F.col("n").cast("double")
+                * (F.col("n").cast("double") * F.col("n") - F.lit(1.0))
+            ),
+            6,
+        ).alias("rho"),
+    )
+
+
+# -- Welch two-sample t ------------------------------------------------------------
+
+_ORACLE_WELCH = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS s_e4,
+         CAST(SUM(CAST(round(value * 10000) AS BIGINT)
+                  * CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS s2_e8
+  FROM events WHERE event_type IN ('purchase', 'refund')
+  GROUP BY event_type
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n_a,
+    MAX(CASE WHEN event_type = 'refund' THEN n END) AS n_b,
+    MAX(CASE WHEN event_type = 'purchase' THEN s_e4 END) AS sa,
+    MAX(CASE WHEN event_type = 'refund' THEN s_e4 END) AS sb,
+    MAX(CASE WHEN event_type = 'purchase' THEN s2_e8 END) AS qa,
+    MAX(CASE WHEN event_type = 'refund' THEN s2_e8 END) AS qb
+  FROM g
+),
+m AS (
+  SELECT n_a, n_b,
+         CAST(sa AS DOUBLE) / n_a / 10000.0 AS mean_a,
+         CAST(sb AS DOUBLE) / n_b / 10000.0 AS mean_b,
+         (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a)
+           / (n_a - 1) / 100000000.0 AS var_a,
+         (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b)
+           / (n_b - 1) / 100000000.0 AS var_b
+  FROM w
+)
+SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+         AS t_stat,
+       round(power(var_a / n_a + var_b / n_b, 2)
+             / (power(var_a / n_a, 2) / (n_a - 1)
+                + power(var_b / n_b, 2) / (n_b - 1)), 6) AS welch_df
+FROM m
+"""
+
+
+@register(
+    "ml_welch_t_test",
+    oracle=_ORACLE_WELCH,
+    tags=("ml", "eval"),
+    doc=(
+        "Welch unequal-variance two-sample t-test (purchase vs refund "
+        "order values) with the Satterthwaite degrees of freedom: group "
+        "sums and squared sums are exact e4/e8-scaled BIGINTs from ONE "
+        "conditional-aggregate scan (sum of e4^2 stays < 2^63 up to "
+        "~9e6 rows per group at this value range; shard the scale past "
+        "that), so mean/variance/t/df are single rational expressions "
+        "evaluated identically in both engines. The unequal-variance "
+        "complement of events_ab_test_ztest."
+    ),
+)
+def ml_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "refund")
+    )
+    v_e4 = F.round(F.col("value") * 10000).cast("bigint")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v_e4).cast("bigint").alias("s_e4"),
+        F.sum(v_e4 * v_e4).cast("bigint").alias("s2_e8"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("event_type") == "refund", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s_e4"))).alias("sa"),
+        F.max(F.when(F.col("event_type") == "refund", F.col("s_e4"))).alias("sb"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s2_e8"))).alias("qa"),
+        F.max(F.when(F.col("event_type") == "refund", F.col("s2_e8"))).alias("qb"),
+    )
+    mean_a = F.col("sa").cast("double") / F.col("n_a") / 10000.0
+    mean_b = F.col("sb").cast("double") / F.col("n_b") / 10000.0
+    var_a = (
+        (
+            F.col("qa").cast("double")
+            - F.col("sa").cast("double") * F.col("sa") / F.col("n_a")
+        )
+        / (F.col("n_a") - 1)
+        / 100000000.0
+    )
+    var_b = (
+        (
+            F.col("qb").cast("double")
+            - F.col("sb").cast("double") * F.col("sb") / F.col("n_b")
+        )
+        / (F.col("n_b") - 1)
+        / 100000000.0
+    )
+    se2a = var_a / F.col("n_a")
+    se2b = var_b / F.col("n_b")
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round((mean_a - mean_b) / F.sqrt(se2a + se2b), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2a + se2b, 2)
+            / (
+                F.pow(se2a, 2) / (F.col("n_a") - 1)
+                + F.pow(se2b, 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )

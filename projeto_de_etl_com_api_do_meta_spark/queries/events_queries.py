@@ -2206,3 +2206,392 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "scenario string, p_conv double, p_drop double, removal_effect double"
     )
+
+
+# -- Nelson-Aalen cumulative hazard (r8) -----------------------------------------
+
+_ORACLE_NELSON_AALEN = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s0,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p0,
+         MAX(ts) AS last_seen
+  FROM events GROUP BY user_id
+),
+spells AS (
+  SELECT user_id,
+         CASE WHEN p0 IS NOT NULL AND p0 >= s0 THEN 1 ELSE 0 END AS ev,
+         CASE WHEN p0 IS NOT NULL AND p0 >= s0
+              THEN date_diff('day', s0, p0)
+              ELSE date_diff('day', s0, last_seen) END AS dur
+  FROM per_user WHERE s0 IS NOT NULL
+),
+grouped AS (
+  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM spells GROUP BY dur
+),
+ordered AS (
+  SELECT dur, d, c,
+         CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM spells) -
+           COALESCE(SUM(d + c) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM grouped
+)
+SELECT dur AS duration_days, d AS n_events, n_risk,
+       round(SUM(CAST(d AS DOUBLE) / n_risk)
+             OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS cum_hazard,
+       round(exp(-SUM(CAST(d AS DOUBLE) / n_risk)
+             OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+         AS breslow_survival,
+       round(SUM(CAST(d AS DOUBLE) * (n_risk - d)
+                 / (CAST(n_risk AS DOUBLE) * n_risk * n_risk))
+             OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS var_hazard
+FROM ordered ORDER BY dur
+"""
+
+
+@register(
+    "events_hazard_nelson_aalen",
+    oracle=_ORACLE_NELSON_AALEN,
+    tags=("events", "stats", "analytics"),
+    doc=(
+        "Nelson-Aalen cumulative hazard H(t) = sum(d_i/n_i) with the "
+        "standard variance estimate sum(d_i(n_i-d_i)/n_i^3) and the "
+        "Breslow survival exp(-H) — the KM sibling (same signup->purchase "
+        "spells, same right-censoring) that estimates hazard directly "
+        "instead of survival. The cumulative sums run over the identical "
+        "sorted duration order in both engines (sequential left-to-right "
+        "accumulation, the events_survival_kaplan_meier contract), so "
+        "round-6 values match exactly; the duration table stays bounded "
+        "by distinct day counts regardless of user count."
+    ),
+)
+def events_hazard_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p0"),
+        F.max("ts").alias("last_seen"),
+    )
+    has_event = F.col("p0").isNotNull() & (F.col("p0") >= F.col("s0"))
+    spells = per_user.where(F.col("s0").isNotNull()).select(
+        F.when(has_event, 1).otherwise(0).alias("ev"),
+        F.when(
+            has_event,
+            F.datediff(F.col("p0").cast("date"), F.col("s0").cast("date")),
+        )
+        .otherwise(
+            F.datediff(F.col("last_seen").cast("date"), F.col("s0").cast("date"))
+        )
+        .alias("dur"),
+    )
+    total = spells.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    grouped = spells.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c"),
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ordered = grouped.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).cast("bigint"),
+    )
+    hz = F.col("d").cast("double") / F.col("n_risk")
+    vz = (
+        F.col("d").cast("double")
+        * (F.col("n_risk") - F.col("d"))
+        / (F.col("n_risk").cast("double") * F.col("n_risk") * F.col("n_risk"))
+    )
+    return (
+        ordered.select(
+            F.col("dur").alias("duration_days"),
+            F.col("d").alias("n_events"),
+            "n_risk",
+            F.round(F.sum(hz).over(w_run), 6).alias("cum_hazard"),
+            F.round(F.exp(-F.sum(hz).over(w_run)), 6).alias("breslow_survival"),
+            F.round(F.sum(vz).over(w_run), 6).alias("var_hazard"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+# -- Daily autocorrelation function (r8) ------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ORACLE_ACF = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, x FROM daily
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s FROM idx
+),
+cent AS (  -- n*x_t - S is an exact integer residual scaled by n
+  SELECT t, CAST(n * x - s AS BIGINT) AS r FROM idx, tot
+),
+den AS (SELECT CAST(SUM(r * r) AS BIGINT) AS d2 FROM cent),
+lags AS (
+  SELECT l.lag,
+         CAST(SUM(a.r * b.r) AS BIGINT) AS num
+  FROM (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag) l
+  JOIN cent a ON TRUE
+  JOIN cent b ON b.t = a.t + l.lag
+  GROUP BY l.lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, num,
+       (SELECT d2 FROM den) AS den,
+       round(CAST(num AS DOUBLE) / (SELECT d2 FROM den), 6) AS acf
+FROM lags ORDER BY lag
+"""
+
+
+@register(
+    "events_autocorrelation_daily",
+    oracle=_ORACLE_ACF,
+    tags=("events", "timeseries", "stats"),
+    doc=(
+        f"Autocorrelation function of the daily event-count series at lags "
+        f"1..{_ACF_MAX_LAG} — the seasonality detector run before picking "
+        "events_seasonal_decompose's period. EXACT integer path: residuals "
+        "are scaled by n (r_t = n*x_t - S, an integer), so numerator and "
+        "denominator are exact BIGINT sums of integer products and the "
+        "shared n^2 factor cancels in the ratio — no float mean subtraction "
+        "crosses the oracle. The lag join runs over the bounded daily "
+        "spine (<=31 rows), never raw events."
+    ),
+)
+def events_autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("t"), "x"
+    )
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    cent = idx.crossJoin(F.broadcast(tot)).select(
+        "t", (F.col("n") * F.col("x") - F.col("s")).cast("bigint").alias("r")
+    )
+    den = cent.agg(F.sum(F.col("r") * F.col("r")).cast("bigint").alias("d2"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = cent.select(F.col("t").alias("ta"), F.col("r").alias("ra"))
+    b = cent.select(F.col("t").alias("tb"), F.col("r").alias("rb"))
+    num = (
+        lags.crossJoin(a)
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("num"))
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "num",
+            F.col("d2").alias("den"),
+            F.round(F.col("num").cast("double") / F.col("d2"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# -- Funnel stage-delay percentiles (r8) -------------------------------------------
+
+_ORACLE_FUNNEL_DELAYS = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS v0,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS c0,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p0
+  FROM events GROUP BY user_id
+),
+delays AS (
+  SELECT 'view->signup' AS stage,
+         CAST(date_diff('second', v0, c0) AS BIGINT) AS delay_s
+  FROM per_user WHERE v0 IS NOT NULL AND c0 IS NOT NULL AND c0 >= v0
+  UNION ALL
+  SELECT 'signup->purchase',
+         CAST(date_diff('second', c0, p0) AS BIGINT)
+  FROM per_user WHERE c0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= c0
+  UNION ALL
+  SELECT 'view->purchase',
+         CAST(date_diff('second', v0, p0) AS BIGINT)
+  FROM per_user WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= v0
+)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(quantile_cont(delay_s, 0.5), 4) AS p50_s,
+       round(quantile_cont(delay_s, 0.9), 4) AS p90_s,
+       round(CAST(SUM(delay_s) AS DOUBLE) / COUNT(*), 4) AS mean_s
+FROM delays GROUP BY stage ORDER BY stage
+"""
+
+
+@register(
+    "events_funnel_delay_percentiles",
+    oracle=_ORACLE_FUNNEL_DELAYS,
+    tags=("events", "funnel", "analytics"),
+    doc=(
+        "Time-to-convert distribution per funnel stage (view->signup, "
+        "signup->purchase, view->purchase): per-user first-touch collapse, "
+        "delays as exact integer seconds, then interpolated p50/p90 "
+        "(Spark percentile == DuckDB quantile_cont, the agg_percentiles "
+        "parity) and an exact-rational mean. The latency companion to "
+        "events_funnel_stages' count funnel; one per-user aggregate then "
+        "a 3-group reduce."
+    ),
+)
+def events_funnel_delay_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v0"),
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("c0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p0"),
+    )
+
+    def leg(a: str, b: str, stage: str) -> DataFrame:
+        return (
+            per_user.where(
+                F.col(a).isNotNull()
+                & F.col(b).isNotNull()
+                & (F.col(b) >= F.col(a))
+            )
+            .select(
+                F.lit(stage).alias("stage"),
+                (
+                    F.unix_timestamp(F.col(b)) - F.unix_timestamp(F.col(a))
+                )
+                .cast("bigint")
+                .alias("delay_s"),
+            )
+        )
+
+    delays = (
+        leg("v0", "c0", "view->signup")
+        .unionByName(leg("c0", "p0", "signup->purchase"))
+        .unionByName(leg("v0", "p0", "view->purchase"))
+    )
+    return (
+        delays.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.percentile("delay_s", F.lit(0.5)), 4).alias("p50_s"),
+            F.round(F.percentile("delay_s", F.lit(0.9)), 4).alias("p90_s"),
+            F.round(
+                F.sum("delay_s").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_s"),
+        )
+        .orderBy("stage")
+    )
+
+
+# -- Poisson rate-ratio test between two windows (r8) ------------------------------
+
+_ORACLE_RATE_RATIO = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events
+),
+win AS (
+  SELECT CASE WHEN date_diff('day', (SELECT d0 FROM bounds),
+                             CAST(ts AS DATE)) < 15
+              THEN 'w1' ELSE 'w2' END AS w
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN w = 'w1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN w = 'w2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM win
+)
+SELECT c1, c2,
+       round(CAST(c1 AS DOUBLE) / c2, 6) AS rate_ratio,
+       round((ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
+             / sqrt(1.0 / c1 + 1.0 / c2), 6) AS z_stat,
+       round(exp(ln(CAST(c1 AS DOUBLE) / c2)
+                 - 1.96 * sqrt(1.0 / c1 + 1.0 / c2)), 6) AS rr_lo,
+       round(exp(ln(CAST(c1 AS DOUBLE) / c2)
+                 + 1.96 * sqrt(1.0 / c1 + 1.0 / c2)), 6) AS rr_hi
+FROM c
+"""
+
+
+@register(
+    "events_rate_ratio_test",
+    oracle=_ORACLE_RATE_RATIO,
+    tags=("events", "stats", "analytics"),
+    doc=(
+        "Poisson rate-ratio test between the first 15 days and the rest "
+        "of the window (purchase counts as Poisson arrivals over equal "
+        "exposure): log-rate z statistic and the standard log-normal 95% "
+        "CI for the ratio. Counts are exact integers from one conditional "
+        "scan; the statistics are single closed-form expressions — the "
+        "'did the arrival rate change' companion to events_ab_test_ztest's "
+        "proportion test and events_cusum_changepoint's localization."
+    ),
+)
+def events_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    win = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(
+                F.datediff(F.col("ts").cast("date"), F.col("d0")) < 15, "w1"
+            )
+            .otherwise("w2")
+            .alias("w")
+        )
+    )
+    c = win.agg(
+        F.sum(F.when(F.col("w") == "w1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("w") == "w2", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    lnr = F.log(F.col("c1").cast("double") / F.col("c2"))
+    se = F.sqrt(1.0 / F.col("c1") + 1.0 / F.col("c2"))
+    return c.select(
+        "c1",
+        "c2",
+        F.round(F.col("c1").cast("double") / F.col("c2"), 6).alias("rate_ratio"),
+        F.round(
+            (F.log(F.col("c1").cast("double")) - F.log(F.col("c2").cast("double")))
+            / se,
+            6,
+        ).alias("z_stat"),
+        F.round(F.exp(lnr - 1.96 * se), 6).alias("rr_lo"),
+        F.round(F.exp(lnr + 1.96 * se), 6).alias("rr_hi"),
+    )

@@ -398,6 +398,7 @@ def _load_all() -> None:
         dedup_crossengine,
         documents_queries,
         embeddings_queries,
+        eval_stats,
         events_queries,
         graph_queries,
         joins,

@@ -1049,3 +1049,213 @@ def retrieval_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "maxsim_score",
     ).orderBy("rank")
+
+
+# -- Retrieval quality evals: MRR@10 and Recall@10 ------------------------------
+#
+# Same pinned-query cosine ranking as ml_eval_ndcg (5 query vectors, 6dp-
+# rounded cosine, ties to lowest id, binary relevance = same label); these
+# add the two other standard ranking metrics so a retrieval change can be
+# evaluated on the full MRR/recall/nDCG triple in one engine.
+
+_EVAL_QUERIES = 5
+_EVAL_K = 10
+
+
+def _retrieval_scored(spark: SparkSession, sf_dir: str):
+    """Shared (qid, qlabel, did, dlabel, cos) candidate scoring — broadcast
+    query side, one codegen cosine projection over all candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    q = emb.where(F.col("vec_id") < _EVAL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.expr(to_d).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("did"),
+        F.col("label").alias("dlabel"),
+        F.expr(to_d).alias("dv"),
+    )
+    cos = F.round(
+        F.expr(dot.format(a="qv", b="dv"))
+        / (
+            F.sqrt(F.expr(dot.format(a="qv", b="qv")))
+            * F.sqrt(F.expr(dot.format(a="dv", b="dv")))
+        ),
+        6,
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("qid") != F.col("did"))
+        .select("qid", "qlabel", "did", "dlabel", cos.alias("cos"))
+    )
+
+
+_EVAL_SCORED_SQL = f"""
+q AS MATERIALIZED (
+  SELECT vec_id AS qid, label AS qlabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {_EVAL_QUERIES}
+),
+c AS MATERIALIZED (
+  SELECT vec_id AS did, label AS dlabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+ranked AS (
+  SELECT qid, qlabel, did, dlabel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+           round(list_dot_product(qv, dv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(dv, dv))), 6) DESC, did) AS r
+  FROM q, c WHERE qid <> did
+)"""
+
+_ORACLE_MRR = f"""
+WITH {_EVAL_SCORED_SQL}
+SELECT q.qid AS query_id,
+       (SELECT MIN(r) FROM ranked rr
+        WHERE rr.qid = q.qid AND rr.dlabel = q.qlabel AND rr.r <= {_EVAL_K})
+         AS first_rel_rank,
+       COALESCE(round(1.0 / (SELECT MIN(r) FROM ranked rr
+                             WHERE rr.qid = q.qid AND rr.dlabel = q.qlabel
+                               AND rr.r <= {_EVAL_K}), 6), 0.0)
+         AS reciprocal_rank
+FROM q ORDER BY query_id
+"""
+
+
+@register(
+    "retrieval_mrr_eval",
+    oracle=_ORACLE_MRR,
+    tags=("retrieval", "eval"),
+    doc=(
+        f"MRR@{_EVAL_K} retrieval evaluation over the same 5 pinned query "
+        "vectors as ml_eval_ndcg: reciprocal rank of the first relevant "
+        "(same-label) candidate within the top-10 of the 6dp-rounded "
+        "cosine ranking, 0.0 when none lands in the window. The rank is "
+        "an exact integer and 1/r a single rational, so the metric "
+        "checks exactly. Plan: broadcast query side, one codegen cosine "
+        "projection, per-query top-k window over the depth-bounded set."
+    ),
+)
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    scored = _retrieval_scored(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("did"))
+    ranked = scored.select(
+        "qid", "qlabel", "dlabel", F.row_number().over(w).alias("r")
+    ).where(F.col("r") <= _EVAL_K)
+    first_rel = (
+        ranked.where(F.col("dlabel") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.min("r").alias("first_rel_rank"))
+    )
+    qs = scored.select("qid").distinct()
+    return (
+        qs.join(first_rel, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "first_rel_rank",
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("first_rel_rank"), 6), F.lit(0.0)
+            ).alias("reciprocal_rank"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ORACLE_RECALL_AT_K = f"""
+WITH {_EVAL_SCORED_SQL}
+SELECT q.qid AS query_id,
+       CAST((SELECT COUNT(*) FROM ranked rr
+             WHERE rr.qid = q.qid AND rr.dlabel = q.qlabel
+               AND rr.r <= {_EVAL_K}) AS BIGINT) AS n_rel_topk,
+       CAST((SELECT COUNT(*) FROM embeddings e
+             WHERE e.label = q.qlabel AND e.vec_id <> q.qid) AS BIGINT)
+         AS n_rel_total,
+       CASE WHEN (SELECT COUNT(*) FROM embeddings e
+                  WHERE e.label = q.qlabel AND e.vec_id <> q.qid) > 0
+            THEN round(
+              CAST((SELECT COUNT(*) FROM ranked rr
+                    WHERE rr.qid = q.qid AND rr.dlabel = q.qlabel
+                      AND rr.r <= {_EVAL_K}) AS DOUBLE)
+              / least({_EVAL_K},
+                      (SELECT COUNT(*) FROM embeddings e
+                       WHERE e.label = q.qlabel AND e.vec_id <> q.qid)), 6)
+       END AS recall_at_k
+FROM q ORDER BY query_id
+"""
+
+
+@register(
+    "retrieval_recall_at_k",
+    oracle=_ORACLE_RECALL_AT_K,
+    tags=("retrieval", "eval"),
+    doc=(
+        f"Recall@{_EVAL_K} (R-capped form: relevant-in-top-k over "
+        f"min(k, total relevant), so a query with more than {_EVAL_K} "
+        "relevant docs can still reach 1.0) over the same pinned-query "
+        "cosine ranking as ml_eval_ndcg/retrieval_mrr_eval; NULL when a "
+        "query's label has no other members (same guard as ml_eval_ndcg). "
+        "Counts are exact integers; one rational per query."
+    ),
+)
+def retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = _retrieval_scored(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("did"))
+    topk = (
+        scored.select(
+            "qid", "qlabel", "dlabel", F.row_number().over(w).alias("r")
+        )
+        .where(F.col("r") <= _EVAL_K)
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("dlabel") == F.col("qlabel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rel_topk")
+        )
+    )
+    q = emb.where(F.col("vec_id") < _EVAL_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    pool = (
+        q.join(
+            emb.select(
+                F.col("label").alias("plabel"), F.col("vec_id").alias("pid")
+            ),
+            (F.col("plabel") == F.col("qlabel"))
+            & (F.col("pid") != F.col("qid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("pid").cast("bigint").alias("n_rel_total"))
+    )
+    return (
+        topk.join(pool, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_rel_topk",
+            "n_rel_total",
+            F.when(
+                F.col("n_rel_total") > 0,
+                F.round(
+                    F.col("n_rel_topk").cast("double")
+                    / F.least(F.lit(_EVAL_K).cast("bigint"), F.col("n_rel_total")),
+                    6,
+                ),
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
