@@ -647,3 +647,161 @@ def ml_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_df"),
     )
+
+
+# -- Multinomial naive Bayes language classifier (r8) -------------------------------
+
+_ORACLE_NB = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, lang AS true_lang, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, lang, w
+),
+vocab AS (SELECT DISTINCT w FROM tok),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsize FROM vocab),
+cls AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+cw AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY lang, w
+),
+tw AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot FROM tok GROUP BY lang),
+grid AS (  -- full word x class log-likelihood table, e6-floored
+  SELECT vv.w, t.lang,
+         CAST(floor(1000000 * ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+                                 / (t.tot + (SELECT vsize FROM v))))
+              AS BIGINT) AS lp_e6
+  FROM vocab vv CROSS JOIN tw t
+  LEFT JOIN cw c ON c.w = vv.w AND c.lang = t.lang
+),
+prior AS (
+  SELECT lang, CAST(floor(1000000 * ln(CAST(n_docs AS DOUBLE)
+                                       / (SELECT n FROM nd))) AS BIGINT)
+           AS lp0_e6
+  FROM cls
+),
+scored AS (
+  SELECT f.doc_id, f.true_lang, g.lang AS cand,
+         CAST(SUM(f.tf * g.lp_e6) AS BIGINT)
+           + MAX((SELECT p.lp0_e6 FROM prior p WHERE p.lang = g.lang))
+           AS score_e6
+  FROM tf f JOIN grid g ON g.w = f.w
+  GROUP BY f.doc_id, f.true_lang, g.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, cand AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_e6 DESC, cand) AS rn
+  FROM scored
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+@register(
+    "ml_naive_bayes_lang",
+    oracle=_ORACLE_NB,
+    tags=("ml", "text", "north-star"),
+    doc=(
+        "Multinomial naive Bayes language classifier trained AND applied "
+        "in one plan (resubstitution demo — the same corpus scores both "
+        "roles, documented): Laplace-smoothed per-(word, lang) "
+        "log-likelihoods floored to e6 integers BEFORE any accumulation, "
+        "so each document's class score is an exact BIGINT dot product "
+        "sum(tf * lp_e6) + prior — no float-sum ordering crosses the "
+        "oracle (the DSIR/BM25 house pattern). Argmax ties break to the "
+        "lexicographically smallest lang; output is the 5x5 confusion "
+        "matrix. Plan: one tokenize scan feeds the (lang, word) count "
+        "and per-doc tf aggregates; the word x class grid is "
+        "vocab-bounded; scoring is one equi-join on word + a per-(doc, "
+        "class) hash aggregate — the shape a real NB quality/lang "
+        "classifier runs at corpus scale."
+    ),
+)
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+    )
+    tf = tok.groupBy("doc_id", F.col("lang").alias("true_lang"), "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    vocab = tok.select("w").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("vsize"))
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cls = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    cw = tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tw = tok.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+    grid = (
+        vocab.crossJoin(tw.crossJoin(F.broadcast(vsize)))
+        .join(cw, ["w", "lang"], "left")
+        .select(
+            "w",
+            "lang",
+            F.floor(
+                F.lit(1000000)
+                * F.log(
+                    (F.coalesce("cnt", F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("vsize"))
+                )
+            )
+            .cast("bigint")
+            .alias("lp_e6"),
+        )
+    )
+    prior = cls.crossJoin(F.broadcast(nd)).select(
+        "lang",
+        F.floor(
+            F.lit(1000000)
+            * F.log(F.col("n_docs").cast("double") / F.col("n"))
+        )
+        .cast("bigint")
+        .alias("lp0_e6"),
+    )
+    scored = (
+        tf.join(grid.withColumnRenamed("lang", "cand"), "w")
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.sum(F.col("tf") * F.col("lp_e6")).cast("bigint").alias("s"))
+        .join(
+            F.broadcast(prior.withColumnRenamed("lang", "cand")), "cand"
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (F.col("s") + F.col("lp0_e6")).cast("bigint").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("cand")
+    )
+    pred = scored.select(
+        "true_lang",
+        F.col("cand").alias("pred_lang"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") == 1)
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -2595,3 +2595,78 @@ def events_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(lnr - 1.96 * se), 6).alias("rr_lo"),
         F.round(F.exp(lnr + 1.96 * se), 6).alias("rr_hi"),
     )
+
+
+# -- Exact running distinct users (first-touch formulation, r8) ---------------------
+
+_ORACLE_CUME_DISTINCT = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+new_by_day AS (
+  SELECT d0 AS d, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_seen GROUP BY d0
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+active AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1
+)
+SELECT days.d, a.dau,
+       COALESCE(n.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0))
+            OVER (ORDER BY days.d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cume_users
+FROM days
+LEFT JOIN new_by_day n ON n.d = days.d
+JOIN active a ON a.d = days.d
+ORDER BY days.d
+"""
+
+
+@register(
+    "events_cumulative_distinct_users",
+    oracle=_ORACLE_CUME_DISTINCT,
+    tags=("events", "timeseries", "scale"),
+    doc=(
+        "EXACT running distinct-user count per day via the first-touch "
+        "formulation: min(date) per user -> daily new-user counts -> one "
+        "cumulative sum over the bounded day spine. This is the scalable "
+        "exact twin of agg_hll_running_daily's sketch (and the reason a "
+        "windowed size(collect_set) is never needed): history is never "
+        "rescanned, per-day state is one integer, and the only big "
+        "shuffle is the per-user min — map-side combinable. DAU kept "
+        "beside the cumulative for the classic growth dashboard pair."
+    ),
+)
+def events_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    new_by_day = first_seen.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    active = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        active.join(new_by_day, "d", "left")
+        .select(
+            "d",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+        )
+        .withColumn(
+            "cume_users", F.sum("new_users").over(w).cast("bigint")
+        )
+        .orderBy("d")
+    )

@@ -464,3 +464,184 @@ def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("best.path").alias("path"))
         )
     return frontier.select("walk_id", "path").orderBy("walk_id")
+
+
+# -- k-core decomposition (k=2) via iterative peeling (r8) -------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8  # oracle unroll depth; Spark iterates to fixpoint
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling: each round drops nodes with degree < k and every
+    edge touching them.  Peeling is monotone (the kept set only shrinks),
+    so once the fixture converges within the unroll depth the remaining
+    rounds are no-ops and the fixed unroll equals the true k-core."""
+    rounds = []
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+k{i} AS MATERIALIZED (
+  SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN k{i} a ON a.u = e.u
+  JOIN k{i} b ON b.u = e.v
+)""")
+        prev = f"e{i}"
+    chain = ",".join(rounds)
+    return f"""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pairs AS (
+  SELECT a.p AS u, b.p AS v
+  FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+),
+e0 AS MATERIALIZED (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+),{chain}
+SELECT u AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY u ORDER BY part_id
+"""
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("graph", "analytics"),
+    doc=(
+        f"{_KCORE_K}-core decomposition of the part co-purchase graph "
+        "(same support>=2 edge set as graph_triangle_count) via iterative "
+        "peeling: drop degree<k nodes and their edges until fixpoint — "
+        "the standard dense-subgraph extraction before community/cohesion "
+        "analysis. Each round is one degree aggregate + two semi-joins "
+        "(single shuffle each) with localCheckpoint lineage cuts; Spark "
+        f"runs to fixpoint, the oracle unrolls {_KCORE_ROUNDS} rounds "
+        "(peeling is monotone, so extra rounds past convergence are "
+        "no-ops — exact as long as the fixture converges within the "
+        "unroll, which the fixpoint loop verifies by construction)."
+    ),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pl.alias("a"), pl.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    e = (
+        pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    n_prev = e.count()
+    for _ in range(64):  # safety bound far above any plausible peel depth
+        keep = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).where(
+            F.col("deg") >= _KCORE_K
+        ).select("u")
+        e = (
+            e.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n = e.count()
+        if n == n_prev:
+            break
+        n_prev = n
+    return (
+        e.groupBy(F.col("u").alias("part_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .orderBy("part_id")
+    )
+
+
+# -- Bipartite co-occurrence projection (r8) ---------------------------------------
+
+_ORACLE_BIPARTITE_COOC = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM ut GROUP BY 1
+),
+co AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS co_users
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT c.type_a, c.type_b, c.co_users,
+       sa.n_users AS users_a, sb.n_users AS users_b,
+       round(CAST(c.co_users AS DOUBLE)
+             / (sa.n_users + sb.n_users - c.co_users), 6) AS jaccard
+FROM co c
+JOIN sizes sa ON sa.event_type = c.type_a
+JOIN sizes sb ON sb.event_type = c.type_b
+ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "graph_bipartite_cooccurrence",
+    oracle=_ORACLE_BIPARTITE_COOC,
+    tags=("graph", "analytics"),
+    doc=(
+        "Bipartite projection of the user-eventtype graph onto event "
+        "types: co-occurring-user counts + Jaccard affinity per type "
+        "pair — the item-item projection that seeds co-visitation / "
+        "related-items analyses. The projection joins on user_id over "
+        "the DISTINCT (user, type) table, so per-user fanout is bounded "
+        "by the type-set size (5 here), never by a user's raw event "
+        "count — the skew guard that makes the projection safe on "
+        "power-law users. All counts exact; one rational per pair."
+    ),
+)
+def graph_bipartite_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_users"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b")
+    )
+    return (
+        co.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "co_users",
+            "users_a",
+            "users_b",
+            F.round(
+                F.col("co_users").cast("double")
+                / (F.col("users_a") + F.col("users_b") - F.col("co_users")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

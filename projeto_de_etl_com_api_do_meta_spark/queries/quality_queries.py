@@ -415,3 +415,181 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("constraint_id")
     )
+
+
+# -- Chi-square independence test (lang x source, r8) -------------------------------
+
+_ORACLE_CHISQ = """
+WITH obs AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+margins AS (
+  SELECT lang, CAST(SUM(o) AS BIGINT) AS row_n FROM obs GROUP BY lang
+),
+cols AS (
+  SELECT source, CAST(SUM(o) AS BIGINT) AS col_n FROM obs GROUP BY source
+),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT m.lang, c.source,
+         COALESCE(ob.o, 0) AS o,
+         CAST(m.row_n AS DOUBLE) * c.col_n / (SELECT n FROM tot) AS e
+  FROM margins m CROSS JOIN cols c
+  LEFT JOIN obs ob ON ob.lang = m.lang AND ob.source = c.source
+),
+agg AS (
+  SELECT CAST(SUM(CAST(round(power(o - e, 2) / e, 12)
+                       AS DECIMAL(30,12))) AS DECIMAL(30,12)) AS chi2_dec,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+  FROM cells
+)
+SELECT (SELECT n FROM tot) AS n,
+       round(CAST(chi2_dec AS DOUBLE), 6) AS chi2,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       round(sqrt(CAST(chi2_dec AS DOUBLE)
+                  / ((SELECT n FROM tot) * least(r - 1, c - 1))), 6)
+         AS cramers_v
+FROM agg
+"""
+
+
+@register(
+    "dq_chisquare_independence",
+    oracle=_ORACLE_CHISQ,
+    tags=("quality", "stats"),
+    doc=(
+        "Chi-square independence test + Cramer's V between document lang "
+        "and source — the categorical-drift companion to "
+        "corpus_lang_source_mi (same contingency table, the classical "
+        "test statistic instead of information). The full lang x source "
+        "grid (including zero cells, via the margin cross join) is "
+        "bounded by the category product; per-cell (o-e)^2/e terms are "
+        "rounded at 12dp and summed as exact DECIMALs so no float-order "
+        "hazard crosses the oracle. One scan -> one contingency "
+        "aggregate -> a cells-scale reduce."
+    ),
+)
+def dq_chisquare_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    margins = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("row_n"))
+    cols = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("col_n"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    cells = (
+        margins.crossJoin(cols)
+        .join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (
+                F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+            ).alias("e"),
+        )
+    )
+    agg = cells.agg(
+        F.sum(
+            F.round(F.pow(F.col("o") - F.col("e"), 2) / F.col("e"), 12).cast(
+                "decimal(30,12)"
+            )
+        ).alias("chi2_dec"),
+        F.countDistinct("lang").cast("bigint").alias("r"),
+        F.countDistinct("source").cast("bigint").alias("c"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.round(F.col("chi2_dec").cast("double"), 6).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_dec").cast("double")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# -- IQR outlier fences per group (r8) ----------------------------------------------
+
+_ORACLE_IQR = """
+WITH q AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+),
+f AS (
+  SELECT event_type, n, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo,
+         q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT f.event_type, f.n,
+       round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,
+       round(f.lo, 6) AS fence_lo, round(f.hi, 6) AS fence_hi,
+       CAST((SELECT COUNT(*) FROM events e
+             WHERE e.event_type = f.event_type
+               AND (e.value < f.lo OR e.value > f.hi)) AS BIGINT)
+         AS n_outliers
+FROM f ORDER BY event_type
+"""
+
+
+@register(
+    "dq_iqr_outlier_profile",
+    oracle=_ORACLE_IQR,
+    tags=("quality", "stats"),
+    doc=(
+        "Tukey IQR outlier profile per event_type: interpolated "
+        "q1/q3 (Spark percentile == DuckDB quantile_cont, the "
+        "agg_percentiles parity), 1.5*IQR fences computed by the "
+        "identical double expression in both engines, and the count of "
+        "rows outside the fences — the box-plot-rule complement to "
+        "dq_robust_stats_mad's MAD screen. Two passes by construction "
+        "(fences need the quantiles); the second is a broadcast-joined "
+        "conditional count, no re-shuffle."
+    ),
+)
+def dq_iqr_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    out = (
+        ev.join(F.broadcast(f), "event_type")
+        .where((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_outliers"))
+    )
+    return (
+        f.join(out, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            F.round("q1", 6).alias("q1"),
+            F.round("q3", 6).alias("q3"),
+            F.round("lo", 6).alias("fence_lo"),
+            F.round("hi", 6).alias("fence_hi"),
+            F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -293,6 +293,19 @@ assert len(_PRIORITY) == len(set(_PRIORITY)), sorted(
     n for n in set(_PRIORITY) if _PRIORITY.count(n) > 1
 )
 
+#: Queries whose SEMANTICS changed after they earned a driver-green row:
+#: their historical hash-match no longer certifies the current code, so
+#: they are treated as unverified and re-enter the scoring window until a
+#: fresh green row lands (at which point remove them from this set).
+#: r8: the components/canonical family was recomposed onto the frequency-
+#: capped pair generator (new oracle over capped edges) — VERDICT r7 item 1.
+_FORCE_RESCORE: frozenset[str] = frozenset(
+    {
+        "dedup_cluster_components",
+        "dedup_canonical_selection",
+    }
+)
+
 #: Driver-verified green in CORRECTNESS_r01 + r02 — re-scoring these wastes
 #: slots, so they sort after every not-yet-verified oracle-backed query.
 _VERIFIED_GREEN: frozenset[str] = frozenset(
@@ -361,7 +374,13 @@ def _driver_verified() -> frozenset[str]:
                         green.add(name)
         except Exception:  # noqa: BLE001 — a malformed artifact never breaks import
             continue
-    return frozenset(green)
+    # A green row from BEFORE a semantic change certifies stale code —
+    # but a row from a LATER round (the rescore landing) re-verifies, so
+    # only drop the name while no post-change artifact exists.  Artifacts
+    # carry no per-query round stamp, so the conservative rule is: keep
+    # forcing until the name is removed from _FORCE_RESCORE by hand when
+    # its fresh green row lands.
+    return frozenset(green - _FORCE_RESCORE)
 
 
 def _reorder() -> None:

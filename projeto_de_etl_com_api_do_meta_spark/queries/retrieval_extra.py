@@ -1259,3 +1259,143 @@ def retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# -- TF-IDF cosine retrieval (r8) ----------------------------------------------------
+
+_TFIDF_QUERY_DOC = 0
+_TFIDF_TOPK = 10
+
+_ORACLE_TFIDF_COSINE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+w AS (  -- e6-floored tf-idf weight per (doc, term): exact BIGINT
+  SELECT t.doc_id, t.term,
+         CAST(floor(1000000.0 * t.tf
+                    * ln(CAST((SELECT n FROM nd) AS DOUBLE) / d.df))
+              AS BIGINT) AS w_e6
+  FROM tf t JOIN dfreq d ON d.term = t.term
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(w_e6 * w_e6) AS BIGINT) AS norm2 FROM w GROUP BY doc_id
+),
+q AS (SELECT term, w_e6 FROM w WHERE doc_id = {_TFIDF_QUERY_DOC}),
+dots AS (
+  SELECT d.doc_id, CAST(SUM(d.w_e6 * q.w_e6) AS BIGINT) AS dot
+  FROM w d JOIN q ON q.term = d.term
+  WHERE d.doc_id <> {_TFIDF_QUERY_DOC}
+  GROUP BY d.doc_id
+),
+scored AS (
+  SELECT dt.doc_id,
+         round(CAST(dt.dot AS DOUBLE)
+               / (sqrt(CAST(nq.norm2 AS DOUBLE)) * sqrt(CAST(nd2.norm2 AS DOUBLE))),
+               6) AS cosine
+  FROM dots dt
+  JOIN norms nd2 ON nd2.doc_id = dt.doc_id
+  CROSS JOIN (SELECT norm2 FROM norms WHERE doc_id = {_TFIDF_QUERY_DOC}) nq
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS rank,
+       doc_id, cosine
+FROM scored
+ORDER BY cosine DESC, doc_id
+LIMIT {_TFIDF_TOPK}
+"""
+
+
+@register(
+    "corpus_tfidf_cosine_search",
+    oracle=_ORACLE_TFIDF_COSINE,
+    tags=("retrieval", "corpus"),
+    doc=(
+        f"TF-IDF cosine retrieval: top-{_TFIDF_TOPK} most similar "
+        f"documents to a pinned query document (doc {_TFIDF_QUERY_DOC}) "
+        "under the sparse vector-space model — the classical lexical "
+        "ranking beside corpus_bm25_search's probabilistic one. Weights "
+        "are e6-floored tf*ln(N/df) integers, so dot products and norms "
+        "are exact BIGINT sums (no float-order hazard); the cosine is "
+        "one rational per candidate, rounded 6dp, ties to lowest id. "
+        "Plan: posting equi-join on term against the (tiny, broadcast) "
+        "query vector — inverted-index retrieval, never all-pairs; the "
+        "norm table is one per-doc aggregate reused across queries."
+    ),
+)
+def corpus_tfidf_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.where(F.trim("text") != "").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    nd = tok.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+            )
+            .cast("bigint")
+            .alias("w_e6"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w_e6") * F.col("w_e6")).cast("bigint").alias("norm2")
+    )
+    q = w.where(F.col("doc_id") == _TFIDF_QUERY_DOC).select(
+        "term", F.col("w_e6").alias("qw_e6")
+    )
+    qnorm = norms.where(F.col("doc_id") == _TFIDF_QUERY_DOC).select(
+        F.col("norm2").alias("qnorm2")
+    )
+    dots = (
+        w.where(F.col("doc_id") != _TFIDF_QUERY_DOC)
+        .join(F.broadcast(q), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w_e6") * F.col("qw_e6")).cast("bigint").alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qnorm2").cast("double"))
+                    * F.sqrt(F.col("norm2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    win = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .where(F.col("rank") <= _TFIDF_TOPK)
+        .select("rank", "doc_id", "cosine")
+        .orderBy("rank")
+    )

@@ -1786,3 +1786,78 @@ def io_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- CSV quoting / embedded-delimiter round-trip (r8) --------------------------------
+
+_ORACLE_CSV_QUOTED = """
+WITH payloads AS (
+  SELECT doc_id,
+         substr(text, 1, 24) || ',"' || chr(10) || 'tail;' || lang AS payload
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_ok,
+       CAST(SUM(('0x' || substr(md5(payload), 1, 8))::BIGINT) AS BIGINT)
+         AS payload_checksum
+FROM payloads
+"""
+
+
+@register(
+    "io_csv_quoted_roundtrip",
+    oracle=_ORACLE_CSV_QUOTED,
+    tags=("io", "warehouse"),
+    doc=(
+        "CSV round-trip with ADVERSARIAL field content — embedded commas, "
+        "double quotes, and newlines in every payload: write with RFC-4180 "
+        "quoting (escape = doubled quote, not backslash) and read back "
+        "with multiLine enabled, then verify bit-exact payload fidelity "
+        "row-by-row against the in-memory source (n_ok) plus an md5 "
+        "checksum the oracle recomputes from the same payload expression. "
+        "A quoting/escape regression shows up as n_ok < n_rows or a "
+        "checksum mismatch — this pins the CSV source/sink edge cases "
+        "that silently corrupt text corpora (S9 family)."
+    ),
+)
+def io_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 24),
+            F.lit(',"'),
+            F.lit("\n"),
+            F.lit("tail;"),
+            F.col("lang"),
+        ).alias("payload"),
+    )
+    target = tempfile.mkdtemp(prefix="csv_rt_") + "/docs_csv"
+    (
+        payloads.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')  # RFC-4180 doubled quotes, not backslash
+        .csv(target)
+    )
+    back = (
+        spark.read.schema("doc_id long, payload string")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(target)
+    )
+    joined = payloads.withColumnRenamed("payload", "orig").join(back, "doc_id")
+    checksum = (
+        F.conv(F.substring(F.md5("orig"), 1, 8), 16, 10).cast("long")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("orig") == F.col("payload"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ok"),
+        F.sum(checksum).cast("bigint").alias("payload_checksum"),
+    )

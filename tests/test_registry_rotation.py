@@ -24,15 +24,36 @@ def test_priority_names_are_unique():
 
 
 def test_driver_artifacts_are_absorbed():
+    from projeto_de_etl_com_api_do_meta_spark.queries.registry import (
+        _FORCE_RESCORE,
+    )
+
     _load_all()
     verified = _driver_verified()
-    # every hash-match row from the committed driver artifacts is absorbed
+    # every hash-match row from the committed driver artifacts is absorbed —
+    # except names whose semantics changed after their green row landed
+    # (_FORCE_RESCORE): those deliberately re-enter the scoring window.
     for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
         path = os.path.join(_REPO_ROOT, fname)
         with open(path) as f:
             for name, row in json.load(f).items():
-                if row.get("hash_match"):
+                if row.get("hash_match") and name not in _FORCE_RESCORE:
                     assert name in verified, (fname, name)
+
+
+def test_force_rescore_reenters_window():
+    """A semantically-changed query's stale green row must not keep it out
+    of the scoring prefix."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.registry import (
+        _FORCE_RESCORE,
+    )
+
+    _load_all()
+    verified = _driver_verified()
+    names = list(QUERIES)
+    for n in _FORCE_RESCORE:
+        assert n not in verified
+        assert names.index(n) < 50, f"{n} fell outside the scoring window"
 
 
 def test_new_artifact_is_picked_up():
