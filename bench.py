@@ -117,6 +117,13 @@ HEADLINE: tuple[str, ...] = (
     "multimodal_jpeg_roundtrip",
     "retrieval_colbert_maxsim",
     "ml_bootstrap_ci_poisson",
+    # round-8: recomposed CC north star (capped pair generator), the NB
+    # classifier (heaviest new vocab-scale aggregate), inverted-index
+    # tf-idf retrieval, iterative k-core peeling
+    "dedup_cluster_components_star",
+    "ml_naive_bayes_lang",
+    "corpus_tfidf_cosine_search",
+    "graph_kcore_peel",
 )
 
 

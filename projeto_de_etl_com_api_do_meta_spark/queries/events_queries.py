@@ -2670,3 +2670,178 @@ def events_cumulative_distinct_users(
         )
         .orderBy("d")
     )
+
+
+# -- DAU / WAU / MAU stickiness (r8) --------------------------------------------------
+
+_ORACLE_STICKINESS = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM du),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d),
+wau AS (
+  SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+  FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+  GROUP BY days.d
+),
+mau AS (
+  SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS mau
+  FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 29 DAY AND days.d
+  GROUP BY days.d
+)
+SELECT d.d, d.dau, w.wau, m.mau,
+       round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+FROM dau d JOIN wau w USING (d) JOIN mau m USING (d)
+ORDER BY d.d
+"""
+
+
+@register(
+    "events_dau_wau_mau",
+    oracle=_ORACLE_STICKINESS,
+    tags=("events", "timeseries", "analytics"),
+    doc=(
+        "DAU / rolling-7d WAU / rolling-30d MAU with the DAU/MAU "
+        "stickiness ratio — the canonical engagement dashboard. Exact "
+        "rolling DISTINCT over sliding windows cannot be a prefix sum "
+        "(users re-appear), so the plan collapses events once to the "
+        "DISTINCT (day, user) table — bounded by users x active-days, "
+        "the corpus-scale step — then range-joins the <=31-day spine "
+        "against it (spine side broadcast, fanout <= window length) and "
+        "count-distincts per spine day. Window-length-bounded work, "
+        "never a rescan of raw events; the sketch alternative for "
+        "much longer windows is agg_hll_running_daily's register merge."
+    ),
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+
+    def rolling(n_days: int, name: str) -> DataFrame:
+        spine = days.select(F.col("d").alias("spine_d"))
+        return (
+            du.join(
+                F.broadcast(spine),
+                (F.col("d") <= F.col("spine_d"))
+                & (F.col("d") >= F.date_sub(F.col("spine_d"), n_days - 1)),
+            )
+            .groupBy("spine_d")
+            .agg(F.countDistinct("user_id").cast("bigint").alias(name))
+            .withColumnRenamed("spine_d", "d")
+        )
+
+    return (
+        dau.join(rolling(7, "wau"), "d")
+        .join(rolling(30, "mau"), "d")
+        .select(
+            "d",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+# -- Wilcoxon signed-rank (paired first/second half days, r8) -------------------------
+
+_ORACLE_WILCOXON = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, x FROM daily
+),
+paired AS (
+  SELECT a.t AS pair_id, CAST(a.x - b.x AS BIGINT) AS diff
+  FROM idx a JOIN idx b ON b.t = a.t + 15
+  WHERE a.t <= 15 AND a.x <> b.x
+),
+ranked AS (  -- rank |diff|, ties broken by pair_id (documented total order)
+  SELECT diff, ROW_NUMBER() OVER (ORDER BY abs(diff), pair_id) AS rk
+  FROM paired
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN diff > 0 THEN rk ELSE 0 END) AS BIGINT) AS w_plus,
+         CAST(SUM(CASE WHEN diff < 0 THEN rk ELSE 0 END) AS BIGINT) AS w_minus
+  FROM ranked
+)
+SELECT n, w_plus, w_minus,
+       round((CAST(w_plus AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+             / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0), 6)
+         AS z_stat
+FROM agg
+"""
+
+
+@register(
+    "events_wilcoxon_signed_rank",
+    oracle=_ORACLE_WILCOXON,
+    tags=("events", "stats"),
+    doc=(
+        "Wilcoxon signed-rank test pairing each of the first 15 days "
+        "with its day 15 days later (did traffic shift between the month "
+        "halves, without assuming normality): zero diffs dropped, |diff| "
+        "ranked under a documented total order (abs diff, then pair id — "
+        "the deterministic stand-in for average ranks, identical in both "
+        "engines), W+ / W- as exact BIGINT rank sums, normal-approx z. "
+        "The nonparametric complement to ml_welch_t_test; all windows "
+        "run over the bounded daily spine."
+    ),
+)
+def events_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("t"), "x"
+    )
+    a = idx.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = idx.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    paired = (
+        a.join(b, F.col("tb") == F.col("ta") + 15)
+        .where((F.col("ta") <= 15) & (F.col("xa") != F.col("xb")))
+        .select(
+            F.col("ta").alias("pair_id"),
+            (F.col("xa") - F.col("xb")).cast("bigint").alias("diff"),
+        )
+    )
+    ranked = paired.select(
+        "diff",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("diff")), F.col("pair_id")))
+        .alias("rk"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("rk")).otherwise(0))
+        .cast("bigint")
+        .alias("w_plus"),
+        F.sum(F.when(F.col("diff") < 0, F.col("rk")).otherwise(0))
+        .cast("bigint")
+        .alias("w_minus"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        "w_plus",
+        "w_minus",
+        F.round(
+            (F.col("w_plus").cast("double") - n * (n + 1) / 4.0)
+            / F.sqrt(n * (n + 1) * (2 * n + 1) / 24.0),
+            6,
+        ).alias("z_stat"),
+    )

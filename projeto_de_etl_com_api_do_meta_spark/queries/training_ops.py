@@ -2314,3 +2314,47 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# -- Systematic every-k sampling over stable ids (r8) ---------------------------------
+
+_SYS_K = 7
+
+_ORACLE_SYSTEMATIC = f"""
+WITH ids AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_id
+  FROM documents
+)
+SELECT doc_id, lang, row_id
+FROM ids WHERE row_id % {_SYS_K} = 0
+ORDER BY doc_id
+"""
+
+
+@register(
+    "sample_systematic_every_k",
+    oracle=_ORACLE_SYSTEMATIC,
+    tags=("training", "sampling"),
+    doc=(
+        f"Systematic 1-in-{_SYS_K} sampling over the doc_id order: dense "
+        "contiguous row ids from the scalable range-repartition prefix-sum "
+        "path (operators/indexing.global_dense_ids — no single-partition "
+        "ROW_NUMBER window), then a pure modulus filter. The evenly-"
+        "spaced sampling design (deterministic, order-respecting) beside "
+        "the Bernoulli (sample_stratified_md5) and reservoir "
+        "(sample_weighted_reservoir) families; the oracle runs the "
+        "window form the plan replaces."
+    ),
+)
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import global_dense_ids
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ids = global_dense_ids(docs, "doc_id")
+    return (
+        ids.where(F.col("row_id") % _SYS_K == 0)
+        .select("doc_id", "lang", "row_id")
+        .orderBy("doc_id")
+    )
