@@ -1392,10 +1392,16 @@ def corpus_tfidf_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    win = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(win).cast("int"))
-        .where(F.col("rank") <= _TFIDF_TOPK)
-        .select("rank", "doc_id", "cosine")
-        .orderBy("rank")
+    # TakeOrderedAndProject top-k (orderBy + limit), NOT a global
+    # row_number window: the candidate set is corpus-scale (every doc
+    # sharing a query term), so a single-partition rank window would
+    # funnel it; the rank is assigned AFTER the k-row cut.
+    top = scored.orderBy(F.col("cosine").desc(), F.col("doc_id")).limit(
+        _TFIDF_TOPK
     )
+    win = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(win).cast("int").alias("rank"),
+        "doc_id",
+        "cosine",
+    ).orderBy("rank")

@@ -43,6 +43,37 @@ SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001")
 
 #: (query, flag) -> reason the pattern is acceptable THERE.
 ALLOWLIST: dict[tuple[str, str], str] = {
+    # ---- round 8 stats/eval batch: every hit is a scalar-aggregate
+    # broadcast, a calendar-bounded daily-spine window, or a small fixed
+    # spine — never data-scale quadratic work ----
+    ("ml_brier_decomposition", "CARTESIAN"): "scalar-aggregate broadcasts (1-row totals, 1-row decomposition parts) onto 10 bins",
+    ("ml_kendall_tau_daily", "CARTESIAN"): "<=31-row daily-spine broadcast self-join (<=465 pairs) + 1-row n_days scalar",
+    ("ml_spearman_rho_daily", "GLOBAL_WINDOW"): "rank windows over the <=31-row daily spine",
+    ("ml_naive_bayes_lang", "CARTESIAN"): "5-row class table cross joined onto the vocabulary (linear in vocab, never quadratic) + vsize/n scalar broadcasts (1 row each)",
+    ("events_autocorrelation_daily", "CARTESIAN"): "7-row lag spine x <=31-row integer-residual table + 1-row total scalar",
+    ("events_autocorrelation_daily", "GLOBAL_WINDOW"): "row_number over the calendar-bounded daily spine",
+    ("events_hazard_nelson_aalen", "CARTESIAN"): "spell-count scalar broadcast (1 row) onto the duration table (the events_survival_kaplan_meier contract)",
+    ("events_hazard_nelson_aalen", "GLOBAL_WINDOW"): "cumulative hazard/variance windows over the calendar-bounded duration table",
+    ("events_rate_ratio_test", "CARTESIAN"): "date-origin scalar broadcast (1 row)",
+    ("events_cumulative_distinct_users", "GLOBAL_WINDOW"): "cumulative new-user sum over the calendar-bounded day spine",
+    ("events_dau_wau_mau", "CARTESIAN"): "<=31-row day-spine broadcast inequality join; per-row fanout bounded by the 7/30-day window length",
+    ("events_wilcoxon_signed_rank", "GLOBAL_WINDOW"): "rank windows over <=31 days / <=15 pairs",
+    ("dq_chisquare_independence", "CARTESIAN"): "margin cross join bounded by |langs| x |sources| cells + corpus-total scalar (1 row)",
+    ("corpus_tfidf_cosine_search", "CARTESIAN"): "corpus-stats scalar (1 row) + query-norm scalar (1 row) broadcasts; retrieval itself is a posting equi-join",
+    ("retrieval_mrr_eval", "CARTESIAN"): "bounded 5-query vector broadcast (the ml_eval_ndcg contract)",
+    ("retrieval_recall_at_k", "CARTESIAN"): "bounded 5-query vector broadcast (the ml_eval_ndcg contract)",
+    # ---- late-r7 registrations that post-dated the r7 audit run ----
+    ("embed_silhouette_labels", "CARTESIAN"): "broadcast k-centroid distance cross join (k rows)",
+    ("events_seasonal_decompose", "GLOBAL_WINDOW"): "centered-MA/seasonal windows over the calendar-bounded daily spine",
+    ("events_seasonal_anomaly", "CARTESIAN"): "median/MAD scalar broadcasts (1 row each)",
+    ("events_seasonal_anomaly", "GLOBAL_WINDOW"): "residual order statistics over the calendar-bounded daily spine",
+    ("ml_eval_ndcg", "CARTESIAN"): "bounded 5-query vector broadcast",
+    ("agg_hll_running_daily", "CARTESIAN"): "days-spine x <=64-cell daily register sketches inequality join — sketch-scale by construction, never data-scale",
+    ("dq_constraint_suite", "CARTESIAN"): "scalar constraint totals broadcast (1-row aggregates) onto the report rows",
+    ("retrieval_colbert_maxsim", "CARTESIAN"): "1-row query-matrix broadcast onto candidate docs",
+    ("sample_pareto_frontier", "CARTESIAN"): "broadcast dominance close over local-frontier candidates — counted and guarded at 100k with the measured anti-chain curve (SCALE_PROBE_r08)",
+    ("corpus_waterfill_budget", "CARTESIAN"): "token-budget scalar broadcast (1 row) onto the per-source table",
+    ("corpus_waterfill_budget", "GLOBAL_WINDOW"): "water-level prefix sums over the ~20-source table",
     # ---- round 5/6 scalar-aggregate broadcasts (1-row or bounded-row
     # crossJoins — the global-total pattern) and bounded-table windows ----
     ("dq_benford_digit_profile", "CARTESIAN"): "digit-total scalar broadcast (1 row) onto 9 digit groups",
