@@ -731,6 +731,9 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # tok feeds FOUR aggregates (tf, vocab, cw, tw): persist so the corpus
+    # is tokenized+exploded once, not four times — at 100 TB the explode
+    # is the dominant scan cost.
     tok = (
         docs.where(F.trim("text") != "")
         .select(
@@ -738,6 +741,7 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
         )
+        .persist()
     )
     tf = tok.groupBy("doc_id", F.col("lang").alias("true_lang"), "w").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")

@@ -1336,10 +1336,13 @@ def corpus_tfidf_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # tok feeds tf/dfreq/nd and w feeds norms/q/dots: persist both so the
+    # corpus is tokenized once and weighted once (three downstream
+    # aggregates each) — the dominant scan costs at 100 TB.
     tok = docs.where(F.trim("text") != "").select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
-    )
+    ).persist()
     tf = tok.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
@@ -1361,6 +1364,7 @@ def corpus_tfidf_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("w_e6"),
         )
+        .persist()
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w_e6") * F.col("w_e6")).cast("bigint").alias("norm2")
