@@ -756,8 +756,11 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     tw = tok.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+    # broadcast the |classes|-row side of the vocab x class expansion
+    # explicitly: the vocabulary is corpus-scale at 100 TB and must stay
+    # partitioned; only the tiny class-totals table ships.
     grid = (
-        vocab.crossJoin(tw.crossJoin(F.broadcast(vsize)))
+        vocab.crossJoin(F.broadcast(tw.crossJoin(F.broadcast(vsize))))
         .join(cw, ["w", "lang"], "left")
         .select(
             "w",
