@@ -812,3 +812,182 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# -- Monte-Carlo randomization (permutation) test, shuffle-free (r8) -----------------
+
+_PERM_GRPS = 50  # x4 md5 lanes = 200 replicates
+
+
+_ORACLE_PERM = f"""
+WITH base AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side,
+         CAST(round(value * 1000000.0, 0) AS BIGINT) AS v_e6
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'refund')
+),
+obs AS (
+  SELECT
+    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN side = 0 THEN v_e6 ELSE 0 END) AS BIGINT) AS s_a,
+    CAST(SUM(CASE WHEN side = 1 THEN v_e6 ELSE 0 END) AS BIGINT) AS s_b
+  FROM base
+),
+lanes AS (
+  SELECT b.v_e6,
+         g.grp * 4 + k.k AS rep,
+         ('0x' || substr(md5(CAST(b.event_id * {_PERM_GRPS} + g.grp AS VARCHAR)),
+                         1 + k.k * 8, 8))::BIGINT % 2 AS bit
+  FROM base b,
+       (SELECT unnest(range(0, {_PERM_GRPS})) AS grp) g,
+       (SELECT unnest(range(0, 4)) AS k) k
+),
+reps AS (
+  SELECT rep,
+         CAST(SUM(CASE WHEN bit = 0 THEN v_e6 ELSE 0 END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN bit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN bit = 1 THEN v_e6 ELSE 0 END) AS BIGINT) AS sb,
+         CAST(SUM(CASE WHEN bit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM lanes GROUP BY rep
+),
+stats AS (
+  SELECT o.n_a, o.n_b,
+         (CAST(o.s_a AS DOUBLE) / o.n_a - CAST(o.s_b AS DOUBLE) / o.n_b)
+           / 1000000.0 AS diff_obs,
+         CAST(SUM(CASE WHEN na > 0 AND nb > 0 AND
+                    abs(CAST(r.sa AS DOUBLE) / r.na
+                        - CAST(r.sb AS DOUBLE) / r.nb) / 1000000.0
+                    >= abs((CAST(o.s_a AS DOUBLE) / o.n_a
+                            - CAST(o.s_b AS DOUBLE) / o.n_b) / 1000000.0)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+         CAST(COUNT(*) AS BIGINT) AS n_reps
+  FROM reps r, obs o
+  GROUP BY o.n_a, o.n_b, o.s_a, o.s_b
+)
+SELECT n_a, n_b, round(diff_obs, 6) AS diff_obs, n_reps, n_extreme,
+       round(CAST(n_extreme + 1 AS DOUBLE) / (n_reps + 1), 6) AS p_value
+FROM stats
+"""
+
+
+@register(
+    "ml_permutation_test_md5",
+    oracle=_ORACLE_PERM,
+    tags=("ml", "eval", "scale"),
+    doc=(
+        "Monte-Carlo randomization test for the purchase-vs-refund mean "
+        "difference: 200 md5-deterministic random relabelings (one digest "
+        "per 4-replicate lane group, the ml_bootstrap_ci_poisson "
+        "machinery — a 32-bit lane's parity assigns the row's side), "
+        "add-one p-value = (1 + #{|diff_r| >= |diff_obs|}) / 201. "
+        "SHUFFLE-FREE at any scale: every replicate is a conditional "
+        "pair of exact e6-BIGINT sums accumulated in ONE scan with "
+        "map-side combine — no data permutation ever materializes, which "
+        "is what makes permutation testing feasible on 100 TB where an "
+        "actual shuffle per replicate would be 200 full-data sorts. The "
+        "exact-inference complement to ml_welch_t_test's asymptotics."
+    ),
+)
+def ml_permutation_test_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "refund")
+    )
+    base = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("side"),
+        F.round(F.col("value") * 1000000.0, 0).cast("bigint").alias("v_e6"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("side") == 0, F.col("v_e6")).otherwise(0))
+        .cast("bigint")
+        .alias("s_a"),
+        F.sum(F.when(F.col("side") == 1, F.col("v_e6")).otherwise(0))
+        .cast("bigint")
+        .alias("s_b"),
+    )
+    # spread the narrow base before the md5-CPU-bound fan-out (the
+    # bootstrap probe lesson: byte-based splits undersize it)
+    fanned = (
+        base.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn(
+            "grp", F.explode(F.sequence(F.lit(0), F.lit(_PERM_GRPS - 1)))
+        )
+        .withColumn(
+            "dg",
+            F.md5(
+                (F.col("event_id") * _PERM_GRPS + F.col("grp")).cast("string")
+            ),
+        )
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .select(
+            "v_e6",
+            (F.col("grp") * 4 + F.col("k")).alias("rep"),
+            (
+                F.conv(
+                    F.substring("dg", F.lit(1) + F.col("k") * 8, 8), 16, 10
+                ).cast("long")
+                % 2
+            ).alias("bit"),
+        )
+    )
+    reps = fanned.groupBy("rep").agg(
+        F.sum(F.when(F.col("bit") == 0, F.col("v_e6")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("bit") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("bit") == 1, F.col("v_e6")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(F.when(F.col("bit") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    diff_obs = (
+        F.col("s_a").cast("double") / F.col("n_a")
+        - F.col("s_b").cast("double") / F.col("n_b")
+    ) / 1000000.0
+    diff_rep = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    ) / 1000000.0
+    stats = (
+        reps.crossJoin(F.broadcast(obs))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.first(F.round(diff_obs, 6)).alias("diff_obs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+            F.sum(
+                F.when(
+                    (F.col("na") > 0)
+                    & (F.col("nb") > 0)
+                    & (F.abs(diff_rep) >= F.abs(diff_obs)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+    )
+    return stats.select(
+        "n_a",
+        "n_b",
+        "diff_obs",
+        "n_reps",
+        "n_extreme",
+        F.round(
+            (F.col("n_extreme") + 1).cast("double") / (F.col("n_reps") + 1), 6
+        ).alias("p_value"),
+    )
