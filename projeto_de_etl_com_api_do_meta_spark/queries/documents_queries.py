@@ -2518,3 +2518,123 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("doc_a", "doc_b")
     labels, _rounds = connected_components_star(pairs)
     return labels
+
+
+# -- Pairwise Jensen-Shannon divergence between sources (r8) -------------------------
+
+_ORACLE_JSD_SOURCES = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+cnt AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t FROM tok GROUP BY 1),
+vocab AS (SELECT DISTINCT w FROM tok),
+grid AS (
+  SELECT s.source, v.w,
+         CAST(COALESCE(c.c, 0) AS DOUBLE) / s.t AS p
+  FROM tot s CROSS JOIN vocab v
+  LEFT JOIN cnt c ON c.source = s.source AND c.w = v.w
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.w,
+         CAST(floor(1000000000.0 * (
+           0.5 * CASE WHEN a.p > 0
+                      THEN a.p * ln(2.0 * a.p / (a.p + b.p)) ELSE 0.0 END
+           + 0.5 * CASE WHEN b.p > 0
+                        THEN b.p * ln(2.0 * b.p / (a.p + b.p)) ELSE 0.0 END))
+              AS BIGINT) AS term_e9
+  FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source
+  WHERE a.p > 0 OR b.p > 0
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       round(CAST(SUM(term_e9) AS DOUBLE) / 1000000000.0, 6) AS jsd_nats
+FROM pairs GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "corpus_jsd_sources",
+    oracle=_ORACLE_JSD_SOURCES,
+    tags=("corpus", "quality", "stats"),
+    doc=(
+        "Pairwise Jensen-Shannon divergence between every source pair's "
+        "unigram distributions — the bounded symmetric distribution "
+        "distance (0..ln2 nats) behind mixture design and source-drift "
+        "monitoring (which sources are near-duplicates distributionally, "
+        "which add diversity). Per-term contributions are e9-floored "
+        "BEFORE summation (identical double expressions on both engines), "
+        "so each pair's divergence is an exact BIGINT sum; the zero-count "
+        "sides contribute the correct p*ln2 mass via the full "
+        "vocab x source grid. Plan: one tokenize scan -> per-source "
+        "counts; the pair join is linear in vocab x pairs with the "
+        "pair count bounded by |sources|^2/2 — a metadata-scale product, "
+        "never document-scale."
+    ),
+)
+def corpus_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.where(F.trim("text") != "")
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .persist()
+    )
+    cnt = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    vocab = tok.select("w").distinct()
+    grid = (
+        tot.crossJoin(vocab)
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (F.coalesce("c", F.lit(0)).cast("double") / F.col("t")).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"), "w", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"), "w", F.col("p").alias("pb")
+    )
+    term = F.floor(
+        F.lit(1000000000.0)
+        * (
+            F.lit(0.5)
+            * F.when(
+                F.col("pa") > 0,
+                F.col("pa")
+                * F.log(F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb"))),
+            ).otherwise(0.0)
+            + F.lit(0.5)
+            * F.when(
+                F.col("pb") > 0,
+                F.col("pb")
+                * F.log(F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb"))),
+            ).otherwise(0.0)
+        )
+    ).cast("bigint")
+    pairs = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .where((F.col("pa") > 0) | (F.col("pb") > 0))
+        .select("source_a", "source_b", term.alias("term_e9"))
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.round(
+                F.sum("term_e9").cast("double") / 1000000000.0, 6
+            ).alias("jsd_nats"),
+        )
+        .orderBy("source_a", "source_b")
+    )

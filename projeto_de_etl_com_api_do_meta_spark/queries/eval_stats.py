@@ -991,3 +991,226 @@ def ml_permutation_test_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_extreme") + 1).cast("double") / (F.col("n_reps") + 1), 6
         ).alias("p_value"),
     )
+
+
+# -- Chi-square feature selection over the vocabulary (r8) ---------------------------
+
+_CHI2_TOPK = 20
+
+_ORACLE_CHI2_FEATURES = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS BIGINT)
+           AS n_pos
+  FROM dt
+),
+pres AS (
+  SELECT w,
+         CAST(SUM(y) AS BIGINT) AS a,           -- en docs containing w
+         CAST(SUM(1 - y) AS BIGINT) AS b        -- non-en docs containing w
+  FROM dt GROUP BY w
+),
+scored AS (
+  SELECT p.w, p.a, p.b,
+         t.n_pos - p.a AS c,
+         (t.n - t.n_pos) - p.b AS d,
+         round(CAST(t.n AS DOUBLE)
+               * power(CAST(p.a * ((t.n - t.n_pos) - p.b)
+                            - p.b * (t.n_pos - p.a) AS DOUBLE), 2)
+               / (CAST(p.a + p.b AS DOUBLE)
+                  * ((t.n_pos - p.a) + ((t.n - t.n_pos) - p.b))
+                  * t.n_pos * (t.n - t.n_pos)), 6) AS chi2
+  FROM pres p, tot t
+  WHERE (p.a + p.b) < t.n  -- a token in EVERY doc carries no signal (and
+                           -- zeroes the (c+d) margin)
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY chi2 DESC, w) AS INTEGER) AS rank,
+       w AS token, a, b, chi2
+FROM scored
+ORDER BY chi2 DESC, w
+LIMIT {_CHI2_TOPK}
+"""
+
+
+@register(
+    "ml_chi2_feature_selection",
+    oracle=_ORACLE_CHI2_FEATURES,
+    tags=("ml", "text", "north-star"),
+    doc=(
+        f"Chi-square feature selection: top-{_CHI2_TOPK} vocabulary tokens "
+        "most associated with the en-vs-rest label by the 2x2 presence "
+        "contingency chi2 = N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)) — the "
+        "classical pre-classifier feature screen a quality/lang model "
+        "pipeline runs over the corpus vocabulary. All four cells are "
+        "exact BIGINT document counts from ONE distinct-(doc, token) "
+        "aggregate; chi2 is a single rational per token; all-document "
+        "tokens are excluded (zero margin). Plan: tokenize scan -> "
+        "presence aggregate keyed by token (map-side combinable) -> "
+        "1-row totals broadcast -> TakeOrdered top-k, linear in the "
+        "vocabulary."
+    ),
+)
+def ml_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .distinct()
+    )
+    tot = dt.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n"),
+        F.countDistinct(F.when(F.col("y") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    pres = dt.groupBy("w").agg(
+        F.sum("y").cast("bigint").alias("a"),
+        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("b"),
+    )
+    c = F.col("n_pos") - F.col("a")
+    d = (F.col("n") - F.col("n_pos")) - F.col("b")
+    chi2 = F.round(
+        F.col("n").cast("double")
+        * F.pow((F.col("a") * d - F.col("b") * c).cast("double"), 2)
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (c + d)
+            * F.col("n_pos")
+            * (F.col("n") - F.col("n_pos"))
+        ),
+        6,
+    )
+    scored = (
+        pres.crossJoin(F.broadcast(tot))
+        .where((F.col("a") + F.col("b")) < F.col("n"))
+        .select("w", "a", "b", chi2.alias("chi2"))
+    )
+    top = scored.orderBy(F.col("chi2").desc(), F.col("w")).limit(_CHI2_TOPK)
+    win = Window.orderBy(F.col("chi2").desc(), F.col("w"))
+    return top.select(
+        F.row_number().over(win).cast("int").alias("rank"),
+        F.col("w").alias("token"),
+        "a",
+        "b",
+        "chi2",
+    ).orderBy("rank")
+
+
+# -- Exact PR-AUC (average precision) over distinct scores (r8) ----------------------
+
+_ORACLE_PR_AUC = f"""
+WITH scored AS (
+  SELECT label % 2 AS y,
+         CAST(round((0.7 * (label % 2)
+               + 0.3 * {_NOISE_SQL.format(id="vec_id")}) * 1000000, 0) AS BIGINT)
+           AS s_e6
+  FROM embeddings
+),
+per_score AS (
+  SELECT s_e6, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY s_e6
+),
+tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS p,
+         CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
+  FROM per_score
+),
+cume AS (
+  SELECT s_e6, pos,
+         CAST(SUM(pos) OVER (ORDER BY s_e6 DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         CAST(SUM(cnt) OVER (ORDER BY s_e6 DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k
+  FROM per_score
+),
+ap AS (
+  SELECT CAST(SUM(CAST(round(
+           (CAST(pos AS DOUBLE) / (SELECT p FROM tot))
+           * (CAST(tp AS DOUBLE) / k), 12) AS DECIMAL(30,12)))
+         AS DECIMAL(30,12)) AS ap_dec
+  FROM cume WHERE pos > 0
+)
+SELECT (SELECT p FROM tot) AS n_pos,
+       (SELECT n_neg FROM tot) AS n_neg,
+       round(CAST(ap_dec AS DOUBLE), 6) AS average_precision
+FROM ap
+"""
+
+
+@register(
+    "ml_pr_auc_exact",
+    oracle=_ORACLE_PR_AUC,
+    tags=("ml", "eval"),
+    doc=(
+        "Exact average precision (step-interpolated PR-AUC): AP = "
+        "sum over distinct score thresholds of (tp_delta/P) * "
+        "precision@threshold, on the same md5-deterministic scores as "
+        "ml_auc_roc_exact — the class-imbalance-honest companion to "
+        "ROC-AUC. Cumulative tp/k come from exact BIGINT window sums "
+        "over the DISTINCT-SCORE table (bounded by the e6 quantization, "
+        "<= 1e6 rows at ANY data scale); per-threshold terms are "
+        "rationals rounded at 12dp and summed as exact DECIMALs."
+    ),
+)
+def ml_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.col("label") % 2).alias("y"),
+        F.round(
+            (F.lit(0.7) * (F.col("label") % 2) + F.lit(0.3) * _noise("vec_id"))
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("s_e6"),
+    )
+    per_score = scored.groupBy("s_e6").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = per_score.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    w = Window.orderBy(F.col("s_e6").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cume = per_score.select(
+        "pos",
+        F.sum("pos").over(w).cast("bigint").alias("tp"),
+        F.sum("cnt").over(w).cast("bigint").alias("k"),
+    )
+    ap = (
+        cume.where(F.col("pos") > 0)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("pos").cast("double") / F.col("p"))
+                    * (F.col("tp").cast("double") / F.col("k")),
+                    12,
+                ).cast("decimal(30,12)")
+            ).alias("ap_dec")
+        )
+    )
+    return ap.crossJoin(F.broadcast(tot)).select(
+        F.col("p").alias("n_pos"),
+        "n_neg",
+        F.round(F.col("ap_dec").cast("double"), 6).alias("average_precision"),
+    )

@@ -1861,3 +1861,108 @@ def io_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ok"),
         F.sum(checksum).cast("bigint").alias("payload_checksum"),
     )
+
+
+# -- Semi-additive balance fact (r8) --------------------------------------------------
+
+_ORACLE_SEMI_ADDITIVE = """
+WITH flows AS (
+  SELECT user_id,
+         date_trunc('week', CAST(ts AS DATE)) AS wk,
+         CAST(SUM(CASE WHEN event_type = 'refund'
+                       THEN -CAST(round(value * 10000) AS BIGINT)
+                       ELSE CAST(round(value * 10000) AS BIGINT) END)
+              AS BIGINT) AS flow_e4
+  FROM events GROUP BY 1, 2
+),
+weeks AS (SELECT DISTINCT wk FROM flows),
+first_wk AS (SELECT user_id, MIN(wk) AS w0 FROM flows GROUP BY user_id),
+grid AS (
+  SELECT f.user_id, w.wk, COALESCE(fl.flow_e4, 0) AS flow_e4
+  FROM first_wk f JOIN weeks w ON w.wk >= f.w0
+  LEFT JOIN flows fl ON fl.user_id = f.user_id AND fl.wk = w.wk
+),
+bal AS (
+  SELECT user_id, wk,
+         CAST(SUM(flow_e4) OVER (PARTITION BY user_id ORDER BY wk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS balance_e4
+  FROM grid
+)
+SELECT wk AS week_start,
+       CAST(COUNT(*) AS BIGINT) AS n_accounts,
+       CAST(SUM(balance_e4) AS BIGINT) AS total_balance_e4,
+       round(CAST(SUM(balance_e4) AS DOUBLE) / COUNT(*) / 10000.0, 6)
+         AS avg_balance
+FROM bal GROUP BY wk ORDER BY wk
+"""
+
+
+@register(
+    "warehouse_semi_additive_balance",
+    oracle=_ORACLE_SEMI_ADDITIVE,
+    tags=("warehouse", "analytics"),
+    doc=(
+        "Semi-additive balance fact: per-account running balances "
+        "(purchases credit, refunds debit, exact e4 integers) carried "
+        "FORWARD through inactive weeks via the account x week spine "
+        "(bounded at |accounts| x |periods| — linear, the standard "
+        "balance-fact densification), then period-end totals/averages "
+        "that are additive across ACCOUNTS but not across TIME — the "
+        "textbook semi-additive measure a naive SUM over weeks gets "
+        "wrong. The running sum is an account-partitioned window "
+        "(co-partitioned with the grid's shuffle, no global funnel); "
+        "completes the periodic-snapshot family beside "
+        "warehouse_accumulating_snapshot."
+    ),
+)
+def warehouse_semi_additive_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    signed = F.when(
+        F.col("event_type") == "refund",
+        -F.round(F.col("value") * 10000).cast("bigint"),
+    ).otherwise(F.round(F.col("value") * 10000).cast("bigint"))
+    flows = ev.groupBy(
+        "user_id",
+        # cast back to date: Spark's date_trunc returns timestamp while
+        # DuckDB's returns date — the value hash compares the rendered type
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("wk"),
+    ).agg(F.sum(signed).cast("bigint").alias("flow_e4"))
+    weeks = flows.select("wk").distinct()
+    first_wk = flows.groupBy("user_id").agg(F.min("wk").alias("w0"))
+    grid = (
+        first_wk.join(F.broadcast(weeks), F.col("wk") >= F.col("w0"))
+        .join(flows, ["user_id", "wk"], "left")
+        .select(
+            "user_id",
+            "wk",
+            F.coalesce("flow_e4", F.lit(0)).alias("flow_e4"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bal = grid.select(
+        "wk", F.sum("flow_e4").over(w).cast("bigint").alias("balance_e4")
+    )
+    return (
+        bal.groupBy(F.col("wk").alias("week_start"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_accounts"),
+            F.sum("balance_e4").cast("bigint").alias("total_balance_e4"),
+            F.round(
+                F.sum("balance_e4").cast("double")
+                / F.count(F.lit(1))
+                / 10000.0,
+                6,
+            ).alias("avg_balance"),
+        )
+        .orderBy("week_start")
+    )

@@ -62,6 +62,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("corpus_tfidf_cosine_search", "CARTESIAN"): "corpus-stats scalar (1 row) + query-norm scalar (1 row) broadcasts; retrieval itself is a posting equi-join",
     ("retrieval_mrr_eval", "CARTESIAN"): "bounded 5-query vector broadcast (the ml_eval_ndcg contract)",
     ("retrieval_recall_at_k", "CARTESIAN"): "bounded 5-query vector broadcast (the ml_eval_ndcg contract)",
+    ("ml_chi2_feature_selection", "CARTESIAN"): "1-row doc-totals scalar broadcast onto the vocabulary table",
+    ("corpus_jsd_sources", "CARTESIAN"): "per-source totals (|sources| rows) cross joined onto the vocabulary — linear in vocab x sources, never document-scale",
+    ("ml_pr_auc_exact", "CARTESIAN"): "1-row positives/negatives totals broadcast",
+    ("ml_pr_auc_exact", "GLOBAL_WINDOW"): "cumulative tp/k over the DISTINCT-SCORE table (bounded by e6 quantization — the ml_auc_roc_exact contract)",
+    ("warehouse_semi_additive_balance", "CARTESIAN"): "distinct-week spine broadcast (calendar-bounded) inequality join onto first-activity accounts; fanout <= |periods|",
     # ---- late-r7 registrations that post-dated the r7 audit run ----
     ("embed_silhouette_labels", "CARTESIAN"): "broadcast k-centroid distance cross join (k rows)",
     ("events_seasonal_decompose", "GLOBAL_WINDOW"): "centered-MA/seasonal windows over the calendar-bounded daily spine",
