@@ -2845,3 +2845,153 @@ def events_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# -- Holt-Winters additive smoothing (r8) ---------------------------------------------
+
+_HW_A, _HW_B, _HW_G = 0.3, 0.1, 0.2  # level / trend / seasonal rates
+_HW_P = 7  # weekly season
+
+
+def _hw_fold_spark() -> str:
+    """Spark array-fold step (0-based acc: [L, B, s0..s6, i, sse])."""
+    sold = "acc[CAST(acc[9] AS INT) % 7 + 2]"
+    lnew = f"({_HW_A}D * (e[0] - {sold}) + {1 - _HW_A}D * (acc[0] + acc[1]))"
+    bnew = f"({_HW_B}D * ({lnew} - acc[0]) + {1 - _HW_B}D * acc[1])"
+    snew = f"({_HW_G}D * (e[0] - {lnew}) + {1 - _HW_G}D * {sold})"
+    err = f"(e[0] - (acc[0] + acc[1] + {sold}))"
+    return (
+        "aggregate(transform(slice(xs, 8, size(xs) - 7), x -> array(x)), "
+        "concat(array(CAST(s7a AS DOUBLE) / 7.0D, "
+        "             (CAST(s7b AS DOUBLE) - s7a) / 49.0D), "
+        "       transform(slice(xs, 1, 7), "
+        "                 x -> x - CAST(s7a AS DOUBLE) / 7.0D), "
+        "       array(7.0D, 0.0D)), "
+        f"(acc, e) -> concat(array({lnew}, {bnew}), "
+        "  transform(sequence(0, 6), k -> CASE "
+        f"    WHEN k = CAST(acc[9] AS INT) % 7 THEN {snew} "
+        "    ELSE acc[k + 2] END), "
+        f"  array(acc[9] + 1.0D, acc[10] + {err} * {err})))"
+    )
+
+
+def _hw_fold_duck() -> str:
+    """DuckDB list_reduce step (1-based acc: [L, B, s1..s7, i, sse]);
+    a prepended init element + LIST accumulator, the CUSUM contract."""
+    sold = "acc[(CAST(acc[10] AS INT) % 7) + 3]"
+    lnew = f"({_HW_A} * (e[1] - {sold}) + {1 - _HW_A} * (acc[1] + acc[2]))"
+    bnew = f"({_HW_B} * ({lnew} - acc[1]) + {1 - _HW_B} * acc[2])"
+    snew = f"({_HW_G} * (e[1] - {lnew}) + {1 - _HW_G} * {sold})"
+    err = f"(e[1] - (acc[1] + acc[2] + {sold}))"
+    return (
+        "list_reduce(list_prepend("
+        "  list_concat(list_concat("
+        "    [CAST(s7a AS DOUBLE) / 7.0, (CAST(s7b AS DOUBLE) - s7a) / 49.0],"
+        "    list_transform(xs[1:7], x -> x - CAST(s7a AS DOUBLE) / 7.0)),"
+        "    [7.0, 0.0]),"
+        "  list_transform(xs[8:], x -> [x, 0.0, 0.0, 0.0, 0.0, 0.0,"
+        "                               0.0, 0.0, 0.0, 0.0, 0.0])),"
+        f"(acc, e) -> list_concat(list_concat([{lnew}, {bnew}],"
+        "  list_transform(range(7), k -> CASE "
+        f"    WHEN k = (CAST(acc[10] AS INT) % 7) THEN {snew} "
+        "    ELSE acc[k + 3] END)),"
+        f"  [acc[10] + 1.0, acc[11] + {err} * {err}]))"
+    )
+
+
+_ORACLE_HOLT_WINTERS = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list(CAST(x AS DOUBLE) ORDER BY d) AS xs,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily GROUP BY event_type
+),
+inits AS (
+  SELECT event_type, xs, n,
+         CAST(list_sum(list_transform(xs[1:7], x -> CAST(x AS BIGINT)))
+              AS BIGINT) AS s7a,
+         CAST(list_sum(list_transform(xs[8:14], x -> CAST(x AS BIGINT)))
+              AS BIGINT) AS s7b
+  FROM series WHERE n >= 14
+),
+folded AS (
+  SELECT event_type, n, {_hw_fold_duck()} AS st FROM inits
+)
+SELECT event_type, n AS n_days,
+       round(st[1], 6) AS level,
+       round(st[2], 6) AS trend,
+       round(st[3], 6) AS s0, round(st[4], 6) AS s1, round(st[5], 6) AS s2,
+       round(st[6], 6) AS s3, round(st[7], 6) AS s4, round(st[8], 6) AS s5,
+       round(st[9], 6) AS s6,
+       round(st[11] / (n - 7), 6) AS mse_one_step
+FROM folded ORDER BY event_type
+"""
+
+
+@register(
+    "events_holt_winters_additive",
+    oracle=_ORACLE_HOLT_WINTERS,
+    tags=("events", "timeseries", "forecast"),
+    doc=(
+        "Holt-Winters ADDITIVE triple exponential smoothing (level + "
+        "trend + weekly seasonal, alpha/beta/gamma = 0.3/0.1/0.2) per "
+        "event type, with the one-step-ahead forecast MSE — completing "
+        "the sequential-fold family (EWMA -> Holt linear -> CUSUM -> "
+        "HW seasonal). The recursion runs as ONE deterministic 11-cell "
+        "vector-state array fold over the day-bounded series (classic "
+        "first-period init: L = mean of week 1, B = week-over-week mean "
+        "drift / 7, S_j = x_j - L), bit-identical to DuckDB's "
+        "list_reduce with a prepended init element and a LIST "
+        "accumulator (the CUSUM cross-engine contract; per-period "
+        "seasonal slots updated by index inside the fold). Daily counts "
+        "are exact integers, so the init state and every fold step are "
+        "the same doubles on both engines."
+    ),
+)
+def events_holt_winters_additive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, x))), "
+            "s -> CAST(s.x AS DOUBLE))"
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    inits = series.where(F.col("n") >= 14).select(
+        "event_type",
+        "xs",
+        "n",
+        F.expr(
+            "CAST(aggregate(slice(xs, 1, 7), 0L, "
+            "(a, x) -> a + CAST(x AS BIGINT)) AS BIGINT)"
+        ).alias("s7a"),
+        F.expr(
+            "CAST(aggregate(slice(xs, 8, 7), 0L, "
+            "(a, x) -> a + CAST(x AS BIGINT)) AS BIGINT)"
+        ).alias("s7b"),
+    )
+    folded = inits.withColumn("st", F.expr(_hw_fold_spark()))
+    return folded.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.expr("st[0]"), 6).alias("level"),
+        F.round(F.expr("st[1]"), 6).alias("trend"),
+        *[
+            F.round(F.expr(f"st[{i + 2}]"), 6).alias(f"s{i}")
+            for i in range(7)
+        ],
+        F.round(F.expr("st[10]") / (F.col("n") - 7), 6).alias(
+            "mse_one_step"
+        ),
+    ).orderBy("event_type")
