@@ -1,7 +1,10 @@
 """Statistical-evaluation registry queries (r8): model/experiment metrics a
 training-data pipeline runs beside curation — Brier decomposition, rater
 agreement (Cohen's kappa), paired-classifier McNemar test, rank
-correlations (Kendall tau-b, Spearman), Welch two-sample t.
+correlations (Kendall tau-b, Spearman), Welch two-sample t, a multinomial
+naive-Bayes classifier trained/applied in-plan, exact PR-AUC (average
+precision), chi-square feature selection over the vocabulary, and a
+shuffle-free 200-replicate Monte-Carlo randomization test.
 
 Reference analog: the reference computes no statistics beyond sums/ratios
 (``src/transform.py``); these extend the engine's eval surface the same way
