@@ -2533,13 +2533,17 @@ c AS (
   FROM win
 )
 SELECT c1, c2,
-       round(CAST(c1 AS DOUBLE) / c2, 6) AS rate_ratio,
-       round((ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
-             / sqrt(1.0 / c1 + 1.0 / c2), 6) AS z_stat,
-       round(exp(ln(CAST(c1 AS DOUBLE) / c2)
-                 - 1.96 * sqrt(1.0 / c1 + 1.0 / c2)), 6) AS rr_lo,
-       round(exp(ln(CAST(c1 AS DOUBLE) / c2)
-                 + 1.96 * sqrt(1.0 / c1 + 1.0 / c2)), 6) AS rr_hi
+       CASE WHEN c1 > 0 AND c2 > 0
+            THEN round(CAST(c1 AS DOUBLE) / c2, 6) END AS rate_ratio,
+       CASE WHEN c1 > 0 AND c2 > 0
+            THEN round((ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
+                       / sqrt(1.0 / c1 + 1.0 / c2), 6) END AS z_stat,
+       CASE WHEN c1 > 0 AND c2 > 0
+            THEN round(exp(ln(CAST(c1 AS DOUBLE) / c2)
+                           - 1.96 * sqrt(1.0 / c1 + 1.0 / c2)), 6) END AS rr_lo,
+       CASE WHEN c1 > 0 AND c2 > 0
+            THEN round(exp(ln(CAST(c1 AS DOUBLE) / c2)
+                           + 1.96 * sqrt(1.0 / c1 + 1.0 / c2)), 6) END AS rr_hi
 FROM c
 """
 
@@ -2583,17 +2587,29 @@ def events_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lnr = F.log(F.col("c1").cast("double") / F.col("c2"))
     se = F.sqrt(1.0 / F.col("c1") + 1.0 / F.col("c2"))
+    # both counts must be positive or the statistics are undefined (ln 0
+    # RAISES in DuckDB while non-ANSI Spark nulls silently — found by the
+    # r8 degenerate-fixture differ): guard identically on both engines
+    ok = (F.col("c1") > 0) & (F.col("c2") > 0)
     return c.select(
         "c1",
         "c2",
-        F.round(F.col("c1").cast("double") / F.col("c2"), 6).alias("rate_ratio"),
-        F.round(
-            (F.log(F.col("c1").cast("double")) - F.log(F.col("c2").cast("double")))
-            / se,
-            6,
+        F.when(
+            ok, F.round(F.col("c1").cast("double") / F.col("c2"), 6)
+        ).alias("rate_ratio"),
+        F.when(
+            ok,
+            F.round(
+                (
+                    F.log(F.col("c1").cast("double"))
+                    - F.log(F.col("c2").cast("double"))
+                )
+                / se,
+                6,
+            ),
         ).alias("z_stat"),
-        F.round(F.exp(lnr - 1.96 * se), 6).alias("rr_lo"),
-        F.round(F.exp(lnr + 1.96 * se), 6).alias("rr_hi"),
+        F.when(ok, F.round(F.exp(lnr - 1.96 * se), 6)).alias("rr_lo"),
+        F.when(ok, F.round(F.exp(lnr + 1.96 * se), 6)).alias("rr_hi"),
     )
 
 

@@ -1840,6 +1840,11 @@ def io_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", "true")
         .option("quote", '"')
         .option("escape", '"')  # RFC-4180 doubled quotes, not backslash
+        # Spark's CSV WRITER trims leading/trailing whitespace by DEFAULT
+        # (ignore*WhiteSpace=true) — silently corrupting space-padded
+        # fields; found by the r8 degenerate-fixture differ
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(target)
     )
     back = (
@@ -1848,6 +1853,8 @@ def io_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("quote", '"')
         .option("escape", '"')
         .option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(target)
     )
     joined = payloads.withColumnRenamed("payload", "orig").join(back, "doc_id")
