@@ -59,6 +59,18 @@ def asof_join(
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(a) for c, a in zip(payload_cols, pay)],
     )
     u = l.unionByName(r, allowMissingColumns=True)
+    # Carry ONE struct of (ts, all payload fields), not per-column
+    # last(ignorenulls): a right row whose payload VALUE is legitimately
+    # NULL must still win the carry as a whole row — per-column skipping
+    # spliced field values from DIFFERENT right rows (found by the r8
+    # degenerate-fixture differ: a NULL view_value took the view_id of
+    # the nearest row but the value of an older one).  The struct wrapper
+    # is non-null for every right row, so ignorenulls only skips LEFT
+    # rows, never a null field.
+    pay_struct = F.when(
+        F.col("_side") == r_side,
+        F.struct(F.col("_r_ts_us").alias("ts_us"), *[F.col(a) for a in pay]),
+    )  # otherwise NULL (left rows)
     base = Window.partitionBy(key).orderBy(F.col(ts), F.col("_side"))
     if back:
         w = base.rowsBetween(Window.unboundedPreceding, 0)
@@ -66,23 +78,23 @@ def asof_join(
     else:
         w = base.rowsBetween(0, Window.unboundedFollowing)
         pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
-    carried = u.select(
-        "*",
-        *[pick(a).over(w).alias(f"_c{a}") for a in pay],
-        pick("_r_ts_us").over(w).alias("_c_ts_us"),
-    ).where(F.col("_side") == l_side)
+    carried = (
+        u.withColumn("_pay", pay_struct)
+        .select("*", pick("_pay").over(w).alias("_c_pay"))
+        .where(F.col("_side") == l_side)
+    )
     if tolerance_us is not None:
         gap = (
-            (F.unix_micros(F.col(ts)) - F.col("_c_ts_us"))
+            (F.unix_micros(F.col(ts)) - F.col("_c_pay.ts_us"))
             if back
-            else (F.col("_c_ts_us") - F.unix_micros(F.col(ts)))
+            else (F.col("_c_pay.ts_us") - F.unix_micros(F.col(ts)))
         )
         outs = [
             F.when(gap > tolerance_us, F.lit(None))
-            .otherwise(F.col(f"_c{a}"))
+            .otherwise(F.col(f"_c_pay.{a}"))
             .alias(c)
             for c, a in zip(payload_cols, pay)
         ]
     else:
-        outs = [F.col(f"_c{a}").alias(c) for c, a in zip(payload_cols, pay)]
+        outs = [F.col(f"_c_pay.{a}").alias(c) for c, a in zip(payload_cols, pay)]
     return carried.select(*lcols, *outs)

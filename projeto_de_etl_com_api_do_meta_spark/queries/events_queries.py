@@ -896,7 +896,7 @@ _ORACLE_HOLT = """
 WITH ordered AS (
   SELECT user_id,
          list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
   GROUP BY user_id
 ),
 folded AS (
@@ -945,8 +945,14 @@ FROM folded ORDER BY user_id
 )
 def events_holt_linear_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
+    # NULL observations must never enter the fold: Spark's aggregate()
+    # infers the accumulator struct's field nullability from the INIT
+    # expression (t = 0.0 -> non-nullable), so a null produced mid-fold is
+    # silently coerced to the codegen default 0.0 while DuckDB keeps NULL
+    # (found by the r8 degenerate-fixture differ; show() even renders the
+    # JVM NULL while collect() surfaces the coerced 0.0).
     ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     )
     seq = (
         ev.select(

@@ -1298,7 +1298,13 @@ FROM {last} ORDER BY pos
         "mechanics demo; learnability on separable data is pinned in "
         "tests/test_ml_queries.py). The fixed-point gradients make the "
         "whole 8-step recursion reproducible in SQL — the oracle unrolls "
-        "it as CTE pairs (r6 verdict item 4)."
+        "it as CTE pairs (r6 verdict item 4). Known boundary (r8 "
+        "degenerate-fixture differ): on a pathological 8-row corpus the "
+        "two engines' libm exp() can differ by 1 ulp exactly at an e6 "
+        "floor boundary, and iterating amplifies that into a +-1e-6 "
+        "weight difference — the residual risk the floor-before-sum "
+        "contract accepts; real-scale fixtures (sf0.001-0.1) match "
+        "exactly."
     ),
 )
 def ml_logreg_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -767,7 +767,10 @@ def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_CROSS_SOURCE = """
 WITH keyed AS (
   SELECT doc_id, source,
-         CAST(substr(source, 4) AS INT) % 3 AS tier,
+         -- TRY_CAST: a source not named 'srcN' falls back to the LAST
+         -- tier (crawl) instead of raising — Spark's try_cast parity
+         -- (found by the r8 degenerate-fixture differ)
+         COALESCE(TRY_CAST(substr(source, 4) AS INT) % 3, 2) AS tier,
          md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS fp
   FROM documents
 ),
@@ -812,7 +815,9 @@ def dedup_cross_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = spread(docs, "doc_id").select(
         "doc_id",
         "source",
-        (F.substring("source", 4, 10).cast("int") % 3).alias("tier"),
+        F.coalesce(
+            F.expr("try_cast(substring(source, 4, 10) AS INT)") % 3, F.lit(2)
+        ).alias("tier"),
         F.md5(F.array_join(F.slice(F.split("text", " "), 1, 4), " ")).alias(
             "fp"
         ),

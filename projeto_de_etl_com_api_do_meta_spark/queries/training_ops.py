@@ -420,7 +420,9 @@ WITH r AS (
   SELECT doc_id, source,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
            % 10000 AS bucket,
-         CASE CAST(replace(source, 'src', '') AS BIGINT) % 4
+         -- TRY_CAST: a source not named 'srcN' takes the ELSE rate
+         -- instead of raising (Spark try_cast parity, r8 degenerate differ)
+         CASE TRY_CAST(replace(source, 'src', '') AS BIGINT) % 4
               WHEN 0 THEN 10000 WHEN 1 THEN 5000
               WHEN 2 THEN 2500 ELSE 1250 END AS rate_bp
   FROM documents
@@ -464,10 +466,11 @@ def sample_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 10000
     )
+    srcnum = F.expr("try_cast(replace(source, 'src', '') AS BIGINT)")
     rate = (
-        F.when(F.regexp_replace("source", "src", "").cast("long") % 4 == 0, 10000)
-        .when(F.regexp_replace("source", "src", "").cast("long") % 4 == 1, 5000)
-        .when(F.regexp_replace("source", "src", "").cast("long") % 4 == 2, 2500)
+        F.when(srcnum % 4 == 0, 10000)
+        .when(srcnum % 4 == 1, 5000)
+        .when(srcnum % 4 == 2, 2500)
         .otherwise(1250)
     )
     return (

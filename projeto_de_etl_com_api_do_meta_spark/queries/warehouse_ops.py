@@ -666,11 +666,22 @@ def lakehouse_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("lang_v1") != F.col("lang_v2"), "changed")
         .otherwise("unchanged")
     )
-    return (
+    # fixed 3-status spine: the audit must report a zero count rather
+    # than dropping a status row entirely (the oracle's COUNT(*) form
+    # always emits all three; found by the r8 degenerate-fixture differ
+    # where no doc changed)
+    spine = spark.createDataFrame(
+        [("changed",), ("deleted",), ("unchanged",)], "status string"
+    )
+    counts = (
         v1.join(v2, "doc_id", "left")
         .select(status.alias("status"))
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(counts, "status", "left")
+        .select("status", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
         .orderBy("status")
     )
 
