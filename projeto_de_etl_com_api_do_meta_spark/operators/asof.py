@@ -71,11 +71,24 @@ def asof_join(
         F.col("_side") == r_side,
         F.struct(F.col("_r_ts_us").alias("ts_us"), *[F.col(a) for a in pay]),
     )  # otherwise NULL (left rows)
-    base = Window.partitionBy(key).orderBy(F.col(ts), F.col("_side"))
+    # Tie contract: several right rows at the SAME timestamp resolve to
+    # the GREATEST payload struct (lexicographic over (ts, payload...)) in
+    # BOTH directions — without an explicit intra-ts order the winner was
+    # partitioning-dependent (r8 degenerate-fixture2: three views at one
+    # instant matched different rows across engines).  backward scans
+    # ascending and takes last(), so _pay orders ASC; forward scans from
+    # the current row and takes first(), so _pay orders DESC — both land
+    # on the max struct.
     if back:
+        base = Window.partitionBy(key).orderBy(
+            F.col(ts), F.col("_side"), F.col("_pay").asc()
+        )
         w = base.rowsBetween(Window.unboundedPreceding, 0)
         pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
     else:
+        base = Window.partitionBy(key).orderBy(
+            F.col(ts), F.col("_side"), F.col("_pay").desc()
+        )
         w = base.rowsBetween(0, Window.unboundedFollowing)
         pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     carried = (

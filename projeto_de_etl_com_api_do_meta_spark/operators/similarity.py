@@ -1161,7 +1161,14 @@ def mmr_rerank(
     bounded by that depth (same bounded-state rule as the IVF centroid
     collect). The candidate scoring that feeds it is the distributed
     part. Deterministic: numpy argmax with explicit (score, -id)
-    tie-break, scores rounded before comparison.
+    tie-break, scores rounded before comparison.  Known boundary (r8
+    degenerate-fixture2): the pairwise cosines come from a numpy GEMM
+    whose summation association differs from a SQL fold's, so on
+    adversarial vectors (exact negated duplicates) a score can land one
+    last-ulp across the 6dp rounding edge vs the oracle — selection and
+    ranks still match; the reported score may differ by 1e-6.  The
+    floor-before-sum contract's accepted residual, same as
+    ml_logreg_gd_train's libm note.
     """
     import numpy as np
 

@@ -1523,14 +1523,22 @@ def corpus_unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ):
                         cand = c
                 best[pos] = cand
+            if best[0] is None:
+                # word not segmentable with this vocabulary (e.g. non-ASCII
+                # characters): DROP it, matching the oracle's inner join on
+                # completed walks — previously this crashed the kernel on
+                # unicode words (r8 degenerate-fixture2 differ)
+                return None
             score, pieces = best[0]
             return pieces, pieces.count(" ") + 1, score
 
         for pdf in batches:
             cols = pdf["word"].map(seg)
+            keep = cols.notna()
+            cols, words = cols[keep], pdf["word"][keep]
             yield pd.DataFrame(
                 {
-                    "word": pdf["word"],
+                    "word": words,
                     "pieces": cols.map(lambda t: t[0]),
                     "n_pieces": cols.map(lambda t: t[1]).astype("int64"),
                     "score_micro": cols.map(lambda t: t[2]).astype("int64"),

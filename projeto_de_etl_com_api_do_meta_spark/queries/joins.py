@@ -335,17 +335,28 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- J5+: as-of (point-in-time) join ------------------------------------------
 
+# Explicit ROW_NUMBER form rather than DuckDB's native ASOF JOIN: with
+# several right rows at the SAME timestamp the native ASOF winner is
+# unspecified, while the operator's documented tie contract is "greatest
+# payload struct" (r8 degenerate-fixture2) — the DESC chain below states
+# exactly that.  Same contract in _ORACLE_ASOF_FWD / _ORACLE_ASOF_TOLERANCE.
 _ORACLE_ASOF = """
 WITH clicks AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
 ),
 views AS (
-  SELECT user_id, ts, event_id AS view_id, value AS view_value
+  SELECT user_id, ts AS vts, event_id AS view_id, value AS view_value
   FROM events WHERE event_type = 'view'
 )
-SELECT c.event_id, c.user_id, c.ts, c.value, v.view_id, v.view_value
-FROM clicks c ASOF LEFT JOIN views v
-  ON c.user_id = v.user_id AND v.ts <= c.ts
+SELECT event_id, user_id, ts, value, view_id, view_value FROM (
+  SELECT c.event_id, c.user_id, c.ts, c.value, v.view_id, v.view_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.event_id
+           ORDER BY v.vts DESC, v.view_id DESC, v.view_value DESC
+         ) AS rn
+  FROM clicks c LEFT JOIN views v
+    ON c.user_id = v.user_id AND v.vts <= c.ts
+) WHERE rn = 1
 """
 
 
@@ -503,12 +514,18 @@ WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ),
 purchases AS (
-  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+  SELECT user_id, ts AS pts, event_id AS purchase_id, value AS purchase_value
   FROM events WHERE event_type = 'purchase'
 )
-SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.purchase_value
-FROM clicks c ASOF LEFT JOIN purchases p
-  ON c.user_id = p.user_id AND p.ts >= c.ts
+SELECT event_id, user_id, ts, purchase_id, purchase_value FROM (
+  SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.purchase_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.event_id
+           ORDER BY p.pts ASC, p.purchase_id DESC, p.purchase_value DESC
+         ) AS rn
+  FROM clicks c LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND p.pts >= c.ts
+) WHERE rn = 1
 """
 
 
@@ -712,7 +729,7 @@ SELECT event_id, user_id, ts, view_id FROM (
            PARTITION BY event_id
            ORDER BY abs(epoch_us(vts) - epoch_us(ts)),
                     CASE WHEN vts <= ts THEN 0 ELSE 1 END,
-                    view_id
+                    view_id DESC  -- greatest-payload tie contract (r8)
          ) AS rn
   FROM cand
 ) WHERE rn = 1
@@ -856,16 +873,27 @@ WITH clicks AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
 ),
 views AS (
-  SELECT user_id, ts, event_id AS view_id, value AS view_value
+  SELECT user_id, ts AS vts, event_id AS view_id, value AS view_value
   FROM events WHERE event_type = 'view'
+),
+matched AS (
+  SELECT event_id, user_id, ts, value, vts, view_id, view_value FROM (
+    SELECT c.event_id, c.user_id, c.ts, c.value, v.vts, v.view_id,
+           v.view_value,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.event_id
+             ORDER BY v.vts DESC, v.view_id DESC, v.view_value DESC
+           ) AS rn
+    FROM clicks c LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.vts <= c.ts
+  ) WHERE rn = 1
 )
-SELECT c.event_id, c.user_id, c.ts, c.value,
-       CASE WHEN v.ts >= c.ts - INTERVAL '10 minutes' THEN v.view_id END
+SELECT event_id, user_id, ts, value,
+       CASE WHEN vts >= ts - INTERVAL '10 minutes' THEN view_id END
          AS view_id,
-       CASE WHEN v.ts >= c.ts - INTERVAL '10 minutes' THEN v.view_value END
+       CASE WHEN vts >= ts - INTERVAL '10 minutes' THEN view_value END
          AS view_value
-FROM clicks c ASOF LEFT JOIN views v
-  ON c.user_id = v.user_id AND v.ts <= c.ts
+FROM matched
 """
 
 
