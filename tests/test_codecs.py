@@ -127,3 +127,73 @@ def test_y4m_pipeline_frame_sampling(spark):
     assert [r.frame_idx for r in rows] == [0, 2]
     assert all(r.ts_ms == r.frame_idx * 100 for r in rows)  # fps 10
     assert all(len(bytes(r.frame_bytes)) == 3 * 16 * 16 for r in rows)
+
+
+# -- G.711 mu-law (r8): the real compressed-audio codec -------------------------
+
+
+def test_g711_spec_vectors_and_properties():
+    import numpy as np
+
+    from projeto_de_etl_com_api_do_meta_spark.multimodal.g711 import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    # silence encodes to 0xFF (all-ones complement), the spec's anchor
+    assert mulaw_encode(np.array([0]))[0] == 0xFF
+    x = np.arange(-8192, 8192, dtype=np.int64)
+    c = mulaw_encode(x)
+    d = mulaw_decode(c)
+    c2 = mulaw_encode(d.astype(np.int64))
+    # idempotence up to the signed-zero duality (0x7F and 0xFF both
+    # decode to 0 — canonical mu-law)
+    assert ((c2 == c) | ((c == 0x7F) & (c2 == 0xFF))).all()
+    # quantization error bounded by the largest segment step (2^10)
+    assert np.abs(x - d).max() <= 1024
+    # decode is monotone over positive-code magnitudes
+    pos = mulaw_decode(np.array([(~i) & 0xFF for i in range(128)], dtype="uint8"))
+    assert (np.diff(pos) >= 0).all()
+    # sign symmetry: decode(negative code) == -decode(positive code)
+    neg = mulaw_decode(
+        np.array([(~(0x80 | i)) & 0xFF for i in range(128)], dtype="uint8")
+    )
+    assert (neg == -pos).all()
+
+
+def test_g711_wav_container_roundtrip():
+    import numpy as np
+
+    from projeto_de_etl_com_api_do_meta_spark.multimodal.g711 import (
+        decode_wav_mulaw,
+        encode_wav_mulaw,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    x = (np.arange(300) * 37 % 8000 - 4000).astype(np.int16)
+    payload = encode_wav_mulaw(x, 8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    # fmt chunk declares format code 7 (mu-law)
+    import struct
+
+    fmt_at = payload.index(b"fmt ")
+    (fmt_code,) = struct.unpack_from("<H", payload, fmt_at + 8)
+    assert fmt_code == 7
+    rate, back = decode_wav_mulaw(payload)
+    assert rate == 8000
+    assert (back == mulaw_decode(mulaw_encode(x.astype(np.int64)))).all()
+
+
+def test_g711_rejects_pcm_wav():
+    import numpy as np
+    import pytest
+
+    from projeto_de_etl_com_api_do_meta_spark.multimodal.codecs import encode_wav
+    from projeto_de_etl_com_api_do_meta_spark.multimodal.g711 import (
+        decode_wav_mulaw,
+    )
+
+    pcm = encode_wav(np.zeros(16, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="mu-law"):
+        decode_wav_mulaw(pcm)
