@@ -43,10 +43,10 @@ from .codecs import (
 from .jpeg import JPEG_CONTENT_TYPE, decode_jpeg, encode_jpeg
 
 REAL_DECODER_NOTE = (
-    "Compressed audio/video (MP3/H.264) need an ffmpeg kernel: same "
-    "signature seam as the real PPM/JPEG/WAV/Y4M decoders in codecs.py/"
-    "jpeg.py.  (JPEG is fully supported — jpeg.py is a real baseline "
-    "codec, no pillow needed.)"
+    "Psychoacoustic/entropy codecs (MP3/H.264) need an ffmpeg kernel: "
+    "same signature seam as the real PPM/JPEG/WAV/Y4M/G.711 decoders in "
+    "codecs.py/jpeg.py/g711.py.  (JPEG — incl. 4:2:0 — and G.711 mu-law "
+    "ARE fully supported real codecs here, no external libs needed.)"
 )
 
 
