@@ -129,6 +129,9 @@ HEADLINE: tuple[str, ...] = (
     # to keep the worst-case stdout line inside the 1800-char budget)
     "ml_permutation_test_md5",
     "ml_chi2_feature_selection",
+    # multimodal_g711_roundtrip measured 0.49s at sf0.1 — below the
+    # family-heaviest rule (multimodal_jpeg_roundtrip stays the rep) and
+    # the worst-case line budget; tracked via SCALE_PROBE_r08 instead
 )
 
 
