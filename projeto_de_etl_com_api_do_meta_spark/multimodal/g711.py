@@ -10,6 +10,11 @@ whole encode -> container -> parse -> decode round-trip is exactly
 reproducible in SQL — the registry query's DuckDB oracle recomputes every
 code byte and every decoded sample bit-for-bit from the document text.
 
+Both directions operate at the 16-bit scale (clip 32635, bias 0x84,
+segment ends through 0x7FFF) — the same convention as CPython's audioop —
+so loud real-world mu-law audio (full code range, |sample| up to 32124)
+survives decode -> re-encode bit-exactly.
+
 MP3/H.264 remain disclosed NotImplementedError seams (binary_ops.py):
 they need psychoacoustic models / entropy machinery far beyond spec-level
 reimplementation; G.711 and baseline JPEG are the two codecs simple
@@ -29,22 +34,33 @@ import numpy as np
 MULAW_CONTENT_TYPE = "audio/basic"  # the traditional mu-law MIME type
 
 _BIAS = 0x84  # 132
-_CLIP = 8159  # max input magnitude per the spec (14-bit with bias headroom)
-# segment upper bounds for the BIASED magnitude (seg k covers <= 0xFF << k)
+_CLIP = 32635  # max input magnitude at the 16-bit scale (32767 - 132 + ...)
+# segment upper bounds for the BIASED magnitude (seg k covers <= 0xFF << k);
+# the encoder and decoder BOTH work at the 16-bit scale (the G.711 tables
+# left-shifted by 2, the form every PCM toolchain uses — bit-identical to
+# CPython's audioop lin2ulaw/ulaw2lin), so the pair is one consistent scale
+# and encode(decode(c)) == c for all codes except the -0 collapse 0x7F->0xFF.
 _SEG_END = [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF]
 
 
 def mulaw_encode(samples: np.ndarray) -> np.ndarray:
-    """Linear 14-bit signed samples -> 8-bit mu-law codes (uint8).
+    """Linear 16-bit signed samples -> 8-bit mu-law codes (uint8).
 
     sign | 3-bit segment (exponent) | 4-bit mantissa, all ones-complemented
-    per the spec so that silence (0) encodes as 0xFF.
+    per the spec so that silence (0) encodes as 0xFF.  Magnitudes clip at
+    32635 so the biased magnitude stays <= 0x7FFF (segment 7 reachable,
+    never exceeded).
     """
     x = samples.astype(np.int64)
+    # drop the 2 LSBs first (floor shift), the 16->14-bit pre-quantization
+    # every reference implementation applies — this is what makes the pair
+    # bit-identical to audioop's lin2ulaw; decode outputs are multiples of
+    # 4, so the round-trip invariant is unaffected
+    x = (x >> 2) << 2
     sign = np.where(x < 0, 0x80, 0x00)
     mag = np.minimum(np.abs(x), _CLIP) + _BIAS
     # segment = floor(log2(mag)) - 7 for mag >= 0x100, else 0 — computed
-    # via thresholds so it is integer-exact (mag is in [132, 8291])
+    # via thresholds so it is integer-exact (mag is in [132, 32767])
     seg = np.zeros(len(x), dtype=np.int64)
     for k, end in enumerate(_SEG_END):
         seg = np.where(mag > end, k + 1, seg)
@@ -53,10 +69,12 @@ def mulaw_encode(samples: np.ndarray) -> np.ndarray:
 
 
 def mulaw_decode(codes: np.ndarray) -> np.ndarray:
-    """8-bit mu-law codes -> linear samples (int16, 14-bit range), the
-    canonical CCITT reference form: t = (((c & 0xF) << 3) + 0x84) << seg,
-    result = +-(t - 0x84).  This decoder makes encode(decode(c)) == c
-    exactly (segment-edge reconstruction, the spec's published inverse)."""
+    """8-bit mu-law codes -> linear samples (int16, 16-bit scale, max
+    +-32124), the canonical reference form: t = (((c & 0xF) << 3) + 0x84)
+    << seg, result = +-(t - 0x84).  With the matching 16-bit encoder above,
+    encode(decode(c)) == c for all 256 codes except 0x7F (negative zero),
+    which re-encodes to 0xFF (positive zero) — the spec's documented
+    sign-of-zero collapse."""
     c = (~codes.astype(np.int64)) & 0xFF
     sign = c & 0x80
     seg = (c >> 4) & 0x07

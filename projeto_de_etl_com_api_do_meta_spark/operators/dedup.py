@@ -689,6 +689,39 @@ def connected_components_star(
     return labels, rounds
 
 
+def resolve_jaccard_cap(
+    posting: DataFrame,
+    n_docs: int,
+    cap_frac: float,
+    cap_min: int,
+) -> tuple[str, int]:
+    """Pick the production cap regime from ONE cheap aggregate over the
+    postings: when the estimated mean shingle document-frequency already
+    exceeds the absolute floor ``cap_min``, the vocabulary is SATURATED
+    (corpus growth no longer mints new shingles — the fixture-vocab regime
+    of SCALE_PROBE_r08) and the fractional cap ``ceil(cap_frac*N)`` grows
+    with N, letting candidate pair volume scale Θ((cap_frac·N)²·|vocab|).
+    The right production setting there is the absolute cap.  On realistic
+    Heaps-law corpora mean df stays ~1-2 « cap_min and the fraction cap is
+    kept (value-identical to ``cap_mode='fraction'``).
+
+    Returns ``(mode, cap)`` with mode in {'fraction', 'absolute'}.  The
+    decision is deterministic: HLL distinct counts are partition-order
+    independent, and the two regimes are far apart at the switch point.
+    """
+    import math
+
+    stats = posting.agg(
+        F.count(F.lit(1)).alias("postings"),
+        F.approx_count_distinct("shingle").alias("vocab"),
+    ).collect()[0]
+    mean_df = stats["postings"] / max(int(stats["vocab"]), 1)
+    frac_cap = max(cap_min, math.ceil(cap_frac * n_docs))
+    if mean_df > cap_min:
+        return "absolute", cap_min
+    return "fraction", frac_cap
+
+
 def jaccard_pairs_capped(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -697,20 +730,34 @@ def jaccard_pairs_capped(
     threshold: float = 0.5,
     cap_frac: float = 0.002,
     cap_min: int = 5,
+    cap_mode: str = "fraction",
 ) -> DataFrame:
     """Frequency-capped n-gram Jaccard similarity join — the SCALE-SAFE
     pair generator (hot-shingle mitigation as code, SCALE.md).
 
-    Shingles appearing in more than ``max(cap_min, ceil(cap_frac * N))``
-    documents (boilerplate, stop phrases) are dropped consistently from
-    EVERY document's set before pair generation, so per-shingle pair work
-    is bounded by cap² no matter how hot the phrase.  The cap is a
-    document-frequency FRACTION (an absolute cap empties every set once
-    corpus growth makes the average shingle hot — SCALE_PROBE_r03), with a
-    small-corpus floor.  Pair generation aggregates each cold shingle's
-    ≤cap posting list and expands i<j pairs locally — one shuffle of the
-    postings, never a posting self-join, and no broadcast of the
-    (possibly huge at 100 TB) hot set.
+    Shingles appearing in more than the cap documents (boilerplate, stop
+    phrases) are dropped consistently from EVERY document's set before
+    pair generation, so per-shingle pair work is bounded by cap² no matter
+    how hot the phrase.  ``cap_mode`` selects the cap regime:
+
+    - ``'fraction'`` (registry default, deterministic SQL-twin semantics):
+      ``cap = max(cap_min, ceil(cap_frac * N))`` — a document-frequency
+      FRACTION with a small-corpus floor.  Right for realistic Heaps-law
+      corpora where the vocabulary keeps growing with N.
+    - ``'absolute'``: ``cap = cap_min`` — per-shingle pair work is a
+      CONSTANT independent of N.  Right for saturated vocabularies where
+      the fraction cap's candidate volume scales Θ((cap_frac·N)²·|vocab|)
+      (SCALE_PROBE_r08's fixture-vocab regime).
+    - ``'auto'`` (the production default for unknown corpora): one cheap
+      aggregate estimates mean shingle df and switches fraction→absolute
+      when the typical shingle is already hotter than the absolute floor —
+      see :func:`resolve_jaccard_cap`.  Value-identical to ``'fraction'``
+      on unsaturated corpora.
+
+    Pair generation aggregates each cold shingle's ≤cap posting list and
+    expands i<j pairs locally — one shuffle of the postings, never a
+    posting self-join, and no broadcast of the (possibly huge at 100 TB)
+    hot set.
 
     Semantics are deterministic (similarity over the capped sets, sizes
     and intersections consistently capped), so results are value-exact
@@ -725,24 +772,43 @@ def jaccard_pairs_capped(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
     )
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    cap_row = df.agg(
-        F.greatest(
-            F.lit(cap_min).cast("long"),
-            F.ceil(F.lit(cap_frac) * F.count(F.lit(1))),
-        ).alias("cap")
+    dfc = posting.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")  # postings are distinct per doc
     )
+    if cap_mode == "auto":
+        _mode, cap_val = resolve_jaccard_cap(
+            posting, df.count(), cap_frac, cap_min
+        )
+        cap_row = None
+    elif cap_mode == "absolute":
+        cap_val = cap_min
+        cap_row = None
+    elif cap_mode == "fraction":
+        cap_val = None
+        cap_row = df.agg(
+            F.greatest(
+                F.lit(cap_min).cast("long"),
+                F.ceil(F.lit(cap_frac) * F.count(F.lit(1))),
+            ).alias("cap")
+        )
+    else:
+        raise ValueError(f"unknown cap_mode {cap_mode!r}")
     # Two passes so no unbounded per-shingle state ever materializes: pass 1
     # is a map-side-combinable df count; pass 2 keeps only cold shingles via
     # a shuffle equi-join (NOT a broadcast — at 100 TB either side of the
     # hot/cold split can exceed broadcast limits).
-    cold = (
-        posting.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))  # postings are distinct per doc
-        .crossJoin(F.broadcast(cap_row))
-        .where(F.col("df") <= F.col("cap"))
-        .select("shingle")
-    )
-    kept = posting.join(cold, "shingle").persist()
+    if cap_row is not None:
+        cold = (
+            dfc.crossJoin(F.broadcast(cap_row))
+            .where(F.col("df") <= F.col("cap"))
+            .select("shingle")
+        )
+    else:
+        cold = dfc.where(F.col("df") <= F.lit(cap_val)).select("shingle")
+    # localCheckpoint, not persist: the materialized blocks are released
+    # when the plan is GC'd, so back-to-back invocations in one long-lived
+    # session (bench / correctness loops) don't accumulate pinned cache.
+    kept = posting.join(cold, "shingle").localCheckpoint(eager=True)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # Cold posting lists are ≤ cap entries, so collect_list is bounded and
     # the i<j expansion is local per shingle — cap² pairs worst case.

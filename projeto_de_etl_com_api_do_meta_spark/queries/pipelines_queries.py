@@ -1559,13 +1559,13 @@ WITH b AS (  -- the i-th UTF-8 byte of each document's text
   FROM documents d,
        unnest(range(1, strlen(d.text) + 1)) AS u(i)
 ),
-s AS (  -- 14-bit linear sample, then the G.711 encode/decode integer math
+s AS (  -- linear sample (16-bit scale), then the G.711 encode/decode math
   SELECT doc_id, (byte - 128) * 64 AS x FROM b
 ),
 enc AS (
   SELECT doc_id, x,
          CASE WHEN x < 0 THEN 128 ELSE 0 END AS sign,
-         least(abs(x), 8159) + 132 AS m
+         least(abs(x), 32635) + 132 AS m
   FROM s
 ),
 seg AS (
@@ -1614,8 +1614,8 @@ ORDER BY d.doc_id
     oracle=_ORACLE_G711,
     tags=("multimodal", "north-star"),
     doc=(
-        "REAL compressed-audio round-trip: per document, 14-bit linear "
-        "samples (derived from the text's UTF-8 bytes) are G.711 mu-law "
+        "REAL compressed-audio round-trip: per document, linear samples "
+        "(16-bit scale, derived from the text's UTF-8 bytes) are G.711 mu-law "
         "companded and wrapped in a GENUINE format-7 RIFF/WAV by the "
         "pure-numpy codec (multimodal/g711.py, from the public ITU-T "
         "G.711 spec), then the container is chunk-walked back and decoded "

@@ -142,15 +142,30 @@ def test_g711_spec_vectors_and_properties():
 
     # silence encodes to 0xFF (all-ones complement), the spec's anchor
     assert mulaw_encode(np.array([0]))[0] == 0xFF
-    x = np.arange(-8192, 8192, dtype=np.int64)
+    # encode(decode(c)) == c for ALL 256 codes except the -0 collapse
+    # 0x7F -> 0xFF — the encoder and decoder are one consistent 16-bit
+    # scale, so every segment-7 code (loud samples up to +-32124) is
+    # reachable and survives decode -> re-encode bit-exactly
+    all_codes = np.arange(256, dtype=np.uint8)
+    redec = mulaw_encode(mulaw_decode(all_codes).astype(np.int64))
+    assert (
+        (redec == all_codes) | ((all_codes == 0x7F) & (redec == 0xFF))
+    ).all()
+    # extremes at the 16-bit scale: code 0 is the loudest negative
+    assert mulaw_decode(np.array([0], dtype=np.uint8))[0] == -32124
+    assert mulaw_encode(np.array([-32124]))[0] == 0
+    assert mulaw_encode(np.array([32767]))[0] == 0x80  # clips at 32635
+    x = np.arange(-32768, 32768, dtype=np.int64)
     c = mulaw_encode(x)
     d = mulaw_decode(c)
     c2 = mulaw_encode(d.astype(np.int64))
     # idempotence up to the signed-zero duality (0x7F and 0xFF both
     # decode to 0 — canonical mu-law)
     assert ((c2 == c) | ((c == 0x7F) & (c2 == 0xFF))).all()
-    # quantization error bounded by the largest segment step (2^10)
-    assert np.abs(x - d).max() <= 1024
+    # quantization error bounded by the largest segment step (2^12 at
+    # segment 7, 16-bit scale), plus the clip region above 32635
+    in_range = np.abs(x) <= 32635
+    assert np.abs(x[in_range] - d[in_range]).max() <= 4096
     # decode is monotone over positive-code magnitudes
     pos = mulaw_decode(np.array([(~i) & 0xFF for i in range(128)], dtype="uint8"))
     assert (np.diff(pos) >= 0).all()
@@ -159,6 +174,29 @@ def test_g711_spec_vectors_and_properties():
         np.array([(~(0x80 | i)) & 0xFF for i in range(128)], dtype="uint8")
     )
     assert (neg == -pos).all()
+
+
+def test_g711_matches_audioop_bit_for_bit():
+    """Cross-implementation anchor: the pair is bit-identical to CPython's
+    audioop (lin2ulaw over the full 16-bit domain, ulaw2lin over all 256
+    codes).  Gated: audioop was removed in Python 3.13."""
+    import numpy as np
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from projeto_de_etl_com_api_do_meta_spark.multimodal.g711 import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    x = np.arange(-32768, 32768, dtype=np.int64)
+    ref = np.frombuffer(
+        audioop.lin2ulaw(x.astype("<i2").tobytes(), 2), dtype=np.uint8
+    )
+    assert (mulaw_encode(x) == ref).all()
+    codes = np.arange(256, dtype=np.uint8)
+    refd = np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), dtype="<i2")
+    assert (mulaw_decode(codes) == refd).all()
 
 
 def test_g711_wav_container_roundtrip():

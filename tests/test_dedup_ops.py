@@ -265,3 +265,50 @@ def test_star_components_match_unionfind_and_converge_logarithmically(spark):
         assert got == uf(edges, nodes), name
         if name == "chain64":
             assert rounds <= 12, rounds  # diameter is 63
+
+
+def test_jaccard_cap_auto_switch_point(spark):
+    """The auto heuristic picks the absolute cap on a saturated vocabulary
+    (mean shingle df > cap_min) and the fraction cap on a diverse one —
+    and in the diverse regime auto is value-identical to fraction mode."""
+    from projeto_de_etl_com_api_do_meta_spark.operators.dedup import (
+        jaccard_pairs_capped,
+        resolve_jaccard_cap,
+        word_shingles,
+    )
+
+    # saturated: 40 docs all drawing 3-grams from the SAME tiny phrase pool
+    sat = _docs(
+        spark,
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)],
+    )
+    posting = sat.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    mode, cap = resolve_jaccard_cap(posting, 40, cap_frac=0.25, cap_min=5)
+    assert mode == "absolute" and cap == 5  # mean df = 40 > cap_min
+
+    # diverse: every doc has its own vocabulary (mean df == 1)
+    div = _docs(
+        spark,
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f") for i in range(40)],
+    )
+    posting_d = div.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    mode_d, cap_d = resolve_jaccard_cap(posting_d, 40, cap_frac=0.25, cap_min=5)
+    assert mode_d == "fraction" and cap_d == 10  # ceil(0.25*40)
+
+    # auto == fraction on the diverse corpus, row for row
+    a = jaccard_pairs_capped(div, threshold=0.0, cap_frac=0.25, cap_min=5,
+                             cap_mode="auto").collect()
+    f = jaccard_pairs_capped(div, threshold=0.0, cap_frac=0.25, cap_min=5,
+                             cap_mode="fraction").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, f))
+
+    # absolute mode on the saturated corpus: every shingle df=40 > 5, all
+    # dropped, no candidate pairs — constant work regardless of N
+    sat_pairs = jaccard_pairs_capped(
+        sat, threshold=0.0, cap_mode="absolute", cap_min=5
+    )
+    assert sat_pairs.count() == 0
