@@ -158,6 +158,64 @@ def attach_jpeg_image(df: DataFrame) -> DataFrame:
     return df.select("doc_id").repartition(par).mapInPandas(kernel, schema=schema)
 
 
+def png_pixels_for_doc(doc_id: int) -> tuple[int, int, int, np.ndarray]:
+    """Deterministic per-doc PNG test image.  PNG is lossless, so unlike
+    the JPEG rule no smoothness is needed — the wrap discontinuities of a
+    plain modulus exercise the filter heuristic harder — and dimensions
+    deliberately avoid the 8-multiple grain:
+
+        width    = 5 + doc_id % 28            -- 5..32
+        height   = 4 + doc_id % 13            -- 4..16
+        channels = 1 if doc_id % 3 == 0 else 3
+        px[r,c,ch] = (7r + 11c + 41ch + doc_id) % 256
+
+    All pure integer functions of doc_id, so an external engine recomputes
+    the EXACT pixel sum in plain SQL (the lossless contract)."""
+    doc_id = int(doc_id)
+    w = 5 + doc_id % 28
+    h = 4 + doc_id % 13
+    channels = 1 if doc_id % 3 == 0 else 3
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(channels)[None, None, :]
+    px = (7 * r + 11 * c + 41 * ch + doc_id) % 256
+    return w, h, channels, px.astype(np.uint8)
+
+
+def attach_png_image(df: DataFrame) -> DataFrame:
+    """Materialize a REAL PNG per document (pure stdlib-zlib codec,
+    png.py): deterministic dimensions + pixels from doc_id.  The binary
+    column holds genuine CRC-valid PNG files any image tool can open."""
+    from .png import PNG_CONTENT_TYPE, encode_png
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("image_bytes", T.BinaryType()),
+            T.StructField("content_type", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id in batch["doc_id"]:
+                w, h, channels, px = png_pixels_for_doc(doc_id)
+                out.append(
+                    (
+                        doc_id,
+                        encode_png(w, h, px.tobytes(), channels=channels),
+                        PNG_CONTENT_TYPE,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    # same CPU-bound-encode posture as attach_jpeg_image: narrow id-only
+    # repartition to cluster parallelism before the Python kernel
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select("doc_id").repartition(par).mapInPandas(kernel, schema=schema)
+
+
 def attach_wav_audio(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize a REAL RIFF/WAV PCM16 mono clip per document: samples
     derived from the utf-8 text bytes (centered, scaled to int16)."""

@@ -560,9 +560,15 @@ def _decode_scan(
 ) -> tuple[int, int, np.ndarray]:
     nc = len(comps)
     # MCU geometry per T.81 A.2.3: in an interleaved scan each component
-    # contributes h x v blocks per MCU; a single-component scan (nc == 1,
-    # our grayscale) degenerates to one block per MCU since its hv is 1x1.
+    # contributes h x v blocks per MCU.  A single-component scan is
+    # NON-interleaved (T.81 A.2.2): one data unit per MCU on the ceil(dim/8)
+    # grid REGARDLESS of the SOF-declared sampling factors — some encoders
+    # legally emit grayscale with a 2x2 SOF factor (e.g. chroma-stripped
+    # files), and honoring the declared factors there would mis-decode 4
+    # blocks per 16x16 MCU.  Force 1x1 for that case.
     hs = [((hv >> 4), (hv & 0x0F)) for _, _, hv in comps]
+    if nc == 1:
+        hs = [(1, 1)]
     hmax = max(h for h, _ in hs)
     vmax = max(v for _, v in hs)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)

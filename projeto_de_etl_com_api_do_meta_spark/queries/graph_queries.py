@@ -522,7 +522,9 @@ FROM {prev} GROUP BY u ORDER BY part_id
         f"runs to fixpoint, the oracle unrolls {_KCORE_ROUNDS} rounds "
         "(peeling is monotone, so extra rounds past convergence are "
         "no-ops — exact as long as the fixture converges within the "
-        "unroll, which the fixpoint loop verifies by construction)."
+        "unroll; the Spark loop COUNTS its peel rounds and raises if "
+        "they ever exceed the unroll depth, so a deeper fixture can "
+        "never silently diverge from the oracle)."
     ),
 )
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,6 +546,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_prev = e.count()
+    peel_rounds = 0  # rounds that actually dropped something
     for _ in range(64):  # safety bound far above any plausible peel depth
         keep = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).where(
             F.col("deg") >= _KCORE_K
@@ -557,7 +560,19 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = e.count()
         if n == n_prev:
             break
+        peel_rounds += 1
         n_prev = n
+    # The oracle is a FIXED unroll: it is exact only when the measured peel
+    # depth fits inside it (monotonicity makes the surplus rounds no-ops).
+    # A fixture with a deeper peel (long degree-2 chains at larger SF)
+    # would silently diverge, so fail loudly instead — the fix is raising
+    # _KCORE_ROUNDS, never trusting a stale unroll.
+    if peel_rounds > _KCORE_ROUNDS:
+        raise RuntimeError(
+            f"k-core peel converged in {peel_rounds} rounds but the DuckDB "
+            f"oracle unrolls only {_KCORE_ROUNDS}; raise _KCORE_ROUNDS to "
+            f">= {peel_rounds} so the cross-engine check stays exact"
+        )
     return (
         e.groupBy(F.col("u").alias("part_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))

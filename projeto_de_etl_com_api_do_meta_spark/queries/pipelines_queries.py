@@ -635,6 +635,116 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# -- PNG lossless round-trip (r9): CRC-checked DEFLATE image codec -----------------
+
+# PNG is LOSSLESS, so the oracle pins the decoded pixel SUM bit-for-bit
+# against a pure-SQL recomputation of the generation rule — a stronger
+# contract than the JPEG round-trip's quantization-noise bounds.  Dims,
+# channel count and pixels are integer functions of doc_id
+# (binary_ops.png_pixels_for_doc); the ok_* booleans certify the Spark
+# side REALLY decoded CRC-valid DEFLATE scanlines back to the exact input.
+_ORACLE_PNG = """
+WITH ids AS (
+  SELECT doc_id,
+         5 + doc_id % 28 AS w,
+         4 + doc_id % 13 AS h,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS nch
+  FROM documents WHERE doc_id % 7 = 2
+),
+m AS (
+  -- enumerate the max 16 x 32 x 3 grid once, filter to each image's extent
+  SELECT i.doc_id,
+         CAST(SUM((7 * r.x + 11 * c.x + 41 * ch.x + i.doc_id) % 256)
+              AS BIGINT) AS pixel_sum
+  FROM ids i, range(0, 16) r(x), range(0, 32) c(x), range(0, 3) ch(x)
+  WHERE r.x < i.h AND c.x < i.w AND ch.x < i.nch
+  GROUP BY i.doc_id
+)
+SELECT i.doc_id,
+       CAST(i.w AS INTEGER) AS width,
+       CAST(i.h AS INTEGER) AS height,
+       CAST(i.nch AS INTEGER) AS channels,
+       m.pixel_sum,
+       TRUE AS ok_format,
+       TRUE AS ok_lossless
+FROM ids i JOIN m USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_png_roundtrip",
+    oracle=_ORACLE_PNG,
+    tags=("multimodal", "north-star"),
+    doc=(
+        "REAL compressed-image LOSSLESS round-trip: genuine PNGs (pure "
+        "stdlib-zlib codec, multimodal/png.py — IHDR/IDAT/IEND chunk "
+        "walk, per-chunk CRC-32, DEFLATE scanlines, adaptive filter "
+        "types 0-4 incl. Paeth) are encoded into the binary column and "
+        "decoded back inside one Arrow-batched mapInPandas.  Greyscale "
+        "and RGB both exercised (channels keyed on doc_id).  Because PNG "
+        "is lossless, the DuckDB oracle recomputes the EXACT decoded "
+        "pixel sum from the generation rule — with ok_format certifying "
+        "the signature/CRC walk and ok_lossless certifying decoded == "
+        "original pixel-for-pixel.  Closes the compressed-image seam "
+        "beside the lossy JPEG codec (multimodal_jpeg_roundtrip)."
+    ),
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..multimodal.binary_ops import attach_png_image, png_pixels_for_doc
+    from ..multimodal.png import decode_png
+
+    pin_query_session_conf(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 7 == 2)
+    )
+    imgs = attach_png_image(docs)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("ok_format", T.BooleanType()),
+            T.StructField("ok_lossless", T.BooleanType()),
+        ]
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["image_bytes"]):
+                payload = bytes(payload)
+                ok_format = payload[:8] == b"\x89PNG\r\n\x1a\n"
+                w, h, dec = decode_png(payload)  # verifies every chunk CRC
+                _, _, channels, orig = png_pixels_for_doc(doc_id)
+                dec3 = dec.reshape(h, w, channels)
+                ok_lossless = bool(np.array_equal(dec3, orig))
+                out.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        channels,
+                        int(dec3.astype(np.int64).sum()),
+                        ok_format,
+                        ok_lossless,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return imgs.mapInPandas(kernel, schema=schema).orderBy("doc_id")
+
+
 def _raw_leads_oracle() -> str:
     """Differential oracle for the raw-leads pipeline: the deterministic
     per-form lead fixture rows (sources/meta_fixtures.gen_leads, exactly

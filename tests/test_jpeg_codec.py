@@ -269,3 +269,20 @@ def test_decoder_rejects_3x_sampling():
     p[sof + 11] = 0x31  # pretend 3x1 luma sampling
     with pytest.raises(ValueError, match="sampling factor"):
         decode_jpeg(bytes(p))
+
+
+def test_grayscale_sof_declared_2x2_decodes_as_noninterleaved():
+    """T.81 A.2.2: a single-component scan is non-interleaved — one data
+    unit per MCU on the ceil(dim/8) grid REGARDLESS of the SOF-declared
+    sampling factors.  Some encoders emit grayscale with a 2x2 SOF factor
+    (chroma-stripped color files); the entropy stream is identical, so
+    patching the hv byte must not change the decode."""
+    g = (np.arange(24 * 40).reshape(24, 40) % 241).astype(np.uint8)
+    p = bytearray(encode_jpeg(40, 24, g.tobytes(), channels=1, quality=90))
+    sof = bytes(p).index(b"\xff\xc0")
+    assert p[sof + 11] == 0x11  # encoder writes 1x1 for grayscale
+    w0, h0, ref = decode_jpeg(bytes(p))
+    p[sof + 11] = 0x22  # legal: declared 2x2, single-component scan
+    w1, h1, out = decode_jpeg(bytes(p))
+    assert (w0, h0) == (w1, h1) == (40, 24)
+    assert np.array_equal(ref, out)

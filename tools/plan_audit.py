@@ -65,6 +65,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ml_chi2_feature_selection", "CARTESIAN"): "1-row doc-totals scalar broadcast onto the vocabulary table",
     ("corpus_jsd_sources", "CARTESIAN"): "per-source totals (|sources| rows) cross joined onto the vocabulary — linear in vocab x sources, never document-scale",
     ("ml_pr_auc_exact", "CARTESIAN"): "1-row positives/negatives totals broadcast",
+    ("ml_permutation_test_md5", "CARTESIAN"): "200 fixed replicate rows x 1-row observed-stats broadcast (scalar attach; bounded by the replicate constant, never data-scale)",
     ("ml_pr_auc_exact", "GLOBAL_WINDOW"): "cumulative tp/k over the DISTINCT-SCORE table (bounded by e6 quantization — the ml_auc_roc_exact contract)",
     ("warehouse_semi_additive_balance", "CARTESIAN"): "distinct-week spine broadcast (calendar-bounded) inequality join onto first-activity accounts; fanout <= |periods|",
     # ---- late-r7 registrations that post-dated the r7 audit run ----
