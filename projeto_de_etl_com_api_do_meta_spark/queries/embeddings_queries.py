@@ -659,6 +659,45 @@ def embed_ann_srp_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_MD5_K = 8       # inverted lists
 _IVF_MD5_NPROBE = 2  # lists probed per query
 
+# Shared oracle prefix: deterministic 2^20-fixed-point IVF build (seed
+# centroids = vectors 0..7, argmax integer-dot assignment with list-id
+# tie-break, exact integer floor-mean Lloyd update, re-scored dots d2).
+# Used by embed_ann_ivf_md5 (single-assign + probe) and
+# dedup_embedding_ivf_md5 (multi-assign pair generation).
+_IVF_MD5_PREFIX_SQL = f"""
+x AS (
+  SELECT vec_id, i - 1 AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_FP20}) AS BIGINT) AS xfp
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+c0 AS (
+  SELECT vec_id AS list_id, i, xfp AS cf FROM x WHERE vec_id < {_IVF_MD5_K}
+),
+d1 AS (
+  SELECT x.vec_id, c.list_id, SUM(x.xfp * c.cf) AS dp
+  FROM x JOIN c0 c ON x.i = c.i
+  GROUP BY x.vec_id, c.list_id
+),
+a1x AS (
+  SELECT vec_id, list_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dp DESC, list_id) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1x.list_id, x.i,
+         CAST((SUM(x.xfp) - ((SUM(x.xfp) % COUNT(*) + COUNT(*)) % COUNT(*)))
+              / COUNT(*) AS BIGINT) AS cf
+  FROM x JOIN a1x ON x.vec_id = a1x.vec_id
+  GROUP BY a1x.list_id, x.i
+),
+d2 AS (
+  SELECT x.vec_id, c.list_id, SUM(x.xfp * c.cf) AS dp
+  FROM x JOIN c1 c ON x.i = c.i
+  GROUP BY x.vec_id, c.list_id
+)
+"""
+
 _ORACLE_ANN_IVF_MD5 = f"""
 WITH x AS (
   SELECT vec_id, i - 1 AS i,
@@ -724,29 +763,15 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
-@register(
-    "embed_ann_ivf_md5",
-    oracle=_ORACLE_ANN_IVF_MD5,
-    tags=("embedding", "similarity", "ann", "north-star"),
-    doc=(
-        "IVF ANN with a VALUE-EXACT oracle: one deterministic Lloyd round "
-        "in 2^20 fixed point (seed centroids = vectors 0..7, argmax integer "
-        "dot assignment with list-id tie-break, exact integer floor-mean "
-        "update) builds 8 inverted lists; queries probe their top-2 lists "
-        "and exact cosine re-ranks candidates to top-5. Every stage — "
-        "assignment, centroid update, probe selection — is integer "
-        "arithmetic, so the full IVF structure (not just a row count) is "
-        "verified cross-engine. The oracle twin of embed_ann_ivf, whose "
-        "murmur3-seeded spherical k-means stays rows-only."
-    ),
-)
-def embed_ann_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_md5_scores(emb: DataFrame) -> DataFrame:
+    """Deterministic fixed-point IVF assignment scores (vec_id, list_id,
+    dp): seed centroids = vectors 0..7 in 2^20 fixed point, argmax
+    integer-dot assignment with list-id tie-break, one exact integer
+    floor-mean Lloyd round, then the re-scored dots.  The Spark mirror of
+    ``_IVF_MD5_PREFIX_SQL``; shared by embed_ann_ivf_md5 and
+    dedup_embedding_ivf_md5."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import dot, unit_vectors
-
-    pin_query_session_conf(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
     xfp = F.transform(
         F.col("embedding"),
         lambda v: F.floor(v.cast("double") * F.lit(_FP20)).cast("long"),
@@ -801,7 +826,36 @@ def embed_ann_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cf")
         )
     )
-    d2 = assign(x, c1)
+    return assign(x, c1)
+
+
+@register(
+    "embed_ann_ivf_md5",
+    oracle=_ORACLE_ANN_IVF_MD5,
+    tags=("embedding", "similarity", "ann", "north-star"),
+    doc=(
+        "IVF ANN with a VALUE-EXACT oracle: one deterministic Lloyd round "
+        "in 2^20 fixed point (seed centroids = vectors 0..7, argmax integer "
+        "dot assignment with list-id tie-break, exact integer floor-mean "
+        "update) builds 8 inverted lists; queries probe their top-2 lists "
+        "and exact cosine re-ranks candidates to top-5. Every stage — "
+        "assignment, centroid update, probe selection — is integer "
+        "arithmetic, so the full IVF structure (not just a row count) is "
+        "verified cross-engine. The oracle twin of embed_ann_ivf, whose "
+        "murmur3-seeded spherical k-means stays rows-only."
+    ),
+)
+def embed_ann_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, unit_vectors
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    rn1 = Window.partitionBy("vec_id").orderBy(
+        F.col("dp").desc(), F.col("list_id")
+    )
+    d2 = _ivf_md5_scores(emb)
     a2 = (
         d2.withColumn("rn", F.row_number().over(rn1))
         .where(F.col("rn") == 1)
@@ -842,6 +896,100 @@ def embed_ann_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+_IVF_DEDUP_NASSIGN = 3      # lists each vector joins (multi-assignment)
+_IVF_DEDUP_THRESHOLD = 0.4  # cosine near-dup cut (on the rounded value)
+
+_ORACLE_DEDUP_IVF_MD5 = f"""
+WITH {_IVF_MD5_PREFIX_SQL},
+a2 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dp DESC, list_id) AS rn
+    FROM d2) WHERE rn <= {_IVF_DEDUP_NASSIGN}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM a2 a JOIN a2 b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+  FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
+              JOIN e eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cos_sim
+FROM scored WHERE cos_sim >= {_IVF_DEDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "dedup_embedding_ivf_md5",
+    oracle=_ORACLE_DEDUP_IVF_MD5,
+    tags=("similarity", "dedup", "north-star"),
+    doc=(
+        "Semantic near-dup via IVF lists with a VALUE-EXACT oracle (r8 "
+        "verdict item 4): the deterministic fixed-point IVF build shared "
+        "with embed_ann_ivf_md5 (_ivf_md5_scores — seed centroids 0..7, "
+        "integer argmax assignment, exact floor-mean Lloyd round), but "
+        "with MULTI-assignment (each vector joins its top-3 lists, the "
+        "recall knob), then candidate pairs are vectors sharing a list "
+        "(a<b, pair-distinct across lists) scored by exact cosine and "
+        "cut at 0.4 on the rounded value.  Verifies the entire IVF pair "
+        "generator cross-engine — the oracle twin of dedup_embedding_ivf, "
+        "whose murmur3-seeded spherical k-means stays rows-only.  Scale "
+        "path: pair work is ~nassign²/nlist of N² per the IVF contract; "
+        "production sizes nlist to thousands."
+    ),
+)
+def dedup_embedding_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, unit_vectors
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    rn1 = Window.partitionBy("vec_id").orderBy(
+        F.col("dp").desc(), F.col("list_id")
+    )
+    a2 = (
+        _ivf_md5_scores(emb)
+        .withColumn("rn", F.row_number().over(rn1))
+        .where(F.col("rn") <= _IVF_DEDUP_NASSIGN)
+        .select("vec_id", "list_id")
+    )
+    cand = (
+        a2.alias("a")
+        .join(
+            a2.alias("b"),
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    uv = unit_vectors(emb, "vec_id", "embedding", "vec_id", "uv")
+    ea = uv.select(F.col("vec_id").alias("vec_a"), F.col("uv").alias("va"))
+    eb = uv.select(F.col("vec_id").alias("vec_b"), F.col("uv").alias("vb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= _IVF_DEDUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -1660,6 +1808,141 @@ def embed_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_whiten(emb, n_components=8)
+
+
+_PCA_FP_D = 8      # leading dims (matches pca_whiten's n_components=8)
+_PCA_FP_QS = 256.0  # 2^8 quantization (exact exponent shift)
+_PCA_FP_VS = 65536  # rescale target between power rounds
+
+# portable FLOOR division for signed BIGINTs: (x - pmod(x, s)) / s is exact
+# in both engines (Spark `div` truncates toward zero, DuckDB `//` differs on
+# negatives — the pmod construction sidesteps both).
+def _floordiv_sql(x: str, s: str) -> str:
+    return f"CAST(({x} - ((({x}) % ({s}) + ({s})) % ({s}))) / ({s}) AS BIGINT)"
+
+
+_ORACLE_PCA_FP = f"""
+WITH pts AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+         CAST(floor((CAST(embedding[i] AS DOUBLE) + 1.0) * {_PCA_FP_QS})
+              AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, {_PCA_FP_D} + 1)) AS t(i)
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+mu AS (SELECT pos, SUM(qv) AS s FROM pts GROUP BY pos),
+c AS (  -- centered, floor((N*qv - S)/N): bounded +-512 at ANY corpus size
+  SELECT p.vec_id, p.pos,
+         {_floordiv_sql("n.n * p.qv - m.s", "n.n")} AS cv
+  FROM pts p JOIN mu m ON m.pos = p.pos CROSS JOIN n
+),
+a AS (
+  SELECT c1.pos AS i, c2.pos AS j, SUM(c1.cv * c2.cv) AS aij
+  FROM c c1 JOIN c c2 ON c1.vec_id = c2.vec_id
+  GROUP BY c1.pos, c2.pos
+),
+u1 AS (SELECT i, SUM(aij) AS u FROM a GROUP BY i),
+s1 AS (SELECT MAX(abs(u)) // {_PCA_FP_VS} + 1 AS s
+       FROM u1),
+v1 AS (SELECT i, {_floordiv_sql("u", "s")} AS v FROM u1, s1),
+u2 AS (
+  SELECT a.i, SUM(a.aij * v1.v) AS u
+  FROM a JOIN v1 ON a.j = v1.i
+  GROUP BY a.i
+),
+s2 AS (SELECT MAX(abs(u)) // {_PCA_FP_VS} + 1 AS s
+       FROM u2),
+v2 AS (SELECT i, {_floordiv_sql("u", "s")} AS v FROM u2, s2)
+SELECT c.vec_id, CAST(SUM(c.cv * v2.v) AS BIGINT) AS proj
+FROM c JOIN v2 ON v2.i = c.pos
+GROUP BY c.vec_id
+ORDER BY c.vec_id
+"""
+
+
+@register(
+    "embed_pca_whitening_fp",
+    oracle=_ORACLE_PCA_FP,
+    tags=("embedding", "ml", "north-star"),
+    doc=(
+        "Fixed-point cross-engine twin of embed_pca_whitening (r8 verdict "
+        "item 4): the distributed PCA pipeline — exact integer CENTERING "
+        "(floor((N*qv - S)/N), bounded +-512 at any corpus size), "
+        "dimension-bounded integer Gram over the leading 8 dims (one "
+        "map-side-combinable aggregate, 64 cells), two power-iteration "
+        "rounds with max-rescaling, then the per-vector projection GEMM "
+        "onto the dominant centered direction — verified value-exact in "
+        "BIGINT (worst-case bound 8*N*2^18*2^16 < 2^63 up to N~2^26 "
+        "vectors).  Signed floor-divs use the pmod construction so Spark "
+        "div and DuckDB // agree on negatives.  Only the final dim x dim "
+        "driver-side eigh + sqrt of the real operator (similarity."
+        "pca_whiten) is outside SQL's reach; it stays pinned by "
+        "tests/test_similarity_ops.py identity-covariance properties."
+    ),
+)
+def embed_pca_whitening_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .where(F.col("pos") < _PCA_FP_D)
+        .select(
+            "vec_id",
+            "pos",
+            F.floor((F.col("val").cast("double") + F.lit(1.0)) * F.lit(_PCA_FP_QS))
+            .cast("long")
+            .alias("qv"),
+        )
+    )
+    n_row = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mu = pts.groupBy("pos").agg(F.sum("qv").alias("s"))
+
+    def floordiv(x, s):
+        return ((x - F.pmod(x, s)) / s).cast("long")
+
+    c = (
+        pts.join(F.broadcast(mu), "pos")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "vec_id",
+            "pos",
+            floordiv(F.col("n") * F.col("qv") - F.col("s"), F.col("n")).alias(
+                "cv"
+            ),
+        )
+    )
+    c2 = c.select(
+        "vec_id", F.col("pos").alias("j"), F.col("cv").alias("cj")
+    )
+    a = (
+        c.join(c2, "vec_id")
+        .groupBy(F.col("pos").alias("i"), "j")
+        .agg(F.sum(F.col("cv") * F.col("cj")).alias("aij"))
+        .localCheckpoint(eager=True)  # reused by both power rounds
+    )
+    u1 = a.groupBy("i").agg(F.sum("aij").alias("u"))
+    s1 = u1.agg(
+        (F.expr(f"max(abs(u)) div {_PCA_FP_VS}") + 1).alias("s")
+    )
+    v1 = u1.crossJoin(F.broadcast(s1)).select(
+        "i", floordiv(F.col("u"), F.col("s")).alias("v")
+    )
+    u2 = (
+        a.join(F.broadcast(v1.withColumnRenamed("i", "j")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("aij") * F.col("v")).alias("u"))
+    )
+    s2 = u2.agg(
+        (F.expr(f"max(abs(u)) div {_PCA_FP_VS}") + 1).alias("s")
+    )
+    v2 = u2.crossJoin(F.broadcast(s2)).select(
+        F.col("i").alias("pos"), floordiv(F.col("u"), F.col("s")).alias("v")
+    )
+    return (
+        c.join(F.broadcast(v2), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("cv") * F.col("v")).cast("long").alias("proj"))
+        .orderBy("vec_id")
+    )
 
 
 _ORACLE_CLIP_PAIR = """

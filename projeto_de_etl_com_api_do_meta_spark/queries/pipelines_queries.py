@@ -478,17 +478,60 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(attach_ppm_image(docs))
 
 
+# samples are (text byte - 128) * 256 int16 at 16 kHz (attach_wav_audio),
+# so every feature is integer arithmetic over the text bytes: RMS is
+# sqrt(65536^... ) — the sum of squares stays < 2^53 (each square <= 2^30,
+# docs are far under 2^23 bytes), so the double division and the correctly-
+# rounded IEEE sqrt agree bit-for-bit across engines; zero crossings count
+# adjacent bytes straddling 128 (signbit convention: 0 counts as positive).
+_ORACLE_AUDIO_FEATURES = """
+WITH b AS (
+  SELECT d.doc_id,
+         CAST(u.i AS BIGINT) - 1 AS idx,
+         ('0x' || substr(hex(d.text), 2 * CAST(u.i AS INT) - 1, 2))::INT
+           AS byte
+  FROM documents d,
+       unnest(range(1, strlen(d.text) + 1)) AS u(i)
+),
+s AS (
+  SELECT doc_id, idx, (byte - 128) * 256 AS x,
+         LEAD(byte) OVER (PARTITION BY doc_id ORDER BY idx) AS nxt,
+         byte
+  FROM b
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INTEGER) AS n_bytes,
+         SUM(CAST(x AS BIGINT) * x) AS sum_sq,
+         CAST(COUNT(*) FILTER (
+           WHERE nxt IS NOT NULL AND (byte < 128) <> (nxt < 128)
+         ) AS BIGINT) AS zero_crossings
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bytes, 0) AS n_bytes,
+       16000 AS sample_rate,
+       CAST(COALESCE(a.n_bytes, 0) * 1000 // 16000 AS BIGINT) AS duration_ms,
+       COALESCE(sqrt(CAST(a.sum_sq AS DOUBLE) / a.n_bytes), 0.0) AS rms,
+       COALESCE(a.zero_crossings, 0) AS zero_crossings
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 @register(
     "multimodal_audio_features",
-    oracle=None,
+    oracle=_ORACLE_AUDIO_FEATURES,
     tags=("multimodal", "north-star"),
     doc=(
         "Audio binary-column pipeline with a REAL codec: genuine RIFF/WAV "
         "PCM16 clips in the binary column, chunk-walking WAV parser in the "
         "extractor (codecs.py) -> duration/RMS/zero-crossing features via "
-        "Arrow-batched mapInPandas. No SQL oracle: the WAV payload is "
-        "built/parsed by the Python codec DuckDB cannot run; semantics "
-        "pinned by codec unit tests + rows-only check."
+        "Arrow-batched mapInPandas. Oracle-backed since r9: samples are a "
+        "pure integer function of the text bytes, so DuckDB recomputes "
+        "every feature — including the RMS double, bit-for-bit (exact "
+        "integer sum of squares < 2^53, correctly-rounded IEEE sqrt) — "
+        "certifying the WAV encode->chunk-walk->decode round-trip."
     ),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,7 +539,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return extract_audio_features(attach_wav_audio(docs))
+    return extract_audio_features(attach_wav_audio(docs)).orderBy("doc_id")
 
 
 @register(

@@ -422,6 +422,7 @@ def _load_all() -> None:
         graph_queries,
         joins,
         ml_queries,
+        multimodal_exact,
         pandas_interop,
         pipelines_queries,
         pretrain_extra,
