@@ -815,6 +815,114 @@ def agg_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seg")
 
 
+_GINI_BIN_CENTS = 1000  # 10-currency-unit bins over the ~1.1e6-cent domain
+
+# binned Gini: within a bin every value takes the bin's MEAN rank
+# (c_b + (n_b+1)/2), so 2*six ~= sum_b (2*c_b + n_b + 1) * S_b — all
+# integer arithmetic, exact given the binning contract.
+_ORACLE_GINI_APPROX = f"""
+WITH cents AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(CAST(c_acctbal AS DECIMAL(18,4)) * 100, 0) AS BIGINT)
+           - (SELECT CAST(round(CAST(MIN(c_acctbal) AS DECIMAL(18,4)) * 100,
+                           0) AS BIGINT) FROM customer) AS x
+  FROM customer
+),
+binned AS (
+  SELECT seg, x // {_GINI_BIN_CENTS} AS b,
+         CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(x) AS BIGINT) AS sb
+  FROM cents GROUP BY seg, x // {_GINI_BIN_CENTS}
+),
+cum AS (
+  SELECT seg, b, nb, sb,
+         COALESCE(SUM(nb) OVER (PARTITION BY seg ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM binned
+),
+s AS (
+  SELECT seg, SUM(nb) AS n, CAST(COUNT(*) AS BIGINT) AS n_bins,
+         CAST(SUM(sb) AS HUGEINT) AS sx,
+         CAST(SUM((2 * cb + nb + 1) * CAST(sb AS HUGEINT)) AS HUGEINT)
+           AS two_six
+  FROM cum GROUP BY seg
+)
+SELECT seg, CAST(n AS BIGINT) AS n, n_bins,
+       round(CAST(two_six AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+         AS gini_approx
+FROM s ORDER BY seg
+"""
+
+
+@register(
+    "agg_gini_inequality_approx",
+    oracle=_ORACLE_GINI_APPROX,
+    tags=("agg", "stats", "approx", "scale-path"),
+    doc=(
+        "Scale-path Gini (r8 verdict item 5): min-shifted balances bin "
+        "into fixed-width cent buckets (map-side-combinable hash "
+        "aggregate, domain-bounded ~1100 bins per segment regardless of "
+        "N), then the mean-rank binned formula 2*six = sum_b (2*cum_b + "
+        "n_b + 1)*S_b over the TINY per-segment bin table — the rank "
+        "window runs over bins, never rows, so no single-partition "
+        "total order anywhere in the plan.  All integer products "
+        "(decimal-exact), one float expression per segment; deviation "
+        "from the exact form is bounded by within-bin dispersion.  The "
+        "exact rank form (agg_gini_inequality) stays as the calibration "
+        "baseline."
+    ),
+)
+def agg_gini_inequality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pin_query_session_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    shift = cust.agg(
+        F.round(F.min(dec("c_acctbal")) * 100, 0).cast("bigint").alias("m")
+    )
+    cents = cust.crossJoin(F.broadcast(shift)).select(
+        F.col("c_mktsegment").alias("seg"),
+        (
+            F.round(dec("c_acctbal") * 100, 0).cast("bigint") - F.col("m")
+        ).alias("x"),
+    )
+    binned = cents.groupBy(
+        "seg", (F.col("x") - F.pmod("x", F.lit(_GINI_BIN_CENTS))).alias("bin0")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("x").cast("bigint").alias("sb"),
+    )
+    w = (
+        Window.partitionBy("seg")
+        .orderBy("bin0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = binned.withColumn("cb", F.coalesce(F.sum("nb").over(w), F.lit(0)))
+    s = cum.groupBy("seg").agg(
+        F.sum("nb").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.col("sb").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (F.lit(2) * F.col("cb") + F.col("nb") + F.lit(1)).cast(
+                "decimal(38,0)"
+            )
+            * F.col("sb")
+        ).alias("two_six"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "seg",
+        F.col("n").cast("bigint").alias("n"),
+        "n_bins",
+        F.round(
+            F.col("two_six").cast("double") / (n * F.col("sx").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini_approx"),
+    ).orderBy("seg")
+
+
 _ORACLE_REGR_BATTERY = """
 SELECT l_returnflag,
        CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,

@@ -1913,6 +1913,138 @@ def ml_gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAINS_ACC = 10_000_000  # GK accuracy: exact at test SFs, mergeable at scale
+
+_ORACLE_GAINS_APPROX = """
+WITH scored AS (
+  SELECT label % 2 AS y,
+         CAST(round((0.7 * (label % 2)
+               + 0.3 * (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 1000) / 999.0) * 1000000, 0) AS BIGINT)
+           AS s_e6
+  FROM embeddings
+),
+th AS (
+  SELECT quantile_disc(s_e6,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+  FROM scored
+),
+b AS (
+  SELECT y,
+         10 - ((s_e6 > t[1])::INT + (s_e6 > t[2])::INT + (s_e6 > t[3])::INT
+             + (s_e6 > t[4])::INT + (s_e6 > t[5])::INT + (s_e6 > t[6])::INT
+             + (s_e6 > t[7])::INT + (s_e6 > t[8])::INT + (s_e6 > t[9])::INT)
+           AS decile
+  FROM scored, th
+),
+d AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM b GROUP BY decile
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt
+      FROM d),
+c AS (
+  SELECT decile, n, pos,
+         SUM(pos) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+         SUM(n) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM d
+)
+SELECT c.decile, c.n, c.pos,
+       CAST(floor(1000000.0 * c.cum_pos / t.pt) AS BIGINT) AS gain_ppm,
+       CAST(floor(1000000.0 * c.cum_pos * t.nt
+                  / (CAST(c.cum_n AS DOUBLE) * t.pt)) AS BIGINT)
+         AS lift_ppm
+FROM c, t ORDER BY c.decile
+"""
+
+
+@register(
+    "ml_gains_lift_table_approx",
+    oracle=_ORACLE_GAINS_APPROX,
+    tags=("ml", "eval", "approx", "scale-path"),
+    doc=(
+        "Scale-path gains/lift (r8 verdict item 5): decile boundaries "
+        "from ONE percentile_approx threshold vector (GK sketch, "
+        "mergeable map-side; exact at test SFs at accuracy 1e7, matched "
+        "by DuckDB quantile_disc — the events_rfm_segments_approx "
+        "contract), broadcast back for a value-based decile assignment "
+        "(decile 1 = scores above the 90th percentile), then the "
+        "cumulative window runs over the 10-row decile table only.  No "
+        "global NTILE sort anywhere — this is the plan that survives "
+        "100 TB; the exact rank form (ml_gains_lift_table) stays as the "
+        "calibration baseline.  Bucket populations deviate from exact "
+        "tenths only by tie mass at the thresholds."
+    ),
+)
+def ml_gains_lift_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    ) / F.lit(999.0)
+    scored = emb.select(
+        (F.col("label") % 2).alias("y"),
+        F.round(
+            (F.lit(0.7) * (F.col("label") % 2) + F.lit(0.3) * noise) * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("s_e6"),
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    th = scored.agg(F.percentile_approx("s_e6", qs, _GAINS_ACC).alias("t"))
+    above = F.lit(0)
+    for i in range(9):
+        above = above + (F.col("s_e6") > F.col("t")[i]).cast("int")
+    d = (
+        scored.crossJoin(F.broadcast(th))
+        .select("y", (F.lit(10) - above).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    t = d.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("pos").cast("bigint").alias("pt"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("n").over(w).alias("cum_n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n",
+            "pos",
+            F.floor(F.lit(1000000.0) * F.col("cum_pos") / F.col("pt"))
+            .cast("bigint")
+            .alias("gain_ppm"),
+            F.floor(
+                F.lit(1000000.0) * F.col("cum_pos") * F.col("nt")
+                / (F.col("cum_n").cast("double") * F.col("pt"))
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
 # -- isotonic calibration (PAVA) ------------------------------------------------
 
 _ORACLE_ISOTONIC = """

@@ -148,6 +148,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("embed_power_iteration", "CARTESIAN"): "scalar rescale-factor broadcast (1 row)",
     ("agg_histogram_equiwidth", "CARTESIAN"): "scalar min/max bounds broadcast",
     ("agg_histogram_equidepth_approx", "CARTESIAN"): "decile threshold array broadcast (1 row)",
+    ("ml_gains_lift_table_approx", "CARTESIAN"): "decile-threshold vector + population-totals scalar broadcasts (1 row each)",
+    ("ml_gains_lift_table_approx", "GLOBAL_WINDOW"): "cumulative gains over the 10-row decile table (value-bucketed; no row-scale sort)",
+    ("agg_gini_inequality_approx", "CARTESIAN"): "min-balance shift scalar broadcast (1 row)",
+    ("dedup_embedding_ivf_md5", "CARTESIAN"): "broadcast centroid assignment (k=8 rows; shared _ivf_md5_scores build)",
+    ("embed_pca_whitening_fp", "CARTESIAN"): "N-count / rescale-divisor scalar broadcasts (1 row each) onto dim-bounded tables",
     ("events_rfm_segments_approx", "CARTESIAN"): "quartile threshold row broadcast",
     ("text_quality_filter_quantile", "CARTESIAN"): "scalar percentile threshold broadcast",
     ("text_decontaminate_ngram", "CARTESIAN"): "broadcast eval-split gram set",
