@@ -527,6 +527,48 @@ FROM {prev} GROUP BY u ORDER BY part_id
         "never silently diverge from the oracle)."
     ),
 )
+def kcore_peel_edges(
+    e: DataFrame, k: int = _KCORE_K, oracle_unroll: int | None = _KCORE_ROUNDS
+) -> tuple[DataFrame, int]:
+    """Iteratively peel the DIRECTED-DOUBLED edge set ``e(u, v)`` (each
+    undirected edge present both ways) to its k-core fixpoint.  Each round
+    is one degree aggregate + two semi-joins with a localCheckpoint
+    lineage cut.  Returns (surviving edges, peel_rounds).
+
+    ``oracle_unroll`` guards the cross-engine contract: the DuckDB oracle
+    is a FIXED unroll, exact only when the measured peel depth fits inside
+    it (monotonicity makes surplus rounds no-ops).  A fixture with a
+    deeper peel (long degree-2 chains at larger SF) would silently
+    diverge, so fail loudly instead — the fix is raising the unroll
+    depth, never trusting a stale one.  Pass None to disable (pure-Spark
+    use with no SQL twin)."""
+    e = e.localCheckpoint(eager=True)
+    n_prev = e.count()
+    peel_rounds = 0  # rounds that actually dropped something
+    for _ in range(64):  # safety bound far above any plausible peel depth
+        keep = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).where(
+            F.col("deg") >= k
+        ).select("u")
+        e = (
+            e.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n = e.count()
+        if n == n_prev:
+            break
+        peel_rounds += 1
+        n_prev = n
+    if oracle_unroll is not None and peel_rounds > oracle_unroll:
+        raise RuntimeError(
+            f"k-core peel converged in {peel_rounds} rounds but the DuckDB "
+            f"oracle unrolls only {oracle_unroll}; raise _KCORE_ROUNDS to "
+            f">= {peel_rounds} so the cross-engine check stays exact"
+        )
+    return e, peel_rounds
+
+
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
@@ -541,40 +583,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
         .select("u", "v")
     )
-    e = (
-        pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=True)
+    e = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    n_prev = e.count()
-    peel_rounds = 0  # rounds that actually dropped something
-    for _ in range(64):  # safety bound far above any plausible peel depth
-        keep = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).where(
-            F.col("deg") >= _KCORE_K
-        ).select("u")
-        e = (
-            e.join(keep, "u")
-            .join(keep.withColumnRenamed("u", "v"), "v")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        n = e.count()
-        if n == n_prev:
-            break
-        peel_rounds += 1
-        n_prev = n
-    # The oracle is a FIXED unroll: it is exact only when the measured peel
-    # depth fits inside it (monotonicity makes the surplus rounds no-ops).
-    # A fixture with a deeper peel (long degree-2 chains at larger SF)
-    # would silently diverge, so fail loudly instead — the fix is raising
-    # _KCORE_ROUNDS, never trusting a stale unroll.
-    if peel_rounds > _KCORE_ROUNDS:
-        raise RuntimeError(
-            f"k-core peel converged in {peel_rounds} rounds but the DuckDB "
-            f"oracle unrolls only {_KCORE_ROUNDS}; raise _KCORE_ROUNDS to "
-            f">= {peel_rounds} so the cross-engine check stays exact"
-        )
+    core, _rounds = kcore_peel_edges(e)
     return (
-        e.groupBy(F.col("u").alias("part_id"))
+        core.groupBy(F.col("u").alias("part_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         .orderBy("part_id")
     )

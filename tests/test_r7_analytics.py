@@ -289,3 +289,37 @@ def test_markov_attribution_properties(spark):
             continue
         assert 0.0 <= r["removal_effect"] <= 1.0
         assert r["p_conv"] <= base + 1e-9
+
+
+def test_kcore_peel_guard_and_depth(spark):
+    """kcore_peel_edges: correct 2-core on a known graph; deep degree-2
+    chains peel one layer per round, and the oracle-unroll guard raises
+    loudly when the measured depth exceeds the unroll (the r8 advice:
+    nothing previously checked convergence fit inside the fixed unroll)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.graph_queries import (
+        kcore_peel_edges,
+    )
+
+    def doubled(edges):
+        df = spark.createDataFrame(edges, "u long, v long")
+        return df.unionByName(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    # triangle + pendant chain: 2-core is exactly the triangle
+    tri = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    core, rounds = kcore_peel_edges(doubled(tri), k=2, oracle_unroll=8)
+    nodes = {r["u"] for r in core.select("u").distinct().collect()}
+    assert nodes == {1, 2, 3}
+    assert 1 <= rounds <= 2
+
+    # a 12-node path peels from both ends: depth ~ len/2 > 4 -> the
+    # 4-round unroll is insufficient and the guard must raise
+    path = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError, match="raise _KCORE_ROUNDS"):
+        kcore_peel_edges(doubled(path), k=2, oracle_unroll=4)
+
+    # same graph under the real unroll depth: empty 2-core, no raise
+    core2, rounds2 = kcore_peel_edges(doubled(path), k=2, oracle_unroll=8)
+    assert core2.count() == 0 and rounds2 <= 8
