@@ -508,25 +508,6 @@ FROM {prev} GROUP BY u ORDER BY part_id
 """
 
 
-@register(
-    "graph_kcore_peel",
-    oracle=_kcore_oracle(),
-    tags=("graph", "analytics"),
-    doc=(
-        f"{_KCORE_K}-core decomposition of the part co-purchase graph "
-        "(same support>=2 edge set as graph_triangle_count) via iterative "
-        "peeling: drop degree<k nodes and their edges until fixpoint — "
-        "the standard dense-subgraph extraction before community/cohesion "
-        "analysis. Each round is one degree aggregate + two semi-joins "
-        "(single shuffle each) with localCheckpoint lineage cuts; Spark "
-        f"runs to fixpoint, the oracle unrolls {_KCORE_ROUNDS} rounds "
-        "(peeling is monotone, so extra rounds past convergence are "
-        "no-ops — exact as long as the fixture converges within the "
-        "unroll; the Spark loop COUNTS its peel rounds and raises if "
-        "they ever exceed the unroll depth, so a deeper fixture can "
-        "never silently diverge from the oracle)."
-    ),
-)
 def kcore_peel_edges(
     e: DataFrame, k: int = _KCORE_K, oracle_unroll: int | None = _KCORE_ROUNDS
 ) -> tuple[DataFrame, int]:
@@ -569,6 +550,26 @@ def kcore_peel_edges(
     return e, peel_rounds
 
 
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("graph", "analytics"),
+    doc=(
+        f"{_KCORE_K}-core decomposition of the part co-purchase graph "
+        "(same support>=2 edge set as graph_triangle_count) via iterative "
+        "peeling: drop degree<k nodes and their edges until fixpoint — "
+        "the standard dense-subgraph extraction before community/cohesion "
+        "analysis. Each round is one degree aggregate + two semi-joins "
+        "(single shuffle each) with localCheckpoint lineage cuts; Spark "
+        f"runs to fixpoint, the oracle unrolls {_KCORE_ROUNDS} rounds "
+        "(peeling is monotone, so extra rounds past convergence are "
+        "no-ops — exact as long as the fixture converges within the "
+        "unroll; the Spark loop COUNTS its peel rounds and raises if "
+        "they ever exceed the unroll depth, so a deeper fixture can "
+        "never silently diverge from the oracle)."
+    ),
+)
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
