@@ -67,7 +67,12 @@ def unit_vectors(
         F.col(vec_col).alias("_raw"),
         norm(F.col(vec_col)).alias("_nrm"),
     )
-    return tmp.select(
+    # cosine is undefined for the zero vector: dividing by a zero norm
+    # yields NaN components here but NULL components in SQL engines
+    # (x/0 -> NULL in DuckDB), a silent cross-engine split (r9 extreme
+    # fixture).  The contract is to EXCLUDE zero-norm vectors from every
+    # cosine comparison, both sides.
+    return tmp.where(F.col("_nrm") > 0).select(
         id_alias,
         *extra.keys(),
         F.transform("_raw", lambda x: x.cast("double") / F.col("_nrm")).alias(

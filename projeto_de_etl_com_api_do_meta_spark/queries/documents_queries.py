@@ -2402,7 +2402,9 @@ ws0 AS MATERIALIZED (
   FROM words
 ),{",".join(steps)}
 SELECT CAST(rank AS INTEGER) AS rank, pair, support
-FROM ({rows}) ORDER BY rank
+FROM ({rows})
+WHERE pair IS NOT NULL  -- zero-row parity: an empty corpus has no merges
+ORDER BY rank
 """
 
 
@@ -2472,6 +2474,12 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .limit(1)
                 .collect()
             )
+            if not pairs:
+                # no mergeable pair left (empty corpus, or every word is a
+                # single symbol): stop early — the oracle's unrolled CTEs
+                # likewise produce no further merge rows (zero-row parity
+                # fixture, r9)
+                break
             best = pairs[0]
             # output keeps the human-readable 'a+b' form; both engines
             # derive it from the \x01-joined pair identically

@@ -17,9 +17,12 @@ from .registry import register
 
 _ORACLE_KNN = """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id < 10),
+           FROM embeddings
+           WHERE vec_id < 10
+             AND list_dot_product(embedding, embedding) > 0),
 c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings),
+      FROM embeddings
+      WHERE list_dot_product(embedding, embedding) > 0),
 scored AS (
   SELECT q.query_id, c.neighbor_id,
          round(list_dot_product(q.qv, c.cv)
@@ -73,7 +76,8 @@ _ORACLE_NEAR_DUP = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
-      FROM e)
+      FROM e
+      WHERE list_dot_product(v, v) > 0)  -- zero vectors: cosine undefined
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.u, b.u), 6) AS cos_sim
 FROM n a JOIN n b ON a.vec_id < b.vec_id
@@ -1489,7 +1493,8 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id < 1000),
 n AS (SELECT vec_id,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
-      FROM e),
+      FROM e
+      WHERE list_dot_product(v, v) > 0),  -- zero vectors: cosine undefined
 pairs AS (
   SELECT round(list_dot_product(a.u, b.u), 6) AS cos_sim
   FROM n a JOIN n b ON a.vec_id < b.vec_id
@@ -1824,8 +1829,8 @@ def _floordiv_sql(x: str, s: str) -> str:
 _ORACLE_PCA_FP = f"""
 WITH pts AS (
   SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
-         CAST(floor((CAST(embedding[i] AS DOUBLE) + 1.0) * {_PCA_FP_QS})
-              AS BIGINT) AS qv
+         CAST(floor((greatest(least(CAST(embedding[i] AS DOUBLE), 8.0), -8.0)
+                     + 1.0) * {_PCA_FP_QS}) AS BIGINT) AS qv
   FROM embeddings, unnest(range(1, {_PCA_FP_D} + 1)) AS t(i)
 ),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
@@ -1888,7 +1893,19 @@ def embed_pca_whitening_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "pos",
-            F.floor((F.col("val").cast("double") + F.lit(1.0)) * F.lit(_PCA_FP_QS))
+            # clamp to +-8 first: embeddings are unit-ish by contract, but
+            # a wild component (float32 extremes, r9 fixture) must degrade
+            # to a saturated quantile, not overflow the BIGINT cast
+            F.floor(
+                (
+                    F.greatest(
+                        F.least(F.col("val").cast("double"), F.lit(8.0)),
+                        F.lit(-8.0),
+                    )
+                    + F.lit(1.0)
+                )
+                * F.lit(_PCA_FP_QS)
+            )
             .cast("long")
             .alias("qv"),
         )

@@ -1693,7 +1693,11 @@ _ORACLE_KS = """
 WITH vals AS (
   SELECT CAST(round(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT) AS v,
          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
-  FROM events WHERE event_type IN ('click', 'view')
+  FROM events
+  -- value-less events have no place in an ECDF; without this filter the
+  -- NULL group's position differs across engines (Spark sorts NULLs
+  -- first ASC, DuckDB last), silently shifting D (r9 extreme fixture)
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
 ),
 per_v AS (
   SELECT v,
@@ -1745,6 +1749,7 @@ def ml_ks_two_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()  # NULLs shift the ECDF cross-engine
     )
     vals = ev.select(
         F.round(dec("value") * 100, 0).cast("bigint").alias("v"),

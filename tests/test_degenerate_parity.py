@@ -229,3 +229,233 @@ _BATTERY2 = [
 
 def test_ties_unicode_cross_engine_parity(ties_unicode_dir):
     assert check(_BATTERY2, ties_unicode_dir) == 0
+
+
+@pytest.fixture(scope="module")
+def extreme_numeric_dir(tmp_path_factory):
+    """Fixture 3 (r9): extreme numerics — subnormals (5e-324), DBL_MIN,
+    negative zero, the largest money-domain magnitude the engine's
+    decimal-exact summation contract admits (DECIMAL(18,4): |v| < 1e14),
+    BIGINT-edge user ids (2^62), and a ZERO embedding vector (cosine's
+    x/0 arm) plus float32-extreme components.  Values BEYOND the decimal
+    domain (1e150, 1e308) are deliberately excluded here: they are
+    out-of-contract for events.value, and the engines' documented
+    behaviors there intentionally differ — pinned separately by
+    test_out_of_domain_value_is_loud_not_wrong."""
+    out = str(tmp_path_factory.mktemp("extreme_fx"))
+    base = dt.datetime(2024, 1, 1)
+    # magnitudes stay inside the STATS-family integer headroom too (the
+    # Welch/CUSUM e4-quantized square-sum contract: |v| small enough that
+    # sum((v*1e4)^2) < 2^63 — documented in ml_welch_t_test); beyond-domain
+    # magnitudes are covered by the loudness test below
+    vals = [
+        5e-324, -5e-324, 2.2250738585072014e-308,  # subnormal / DBL_MIN
+        2999.9999, -0.0, 0.0, 1e-300, -1e-13,
+        1.5, -2.5, 3.75, None, 0.1, 2345.6789, -9.875,
+    ]
+    rows = []
+    for i, v in enumerate(vals * 3):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(hours=6 * i),
+                # BIGINT-edge ids next to small ones: hash/mod parity
+                [7, 4611686018427387904, 2147483648][i % 3],
+                ["view", "click", "purchase", "signup"][i % 4],
+                v,
+            )
+        )
+    events = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(['{"k":1}'] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(events, f"{out}/events.parquet")
+
+    rng = np.random.default_rng(17)
+    emb = rng.normal(0, 1, (10, 64)).astype(np.float32)
+    emb[3] = 0.0                      # zero vector: the x/0 cosine arm
+    emb[6, :4] = [3.0e38, -3.0e38, 1e-45, -1e-45]  # float32 extremes
+    vecs = pa.table(
+        {
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array([r for r in emb], pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 2, 0, 1, 2, 0, 1, 2, 0], pa.int32()),
+        }
+    )
+    pq.write_table(vecs, f"{out}/embeddings.parquet")
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),  # ONE-row table
+            "text": pa.array(["single doc single doc single"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+            "source": pa.array(["s0"], pa.string()),
+            "n_chars": pa.array([29], pa.int64()),
+        }
+    )
+    pq.write_table(docs, f"{out}/documents.parquet")
+    for f in os.listdir("/root/testdata/sf0.001"):
+        dst = f"{out}/{f}"
+        if f.startswith(("documents", "embeddings", "events")) or os.path.exists(dst):
+            continue
+        os.symlink(f"/root/testdata/sf0.001/{f}", dst)
+    return out
+
+
+_BATTERY3 = [
+    # double folds / running stats over the extreme value column
+    "events_ewma_fold",
+    "events_holt_linear_fold",
+    "events_daily_by_type",
+    "events_daily_anomaly",
+    "events_cusum_changepoint",
+    "events_interpolate_linear",
+    "events_last_touch_attribution",
+    "dq_robust_stats_mad",
+    "dq_iqr_outlier_profile",
+    "ml_ks_two_sample_exact",
+    "ml_welch_t_test",
+    "events_wilcoxon_signed_rank",
+    "events_rfm_segments_approx",
+    # BIGINT-edge user ids through hash joins / distinct / windows
+    "events_rolling_active_users",
+    "events_cohort_retention",
+    "events_sessionize_30m",
+    # zero vector + float32 extremes through cosine machinery
+    "embed_knn_bruteforce",
+    "dedup_embedding_cosine",
+    "embed_pair_sim_histogram",
+    "embed_pca_whitening_fp",
+    # one-row documents table through text/dedup paths
+    "text_doc_stats",
+    "text_lang_id",
+    "dedup_ngram_jaccard_capped",
+    "corpus_bpe_train",
+]
+
+
+def test_extreme_numeric_cross_engine_parity(extreme_numeric_dir):
+    assert check(_BATTERY3, extreme_numeric_dir) == 0
+
+
+@pytest.fixture(scope="module")
+def zero_row_dir(tmp_path_factory):
+    """Fixture 4 (r9): ZERO-row documents/events/embeddings with the full
+    schemas — every query must return its (usually empty) result without
+    raising, identically in both engines."""
+    out = str(tmp_path_factory.mktemp("zero_fx"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        f"{out}/documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        f"{out}/events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        f"{out}/embeddings.parquet",
+    )
+    for f in os.listdir("/root/testdata/sf0.001"):
+        dst = f"{out}/{f}"
+        if f.startswith(("documents", "embeddings", "events")) or os.path.exists(dst):
+            continue
+        os.symlink(f"/root/testdata/sf0.001/{f}", dst)
+    return out
+
+
+_BATTERY4 = [
+    "text_doc_stats", "text_lang_id", "dedup_exact_docs",
+    "dedup_ngram_jaccard_capped", "dedup_cluster_components_star",
+    "corpus_bpe_train", "corpus_jsd_sources", "corpus_pmi_bigrams",
+    "text_tfidf_top_terms",
+    "events_daily_by_type", "events_sessionize_30m",
+    "events_cohort_retention", "events_gap_fill_daily",
+    "events_ewma_fold", "events_rfm_segments_approx",
+    "ml_welch_t_test", "ml_ks_two_sample_exact",
+    "embed_knn_bruteforce", "dedup_embedding_cosine",
+    "embed_pca_whitening_fp", "multimodal_audio_features",
+    "multimodal_png_roundtrip", "multimodal_image_features_exact",
+]
+
+
+def test_zero_row_cross_engine_parity(zero_row_dir):
+    assert check(_BATTERY4, zero_row_dir) == 0
+
+
+def test_out_of_domain_value_is_loud_not_wrong(tmp_path, spark):
+    """events.value beyond the decimal-exact summation domain
+    (DECIMAL(18,4): |v| < 1e14) is OUT OF CONTRACT.  The two engines'
+    documented behaviors there differ BY DESIGN and this test pins the
+    asymmetry as a decision, not an accident: the Spark side follows the
+    reference's coercion contract (ANSI off: bad cast -> null -> the
+    query still answers), while the DuckDB oracle's plain decimal cast
+    raises.  What matters is that NEITHER side silently produces a wrong
+    finite sum."""
+    import duckdb
+
+    base = dt.datetime(2024, 1, 1)
+    events = pa.table(
+        {
+            "event_id": pa.array([0, 1], pa.int64()),
+            "ts": pa.array(
+                [base, base + dt.timedelta(hours=1)], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["view", "view"], pa.string()),
+            "value": pa.array([1e150, 2.5], pa.float64()),
+            "props": pa.array(["{}"] * 2, pa.string()),
+        }
+    )
+    out = str(tmp_path)
+    pq.write_table(events, f"{out}/events.parquet")
+    for f in os.listdir("/root/testdata/sf0.001"):
+        dst = f"{out}/{f}"
+        if f.startswith("events") or os.path.exists(dst):
+            continue
+        os.symlink(f"/root/testdata/sf0.001/{f}", dst)
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.registry import (
+        QUERIES,
+        _load_all,
+    )
+
+    _load_all()
+    spec = QUERIES["events_daily_by_type"]
+    rows = spec.fn(spark, out).collect()  # answers; 1e150 nulled by contract
+    assert len(rows) >= 1
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{out}/events.parquet'"
+    )
+    with pytest.raises(duckdb.ConversionException):
+        con.execute(spec.oracle).fetchall()
