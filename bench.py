@@ -132,6 +132,11 @@ HEADLINE: tuple[str, ...] = (
     # multimodal_g711_roundtrip measured 0.49s at sf0.1 — below the
     # family-heaviest rule (multimodal_jpeg_roundtrip stays the rep) and
     # the worst-case line budget; tracked via SCALE_PROBE_r08 instead
+    # round-9: the two heaviest new ops — PNG lossless round-trip (pure-
+    # Python DEFLATE codec in Arrow batches) and the fixed-point IVF
+    # near-dup pair generator (multi-assign, shared Lloyd build)
+    "multimodal_png_roundtrip",
+    "dedup_embedding_ivf_md5",
 )
 
 
