@@ -132,11 +132,14 @@ HEADLINE: tuple[str, ...] = (
     # multimodal_g711_roundtrip measured 0.49s at sf0.1 — below the
     # family-heaviest rule (multimodal_jpeg_roundtrip stays the rep) and
     # the worst-case line budget; tracked via SCALE_PROBE_r08 instead
-    # round-9: the two heaviest new ops — PNG lossless round-trip (pure-
-    # Python DEFLATE codec in Arrow batches) and the fixed-point IVF
-    # near-dup pair generator (multi-assign, shared Lloyd build)
+    # round-9: the two new REAL lossless codecs (PNG via stdlib DEFLATE,
+    # FLAC via fixed predictors + Rice), both Arrow-batched Python.
+    # dedup_embedding_ivf_md5 measured 11.8s but stays OUT of the set: at
+    # fixture scale (N=2000, nlist=8) its candidate set is ~80% of all
+    # pairs — a correctness twin exercising the pair generator, not a
+    # perf representative (embed_ann_ivf remains the IVF family rep).
     "multimodal_png_roundtrip",
-    "dedup_embedding_ivf_md5",
+    "multimodal_flac_roundtrip",
 )
 
 
