@@ -61,18 +61,22 @@ def unit_vectors(
     already had in hand — the normalization contract stays defined HERE
     only."""
     extra = extra or {}
-    tmp = df.select(
+    # cosine is undefined for the zero vector: dividing by a zero norm
+    # yields NaN components here but NULL components in SQL engines
+    # (x/0 -> NULL in DuckDB), a silent cross-engine split (r9 extreme
+    # fixture).  The contract is to EXCLUDE zero-norm vectors from every
+    # cosine comparison, both sides.  The gate is a short-circuiting
+    # exists() on the RAW column, not `_nrm > 0`: a filter referencing
+    # _nrm would be collapsed into the projection and recompute the
+    # 64-element norm fold twice per row (measured: dedup_embedding_cosine
+    # 1.6 -> 3.1 s before this form).
+    tmp = df.where(F.exists(F.col(vec_col), lambda x: x != 0)).select(
         F.col(id_col).alias(id_alias),
         *[c.alias(n) for n, c in extra.items()],
         F.col(vec_col).alias("_raw"),
         norm(F.col(vec_col)).alias("_nrm"),
     )
-    # cosine is undefined for the zero vector: dividing by a zero norm
-    # yields NaN components here but NULL components in SQL engines
-    # (x/0 -> NULL in DuckDB), a silent cross-engine split (r9 extreme
-    # fixture).  The contract is to EXCLUDE zero-norm vectors from every
-    # cosine comparison, both sides.
-    return tmp.where(F.col("_nrm") > 0).select(
+    return tmp.select(
         id_alias,
         *extra.keys(),
         F.transform("_raw", lambda x: x.cast("double") / F.col("_nrm")).alias(
