@@ -508,6 +508,87 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+# -- Dedup observability: cluster-size histogram + duplicate mass (r9) --------------
+
+_ORACLE_CLUSTER_HIST = _ORACLE_COMPONENTS_CAPPED.replace(
+    "SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n",
+    """, labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+       FROM labels GROUP BY cluster_id),
+hist AS (
+  SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(size) AS BIGINT) AS n_docs
+  FROM cs GROUP BY size
+  UNION ALL
+  SELECT 1, COUNT(*), COUNT(*)
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+  WHERE l.doc_id IS NULL
+)
+SELECT size,
+       CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_docs) - SUM(n_clusters) AS BIGINT) AS excess_docs
+FROM hist GROUP BY size ORDER BY size""",
+).replace("reach(n, m) AS (", "reach(n, m) AS (", 1)
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=_ORACLE_CLUSTER_HIST,
+    tags=("dedup", "graph", "north-star"),
+    doc=(
+        "Dedup OBSERVABILITY: the cluster-size distribution of the "
+        "near-dup graph — per size, how many clusters, how many documents "
+        "they hold, and the excess (docs dedup would remove = n_docs - "
+        "n_clusters); singletons (docs in no near-dup pair) fold into the "
+        "size-1 bucket via one anti-join.  This is the report read BEFORE "
+        "committing a dedup pass: total excess = corpus shrinkage, a "
+        "heavy tail at large sizes = template/boilerplate families worth "
+        "inspecting.  Composes the capped pair generator + star "
+        "components; the histogram aggregate is cluster-count-bounded.  "
+        "Oracle: the recursive-CTE components oracle wrapped with the "
+        "identical size/histogram aggregation."
+    ),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components_star, jaccard_pairs_capped
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = jaccard_pairs_capped(
+        docs, threshold=0.12, cap_frac=_DF_CAP_FRAC, cap_min=_DF_CAP_MIN
+    ).select("doc_a", "doc_b")
+    labels, _rounds = connected_components_star(pairs)
+    cs = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    hist = cs.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("size").cast("bigint").alias("n_docs"),
+    )
+    singletons = (
+        docs.join(labels, docs.doc_id == labels.doc_id, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit(1).cast("bigint").alias("size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    return (
+        hist.unionByName(singletons)
+        .groupBy("size")
+        .agg(
+            F.sum("n_clusters").cast("bigint").alias("n_clusters"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            (F.sum("n_docs") - F.sum("n_clusters"))
+            .cast("bigint")
+            .alias("excess_docs"),
+        )
+        .orderBy("size")
+    )
+
+
 # -- Cross-document duplicated substrings (exact substring-dedup signal) -------
 
 _GRAM_LEN = 50

@@ -1217,3 +1217,197 @@ def ml_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         F.round(F.col("ap_dec").cast("double"), 6).alias("average_precision"),
     )
+
+
+# -- ROUGE-1/2 + BLEU clipped n-gram precision (r9) ---------------------------------
+
+# Deterministic candidate/reference pairing: doc_id % 7 == 0 vs doc_id+1.
+# Everything is exact integers: clipped matches sum min(count_cand,
+# count_ref) per gram; ROUGE F1 folds to 2m/(c+r) (the P/R harmonic mean
+# over counts), emitted as floor-ppm; the BLEU brevity penalty's exp() is
+# deliberately NOT taken (libm parity is not a contract) — the length
+# ratio ships as exact ppm instead.
+_ORACLE_ROUGE_BLEU = r"""
+WITH pairs AS (
+  SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+         list_filter(regexp_split_to_array(trim(lower(c.text)), '\s+'),
+                     w -> w <> '') AS ct,
+         list_filter(regexp_split_to_array(trim(lower(r.text)), '\s+'),
+                     w -> w <> '') AS rt
+  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 7 = 0
+),
+c1 AS (
+  SELECT cand_id, u.w AS g, CAST(COUNT(*) AS BIGINT) AS cc
+  FROM pairs, unnest(ct) u(w) GROUP BY cand_id, u.w
+),
+r1 AS (
+  SELECT cand_id, u.w AS g, CAST(COUNT(*) AS BIGINT) AS cr
+  FROM pairs, unnest(rt) u(w) GROUP BY cand_id, u.w
+),
+m1 AS (
+  SELECT c1.cand_id, SUM(least(c1.cc, r1.cr)) AS m
+  FROM c1 JOIN r1 ON r1.cand_id = c1.cand_id AND r1.g = c1.g
+  GROUP BY c1.cand_id
+),
+c2 AS (
+  SELECT cand_id, ct[i] || ' ' || ct[i+1] AS g, CAST(COUNT(*) AS BIGINT) AS cc
+  FROM pairs, unnest(range(1, greatest(len(ct), 1))) t(i)
+  GROUP BY cand_id, g
+),
+r2 AS (
+  SELECT cand_id, rt[i] || ' ' || rt[i+1] AS g, CAST(COUNT(*) AS BIGINT) AS cr
+  FROM pairs, unnest(range(1, greatest(len(rt), 1))) t(i)
+  GROUP BY cand_id, g
+),
+m2 AS (
+  SELECT c2.cand_id, SUM(least(c2.cc, r2.cr)) AS m
+  FROM c2 JOIN r2 ON r2.cand_id = c2.cand_id AND r2.g = c2.g
+  GROUP BY c2.cand_id
+),
+base AS (
+  SELECT p.cand_id, p.ref_id,
+         CAST(len(p.ct) AS BIGINT) AS cand_len,
+         CAST(len(p.rt) AS BIGINT) AS ref_len,
+         CAST(greatest(len(p.ct) - 1, 0) AS BIGINT) AS cand_bigrams,
+         CAST(greatest(len(p.rt) - 1, 0) AS BIGINT) AS ref_bigrams,
+         COALESCE(m1.m, 0) AS m1,
+         COALESCE(m2.m, 0) AS m2
+  FROM pairs p
+  LEFT JOIN m1 ON m1.cand_id = p.cand_id
+  LEFT JOIN m2 ON m2.cand_id = p.cand_id
+)
+SELECT cand_id, ref_id, cand_len, ref_len,
+       CAST(m1 AS BIGINT) AS r1_match,
+       CAST(m2 AS BIGINT) AS r2_match,
+       CAST(CASE WHEN cand_len + ref_len = 0 THEN 0
+                 ELSE 2000000 * m1 // (cand_len + ref_len) END AS BIGINT)
+         AS rouge1_f_ppm,
+       CAST(CASE WHEN cand_bigrams + ref_bigrams = 0 THEN 0
+                 ELSE 2000000 * m2 // (cand_bigrams + ref_bigrams) END
+            AS BIGINT) AS rouge2_f_ppm,
+       CAST(CASE WHEN cand_len = 0 THEN 0
+                 ELSE 1000000 * m1 // cand_len END AS BIGINT) AS bleu1_p_ppm,
+       CAST(CASE WHEN cand_bigrams = 0 THEN 0
+                 ELSE 1000000 * m2 // cand_bigrams END AS BIGINT)
+         AS bleu2_p_ppm,
+       CAST(CASE WHEN ref_len = 0 THEN 0
+                 ELSE 1000000 * cand_len // ref_len END AS BIGINT)
+         AS len_ratio_ppm
+FROM base
+ORDER BY cand_id
+"""
+
+
+@register(
+    "ml_eval_rouge_bleu",
+    oracle=_ORACLE_ROUGE_BLEU,
+    tags=("ml", "eval", "text"),
+    doc=(
+        "ROUGE-1/2 and BLEU-style clipped n-gram precision per "
+        "(candidate, reference) pair — the generation-eval staple next "
+        "to the retrieval metrics (deterministic pairing: doc % 7 == 0 "
+        "vs its successor).  Clipped matches are sum(min(count_cand, "
+        "count_ref)) per gram — one counts aggregate per side and one "
+        "equi-join per n, all per-pair work bounded by document length, "
+        "embarrassingly parallel over pairs.  ROUGE F1 folds exactly to "
+        "2m/(c+r), emitted floor-ppm; the BLEU brevity penalty's exp() "
+        "is deliberately NOT taken (libm cross-engine parity is not a "
+        "contract) — the exact length-ratio ppm ships instead and the "
+        "penalty is one pure function of it downstream."
+    ),
+)
+def ml_eval_rouge_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda w: w != ""
+    )
+    cand = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("cand_id"), toks.alias("ct")
+    )
+    ref = docs.select(
+        (F.col("doc_id") - 1).alias("cand_id"),
+        F.col("doc_id").alias("ref_id"),
+        toks.alias("rt"),
+    )
+    pairs = cand.join(ref, "cand_id").localCheckpoint(eager=True)
+
+    def grams(col: str, n: int):
+        if n == 1:
+            return F.col(col)
+        return F.expr(
+            f"transform(sequence(1, greatest(size({col}) - 1, 0)), "
+            f"i -> concat({col}[i-1], ' ', {col}[i]))"
+        )
+
+    def clipped(n: int):
+        c = (
+            pairs.select("cand_id", F.explode(grams("ct", n)).alias("g"))
+            .groupBy("cand_id", "g")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cc"))
+        )
+        r = (
+            pairs.select("cand_id", F.explode(grams("rt", n)).alias("g"))
+            .groupBy("cand_id", "g")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+        )
+        return (
+            c.join(r, ["cand_id", "g"])
+            .groupBy("cand_id")
+            .agg(F.sum(F.least("cc", "cr")).cast("bigint").alias(f"m{n}"))
+        )
+
+    base = (
+        pairs.select(
+            "cand_id",
+            "ref_id",
+            F.size("ct").cast("bigint").alias("cand_len"),
+            F.size("rt").cast("bigint").alias("ref_len"),
+            F.greatest(F.size("ct") - 1, F.lit(0))
+            .cast("bigint")
+            .alias("cand_bigrams"),
+            F.greatest(F.size("rt") - 1, F.lit(0))
+            .cast("bigint")
+            .alias("ref_bigrams"),
+        )
+        .join(clipped(1), "cand_id", "left")
+        .join(clipped(2), "cand_id", "left")
+        .na.fill({"m1": 0, "m2": 0})
+    )
+
+    def ppm(num, den, scale=1000000):
+        return (
+            F.when(den == 0, F.lit(0))
+            .otherwise(F.expr(f"{scale} * {num} div ({den})"))
+            .cast("bigint")
+        )
+
+    return base.select(
+        "cand_id",
+        "ref_id",
+        "cand_len",
+        "ref_len",
+        F.col("m1").alias("r1_match"),
+        F.col("m2").alias("r2_match"),
+        F.when(F.col("cand_len") + F.col("ref_len") == 0, F.lit(0))
+        .otherwise(F.expr("2000000 * m1 div (cand_len + ref_len)"))
+        .cast("bigint")
+        .alias("rouge1_f_ppm"),
+        F.when(F.col("cand_bigrams") + F.col("ref_bigrams") == 0, F.lit(0))
+        .otherwise(F.expr("2000000 * m2 div (cand_bigrams + ref_bigrams)"))
+        .cast("bigint")
+        .alias("rouge2_f_ppm"),
+        F.when(F.col("cand_len") == 0, F.lit(0))
+        .otherwise(F.expr("1000000 * m1 div cand_len"))
+        .cast("bigint")
+        .alias("bleu1_p_ppm"),
+        F.when(F.col("cand_bigrams") == 0, F.lit(0))
+        .otherwise(F.expr("1000000 * m2 div cand_bigrams"))
+        .cast("bigint")
+        .alias("bleu2_p_ppm"),
+        F.when(F.col("ref_len") == 0, F.lit(0))
+        .otherwise(F.expr("1000000 * cand_len div ref_len"))
+        .cast("bigint")
+        .alias("len_ratio_ppm"),
+    ).orderBy("cand_id")

@@ -405,6 +405,8 @@ _BATTERY4 = [
     "embed_knn_bruteforce", "dedup_embedding_cosine",
     "embed_pca_whitening_fp", "multimodal_audio_features",
     "multimodal_png_roundtrip", "multimodal_image_features_exact",
+    "multimodal_flac_roundtrip", "ml_eval_rouge_bleu",
+    "dedup_cluster_size_histogram",
 ]
 
 
