@@ -122,13 +122,14 @@ HEADLINE: tuple[str, ...] = (
     "ml_naive_bayes_lang",
     "corpus_tfidf_cosine_search",
     "graph_kcore_peel",
-    # late r8: shuffle-free 200-replicate randomization test, vocab-scale
-    # chi-square feature screen (pipeline_sft_funnel and
-    # text_kneser_ney_bigram rotated out at 0.55/0.74 s — their families
-    # stay covered by pipeline_training_funnel / text_bigram_perplexity —
-    # to keep the worst-case stdout line inside the 1800-char budget)
-    "ml_permutation_test_md5",
-    "ml_chi2_feature_selection",
+    # late r8: pipeline_sft_funnel and text_kneser_ney_bigram rotated out
+    # at 0.55/0.74 s — their families stay covered by
+    # pipeline_training_funnel / text_bigram_perplexity.  r9: the two r8
+    # ml additions (ml_permutation_test_md5 0.64s, ml_chi2_feature_selection
+    # 0.60s) rotate out in turn — the ml family keeps its two heaviest reps
+    # (ml_bootstrap_ci_poisson, ml_naive_bayes_lang) and the worst-case
+    # stdout line returns inside the 1800-char budget after the PNG/FLAC
+    # codec entries joined the set.
     # multimodal_g711_roundtrip measured 0.49s at sf0.1 — below the
     # family-heaviest rule (multimodal_jpeg_roundtrip stays the rep) and
     # the worst-case line budget; tracked via SCALE_PROBE_r08 instead

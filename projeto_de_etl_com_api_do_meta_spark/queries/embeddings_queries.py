@@ -2222,3 +2222,132 @@ def embed_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# -- DBSCAN over the cosine near-dup graph (r9) --------------------------------
+
+_DBSCAN_THRESHOLD = 0.4  # neighbor = cosine >= threshold (rounded, as near_dup)
+_DBSCAN_MIN_PTS = 3      # |N_eps(p)| >= min_pts counting p itself => core
+
+_ORACLE_DBSCAN = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM e WHERE list_dot_product(v, v) > 0),
+p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.u, b.u), 6) >= {_DBSCAN_THRESHOLD}
+),
+sym AS (SELECT va AS a, vb AS b FROM p UNION ALL SELECT vb, va FROM p),
+deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+core AS (SELECT a FROM deg WHERE deg >= {_DBSCAN_MIN_PTS} - 1),
+ce AS (
+  SELECT s.a, s.b FROM sym s
+  JOIN core ca ON ca.a = s.a
+  JOIN core cb ON cb.a = s.b
+),
+reach(sn, m) AS (
+  SELECT a, a FROM core
+  UNION
+  SELECT r.sn, c.b FROM reach r JOIN ce c ON c.a = r.m
+),
+labels AS (SELECT sn AS node, MIN(m) AS cluster_id FROM reach GROUP BY sn),
+border AS (
+  SELECT s.a AS node, MIN(l.cluster_id) AS cluster_id
+  FROM sym s
+  JOIN labels l ON l.node = s.b
+  WHERE s.a NOT IN (SELECT a FROM core)
+  GROUP BY s.a
+)
+SELECT emb.vec_id,
+       CASE WHEN lc.cluster_id IS NOT NULL THEN 'core'
+            WHEN lb.cluster_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(lc.cluster_id, lb.cluster_id) AS cluster_id
+FROM embeddings emb
+LEFT JOIN labels lc ON lc.node = emb.vec_id
+LEFT JOIN border lb ON lb.node = emb.vec_id
+ORDER BY emb.vec_id
+"""
+
+
+@register(
+    "embed_dbscan_cosine",
+    oracle=_ORACLE_DBSCAN,
+    tags=("similarity", "dedup", "graph", "clustering"),
+    doc=(
+        "DBSCAN (Ester et al. 1996) over the embedding corpus with the "
+        "cosine>=0.4 near-dup relation as the eps-neighborhood — the "
+        "density-based clustering companion to embed_kmeans_lloyd "
+        "(no k to pick, arbitrary cluster shapes, and an explicit NOISE "
+        "verdict, which on an LLM corpus is exactly the dedup read: "
+        "clusters = duplicate nests, noise = unique content). "
+        f"Core iff |N(p)| >= {_DBSCAN_MIN_PTS} counting itself; clusters "
+        "= connected components over core-core edges (the O(diameter) "
+        "min-label propagation from operators/dedup.py, isolated cores "
+        "kept as singleton clusters); border points attach to the MIN "
+        "core-neighbor cluster (deterministic where the textbook's "
+        "first-visitor assignment is run-order dependent); everything "
+        "else, zero vectors included, is noise. Scale shape: the "
+        "neighbor join is the pluggable generator — exact blocked GEMM "
+        "here, the IVF/LSH candidate generators at 100 TB — and the "
+        "rest is degree counting + CC, both shuffle-bounded by the "
+        "pair count. Oracle: recursive-CTE components over the "
+        "identical pair set."
+    ),
+)
+def embed_dbscan_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import embedding_near_dup
+
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(
+        emb, threshold=_DBSCAN_THRESHOLD
+    ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")).persist()
+    sym = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    core = deg.where(F.col("deg") >= _DBSCAN_MIN_PTS - 1).select("a").persist()
+    ce = (
+        sym.join(core.withColumnRenamed("a", "ca"), sym.a == F.col("ca"))
+        .join(core.withColumnRenamed("a", "cb"), sym.b == F.col("cb"))
+        .select("a", "b")
+    )
+    cc = connected_components(ce, a_col="a", b_col="b").select(
+        F.col("doc_id").alias("node"), "cluster_id"
+    )
+    # isolated cores (no core neighbor) are singleton clusters
+    labels = cc.unionByName(
+        core.join(cc, core.a == cc.node, "left_anti").select(
+            F.col("a").alias("node"), F.col("a").alias("cluster_id")
+        )
+    ).persist()
+    border = (
+        sym.join(labels, sym.b == labels.node)
+        .join(core.withColumnRenamed("a", "c2"), sym.a == F.col("c2"), "left_anti")
+        .groupBy(sym.a.alias("node"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    lc = labels.withColumnRenamed("cluster_id", "cl_core")
+    lb = border.withColumnRenamed("cluster_id", "cl_border").withColumnRenamed(
+        "node", "bnode"
+    )
+    return (
+        emb.select("vec_id")
+        .join(lc, emb.vec_id == lc.node, "left")
+        .join(lb, emb.vec_id == lb.bnode, "left")
+        .select(
+            "vec_id",
+            F.when(F.col("cl_core").isNotNull(), "core")
+            .when(F.col("cl_border").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("cl_core", "cl_border").alias("cluster_id"),
+        )
+        .orderBy("vec_id")
+    )

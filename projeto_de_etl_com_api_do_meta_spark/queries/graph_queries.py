@@ -675,3 +675,124 @@ def graph_bipartite_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# -- HITS hubs & authorities on the bipartite purchase graph (r9) --------------
+
+_HITS_ITERS = 2
+_HITS_SCALE = 1_000_000  # max-normalized fixed-point scale per half-step
+
+
+def _oracle_hits() -> str:
+    steps = []
+    hub_prev = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(
+            f"""a{i}_raw AS (
+  SELECT e.part, CAST(SUM(h.score) AS BIGINT) AS raw
+  FROM edges e JOIN {hub_prev} h ON h.cust = e.cust
+  GROUP BY e.part
+),
+a{i} AS (
+  SELECT part, CAST(raw * {_HITS_SCALE}
+                    // (SELECT MAX(raw) FROM a{i}_raw) AS BIGINT) AS score
+  FROM a{i}_raw
+),
+h{i}_raw AS (
+  SELECT e.cust, CAST(SUM(a.score) AS BIGINT) AS raw
+  FROM edges e JOIN a{i} a ON a.part = e.part
+  GROUP BY e.cust
+),
+h{i} AS (
+  SELECT cust, CAST(raw * {_HITS_SCALE}
+                    // (SELECT MAX(raw) FROM h{i}_raw) AS BIGINT) AS score
+  FROM h{i}_raw
+)"""
+        )
+        hub_prev = f"h{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+h0 AS (SELECT DISTINCT cust, CAST({_HITS_SCALE} AS BIGINT) AS score
+       FROM edges),
+{chain}
+SELECT side, id, score FROM (
+  SELECT 'hub' AS side, cust AS id, score FROM h{_HITS_ITERS}
+  UNION ALL
+  SELECT 'auth' AS side, part AS id, score FROM a{_HITS_ITERS}
+) ORDER BY side, id
+"""
+
+
+@register(
+    "graph_hits_bipartite",
+    oracle=_oracle_hits(),
+    tags=("graph", "iterative"),
+    doc=(
+        f"HITS hubs & authorities (Kleinberg 1999), {_HITS_ITERS} "
+        "power-iteration rounds over the bipartite customer->part "
+        "purchase graph: authority(p) = sum of hub scores over in-edges, "
+        "hub(c) = sum of authority scores — the mutually-reinforcing "
+        "ranking next to graph_pagerank_purchases' random-walk one. "
+        "Spec's L2 normalization is replaced by max-normalization in "
+        "1e6 fixed point with floor division (rankings identical — "
+        "normalization only rescales — and every half-step is exact "
+        "BIGINT arithmetic, bit-reproducible across engines and "
+        "partitionings; the max is one scalar aggregate broadcast back). "
+        "Each half-step is one edges-to-scores shuffle join + one hash "
+        "aggregate, the same distributed shape as PageRank; the oracle "
+        "unrolls the fixed iteration count into chained CTEs."
+    ),
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .persist()
+    )
+
+    def _max_normalize(raw: DataFrame, key: str) -> DataFrame:
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            key,
+            F.expr(f"CAST(raw * {_HITS_SCALE} div mx AS BIGINT)").alias(
+                "score"
+            ),
+        )
+
+    hubs = edges.select("cust").distinct().withColumn(
+        "score", F.lit(_HITS_SCALE).cast("bigint")
+    )
+    auths = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            edges.join(hubs, "cust")
+            .groupBy("part")
+            .agg(F.sum("score").cast("bigint").alias("raw"))
+        )
+        auths = _max_normalize(a_raw, "part")
+        h_raw = (
+            edges.join(auths, "part")
+            .groupBy("cust")
+            .agg(F.sum("score").cast("bigint").alias("raw"))
+        )
+        hubs = _max_normalize(h_raw, "cust")
+    out = (
+        hubs.select(
+            F.lit("hub").alias("side"), F.col("cust").alias("id"), "score"
+        )
+        .unionAll(
+            auths.select(
+                F.lit("auth").alias("side"), F.col("part").alias("id"), "score"
+            )
+        )
+        .orderBy("side", "id")
+    )
+    return out

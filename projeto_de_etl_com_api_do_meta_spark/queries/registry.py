@@ -430,6 +430,7 @@ def _load_all() -> None:
         quality_queries,
         relational,
         retrieval_extra,
+        robust_stats,
         scalar_funcs,
         segmentation_cdc,
         skew_queries,

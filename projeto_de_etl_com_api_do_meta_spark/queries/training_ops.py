@@ -2361,3 +2361,105 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "row_id")
         .orderBy("doc_id")
     )
+
+
+# -- Next-fit shard packing: the oracle-backed fold twin of bestfit (r9) -------
+
+_ORACLE_PACK_NEXTFIT = f"""
+WITH t AS (
+  SELECT doc_id,
+         doc_id % {_PACK_SHARDS} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         least(CAST(len(regexp_extract_all(
+                 text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT),
+               {_PACK_BUDGET}) AS n_tok
+  FROM documents
+),
+seq AS (
+  SELECT shard,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+         list(n_tok ORDER BY h) AS lens
+  FROM t GROUP BY shard
+),
+folded AS (
+  SELECT shard, n_items, total_tok,
+         list_reduce(
+           list_prepend([CAST(1 AS BIGINT), CAST(0 AS BIGINT)],
+                        list_transform(lens, x -> [x, CAST(0 AS BIGINT)])),
+           (acc, e) -> CASE
+             WHEN acc[2] + e[1] <= {_PACK_BUDGET}
+               THEN [acc[1], acc[2] + e[1]]
+             ELSE [acc[1] + 1, e[1]]
+           END) AS st
+  FROM seq
+)
+SELECT shard, n_items, CAST(st[1] AS BIGINT) AS n_bins, total_tok,
+       CAST(total_tok * 1000000 // (st[1] * {_PACK_BUDGET}) AS BIGINT)
+         AS fill_ppm
+FROM folded ORDER BY shard
+"""
+
+
+@register(
+    "train_pack_nextfit_md5",
+    oracle=_ORACLE_PACK_NEXTFIT,
+    tags=("training", "packing"),
+    doc=(
+        "Next-fit shard packing, the oracle-backed fold twin of the "
+        "rows-only train_pack_bestfit (BFD's open-bin table is "
+        "arbitrary-order sequential state; next-fit's single open bin "
+        "makes the whole packing a two-cell [bins, current_fill] fold): "
+        "docs shard by doc_id, arrive in md5 order (the deterministic "
+        "stand-in for stream arrival), over-budget docs clip to the "
+        "budget, and each shard folds its ordered length list JVM-side "
+        "with aggregate() — bit-identical to DuckDB's list_reduce with "
+        "a prepended init element (the events_cusum_changepoint "
+        "pattern, integer state so exactness is trivial). Output is the "
+        "per-shard packing report (bins opened, fill ppm); next-fit is "
+        "2-OPT so this also pins the calibration floor the BFD packer "
+        "must beat. Shards are the parallel unit, exactly as bestfit "
+        "distributes; the fold input is one shard's lengths, bounded by "
+        "the shard size the packer chooses at 100 TB."
+    ),
+)
+def train_pack_nextfit_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_ish_token_count
+
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.least(
+            bpe_ish_token_count("text").cast("long"), F.lit(_PACK_BUDGET)
+        ).alias("n_tok"),
+    )
+    seq = t.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("n_tok").cast("bigint").alias("total_tok"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(h, n_tok))), "
+            "s -> s.n_tok)"
+        ).alias("lens"),
+    )
+    fold = f"""
+aggregate(
+  lens,
+  array(1L, 0L),
+  (acc, x) -> CASE
+    WHEN acc[1] + x <= {_PACK_BUDGET} THEN array(acc[0], acc[1] + x)
+    ELSE array(acc[0] + 1L, x)
+  END)
+"""
+    folded = seq.withColumn("st", F.expr(fold))
+    return folded.select(
+        "shard",
+        "n_items",
+        F.expr("st[0]").cast("bigint").alias("n_bins"),
+        "total_tok",
+        F.expr(
+            f"CAST(total_tok * 1000000 div (st[0] * {_PACK_BUDGET}) "
+            "AS BIGINT)"
+        ).alias("fill_ppm"),
+    ).orderBy("shard")
