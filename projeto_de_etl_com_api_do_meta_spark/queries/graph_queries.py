@@ -796,3 +796,261 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("side", "id")
     )
     return out
+
+
+# -- Modularity of the co-purchase community structure (r9) ---------------------
+
+_ORACLE_MODULARITY = """
+WITH RECURSIVE pl AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pairs AS (
+  SELECT a.p AS u, b.p AS v, COUNT(*) AS support
+  FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+edges AS (SELECT u, v FROM pairs WHERE support >= 2),
+sym AS (SELECT u AS s, v AS d FROM edges UNION SELECT v, u FROM edges),
+reach(n, m) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN sym e ON e.s = r.m
+),
+labels AS (SELECT n AS node, MIN(m) AS community FROM reach GROUP BY n),
+m_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY s),
+comm AS (
+  SELECT l.community,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d.d) AS BIGINT) AS degree_sum
+  FROM labels l JOIN deg d ON d.node = l.node
+  GROUP BY l.community
+),
+intra AS (
+  SELECT la.community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+  FROM edges e
+  JOIN labels la ON la.node = e.u
+  JOIN labels lb ON lb.node = e.v AND lb.community = la.community
+  GROUP BY la.community
+)
+SELECT c.community, c.n_nodes,
+       COALESCE(i.intra_edges, 0) AS intra_edges,
+       c.degree_sum,
+       CAST(4 * t.m * COALESCE(i.intra_edges, 0)
+            - c.degree_sum * c.degree_sum AS BIGINT) AS q_num,
+       CAST(4 * t.m * t.m AS BIGINT) AS q_den
+FROM comm c
+LEFT JOIN intra i ON i.community = c.community
+CROSS JOIN m_tot t
+ORDER BY c.community
+"""
+
+
+@register(
+    "graph_modularity_components",
+    oracle=_ORACLE_MODULARITY,
+    tags=("graph", "agg", "eval"),
+    doc=(
+        "Newman modularity of the part co-purchase graph's connected-"
+        "component community structure: per community, Q's contribution "
+        "as the EXACT rational (4m*e_c - d_c^2) / 4m^2 — intra-edge count "
+        "e_c, degree sum d_c, and total edge count m are all BIGINTs, so "
+        "the quality score of a community assignment is bit-exact with "
+        "no float division inside the hash (sum q_num/q_den for total "
+        "Q). This is the evaluation half of every community-detection "
+        "loop (Louvain greedily maximizes exactly this quantity); "
+        "communities here come from the same min-label components used "
+        "for dedup clusters, so the operator composes generator + "
+        "evaluator the way dedup_cluster_size_histogram does. Scale "
+        "shape: two hash aggregates and two label joins over the edge "
+        "list — no per-pair work beyond the support>=2 edge set."
+    ),
+)
+def graph_modularity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pl.alias("a"), pl.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+        .persist()
+    )
+    labels = connected_components(edges, a_col="u", b_col="v").select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("community")
+    ).persist()
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    la = labels.withColumnRenamed("node", "u").withColumnRenamed(
+        "community", "cu"
+    )
+    lb = labels.withColumnRenamed("node", "v").withColumnRenamed(
+        "community", "cv"
+    )
+    intra = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    m_tot = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    return (
+        comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("bigint").alias(
+                "intra_edges"
+            ),
+            "degree_sum",
+            (
+                4 * F.col("m") * F.coalesce("intra_edges", F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+            (4 * F.col("m") * F.col("m")).cast("bigint").alias("q_den"),
+        )
+        .orderBy("community")
+    )
+
+
+# -- TextRank keyword extraction (r9) -------------------------------------------
+
+_TR_ITERS = 3
+_TR_R0 = 1_000_000_000
+_TR_BASE = 150_000_000
+_TR_TOPK = 20
+
+
+def _oracle_textrank() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, _TR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT n.word,
+         {_TR_BASE} + COALESCE(c.contrib, 0) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS word,
+           SUM((85 * p.rank * e.w) // (100 * d.wdeg)) AS contrib
+    FROM sym e
+    JOIN {prev} p ON p.word = e.src
+    JOIN wdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.word = n.word
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT least(toks[i], toks[i+1]) AS u, greatest(toks[i], toks[i+1]) AS v
+  FROM t, unnest(range(1, greatest(len(toks), 1))) AS s(i)
+  WHERE toks[i] <> toks[i+1]
+),
+edges AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM bg GROUP BY u, v),
+sym AS (
+  SELECT u AS src, v AS dst, w FROM edges
+  UNION ALL SELECT v, u, w FROM edges
+),
+wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM sym GROUP BY src),
+nodes AS (SELECT DISTINCT src AS word FROM sym),
+r0 AS (SELECT word, CAST({_TR_R0} AS BIGINT) AS rank FROM nodes),
+{chain}
+SELECT word, CAST(rank AS BIGINT) AS rank
+FROM {prev}
+ORDER BY rank DESC, word LIMIT {_TR_TOPK}
+"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_oracle_textrank(),
+    tags=("text", "graph", "iterative"),
+    doc=(
+        f"TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank "
+        "over the corpus-wide word co-occurrence graph (adjacent-token "
+        "pairs, weight = corpus co-occurrence count), "
+        f"{_TR_ITERS} fixed-point iterations with the same integer "
+        "1e9-rank / floor-division contract as graph_pagerank_purchases "
+        "— weighted contributions (85 * rank * w) div (100 * wdeg) are "
+        "exact BIGINTs, bit-identical under any partitioning. Top-"
+        f"{_TR_TOPK} words by rank (TakeOrdered, word tie-break) are the "
+        "corpus keywords — the unsupervised keyword signal next to "
+        "tf-idf (text_tfidf_top_terms), which scores terms per-document "
+        "rather than by graph centrality. Scale shape: edge extraction "
+        "is one posting-style aggregate; each iteration is one "
+        "edges-ranks join + dst aggregate over the VOCABULARY graph "
+        "(vocab-scale, not corpus-scale)."
+    ),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bg = docs.select(toks.alias("toks")).select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                " i -> struct(least(toks[i-1], toks[i]) AS u,"
+                "            greatest(toks[i-1], toks[i]) AS v)),"
+                " s -> s.u <> s.v)"
+            )
+        ).alias("e")
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+    edges = bg.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    sym = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    ).persist()
+    wdeg = sym.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
+    nodes = sym.select(F.col("src").alias("word")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(_TR_R0).cast("bigint"))
+    for _ in range(_TR_ITERS):
+        contrib = (
+            sym.join(ranks, sym.src == ranks.word)
+            .join(wdeg, "src")
+            .select(
+                "dst",
+                F.expr("(85 * rank * w) div (100 * wdeg)").alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, nodes.word == contrib.dst, "left").select(
+            "word",
+            (F.lit(_TR_BASE) + F.coalesce(F.col("contrib"), F.lit(0)))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return ranks.orderBy(F.desc("rank"), "word").limit(_TR_TOPK)

@@ -459,3 +459,213 @@ def agg_quantile_sketch_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("k")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (two-group, two-period causal contrast)
+# ---------------------------------------------------------------------------
+
+_ORACLE_DID = """
+WITH cells AS (
+  SELECT user_id % 2 AS g,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS per,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS s_e2
+  FROM events
+  WHERE value IS NOT NULL AND event_type = 'purchase'
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT
+    MAX(CASE WHEN g = 1 AND per = 0 THEN n END) AS n_t_pre,
+    MAX(CASE WHEN g = 1 AND per = 1 THEN n END) AS n_t_post,
+    MAX(CASE WHEN g = 0 AND per = 0 THEN n END) AS n_c_pre,
+    MAX(CASE WHEN g = 0 AND per = 1 THEN n END) AS n_c_post,
+    MAX(CASE WHEN g = 1 AND per = 0 THEN s_e2 END) AS s_t_pre,
+    MAX(CASE WHEN g = 1 AND per = 1 THEN s_e2 END) AS s_t_post,
+    MAX(CASE WHEN g = 0 AND per = 0 THEN s_e2 END) AS s_c_pre,
+    MAX(CASE WHEN g = 0 AND per = 1 THEN s_e2 END) AS s_c_post
+  FROM cells
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       round(CAST(s_t_pre AS DOUBLE) / n_t_pre / 100.0, 6) AS m_t_pre,
+       round(CAST(s_t_post AS DOUBLE) / n_t_post / 100.0, 6) AS m_t_post,
+       round(CAST(s_c_pre AS DOUBLE) / n_c_pre / 100.0, 6) AS m_c_pre,
+       round(CAST(s_c_post AS DOUBLE) / n_c_post / 100.0, 6) AS m_c_post,
+       round((CAST(s_t_post AS DOUBLE) / n_t_post / 100.0
+              - CAST(s_t_pre AS DOUBLE) / n_t_pre / 100.0)
+             - (CAST(s_c_post AS DOUBLE) / n_c_post / 100.0
+                - CAST(s_c_pre AS DOUBLE) / n_c_pre / 100.0), 6) AS did
+FROM p
+"""
+
+
+@register(
+    "events_diff_in_diff",
+    oracle=_ORACLE_DID,
+    tags=("events", "ml", "stats", "analytics"),
+    doc=(
+        "Difference-in-differences over purchase values: treated = odd "
+        "user ids (the deterministic stand-in for an assignment column), "
+        "periods split mid-month — DiD = (treated post-pre delta) minus "
+        "(control post-pre delta), the workhorse causal contrast when "
+        "randomization isn't available (events_ab_test_ztest covers the "
+        "randomized case). ONE conditional-aggregate scan produces the "
+        "four (group, period) cells as exact BIGINT cent sums + counts; "
+        "every mean and the DiD estimate are fixed float expressions "
+        "over those integers, so round-6 values are engine-exact. "
+        "Scale: a 4-cell hash aggregate with map-side combine — nothing "
+        "grows with data size downstream of the scan."
+    ),
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.where(
+            F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+        )
+        .groupBy(
+            (F.col("user_id") % 2).alias("g"),
+            F.when(
+                F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0
+            )
+            .otherwise(1)
+            .alias("per"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("s_e2"),
+        )
+    )
+
+    def _cell(col: str, g: int, per: int) -> F.Column:
+        return F.max(
+            F.when((F.col("g") == g) & (F.col("per") == per), F.col(col))
+        )
+
+    p = cells.agg(
+        _cell("n", 1, 0).alias("n_t_pre"),
+        _cell("n", 1, 1).alias("n_t_post"),
+        _cell("n", 0, 0).alias("n_c_pre"),
+        _cell("n", 0, 1).alias("n_c_post"),
+        _cell("s_e2", 1, 0).alias("s_t_pre"),
+        _cell("s_e2", 1, 1).alias("s_t_post"),
+        _cell("s_e2", 0, 0).alias("s_c_pre"),
+        _cell("s_e2", 0, 1).alias("s_c_post"),
+    )
+
+    def _mean(s: str, n: str) -> F.Column:
+        return F.col(s).cast("double") / F.col(n) / F.lit(100.0)
+
+    return p.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.round(_mean("s_t_pre", "n_t_pre"), 6).alias("m_t_pre"),
+        F.round(_mean("s_t_post", "n_t_post"), 6).alias("m_t_post"),
+        F.round(_mean("s_c_pre", "n_c_pre"), 6).alias("m_c_pre"),
+        F.round(_mean("s_c_post", "n_c_post"), 6).alias("m_c_post"),
+        F.round(
+            (_mean("s_t_post", "n_t_post") - _mean("s_t_pre", "n_t_pre"))
+            - (_mean("s_c_post", "n_c_post") - _mean("s_c_pre", "n_c_pre")),
+            6,
+        ).alias("did"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median per group (cumulative-weight crossing)
+# ---------------------------------------------------------------------------
+
+_ORACLE_WMEDIAN = """
+WITH w AS (
+  SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS wt
+  FROM orders GROUP BY o_custkey
+),
+pts AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(round(CAST(c.c_acctbal AS DECIMAL(18,4)) * 100, 0) AS BIGINT)
+           AS v_e2,
+         CAST(SUM(w.wt) AS BIGINT) AS wsum,
+         CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM customer c JOIN w ON w.custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT seg, v_e2, wsum, n_cust,
+         SUM(wsum) OVER (PARTITION BY seg ORDER BY v_e2) AS cw,
+         SUM(wsum) OVER (PARTITION BY seg) AS totw,
+         SUM(n_cust) OVER (PARTITION BY seg) AS nc
+  FROM pts
+)
+SELECT seg,
+       CAST(MAX(nc) AS BIGINT) AS n_customers,
+       CAST(MAX(totw) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cw >= totw THEN v_e2 END) AS BIGINT)
+         AS wmedian_e2
+FROM cum GROUP BY seg ORDER BY seg
+"""
+
+
+@register(
+    "agg_weighted_median",
+    oracle=_ORACLE_WMEDIAN,
+    tags=("agg", "stats"),
+    doc=(
+        "Weighted median of customer account balance per market segment, "
+        "weighted by the customer's order count — the robust center that "
+        "percentile()/median() can't express (each point carries mass). "
+        "Lower weighted median by cumulative-weight crossing: per-cent-"
+        "value weight sums (one hash aggregate over the orders-join), a "
+        "per-SEGMENT cumulative window (partitioned — never a global "
+        "funnel), and min value where 2*cum >= total. Exact BIGINT cents "
+        "and weights end-to-end. At 100 TB the per-value pre-aggregation "
+        "bounds window input by value resolution per group, the same "
+        "contract as ml_auc_roc_exact's distinct-score table."
+    ),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("wt")
+    )
+    pts = (
+        cust.join(w, cust.c_custkey == w.custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("c_acctbal").cast("decimal(18,4)") * 100, 0)
+            .cast("bigint")
+            .alias("v_e2"),
+        )
+        .agg(
+            F.sum("wt").cast("bigint").alias("wsum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        )
+    )
+    wcum = Window.partitionBy("seg").orderBy("v_e2")
+    wall = Window.partitionBy("seg")
+    cum = (
+        pts.withColumn("cw", F.sum("wsum").over(wcum))
+        .withColumn("totw", F.sum("wsum").over(wall))
+        .withColumn("nc", F.sum("n_cust").over(wall))
+    )
+    return (
+        cum.groupBy("seg")
+        .agg(
+            F.max("nc").cast("bigint").alias("n_customers"),
+            F.max("totw").cast("bigint").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("totw"), F.col("v_e2"))
+            )
+            .cast("bigint")
+            .alias("wmedian_e2"),
+        )
+        .orderBy("seg")
+    )

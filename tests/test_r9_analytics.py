@@ -1,0 +1,206 @@
+"""Round-9 analytics operators: modularity, TextRank, diff-in-diff,
+weighted median, next-fit packing, HITS, DBSCAN — property and
+brute-force reference tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projeto_de_etl_com_api_do_meta_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_modularity_identity_and_bounds(spark):
+    """Sum of per-community q_num equals 4m^2*Q with Q in (-0.5, 1]; for a
+    clustering that IS the connected components, every edge is intra, so
+    sum(intra_edges) == m."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.graph_queries import (
+        graph_modularity_components,
+    )
+
+    rows = graph_modularity_components(spark, SF).collect()
+    assert rows
+    q_den = rows[0]["q_den"]
+    m = int(round((q_den / 4) ** 0.5))
+    assert q_den == 4 * m * m
+    assert sum(r["intra_edges"] for r in rows) == m
+    assert sum(r["degree_sum"] for r in rows) == 2 * m
+    q = sum(r["q_num"] for r in rows) / q_den
+    assert -0.5 < q <= 1.0
+
+
+def test_textrank_mass_and_determinism(spark):
+    """Ranks positive, top-k sorted desc, and two runs identical."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.graph_queries import (
+        text_textrank_keywords,
+    )
+
+    a = text_textrank_keywords(spark, SF).collect()
+    b = text_textrank_keywords(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    ranks = [r["rank"] for r in a]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r > 0 for r in ranks)
+    assert len(a) == 20
+
+
+def test_diff_in_diff_recompute(spark):
+    """DiD equals the four-cell contrast recomputed driver-side."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.robust_stats import (
+        events_diff_in_diff,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .where(
+            F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+        )
+        .select("user_id", "ts", F.round(F.col("value") * 100, 0).alias("v"))
+        .collect()
+    )
+    import datetime
+
+    cut = datetime.datetime(2024, 1, 16)
+    cells = {}
+    for r in ev:
+        key = (r["user_id"] % 2, 0 if r["ts"] < cut else 1)
+        s, n = cells.get(key, (0, 0))
+        cells[key] = (s + int(r["v"]), n + 1)
+
+    def mean(g, p):
+        s, n = cells[(g, p)]
+        return s / n / 100.0
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    row = events_diff_in_diff(spark, SF).collect()[0]
+    assert row["n_t_pre"] == cells[(1, 0)][1]
+    assert abs(row["did"] - did) < 1e-5
+
+
+def test_weighted_median_crossing_property(spark):
+    """For each segment the reported value is the true lower weighted
+    median: weight strictly below it < totw/2 <= weight at-or-below it."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.robust_stats import (
+        agg_weighted_median,
+    )
+
+    cust = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.col("c_acctbal").cast("decimal(18,4)") * 100, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    orders = load_table(spark, SF, "orders").groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(F.count(F.lit(1)).alias("wt"))
+    pts = [
+        (r["c_mktsegment"], int(r["v"]), int(r["wt"]))
+        for r in cust.join(orders, "c_custkey").collect()
+    ]
+    out = {r["seg"]: r for r in agg_weighted_median(spark, SF).collect()}
+    segs = {s for s, _, _ in pts}
+    assert set(out) == segs
+    for seg in segs:
+        sp = [(v, w) for s, v, w in pts if s == seg]
+        tot = sum(w for _, w in sp)
+        med = out[seg]["wmedian_e2"]
+        below = sum(w for v, w in sp if v < med)
+        at_or_below = sum(w for v, w in sp if v <= med)
+        assert 2 * below < tot <= 2 * at_or_below
+        assert out[seg]["total_weight"] == tot
+
+
+def test_nextfit_fold_matches_python(spark):
+    """The JVM fold reproduces a pure-Python next-fit packer per shard."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.training_ops import (
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+        train_pack_nextfit_md5,
+    )
+    import hashlib
+    import re
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    tok = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    shards = {}
+    for r in docs:
+        n = min(len(tok.findall(r["text"])), _PACK_BUDGET)
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        shards.setdefault(r["doc_id"] % _PACK_SHARDS, []).append((h, n))
+    expect = {}
+    for s, items in shards.items():
+        bins, fill = 1, 0
+        for _, n in sorted(items):
+            if fill + n <= _PACK_BUDGET:
+                fill += n
+            else:
+                bins, fill = bins + 1, n
+        expect[s] = (len(items), bins, sum(n for _, n in items))
+    got = {r["shard"]: r for r in train_pack_nextfit_md5(spark, SF).collect()}
+    assert set(got) == set(expect)
+    for s, (n_items, bins, tot) in expect.items():
+        assert got[s]["n_items"] == n_items
+        assert got[s]["n_bins"] == bins
+        assert got[s]["total_tok"] == tot
+        assert (
+            got[s]["fill_ppm"] == tot * 1_000_000 // (bins * _PACK_BUDGET)
+        )
+
+
+def test_hits_normalization_and_determinism(spark):
+    """Max score on each side is exactly the fixed-point scale; two runs
+    bit-identical."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.graph_queries import (
+        _HITS_SCALE,
+        graph_hits_bipartite,
+    )
+
+    rows = graph_hits_bipartite(spark, SF).collect()
+    hubs = [r["score"] for r in rows if r["side"] == "hub"]
+    auths = [r["score"] for r in rows if r["side"] == "auth"]
+    assert max(hubs) == _HITS_SCALE and max(auths) == _HITS_SCALE
+    assert all(0 <= s <= _HITS_SCALE for s in hubs + auths)
+    again = graph_hits_bipartite(spark, SF).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_dbscan_role_contracts(spark):
+    """Core/border/noise verdicts satisfy the DBSCAN definitions against a
+    brute-force neighbor recomputation."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.embeddings_queries import (
+        _DBSCAN_MIN_PTS,
+        embed_dbscan_cosine,
+    )
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings").collect()
+    vecs = {}
+    for r in emb:
+        v = np.array(r["embedding"], dtype="float64")
+        nrm = np.linalg.norm(v)
+        if nrm > 0:
+            vecs[r["vec_id"]] = v / nrm
+    ids = sorted(vecs)
+    nbrs = {i: set() for i in ids}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if round(float(vecs[a] @ vecs[b]), 6) >= 0.4:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+    core = {i for i in ids if len(nbrs[i]) + 1 >= _DBSCAN_MIN_PTS}
+    out = {r["vec_id"]: r for r in embed_dbscan_cosine(spark, SF).collect()}
+    assert {i for i, r in out.items() if r["role"] == "core"} == core
+    for i, r in out.items():
+        if r["role"] == "border":
+            assert i not in core and nbrs.get(i, set()) & core
+            assert r["cluster_id"] is not None
+        if r["role"] == "noise":
+            assert r["cluster_id"] is None
+            assert i not in core
+            assert not (nbrs.get(i, set()) & core)
+    # cluster labels: same component => same label (spot-check via cores)
+    for c in core:
+        for d in nbrs[c] & core:
+            assert out[c]["cluster_id"] == out[d]["cluster_id"]

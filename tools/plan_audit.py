@@ -123,6 +123,14 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("events_rfm_segments", "CARTESIAN"): "scalar quartile-threshold row broadcast (exact-NTILE contract; approx twin exists)",
     ("fn_python_udtf_lateral", "ROW_UDF"): "SQL UDTF lateral demo (§2.9)",
     ("fn_scalar_udfs", "ROW_UDF"): "deliberate F.udf vs pandas_udf demo (§2.9)",
+    # ---- round 9 robust-stats / graph / clustering batch ----
+    ("ml_mann_whitney_u", "GLOBAL_WINDOW"): "cumulative ranks over the DISTINCT-VALUE table (bounded by cent resolution — the ml_auc_roc_exact contract)",
+    ("ml_theil_sen_daily", "CARTESIAN"): "calendar-bounded daily-spine broadcast self-join (O(days^2) pairs) + 1-row n_days scalar",
+    ("ml_theil_sen_daily", "GLOBAL_WINDOW"): "slope order statistics over the day-bounded pair table (O(days^2) rows, never data-scale)",
+    ("agg_quantile_sketch_md5", "CARTESIAN"): "3-row chosen-bin broadcast, 3-row median broadcast, and 1-row full-count scalar — the two-phase selection's refine joins",
+    ("graph_hits_bipartite", "CARTESIAN"): "1-row max-score scalar broadcast per normalization half-step",
+    ("embed_dbscan_cosine", "CARTESIAN"): "scalar-threshold crossJoin inside the shared near-dup generator (the dedup_embedding_cosine contract); IVF/LSH candidates swap in at scale",
+    ("graph_modularity_components", "CARTESIAN"): "1-row total-edge-count scalar broadcast onto the per-community rows",
     ("embed_knn_bruteforce", "CARTESIAN"): "exact-oracle baseline by contract; scale paths are the ANN queries",
     ("train_hard_negatives", "CARTESIAN"): "bounded 20-anchor broadcast over the corpus (same contract as embed_knn_bruteforce); ANN shortlist swaps in at scale",
     ("embed_matryoshka_recall", "CARTESIAN"): "two bounded 10-anchor broadcasts (full-dim and truncated rankings being compared)",
