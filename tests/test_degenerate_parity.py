@@ -407,6 +407,10 @@ _BATTERY4 = [
     "multimodal_png_roundtrip", "multimodal_image_features_exact",
     "multimodal_flac_roundtrip", "ml_eval_rouge_bleu",
     "dedup_cluster_size_histogram",
+    # r9 batch: robust stats, packing fold, density clustering, keywords
+    "ml_mann_whitney_u", "ml_theil_sen_daily", "events_diff_in_diff",
+    "train_pack_nextfit_md5", "embed_dbscan_cosine",
+    "text_textrank_keywords",
 ]
 
 
