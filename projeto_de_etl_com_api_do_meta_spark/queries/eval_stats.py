@@ -1411,3 +1411,216 @@ def ml_eval_rouge_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("len_ratio_ppm"),
     ).orderBy("cand_id")
+
+
+# -- Benjamini-Hochberg FDR over exact permutation p-values (r9) ---------------
+
+_FDR_Q10 = 10  # q = 0.10 as the rational 1/Q10... numerator handled inline
+
+_ORACLE_BH_FDR = f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         user_id % 2 AS side,
+         CAST(round(value * 1000000.0, 0) AS BIGINT) AS v_e6
+  FROM events WHERE value IS NOT NULL
+),
+obs AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN side = 0 THEN v_e6 ELSE 0 END) AS BIGINT) AS s_a,
+    CAST(SUM(CASE WHEN side = 1 THEN v_e6 ELSE 0 END) AS BIGINT) AS s_b
+  FROM base GROUP BY event_type
+),
+lanes AS (
+  SELECT b.event_type, b.v_e6,
+         g.grp * 4 + k.k AS rep,
+         ('0x' || substr(md5(CAST(b.event_id * {_PERM_GRPS} + g.grp
+                               AS VARCHAR)),
+                         1 + k.k * 8, 8))::BIGINT % 2 AS bit
+  FROM base b,
+       (SELECT unnest(range(0, {_PERM_GRPS})) AS grp) g,
+       (SELECT unnest(range(0, 4)) AS k) k
+),
+reps AS (
+  SELECT event_type, rep,
+         CAST(SUM(CASE WHEN bit = 0 THEN v_e6 ELSE 0 END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN bit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN bit = 1 THEN v_e6 ELSE 0 END) AS BIGINT) AS sb,
+         CAST(SUM(CASE WHEN bit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM lanes GROUP BY event_type, rep
+),
+stats AS (
+  SELECT o.event_type,
+         CAST(SUM(CASE WHEN r.na > 0 AND r.nb > 0 AND
+                    abs(CAST(r.sa AS DOUBLE) / r.na
+                        - CAST(r.sb AS DOUBLE) / r.nb)
+                    >= abs(CAST(o.s_a AS DOUBLE) / o.n_a
+                           - CAST(o.s_b AS DOUBLE) / o.n_b)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+         CAST(COUNT(*) AS BIGINT) AS n_reps
+  FROM reps r JOIN obs o ON o.event_type = r.event_type
+  GROUP BY o.event_type, o.n_a, o.n_b, o.s_a, o.s_b
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY n_extreme, event_type) AS rank,
+         COUNT(*) OVER () AS m
+  FROM stats
+),
+marked AS (
+  SELECT *,
+         CASE WHEN (n_extreme + 1) * 10 * m <= rank * (n_reps + 1)
+              THEN rank ELSE 0 END AS ok_rank
+  FROM ranked
+)
+SELECT event_type, n_extreme, n_reps,
+       round(CAST(n_extreme + 1 AS DOUBLE) / (n_reps + 1), 6) AS p_value,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(m AS BIGINT) AS m,
+       rank <= MAX(ok_rank) OVER () AS rejected
+FROM marked ORDER BY rank
+"""
+
+
+@register(
+    "ml_bh_fdr_permutation",
+    oracle=_ORACLE_BH_FDR,
+    tags=("ml", "eval", "stats"),
+    doc=(
+        "Benjamini-Hochberg FDR control (q = 0.10) over a FAMILY of "
+        "exact permutation tests — one odd-vs-even-user mean-difference "
+        "test per event type, each with the ml_permutation_test_md5 "
+        "shuffle-free machinery (200 md5-lane relabelings, every "
+        "replicate an exact e6-BIGINT sum pair accumulated in one "
+        "grouped scan). Because add-one permutation p-values are exact "
+        "rationals (n_extreme+1)/(n_reps+1), the entire BH step-up is "
+        "INTEGER arithmetic: reject ranks <= max{{i : (ne_i+1)*10*m <= "
+        "i*(nr_i+1)}} — no float CDF anywhere, which is what makes a "
+        "multiple-testing correction cross-engine exact (normal/chi2 "
+        "p-values would need libm parity). The ranking window runs over "
+        "m = |event types| rows. The multiple-testing layer every "
+        "per-segment A/B readout needs before anyone acts on 20 "
+        "simultaneous 'significant' segments."
+    ),
+)
+def ml_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 2).alias("side"),
+        F.round(F.col("value") * 1000000.0, 0).cast("bigint").alias("v_e6"),
+    )
+    obs = base.groupBy("event_type").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("side") == 0, F.col("v_e6")).otherwise(0))
+        .cast("bigint")
+        .alias("s_a"),
+        F.sum(F.when(F.col("side") == 1, F.col("v_e6")).otherwise(0))
+        .cast("bigint")
+        .alias("s_b"),
+    )
+    fanned = (
+        base.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn(
+            "grp", F.explode(F.sequence(F.lit(0), F.lit(_PERM_GRPS - 1)))
+        )
+        .withColumn(
+            "dg",
+            F.md5(
+                (F.col("event_id") * _PERM_GRPS + F.col("grp")).cast("string")
+            ),
+        )
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .select(
+            "event_type",
+            "v_e6",
+            (F.col("grp") * 4 + F.col("k")).alias("rep"),
+            (
+                F.conv(
+                    F.substring("dg", F.lit(1) + F.col("k") * 8, 8), 16, 10
+                ).cast("long")
+                % 2
+            ).alias("bit"),
+        )
+    )
+    reps = fanned.groupBy("event_type", "rep").agg(
+        F.sum(F.when(F.col("bit") == 0, F.col("v_e6")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("bit") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("bit") == 1, F.col("v_e6")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(F.when(F.col("bit") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    diff_obs = F.abs(
+        F.col("s_a").cast("double") / F.col("n_a")
+        - F.col("s_b").cast("double") / F.col("n_b")
+    )
+    diff_rep = F.abs(
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    stats = (
+        reps.join(F.broadcast(obs), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("na") > 0)
+                    & (F.col("nb") > 0)
+                    & (diff_rep >= diff_obs),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+            F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        )
+    )
+    # BH step-up over the m = |event types| family — bounded window
+    wr = Window.orderBy("n_extreme", "event_type")
+    wall = Window.partitionBy()
+    ranked = (
+        stats.withColumn("rank", F.row_number().over(wr))
+        .withColumn("m", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "ok_rank",
+            F.when(
+                (F.col("n_extreme") + 1) * 10 * F.col("m")
+                <= F.col("rank") * (F.col("n_reps") + 1),
+                F.col("rank"),
+            ).otherwise(0),
+        )
+    )
+    return (
+        ranked.withColumn("k_max", F.max("ok_rank").over(wall))
+        .select(
+            "event_type",
+            "n_extreme",
+            "n_reps",
+            F.round(
+                (F.col("n_extreme") + 1).cast("double")
+                / (F.col("n_reps") + 1),
+                6,
+            ).alias("p_value"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("m").cast("bigint").alias("m"),
+            (F.col("rank") <= F.col("k_max")).alias("rejected"),
+        )
+        .orderBy("rank")
+    )

@@ -3017,3 +3017,100 @@ def events_holt_winters_additive(
             "mse_one_step"
         ),
     ).orderBy("event_type")
+
+
+# -- Cohort LTV curves (cumulative revenue per cohort-age) (r9) -----------------
+
+_ORACLE_COHORT_LTV = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+sizes AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
+          FROM first_seen GROUP BY cohort_day),
+rev AS (
+  SELECT f.cohort_day,
+         CAST(ts AS DATE) - f.cohort_day AS age,
+         CAST(SUM(CAST(round(e.value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS rev_e2
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+  WHERE e.value IS NOT NULL AND e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_day, age, rev_e2,
+         CAST(SUM(rev_e2) OVER (PARTITION BY cohort_day ORDER BY age)
+              AS BIGINT) AS cum_rev_e2
+  FROM rev
+)
+SELECT c.cohort_day, CAST(c.age AS BIGINT) AS age, s.cohort_users,
+       c.rev_e2, c.cum_rev_e2,
+       CAST(c.cum_rev_e2 * 10 // s.cohort_users AS BIGINT)
+         AS ltv_per_user_e3
+FROM cum c JOIN sizes s ON s.cohort_day = c.cohort_day
+ORDER BY c.cohort_day, c.age
+"""
+
+
+@register(
+    "events_cohort_ltv",
+    oracle=_ORACLE_COHORT_LTV,
+    tags=("events", "analytics", "agg"),
+    doc=(
+        "Cohort LTV curves: users grouped by first-seen day, purchase "
+        "revenue accumulated per (cohort, days-since-first-seen) — the "
+        "monetary companion of events_cohort_retention's activity "
+        "triangle (does a cohort's cumulative value bend up or flatten "
+        "as it ages?). Exact BIGINT cents throughout; per-user LTV is "
+        "floor tenth-cents so no division crosses the hash. The "
+        "cumulative window is per-COHORT over per-age pre-aggregates "
+        "(calendar-bounded rows: cohorts x ages, never event-scale); "
+        "the first-seen table is one row per user and broadcasts."
+    ),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    rev = (
+        ev.where(
+            F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+        )
+        .join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "age"
+            ),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_e2")
+        )
+    )
+    wc = Window.partitionBy("cohort_day").orderBy("age")
+    cum = rev.withColumn(
+        "cum_rev_e2", F.sum("rev_e2").over(wc).cast("bigint")
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("age").cast("bigint").alias("age"),
+            "cohort_users",
+            "rev_e2",
+            "cum_rev_e2",
+            F.expr(
+                "CAST(cum_rev_e2 * 10 div cohort_users AS BIGINT)"
+            ).alias("ltv_per_user_e3"),
+        )
+        .orderBy("cohort_day", "age")
+    )

@@ -669,3 +669,173 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals (distribution-free coverage)
+# ---------------------------------------------------------------------------
+
+_ORACLE_CONFORMAL = """
+WITH base AS (
+  SELECT event_id, event_type,
+         EXTRACT(DAY FROM ts) AS dom,
+         CAST(round(value * 100.0, 0) AS BIGINT) AS v_e2
+  FROM events WHERE value IS NOT NULL
+),
+tr AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_tr,
+         CAST(SUM(v_e2) AS BIGINT) AS s_tr
+  FROM base WHERE dom <= 10 GROUP BY event_type
+),
+cal AS (
+  SELECT b.event_type, b.event_id,
+         abs(b.v_e2 * t.n_tr - t.s_tr) AS r
+  FROM base b JOIN tr t ON t.event_type = b.event_type
+  WHERE b.dom BETWEEN 11 AND 20
+),
+caln AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal
+         FROM cal GROUP BY event_type),
+qpick AS (
+  SELECT c.event_type, c.r AS qhat_scaled
+  FROM (
+    SELECT event_type, r,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY r, event_id) AS rn
+    FROM cal
+  ) c
+  JOIN caln n ON n.event_type = c.event_type
+  WHERE c.rn = least((9 * (n.n_cal + 1) + 9) // 10, n.n_cal)
+),
+test AS (
+  SELECT b.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN abs(b.v_e2 * t.n_tr - t.s_tr) <= q.qhat_scaled
+                       THEN 1 ELSE 0 END) AS BIGINT) AS covered
+  FROM base b
+  JOIN tr t ON t.event_type = b.event_type
+  JOIN qpick q ON q.event_type = b.event_type
+  WHERE b.dom >= 21
+  GROUP BY b.event_type
+)
+SELECT t.event_type, t.n_tr AS n_train, n.n_cal, te.n_test,
+       round(CAST(t.s_tr AS DOUBLE) / t.n_tr / 100.0, 6) AS mu,
+       CAST(q.qhat_scaled AS BIGINT) AS qhat_scaled,
+       round(CAST(q.qhat_scaled AS DOUBLE) / t.n_tr / 100.0, 6)
+         AS qhat_value,
+       te.covered,
+       CAST(te.covered * 1000000 // te.n_test AS BIGINT) AS coverage_ppm
+FROM tr t
+JOIN caln n ON n.event_type = t.event_type
+JOIN qpick q ON q.event_type = t.event_type
+JOIN test te ON te.event_type = t.event_type
+ORDER BY t.event_type
+"""
+
+
+@register(
+    "ml_conformal_interval",
+    oracle=_ORACLE_CONFORMAL,
+    tags=("ml", "eval", "stats"),
+    doc=(
+        "Split-conformal prediction intervals (Vovk et al.; the "
+        "distribution-free coverage guarantee, alpha = 0.1) per event "
+        "type: train days 1-10 fit the point predictor (the mean), "
+        "calibration days 11-20 supply absolute residuals, qhat = the "
+        "ceil(0.9*(n_cal+1))-th smallest calibration residual, and test "
+        "days 21+ report realized coverage of mu +- qhat. Exactness "
+        "trick: residual |v - s/n| comparisons are done on |v*n - s| — "
+        "exact BIGINTs at any magnitude (same cross-multiplication as "
+        "the PAVA violation tests), so the picked quantile, the "
+        "coverage count, and the ppm are all integer-exact; only the "
+        "two display columns divide. Scale shape: one grouped aggregate "
+        "per split + a per-TYPE rank window over calibration residuals "
+        "(grouped, never global) + one broadcast qhat join. The honest "
+        "uncertainty layer ml_bootstrap_ci_poisson's CI does not give "
+        "(conformal covers FUTURE points, not the mean)."
+    ),
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v_e2"),
+    )
+    tr = (
+        base.where(F.col("dom") <= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tr"),
+            F.sum("v_e2").cast("bigint").alias("s_tr"),
+        )
+    )
+    cal = (
+        base.where(F.col("dom").between(11, 20))
+        .join(F.broadcast(tr), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("v_e2") * F.col("n_tr") - F.col("s_tr")).alias("r"),
+        )
+    )
+    caln = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal")
+    )
+    wq = Window.partitionBy("event_type").orderBy("r", "event_id")
+    qpick = (
+        cal.withColumn("rn", F.row_number().over(wq))
+        .join(F.broadcast(caln), "event_type")
+        .where(
+            F.col("rn")
+            == F.least(
+                F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")
+            )
+        )
+        .select("event_type", F.col("r").alias("qhat_scaled"))
+    )
+    test = (
+        base.where(F.col("dom") >= 21)
+        .join(F.broadcast(tr), "event_type")
+        .join(F.broadcast(qpick), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v_e2") * F.col("n_tr") - F.col("s_tr"))
+                    <= F.col("qhat_scaled"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        tr.join(caln, "event_type")
+        .join(qpick, "event_type")
+        .join(test, "event_type")
+        .select(
+            "event_type",
+            F.col("n_tr").alias("n_train"),
+            "n_cal",
+            "n_test",
+            F.round(
+                F.col("s_tr").cast("double") / F.col("n_tr") / 100.0, 6
+            ).alias("mu"),
+            F.col("qhat_scaled").cast("bigint").alias("qhat_scaled"),
+            F.round(
+                F.col("qhat_scaled").cast("double")
+                / F.col("n_tr")
+                / 100.0,
+                6,
+            ).alias("qhat_value"),
+            "covered",
+            F.expr(
+                "CAST(covered * 1000000 div n_test AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -204,3 +204,97 @@ def test_dbscan_role_contracts(spark):
     for c in core:
         for d in nbrs[c] & core:
             assert out[c]["cluster_id"] == out[d]["cluster_id"]
+
+
+def test_bh_fdr_stepup_recompute(spark):
+    """BH rejection set equals the step-up rule recomputed from the exact
+    (n_extreme, n_reps) rationals; rejections are a prefix of the ranking."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.eval_stats import (
+        ml_bh_fdr_permutation,
+    )
+
+    rows = ml_bh_fdr_permutation(spark, SF).collect()
+    m = rows[0]["m"]
+    assert len(rows) == m
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks)
+    ok = [
+        r["rank"]
+        for r in rows
+        if (r["n_extreme"] + 1) * 10 * m <= r["rank"] * (r["n_reps"] + 1)
+    ]
+    k = max(ok) if ok else 0
+    for r in rows:
+        assert r["rejected"] == (r["rank"] <= k)
+        assert abs(
+            r["p_value"] - (r["n_extreme"] + 1) / (r["n_reps"] + 1)
+        ) < 1e-5
+
+
+def test_conformal_quantile_and_coverage(spark):
+    """qhat is the ceil(0.9*(n_cal+1))-th smallest calibration residual and
+    the reported coverage matches a driver-side recount."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.robust_stats import (
+        ml_conformal_interval,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.dayofmonth("ts").alias("dom"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .collect()
+    )
+    out = {r["event_type"]: r for r in ml_conformal_interval(spark, SF).collect()}
+    types = {r["event_type"] for r in ev}
+    assert set(out) == types
+    for t in types:
+        tr = [r["v"] for r in ev if r["event_type"] == t and r["dom"] <= 10]
+        cal = [
+            r["v"] for r in ev if r["event_type"] == t and 11 <= r["dom"] <= 20
+        ]
+        te = [r["v"] for r in ev if r["event_type"] == t and r["dom"] >= 21]
+        n, s = len(tr), sum(tr)
+        res = sorted(abs(v * n - s) for v in cal)
+        k = min((9 * (len(cal) + 1) + 9) // 10, len(cal))
+        row = out[t]
+        assert row["n_train"] == n and row["n_cal"] == len(cal)
+        assert row["qhat_scaled"] == res[k - 1]
+        cov = sum(1 for v in te if abs(v * n - s) <= res[k - 1])
+        assert row["covered"] == cov
+        assert row["coverage_ppm"] == cov * 1_000_000 // len(te)
+        # the split-conformal guarantee: coverage >= 1 - alpha - slack
+        assert row["coverage_ppm"] > 800_000
+
+
+def test_cohort_ltv_monotone_and_mass(spark):
+    """Cumulative LTV is non-decreasing within each cohort and total mass
+    equals the corpus purchase revenue."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.events_queries import (
+        events_cohort_ltv,
+    )
+
+    rows = events_cohort_ltv(spark, SF).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_day"], []).append(r)
+    last_cums = 0
+    for c, rs in by_cohort.items():
+        ages = [r["age"] for r in rs]
+        assert ages == sorted(ages)
+        cums = [r["cum_rev_e2"] for r in rs]
+        assert cums == sorted(cums)
+        assert cums[-1] == sum(r["rev_e2"] for r in rs)
+        last_cums += cums[-1]
+    total = (
+        load_table(spark, SF, "events")
+        .where(
+            F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")))
+        .collect()[0][0]
+    )
+    assert last_cums == total
