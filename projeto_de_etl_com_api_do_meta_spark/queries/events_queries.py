@@ -3114,3 +3114,124 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "age")
     )
+
+
+# -- Rule-based multi-touch attribution (first/last/linear) (r9) ----------------
+
+_ORACLE_ATTRIBUTION = """
+WITH conv AS (
+  SELECT user_id, MIN(ts) AS conv_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+touches AS (
+  SELECT e.user_id, e.ts, e.event_id, e.event_type
+  FROM events e JOIN conv c ON c.user_id = e.user_id
+  WHERE e.ts < c.conv_ts AND e.event_type <> 'purchase'
+),
+per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k FROM touches GROUP BY user_id
+),
+ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM touches
+),
+linear AS (
+  SELECT t.event_type,
+         CAST(SUM(1000000 // p.k) AS BIGINT) AS linear_credit_e6,
+         CAST(COUNT(*) AS BIGINT) AS n_touches
+  FROM touches t JOIN per_user p ON p.user_id = t.user_id
+  GROUP BY t.event_type
+),
+firsts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS first_touch_conv
+  FROM ordered WHERE rn_a = 1 GROUP BY 1
+),
+lasts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS last_touch_conv
+  FROM ordered WHERE rn_d = 1 GROUP BY 1
+)
+SELECT l.event_type AS channel, l.n_touches, l.linear_credit_e6,
+       COALESCE(f.first_touch_conv, 0) AS first_touch_conv,
+       COALESCE(la.last_touch_conv, 0) AS last_touch_conv
+FROM linear l
+LEFT JOIN firsts f ON f.event_type = l.event_type
+LEFT JOIN lasts la ON la.event_type = l.event_type
+ORDER BY l.event_type
+"""
+
+
+@register(
+    "events_attribution_models",
+    oracle=_ORACLE_ATTRIBUTION,
+    tags=("events", "analytics", "agg"),
+    doc=(
+        "Rule-based multi-touch attribution next to the data-driven one "
+        "(events_markov_attribution): each converting user's pre-first-"
+        "purchase touch journey credits its channels under the three "
+        "standard models at once — first-touch (min (ts, event_id) "
+        "struct per user), last-touch (max), and linear (floor(1e6/k) "
+        "per touch; flooring mass is a documented contract exactly like "
+        "PageRank's teleport floor). One conversion-spine join + two "
+        "hash aggregates; per-user journey state is a pair of struct "
+        "min/max aggregates with a total (ts, event_id) order, never a "
+        "sort window, so the operator is one shuffle on user_id at any "
+        "scale. All credits exact BIGINTs."
+    ),
+)
+def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        ev.join(F.broadcast(conv), "user_id")
+        .where(
+            (F.col("ts") < F.col("conv_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    per_user = touches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.min(F.struct("ts", "event_id", "event_type")).alias("first_t"),
+        F.max(F.struct("ts", "event_id", "event_type")).alias("last_t"),
+    )
+    linear = (
+        touches.join(per_user.select("user_id", "k"), "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("1000000 div k")).cast("bigint").alias(
+                "linear_credit_e6"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        )
+    )
+    firsts = per_user.groupBy(
+        F.col("first_t.event_type").alias("event_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("first_touch_conv"))
+    lasts = per_user.groupBy(
+        F.col("last_t.event_type").alias("event_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("last_touch_conv"))
+    return (
+        linear.join(firsts, "event_type", "left")
+        .join(lasts, "event_type", "left")
+        .select(
+            F.col("event_type").alias("channel"),
+            "n_touches",
+            "linear_credit_e6",
+            F.coalesce("first_touch_conv", F.lit(0))
+            .cast("bigint")
+            .alias("first_touch_conv"),
+            F.coalesce("last_touch_conv", F.lit(0))
+            .cast("bigint")
+            .alias("last_touch_conv"),
+        )
+        .orderBy(F.col("channel"))
+    )

@@ -1984,3 +1984,78 @@ def warehouse_semi_additive_balance(
         )
         .orderBy("week_start")
     )
+
+
+# -- XML entity-escaping round-trip (r9) ---------------------------------------------
+
+_ORACLE_XML_ROUNDTRIP = """
+WITH payloads AS (
+  SELECT doc_id,
+         '<b>' || substr(text, 1, 24) || '</b> & "quoted" ' || chr(10)
+           || '''tail'' <' || lang AS payload
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_ok,
+       CAST(SUM(('0x' || substr(md5(payload), 1, 8))::BIGINT) AS BIGINT)
+         AS payload_checksum
+FROM payloads
+"""
+
+
+@register(
+    "io_xml_roundtrip",
+    oracle=_ORACLE_XML_ROUNDTRIP,
+    tags=("io", "warehouse"),
+    doc=(
+        "XML round-trip through Spark 4's NATIVE xml source (S9 family "
+        "completion: parquet/csv/json/orc/xml) with ADVERSARIAL field "
+        "content — literal angle brackets, ampersands, double and single "
+        "quotes, and newlines in every payload, the characters XML must "
+        "entity-escape (&lt; &amp; &quot;): write with rowTag rows, read "
+        "back, verify bit-exact payload fidelity row-by-row (n_ok) plus "
+        "an md5 checksum the oracle recomputes from the same payload "
+        "expression over the source table. An escaping/unescaping "
+        "regression shows up as n_ok < n_rows or a checksum mismatch — "
+        "the same fidelity pin io_csv_quoted_roundtrip gives RFC-4180 "
+        "quoting."
+    ),
+)
+def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<b>"),
+            F.substring("text", 1, 24),
+            F.lit('</b> & "quoted" '),
+            F.lit("\n"),
+            F.lit("'tail' <"),
+            F.col("lang"),
+        ).alias("payload"),
+    )
+    target = tempfile.mkdtemp(prefix="xml_rt_") + "/docs_xml"
+    (
+        payloads.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(target)
+    )
+    back = (
+        spark.read.schema("doc_id long, payload string")
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(target)
+    )
+    joined = payloads.withColumnRenamed("payload", "orig").join(back, "doc_id")
+    checksum = F.conv(F.substring(F.md5("orig"), 1, 8), 16, 10).cast("long")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("orig") == F.col("payload"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ok"),
+        F.sum(checksum).cast("bigint").alias("payload_checksum"),
+    )
