@@ -1054,3 +1054,118 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     return ranks.orderBy(F.desc("rank"), "word").limit(_TR_TOPK)
+
+
+# -- Label-propagation community detection (r9) ---------------------------------
+
+_LPA_ROUNDS = 2
+
+
+def _oracle_lpa() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""v{i} AS (
+  SELECT s.d AS node, l.label, COUNT(*) AS votes
+  FROM sym s JOIN {prev} l ON l.node = s.s
+  GROUP BY s.d, l.label
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY votes DESC, label) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pairs AS (
+  SELECT a.p AS u, b.p AS v, COUNT(*) AS support
+  FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+edges AS (SELECT u, v FROM pairs WHERE support >= 2),
+sym AS (SELECT u AS s, v AS d FROM edges UNION SELECT v, u FROM edges),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
+{chain}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM {prev} GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_oracle_lpa(),
+    tags=("graph", "iterative", "clustering"),
+    doc=(
+        f"Label-propagation community detection (Raghavan et al. 2007), "
+        f"{_LPA_ROUNDS} SYNCHRONOUS rounds over the part co-purchase "
+        "graph: each node adopts the most frequent label among its "
+        "neighbors, ties broken by MIN label — the deterministic "
+        "variant of the textbook's random tie-break (async random LPA "
+        "is irreproducible by construction; synchronous min-tie-break "
+        "makes every round a pure function of the previous labeling, "
+        "which is what lets the oracle unroll it). Detection pairs with "
+        "graph_modularity_components' evaluator: LPA proposes, "
+        "modularity scores. Each round is one edges-labels shuffle join "
+        "+ a (node, label) vote count + a per-NODE top-1 window "
+        "(partitioned by node — bounded by the node's distinct "
+        "neighbor labels). Community summary output keeps the result "
+        "set node-scale-free."
+    ),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pl.alias("a"), pl.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    sym = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    wv = Window.partitionBy("node").orderBy(F.desc("votes"), "label")
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(labels, sym.s == labels.node)
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("community")
+    )

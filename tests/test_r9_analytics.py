@@ -298,3 +298,92 @@ def test_cohort_ltv_monotone_and_mass(spark):
         .collect()[0][0]
     )
     assert last_cums == total
+
+
+def test_label_propagation_partition_and_determinism(spark):
+    """Communities partition the node set; two runs identical."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.graph_queries import (
+        graph_label_propagation,
+    )
+
+    a = graph_label_propagation(spark, SF).collect()
+    b = graph_label_propagation(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+    )
+    nodes = {
+        r[0]
+        for r in edges.select("u").union(edges.select("v")).distinct().collect()
+    }
+    assert sum(r["n_nodes"] for r in a) == len(nodes)
+    assert all(r["community"] in nodes for r in a)
+    assert all(r["min_node"] <= r["max_node"] for r in a)
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    from projeto_de_etl_com_api_do_meta_spark.queries.aggregates import (
+        agg_bitmap_distinct,
+    )
+
+    got = {r["event_type"]: r for r in agg_bitmap_distinct(spark, SF).collect()}
+    exact = {
+        r["event_type"]: (r["d"], r["n"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"), F.count(F.lit(1)).alias("n")
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, (d, n) in exact.items():
+        assert got[t]["n_users"] == d
+        assert got[t]["n_events"] == n
+
+
+def test_attribution_conservation(spark):
+    """First/last-touch conversions each sum to the number of converting
+    users with a nonempty journey; linear credit per user nearly 1e6."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.events_queries import (
+        events_attribution_models,
+    )
+
+    rows = events_attribution_models(spark, SF).collect()
+    ev = load_table(spark, SF, "events").collect()
+    conv_ts = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            if r["user_id"] not in conv_ts or r["ts"] < conv_ts[r["user_id"]]:
+                conv_ts[r["user_id"]] = r["ts"]
+    journeys = {}
+    for r in ev:
+        t0 = conv_ts.get(r["user_id"])
+        if t0 is not None and r["ts"] < t0 and r["event_type"] != "purchase":
+            journeys.setdefault(r["user_id"], []).append(r)
+    n_journeys = len(journeys)
+    assert sum(r["first_touch_conv"] for r in rows) == n_journeys
+    assert sum(r["last_touch_conv"] for r in rows) == n_journeys
+    total_linear = sum(r["linear_credit_e6"] for r in rows)
+    expected = sum(len(js) * (1_000_000 // len(js)) for js in journeys.values())
+    assert total_linear == expected
+    assert sum(r["n_touches"] for r in rows) == sum(
+        len(js) for js in journeys.values()
+    )
+
+
+def test_xml_roundtrip_fidelity(spark):
+    from projeto_de_etl_com_api_do_meta_spark.queries.warehouse_ops import (
+        io_xml_roundtrip,
+    )
+
+    row = io_xml_roundtrip(spark, SF).collect()[0]
+    assert row["n_rows"] > 0
+    assert row["n_ok"] == row["n_rows"]
