@@ -839,3 +839,119 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson estimation from an unequal-probability sample
+# ---------------------------------------------------------------------------
+
+_HT_RATES = {"click": 4, "view": 8, "error": 16, "signup": 2, "purchase": 1}
+
+_ORACLE_HT = """
+WITH rates AS (
+  SELECT * FROM (VALUES ('click', 4), ('view', 8), ('error', 16),
+                        ('signup', 2), ('purchase', 1)) AS t(event_type, k)
+),
+base AS (
+  SELECT e.event_type, r.k,
+         CAST(round(e.value * 100.0, 0) AS BIGINT) AS v_e2,
+         ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+           AS lane
+  FROM events e JOIN rates r ON r.event_type = e.event_type
+  WHERE e.value IS NOT NULL
+),
+truth AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pop,
+         CAST(SUM(v_e2) AS BIGINT) AS total_e2
+  FROM base GROUP BY event_type
+),
+samp AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_samp,
+         CAST(SUM(v_e2 * k) AS BIGINT) AS ht_total_e2,
+         CAST(SUM(v_e2 * v_e2 * k * (k - 1)) AS BIGINT) AS ht_var_e4,
+         CAST(SUM(k) AS BIGINT) AS ht_count
+  FROM base WHERE lane % k = 0 GROUP BY event_type
+)
+SELECT t.event_type, t.n_pop, s.n_samp, t.total_e2,
+       s.ht_total_e2, s.ht_count, s.ht_var_e4,
+       CAST(abs(s.ht_total_e2 - t.total_e2) * 1000000 // t.total_e2
+            AS BIGINT) AS rel_err_ppm
+FROM truth t JOIN samp s ON s.event_type = t.event_type
+ORDER BY t.event_type
+"""
+
+
+@register(
+    "sample_horvitz_thompson",
+    oracle=_ORACLE_HT,
+    tags=("sampling", "stats", "eval"),
+    doc=(
+        "Horvitz-Thompson estimation from a deterministic UNEQUAL-"
+        "probability sample: each event type samples at its own md5-lane "
+        "rate 1/k (rare purchases kept whole, noisy views at 1/8), and "
+        "the HT estimator reweights by the inverse inclusion "
+        "probability — total_hat = sum(v*k) over sampled rows, with the "
+        "Poisson-sampling variance estimator sum(v^2*k*(k-1)) — next to "
+        "the design half the registry already has (stratified, Neyman, "
+        "reservoir, DSIR samplers). Everything is exact BIGINT because "
+        "the rates are integer reciprocals: the estimator, its variance "
+        "numerator, and the realized relative error vs the full-scan "
+        "truth all hash cross-engine. The estimation side is ONE "
+        "conditional aggregate over the sample — this is how a 100 TB "
+        "pipeline reports corpus totals without the full scan, with the "
+        "full-scan truth kept here as the calibration check."
+    ),
+)
+def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    rates = spark.createDataFrame(
+        [(t, k) for t, k in sorted(_HT_RATES.items())], "event_type string, k int"
+    )
+    lane = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    base = ev.join(F.broadcast(rates), "event_type").select(
+        "event_type",
+        "k",
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v_e2"),
+        lane.alias("lane"),
+    )
+    truth = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum("v_e2").cast("bigint").alias("total_e2"),
+    )
+    samp = (
+        base.where(F.col("lane") % F.col("k") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samp"),
+            F.sum(F.col("v_e2") * F.col("k")).cast("bigint").alias(
+                "ht_total_e2"
+            ),
+            F.sum(
+                F.col("v_e2") * F.col("v_e2") * F.col("k") * (F.col("k") - 1)
+            )
+            .cast("bigint")
+            .alias("ht_var_e4"),
+            F.sum("k").cast("bigint").alias("ht_count"),
+        )
+    )
+    return (
+        truth.join(samp, "event_type")
+        .select(
+            "event_type",
+            "n_pop",
+            "n_samp",
+            "total_e2",
+            "ht_total_e2",
+            "ht_count",
+            "ht_var_e4",
+            F.expr(
+                "CAST(abs(ht_total_e2 - total_e2) * 1000000 "
+                "div total_e2 AS BIGINT)"
+            ).alias("rel_err_ppm"),
+        )
+        .orderBy("event_type")
+    )

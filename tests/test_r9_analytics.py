@@ -387,3 +387,39 @@ def test_xml_roundtrip_fidelity(spark):
     row = io_xml_roundtrip(spark, SF).collect()[0]
     assert row["n_rows"] > 0
     assert row["n_ok"] == row["n_rows"]
+
+
+def test_horvitz_thompson_unbiasedness_mechanics(spark):
+    """HT totals recompute from a driver-side sample replay; purchase
+    (k=1) is a census so its estimate is exact with zero variance."""
+    import hashlib
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.robust_stats import (
+        _HT_RATES,
+        sample_horvitz_thompson,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id", "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .collect()
+    )
+    out = {r["event_type"]: r for r in sample_horvitz_thompson(spark, SF).collect()}
+    for t, k in _HT_RATES.items():
+        pop = [(r["event_id"], r["v"]) for r in ev if r["event_type"] == t]
+        samp = [
+            v
+            for eid, v in pop
+            if int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16) % k == 0
+        ]
+        row = out[t]
+        assert row["n_pop"] == len(pop)
+        assert row["n_samp"] == len(samp)
+        assert row["ht_total_e2"] == sum(v * k for v in samp)
+        assert row["ht_var_e4"] == sum(v * v * k * (k - 1) for v in samp)
+    assert out["purchase"]["rel_err_ppm"] == 0
+    assert out["purchase"]["ht_var_e4"] == 0
