@@ -299,12 +299,10 @@ assert len(_PRIORITY) == len(set(_PRIORITY)), sorted(
 #: fresh green row lands (at which point remove them from this set).
 #: r8: the components/canonical family was recomposed onto the frequency-
 #: capped pair generator (new oracle over capped edges) — VERDICT r7 item 1.
-_FORCE_RESCORE: frozenset[str] = frozenset(
-    {
-        "dedup_cluster_components",
-        "dedup_canonical_selection",
-    }
-)
+#: Their fresh green rows landed in CORRECTNESS_r08 (hash_match on the
+#: recomposed code), so the force was lifted in r9; the set stays as the
+#: mechanism for the next semantic change.
+_FORCE_RESCORE: frozenset[str] = frozenset()
 
 #: Driver-verified green in CORRECTNESS_r01 + r02 — re-scoring these wastes
 #: slots, so they sort after every not-yet-verified oracle-backed query.
