@@ -771,19 +771,23 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score", F.lit(_HITS_SCALE).cast("bigint")
     )
     auths = None
+    # localCheckpoint per half-step: without the lineage cut, every later
+    # half-step re-evaluates (and AQE re-plans) the whole prior chain —
+    # on a skew-heavy synthetic graph the unpersisted 4-half-step chain
+    # measured >10x slower than the checkpointed one (SCALE_PROBE_r09b).
     for _ in range(_HITS_ITERS):
         a_raw = (
             edges.join(hubs, "cust")
             .groupBy("part")
             .agg(F.sum("score").cast("bigint").alias("raw"))
         )
-        auths = _max_normalize(a_raw, "part")
+        auths = _max_normalize(a_raw, "part").localCheckpoint(eager=True)
         h_raw = (
             edges.join(auths, "part")
             .groupBy("cust")
             .agg(F.sum("score").cast("bigint").alias("raw"))
         )
-        hubs = _max_normalize(h_raw, "cust")
+        hubs = _max_normalize(h_raw, "cust").localCheckpoint(eager=True)
     out = (
         hubs.select(
             F.lit("hub").alias("side"), F.col("cust").alias("id"), "score"
