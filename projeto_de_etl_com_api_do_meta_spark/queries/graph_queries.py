@@ -119,7 +119,7 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_BASE) + F.coalesce(F.col("contrib"), F.lit(0)))
             .cast("long")
             .alias("rank"),
-        )
+        ).localCheckpoint(eager=True)  # lineage cut (HITS probe lesson)
     return ranks.orderBy("id")
 
 
@@ -1051,12 +1051,14 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
+        # lineage cut per iteration (the HITS probe lesson: unpersisted
+        # iteration chains re-plan the whole prior chain per round)
         ranks = nodes.join(contrib, nodes.word == contrib.dst, "left").select(
             "word",
             (F.lit(_TR_BASE) + F.coalesce(F.col("contrib"), F.lit(0)))
             .cast("bigint")
             .alias("rank"),
-        )
+        ).localCheckpoint(eager=True)
     return ranks.orderBy(F.desc("rank"), "word").limit(_TR_TOPK)
 
 
@@ -1163,6 +1165,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.withColumn("rn", F.row_number().over(wv))
             .where(F.col("rn") == 1)
             .select("node", "label")
+            .localCheckpoint(eager=True)  # lineage cut (HITS probe lesson)
         )
     return (
         labels.groupBy(F.col("label").alias("community"))
