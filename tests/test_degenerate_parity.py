@@ -411,6 +411,9 @@ _BATTERY4 = [
     "ml_mann_whitney_u", "ml_theil_sen_daily", "events_diff_in_diff",
     "train_pack_nextfit_md5", "embed_dbscan_cosine",
     "text_textrank_keywords",
+    # late r9: FDR family, conformal, LTV, attribution, HT estimation
+    "ml_bh_fdr_permutation", "ml_conformal_interval", "events_cohort_ltv",
+    "events_attribution_models", "sample_horvitz_thompson",
 ]
 
 
