@@ -323,6 +323,16 @@ _BATTERY3 = [
     "ml_welch_t_test",
     "events_wilcoxon_signed_rank",
     "events_rfm_segments_approx",
+    # r9 robust-stats family: subnormal/-0.0 cents through half-rank sums,
+    # pair slopes, conformal residual cross-multiplication, HT reweighting
+    "ml_mann_whitney_u",
+    "ml_theil_sen_daily",
+    "ml_conformal_interval",
+    "sample_horvitz_thompson",
+    "ml_bh_fdr_permutation",
+    "events_diff_in_diff",
+    "events_cohort_ltv",
+    "events_attribution_models",
     # BIGINT-edge user ids through hash joins / distinct / windows
     "events_rolling_active_users",
     "events_cohort_retention",
