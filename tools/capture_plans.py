@@ -122,6 +122,25 @@ FLAGSHIPS = [
         "score.",
     ),
     (
+        "agg_quantile_sketch_md5",
+        "Two-phase exact quantile selection (r9): per-cent-value counts are "
+        "ONE hash aggregate with map-side combine; the coarse bin table "
+        "(fixed width, ~110 rows) locates each rate's median bin via a tiny "
+        "window; only the chosen bin's values are cum-summed (bounded by "
+        "bin width); the final full-column rank is a 3-row broadcast "
+        "comparison aggregate. No full-table total order anywhere — the "
+        "global-sort-free shape exact quantiles need at 100 TB.",
+    ),
+    (
+        "graph_hits_bipartite",
+        "Iterative HITS with per-half-step localCheckpoint (r9 probe "
+        "lesson): each half-step is one edges-scores shuffle join + one "
+        "hash aggregate + a 1-row max broadcast; the checkpoint cuts "
+        "lineage so AQE plans each half-step once instead of re-planning "
+        "the whole prior chain (measured 6-12x on a skew-heavy synthetic "
+        "graph, 29.5s->11.5s on the sf0.1 purchase graph).",
+    ),
+    (
         "agg_hll_distinct_sketch",
         "HyperLogLog registers: one scan, partial_max map-side combine "
         "into <= groups x 64 register cells before the exchange — the "
