@@ -3235,3 +3235,166 @@ def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("channel"))
     )
+
+
+# -- Kleinberg 2-state burst detection as an exact Viterbi fold (r9) -------------
+
+_BURST_INF = 4_611_686_018_427_387_904  # 2^62: unreachable-state sentinel
+
+_ORACLE_BURST = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, CAST(COUNT(*) AS BIGINT) AS r
+  FROM events GROUP BY 1, 2
+),
+dtot AS (SELECT d, CAST(SUM(r) AS BIGINT) AS dt FROM daily GROUP BY d),
+rtot AS (SELECT event_type,
+                CAST(SUM(r) AS BIGINT) AS rt,
+                CAST(COUNT(*) AS BIGINT) AS n_days
+         FROM daily GROUP BY event_type),
+gtot AS (SELECT CAST(SUM(dt) AS BIGINT) AS g FROM dtot),
+costs AS (
+  SELECT da.event_type, da.d, rt.n_days,
+         CAST(floor(-1000000000.0 *
+              (da.r * ln(CAST(rt.rt AS DOUBLE) / g.g)
+               + (t.dt - da.r) * ln(1.0 - CAST(rt.rt AS DOUBLE) / g.g)))
+           AS BIGINT) AS a0,
+         CAST(floor(-1000000000.0 *
+              (da.r * ln(least(2.0 * rt.rt / g.g, 0.999999))
+               + (t.dt - da.r) * ln(1.0 - least(2.0 * rt.rt / g.g,
+                                                0.999999))))
+           AS BIGINT) AS a1
+  FROM daily da
+  JOIN dtot t ON t.d = da.d
+  JOIN rtot rt ON rt.event_type = da.event_type
+  CROSS JOIN gtot g
+),
+series AS (
+  SELECT event_type, MAX(n_days) AS n_days,
+         CAST(floor(1000000000.0 * ln(CAST(MAX(n_days) AS DOUBLE)))
+           AS BIGINT) AS trans,
+         list([a0, a1] ORDER BY d) AS xs
+  FROM costs GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, n_days,
+         list_reduce(
+           list_prepend([CAST(0 AS BIGINT), {_BURST_INF},
+                         CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                        xs),
+           (acc, e) -> [
+             least(acc[1], acc[2]) + e[1],
+             least(acc[1] + trans, acc[2]) + e[2],
+             CASE WHEN acc[1] <= acc[2] THEN acc[3] ELSE acc[4] END * 2,
+             CASE WHEN acc[1] + trans < acc[2] THEN acc[3]
+                  ELSE acc[4] END * 2 + 1
+           ]) AS st
+  FROM series
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(st[1] AS BIGINT) AS cost_end0,
+       CAST(st[2] AS BIGINT) AS cost_end1,
+       CAST(CASE WHEN st[1] <= st[2] THEN st[3] ELSE st[4] END AS BIGINT)
+         AS burst_mask,
+       CAST(bit_count(CAST(CASE WHEN st[1] <= st[2] THEN st[3] ELSE st[4]
+                           END AS BIGINT)) AS BIGINT) AS n_burst_days
+FROM folded ORDER BY event_type
+"""
+
+
+@register(
+    "events_burst_detection",
+    oracle=_ORACLE_BURST,
+    tags=("events", "timeseries", "anomaly"),
+    doc=(
+        "Kleinberg 2-state burst detection (KDD 2002) per event type: a "
+        "baseline state emits at the type's global rate p0 = R/G, the "
+        "burst state at min(2*p0, 1-eps); per-day binomial costs (the "
+        "C(d,r) term cancels between states) and a ln(n)-scaled 0->1 "
+        "transition cost feed a FULL VITERBI — not a greedy threshold — "
+        "run as one vector-state array fold: [cost0, cost1, path0, "
+        "path1], with each state's optimal PATH bit-packed into a BIGINT "
+        "(day-bounded series, <=62 days per window by construction). "
+        "Costs are e9-floored integers, so the entire DP — minima, "
+        "transitions, path choices — is exact BIGINT arithmetic and the "
+        "oracle replays it bit-for-bit with list_reduce. Fourth member "
+        "of the sequential-fold family (EWMA, Holt, CUSUM); the "
+        "'trending topic' detector a feed pipeline runs per entity. "
+        "Scale: per-type folds over per-day pre-aggregates — one hash "
+        "aggregate + one day-bounded fold per key."
+    ),
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    dtot = daily.groupBy("d").agg(F.sum("r").cast("bigint").alias("dt"))
+    rtot = daily.groupBy("event_type").agg(
+        F.sum("r").cast("bigint").alias("rt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    gtot = dtot.agg(F.sum("dt").cast("bigint").alias("g"))
+    p0 = F.col("rt").cast("double") / F.col("g")
+    p1 = F.least(F.lit(2.0) * F.col("rt") / F.col("g"), F.lit(0.999999))
+    costs = (
+        daily.join(dtot, "d")
+        .join(F.broadcast(rtot), "event_type")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "event_type",
+            "d",
+            "n_days",
+            F.floor(
+                F.lit(-1000000000.0)
+                * (
+                    F.col("r") * F.log(p0)
+                    + (F.col("dt") - F.col("r")) * F.log(F.lit(1.0) - p0)
+                )
+            )
+            .cast("bigint")
+            .alias("a0"),
+            F.floor(
+                F.lit(-1000000000.0)
+                * (
+                    F.col("r") * F.log(p1)
+                    + (F.col("dt") - F.col("r")) * F.log(F.lit(1.0) - p1)
+                )
+            )
+            .cast("bigint")
+            .alias("a1"),
+        )
+    )
+    series = costs.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.floor(
+            F.lit(1000000000.0) * F.log(F.max("n_days").cast("double"))
+        )
+        .cast("bigint")
+        .alias("trans"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, a0, a1))), "
+            "s -> array(s.a0, s.a1))"
+        ).alias("xs"),
+    )
+    fold = f"""
+aggregate(
+  xs,
+  array(0L, {_BURST_INF}L, 0L, 0L),
+  (acc, e) -> array(
+    least(acc[0], acc[1]) + e[0],
+    least(acc[0] + trans, acc[1]) + e[1],
+    (CASE WHEN acc[0] <= acc[1] THEN acc[2] ELSE acc[3] END) * 2L,
+    (CASE WHEN acc[0] + trans < acc[1] THEN acc[2] ELSE acc[3] END) * 2L + 1L
+  ))
+"""
+    folded = series.withColumn("st", F.expr(fold))
+    mask = F.expr("CASE WHEN st[0] <= st[1] THEN st[2] ELSE st[3] END")
+    return folded.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.expr("st[0]").cast("bigint").alias("cost_end0"),
+        F.expr("st[1]").cast("bigint").alias("cost_end1"),
+        mask.cast("bigint").alias("burst_mask"),
+        F.bit_count(mask).cast("bigint").alias("n_burst_days"),
+    ).orderBy("event_type")

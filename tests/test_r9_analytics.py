@@ -423,3 +423,49 @@ def test_horvitz_thompson_unbiasedness_mechanics(spark):
         assert row["ht_var_e4"] == sum(v * v * k * (k - 1) for v in samp)
     assert out["purchase"]["rel_err_ppm"] == 0
     assert out["purchase"]["ht_var_e4"] == 0
+
+
+def test_burst_viterbi_matches_python(spark):
+    """The bit-packed fold reproduces a pure-Python Viterbi DP per type."""
+    import math
+
+    from projeto_de_etl_com_api_do_meta_spark.queries.events_queries import (
+        _BURST_INF,
+        events_burst_detection,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select(F.col("ts").cast("date").alias("d"), "event_type")
+        .collect()
+    )
+    daily, dtot, rtot = {}, {}, {}
+    for r in ev:
+        daily[(r["d"], r["event_type"])] = daily.get((r["d"], r["event_type"]), 0) + 1
+        dtot[r["d"]] = dtot.get(r["d"], 0) + 1
+    for (d, t), n in daily.items():
+        rtot[t] = rtot.get(t, 0) + n
+    g = sum(dtot.values())
+    out = {r["event_type"]: r for r in events_burst_detection(spark, SF).collect()}
+    for t in rtot:
+        days = sorted(d for (d, tt) in daily if tt == t)
+        p0 = rtot[t] / g
+        p1 = min(2.0 * rtot[t] / g, 0.999999)
+        trans = math.floor(1e9 * math.log(len(days)))
+        c0, c1 = 0, _BURST_INF
+        m0, m1 = 0, 0
+        for d in days:
+            r, dt_ = daily[(d, t)], dtot[d]
+            a0 = math.floor(-1e9 * (r * math.log(p0) + (dt_ - r) * math.log(1 - p0)))
+            a1 = math.floor(-1e9 * (r * math.log(p1) + (dt_ - r) * math.log(1 - p1)))
+            n0 = min(c0, c1) + a0
+            n1 = min(c0 + trans, c1) + a1
+            nm0 = (m0 if c0 <= c1 else m1) * 2
+            nm1 = (m0 if c0 + trans < c1 else m1) * 2 + 1
+            c0, c1, m0, m1 = n0, n1, nm0, nm1
+        row = out[t]
+        assert row["n_days"] == len(days)
+        assert row["cost_end0"] == c0 and row["cost_end1"] == c1
+        mask = m0 if c0 <= c1 else m1
+        assert row["burst_mask"] == mask
+        assert row["n_burst_days"] == bin(mask).count("1")

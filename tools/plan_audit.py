@@ -132,6 +132,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("embed_dbscan_cosine", "CARTESIAN"): "scalar-threshold crossJoin inside the shared near-dup generator (the dedup_embedding_cosine contract); IVF/LSH candidates swap in at scale",
     ("graph_modularity_components", "CARTESIAN"): "1-row total-edge-count scalar broadcast onto the per-community rows",
     ("ml_bh_fdr_permutation", "GLOBAL_WINDOW"): "BH step-up rank/max windows over the m = |event types| test family (5 rows)",
+    ("events_burst_detection", "CARTESIAN"): "1-row global-total scalar broadcast onto the per-(day,type) cost table",
     ("embed_knn_bruteforce", "CARTESIAN"): "exact-oracle baseline by contract; scale paths are the ANN queries",
     ("train_hard_negatives", "CARTESIAN"): "bounded 20-anchor broadcast over the corpus (same contract as embed_knn_bruteforce); ANN shortlist swaps in at scale",
     ("embed_matryoshka_recall", "CARTESIAN"): "two bounded 10-anchor broadcasts (full-dim and truncated rankings being compared)",
