@@ -414,6 +414,7 @@ def _load_all() -> None:
         analysis_extra,
         dedup_crossengine,
         documents_queries,
+        drift_sequence_queries,
         embeddings_queries,
         eval_stats,
         events_queries,

@@ -43,6 +43,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001")
 
 #: (query, flag) -> reason the pattern is acceptable THERE.
 ALLOWLIST: dict[tuple[str, str], str] = {
+    # ---- round 9b drift/series batch: scalar-aggregate broadcasts and
+    # windows over reduced (distinct-value / bucket / daily-spine) tables ----
+    ("ml_wasserstein_drift", "CARTESIAN"): "1-row (n_a, n_b) totals scalar broadcast onto the distinct-value ECDF table",
+    ("ml_wasserstein_drift", "GLOBAL_WINDOW"): "cumulative ECDF window over the DISTINCT-VALUE table (bounded by cent resolution, the ml_auc_roc_exact contract)",
+    ("agg_ddsketch_quantiles", "CARTESIAN"): "3-row quantile-target spine broadcast onto the sketch-bucket table (<=8*log2(max) buckets per group)",
+    ("window_rolling_regression", "GLOBAL_WINDOW"): "rolling OLS windows over the calendar-bounded daily spine (the events_seasonal_decompose contract)",
+    ("events_haar_wavelet_energy", "CARTESIAN"): "1-row calendar-origin scalar broadcast onto the <=32-row daily table",
     # ---- round 8 stats/eval batch: every hit is a scalar-aggregate
     # broadcast, a calendar-bounded daily-spine window, or a small fixed
     # spine — never data-scale quadratic work ----
