@@ -504,3 +504,61 @@ def sample_video_frames(df: DataFrame, every_nth: int = 5) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def qoi_pixels_for_doc(doc_id: int) -> tuple[int, int, int, np.ndarray]:
+    """Deterministic per-doc QOI test image.  QOI is lossless, so the rule
+    is pure-integer like the PNG one, but with an RGBA lane (alpha keyed on
+    doc_id % 4 == 0) to exercise the QOI_OP_RGBA path and run-friendly row
+    bands (px constant along short spans) to exercise QOI_OP_RUN:
+
+        width    = 4 + doc_id % 29            -- 4..32
+        height   = 3 + doc_id % 14            -- 3..16
+        channels = 4 if doc_id % 4 == 0 else 3
+        px[r,c,ch] = (5r + 13*(c DIV 3) + 37ch + doc_id) % 256
+
+    The c DIV 3 term makes every 3 adjacent pixels equal → real runs.
+    All pure integer functions of doc_id, so an external engine recomputes
+    the EXACT pixel sum in plain SQL (the lossless contract)."""
+    doc_id = int(doc_id)
+    w = 4 + doc_id % 29
+    h = 3 + doc_id % 14
+    channels = 4 if doc_id % 4 == 0 else 3
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(channels)[None, None, :]
+    px = (5 * r + 13 * (c // 3) + 37 * ch + doc_id) % 256
+    return w, h, channels, px.astype(np.uint8)
+
+
+def attach_qoi_image(df: DataFrame) -> DataFrame:
+    """Materialize a REAL QOI per document (pure-stdlib codec, qoi.py):
+    deterministic dimensions + pixels from doc_id.  The binary column
+    holds genuine spec-complete QOI files any QOI tool can open."""
+    from .qoi import QOI_CONTENT_TYPE, encode_qoi
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("image_bytes", T.BinaryType()),
+            T.StructField("content_type", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id in batch["doc_id"]:
+                w, h, channels, px = qoi_pixels_for_doc(doc_id)
+                out.append(
+                    (
+                        doc_id,
+                        encode_qoi(w, h, px.tobytes(), channels=channels),
+                        QOI_CONTENT_TYPE,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    # same CPU-bound-encode posture as attach_png_image
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select("doc_id").repartition(par).mapInPandas(kernel, schema=schema)

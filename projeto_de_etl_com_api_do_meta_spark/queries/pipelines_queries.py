@@ -892,6 +892,113 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.mapInPandas(kernel, schema=schema).orderBy("doc_id")
 
 
+# -- QOI lossless round-trip (r9b): dictionary/delta/RLE image codec ---------------
+
+# QOI (qoiformat.org, spec v1.0) is LOSSLESS like PNG, so the oracle pins
+# the decoded pixel SUM bit-for-bit against a pure-SQL recomputation of the
+# generation rule (binary_ops.qoi_pixels_for_doc) — alpha lane included.
+_ORACLE_QOI = """
+WITH ids AS (
+  SELECT doc_id,
+         4 + doc_id % 29 AS w,
+         3 + doc_id % 14 AS h,
+         CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS nch
+  FROM documents WHERE doc_id % 7 = 4
+),
+m AS (
+  SELECT i.doc_id,
+         CAST(SUM((5 * r.x + 13 * (c.x // 3) + 37 * ch.x + i.doc_id) % 256)
+              AS BIGINT) AS pixel_sum
+  FROM ids i, range(0, 16) r(x), range(0, 32) c(x), range(0, 4) ch(x)
+  WHERE r.x < i.h AND c.x < i.w AND ch.x < i.nch
+  GROUP BY i.doc_id
+)
+SELECT i.doc_id,
+       CAST(i.w AS INTEGER) AS width,
+       CAST(i.h AS INTEGER) AS height,
+       CAST(i.nch AS INTEGER) AS channels,
+       m.pixel_sum,
+       TRUE AS ok_format,
+       TRUE AS ok_lossless
+FROM ids i JOIN m USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_qoi_roundtrip",
+    oracle=_ORACLE_QOI,
+    tags=("multimodal",),
+    doc=(
+        "REAL QOI image LOSSLESS round-trip: genuine spec-complete QOI "
+        "files (qoiformat.org v1.0 — 64-slot color-index hashing, "
+        "wrapping DIFF/LUMA deltas, RGB/RGBA literals, run-length ops, "
+        "end marker; multimodal/qoi.py) are encoded into the binary "
+        "column and decoded back inside one Arrow-batched mapInPandas.  "
+        "RGB and RGBA both exercised (alpha lane keyed on doc_id), and "
+        "the generation rule's 3-pixel bands force real QOI_OP_RUN "
+        "chunks.  The DuckDB oracle recomputes the EXACT decoded pixel "
+        "sum from the generation rule; ok_lossless certifies decoded == "
+        "original pixel-for-pixel.  Completes the codec family's "
+        "dictionary/delta/RLE quadrant beside PNG (DEFLATE+filters), "
+        "JPEG (DCT) and FLAC (prediction+Rice)."
+    ),
+)
+def multimodal_qoi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..multimodal.binary_ops import attach_qoi_image, qoi_pixels_for_doc
+    from ..multimodal.qoi import decode_qoi
+
+    pin_query_session_conf(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 7 == 4)
+    )
+    imgs = attach_qoi_image(docs)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("ok_format", T.BooleanType()),
+            T.StructField("ok_lossless", T.BooleanType()),
+        ]
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["image_bytes"]):
+                payload = bytes(payload)
+                ok_format = payload[:4] == b"qoif"
+                w, h, ch, dec = decode_qoi(payload)  # verifies end marker
+                _, _, channels, orig = qoi_pixels_for_doc(doc_id)
+                arr = np.frombuffer(dec, dtype=np.uint8).reshape(h, w, ch)
+                ok_lossless = bool(np.array_equal(arr, orig))
+                out.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        ch,
+                        int(arr.astype(np.int64).sum()),
+                        ok_format,
+                        ok_lossless,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return imgs.mapInPandas(kernel, schema=schema).orderBy("doc_id")
+
+
 def _raw_leads_oracle() -> str:
     """Differential oracle for the raw-leads pipeline: the deterministic
     per-form lead fixture rows (sources/meta_fixtures.gen_leads, exactly

@@ -419,6 +419,7 @@ def _load_all() -> None:
         eval_stats,
         events_queries,
         graph_queries,
+        io_archives,
         joins,
         ml_queries,
         multimodal_exact,
