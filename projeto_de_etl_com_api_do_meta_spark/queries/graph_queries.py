@@ -1176,3 +1176,135 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS closeness (4-hop harmonic centrality)
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+
+_ORACLE_CLOSENESS = """
+WITH RECURSIVE pl AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e0 AS (
+  SELECT a.p AS u, b.p AS v
+  FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT u AS s, v AS d FROM e0 UNION SELECT v, u FROM e0
+),
+deg AS (SELECT s, COUNT(*) AS c FROM edges GROUP BY s),
+seeds AS (
+  SELECT s FROM deg QUALIFY row_number() OVER (ORDER BY c DESC, s) <= 10
+),
+bfs(seed, node, dist) AS (
+  SELECT s, s, 0 FROM seeds
+  UNION
+  SELECT b.seed, e.d, b.dist + 1
+  FROM bfs b JOIN edges e ON e.s = b.node
+  WHERE b.dist < 4
+),
+md AS (SELECT seed, node, CAST(MIN(dist) AS BIGINT) AS dist
+       FROM bfs GROUP BY seed, node)
+SELECT seed,
+       CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+       CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+       CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3,
+       CAST(SUM(CASE WHEN dist = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_d4,
+       CAST(SUM(CASE WHEN dist > 0 THEN 12 // dist ELSE 0 END) AS BIGINT)
+         AS harmonic_x12,
+       CAST(SUM(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached
+FROM md GROUP BY seed ORDER BY seed
+"""
+
+
+@register(
+    "graph_closeness_bfs",
+    oracle=_ORACLE_CLOSENESS,
+    tags=("graph",),
+    doc=(
+        "Multi-source BFS harmonic closeness over the co-purchase part "
+        "graph (same support>=2 edge spine as graph_label_propagation): "
+        "the 10 highest-degree parts (deterministic (degree DESC, node) "
+        "seed ranking) BFS out 4 hops SIMULTANEOUSLY — the distance "
+        "table keys on (seed, node) so one frontier join serves all "
+        "seeds per round, 4 rounds of join + min-dist aggregate with "
+        "localCheckpoint lineage cuts (the HITS probe lesson).  "
+        "Harmonic centrality sum(1/d) is kept exact as x12 fixed-point "
+        "(12 = lcm(1..4)).  Per-round frontier work is |frontier| x "
+        "avg-degree — the textbook distributed BFS; the hop bound is "
+        "the state cap that makes 100 TB closeness tractable (exact "
+        "all-pairs closeness is not, which is why the bounded-hop form "
+        "IS the production operator, cf. HyperANF-style approximations)."
+    ),
+)
+def graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pl.alias("a"), pl.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    sym = (
+        e0.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionAll(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    w_seed = Window.orderBy(F.col("c").desc(), "s")
+    seeds = (
+        deg.withColumn("rk", F.row_number().over(w_seed))
+        .where(F.col("rk") <= 10)
+        .select(F.col("s").alias("seed"))
+    )
+    dist = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint(eager=True)
+    for r in range(1, _BFS_HOPS + 1):
+        frontier = dist.where(F.col("dist") == r - 1)
+        nxt = frontier.join(sym, frontier.node == sym.s).select(
+            "seed", F.col("d").alias("node"), F.lit(r).cast("bigint").alias("dist")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)  # lineage cut per BFS round
+        )
+    out = dist.groupBy("seed").agg(
+        F.sum(F.when(F.col("dist") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_d1"),
+        F.sum(F.when(F.col("dist") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_d2"),
+        F.sum(F.when(F.col("dist") == 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_d3"),
+        F.sum(F.when(F.col("dist") == 4, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_d4"),
+        F.sum(
+            F.when(F.col("dist") > 0, F.expr("12 DIV dist")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("harmonic_x12"),
+        F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_reached"),
+    )
+    sym.unpersist()
+    return out.orderBy("seed")

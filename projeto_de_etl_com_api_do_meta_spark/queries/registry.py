@@ -434,6 +434,7 @@ def _load_all() -> None:
         scalar_funcs,
         segmentation_cdc,
         skew_queries,
+        spatial_er_queries,
         text_cleaning,
         tpch_extra,
         tpch_remaining,

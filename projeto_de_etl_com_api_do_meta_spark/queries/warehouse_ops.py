@@ -2059,3 +2059,100 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ok"),
         F.sum(checksum).cast("bigint").alias("payload_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal as-of query (valid time x transaction time)
+# ---------------------------------------------------------------------------
+
+_ORACLE_BITEMPORAL = """
+WITH revs AS (
+  SELECT o.o_orderkey, o.o_orderstatus, r.x AS rev,
+         CAST(o.o_orderdate AS DATE) + CAST(r.x AS INTEGER) AS valid_from,
+         CAST(o.o_orderdate AS DATE) + CAST(2 * r.x AS INTEGER) AS recorded_at,
+         CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) + 700 * r.x
+           AS price_e2
+  FROM orders o, range(0, 3) r(x)
+  WHERE r.x < 1 + o.o_orderkey % 3
+),
+known AS (
+  SELECT * FROM revs
+  WHERE recorded_at <= DATE '1997-06-17' AND valid_from <= DATE '1997-06-15'
+),
+as_of AS (
+  SELECT * FROM known
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                             ORDER BY valid_from DESC, recorded_at DESC) = 1
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price_e2) AS BIGINT) AS sum_price_e2,
+       CAST(SUM(rev) AS BIGINT) AS sum_rev_applied
+FROM as_of GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "warehouse_bitemporal_asof",
+    oracle=_ORACLE_BITEMPORAL,
+    tags=("warehouse",),
+    doc=(
+        "Bitemporal as-of point query — the two-dimensional time-travel "
+        "the SCD2 family cannot answer: every order carries 1-3 "
+        "deterministic revisions with SEPARATE valid-time (when the fact "
+        "became true: o_orderdate + rev days) and transaction-time (when "
+        "the warehouse learned it: o_orderdate + 2*rev days) axes, and "
+        "the query asks 'what was valid on V, as known by T' — filter "
+        "recorded_at <= T (knowledge horizon) then valid_from <= V, then "
+        "one PARTITIONED (valid_from, recorded_at) DESC row_number per "
+        "order.  Complements warehouse_scd2_build (valid time only) and "
+        "lakehouse_time_travel_diff (transaction time only); late-"
+        "arriving corrections are exactly the rows with recorded_at >> "
+        "valid_from, and re-running with an older T reproduces the "
+        "report as it WOULD have been printed — the audit contract.  "
+        "Revision fan-out is explode(sequence(...)), bounded x3; the "
+        "window is per-order, so the whole plan shuffles once on "
+        "o_orderkey."
+    ),
+)
+def warehouse_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    revs = (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.round(F.col("o_totalprice") * 100.0, 0)
+            .cast("bigint")
+            .alias("base_e2"),
+            F.explode(
+                F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))
+            ).alias("rev"),
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "rev",
+            F.date_add(F.col("d0"), F.col("rev")).alias("valid_from"),
+            F.date_add(F.col("d0"), 2 * F.col("rev")).alias("recorded_at"),
+            (F.col("base_e2") + 700 * F.col("rev")).alias("price_e2"),
+        )
+    )
+    known = revs.where(
+        (F.col("recorded_at") <= F.lit("1997-06-17").cast("date"))
+        & (F.col("valid_from") <= F.lit("1997-06-15").cast("date"))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("valid_from").desc(), F.col("recorded_at").desc()
+    )
+    asof = known.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        asof.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price_e2").cast("bigint").alias("sum_price_e2"),
+            F.sum("rev").cast("bigint").alias("sum_rev_applied"),
+        )
+        .orderBy("o_orderstatus")
+    )
