@@ -390,7 +390,9 @@ def ml_ransac_line_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     n_row = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    cand = ks.crossJoin(F.broadcast(n_row)).select(
+    # n > 0 guard: on an empty series the oracle's spine x points cross
+    # join is empty, so the Spark side must not evaluate lane % 0 either.
+    cand = ks.crossJoin(F.broadcast(n_row)).where(F.col("n") > 0).select(
         "k",
         (1 + lane(":i") % F.col("n")).alias("i"),
         (1 + lane(":j") % F.col("n")).alias("j"),
@@ -468,10 +470,10 @@ pairs AS (
 ),
 runstats AS (
   SELECT
-    CAST(1 + SUM(CASE WHEN t1 IS DISTINCT FROM t2 THEN 1 ELSE 0 END) AS BIGINT) AS runs_type,
-    CAST(1 + SUM(CASE WHEN u1 IS DISTINCT FROM u2 THEN 1 ELSE 0 END) AS BIGINT) AS runs_user,
-    CAST(1 + SUM(CASE WHEN v1 IS DISTINCT FROM v2 THEN 1 ELSE 0 END) AS BIGINT) AS runs_val,
-    CAST(1 + SUM(CASE WHEN d1 IS DISTINCT FROM d2 THEN 1 ELSE 0 END) AS BIGINT) AS runs_day
+    CAST(1 + COALESCE(SUM(CASE WHEN t1 IS DISTINCT FROM t2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS runs_type,
+    CAST(1 + COALESCE(SUM(CASE WHEN u1 IS DISTINCT FROM u2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS runs_user,
+    CAST(1 + COALESCE(SUM(CASE WHEN v1 IS DISTINCT FROM v2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS runs_val,
+    CAST(1 + COALESCE(SUM(CASE WHEN d1 IS DISTINCT FROM d2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS runs_day
   FROM pairs
 ),
 colstats AS (
@@ -480,31 +482,31 @@ colstats AS (
          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_user,
          CAST(COUNT(DISTINCT v_e2) AS BIGINT) AS nd_val,
          CAST(COUNT(DISTINCT day) AS BIGINT) AS nd_day,
-         CAST(SUM(length(event_type)) AS BIGINT) AS strbytes
+         CAST(COALESCE(SUM(length(event_type)), 0) AS BIGINT) AS strbytes
   FROM ev
 ),
 percol AS (
   SELECT 'event_type' AS col, c.n, c.nd_type AS n_distinct, r.runs_type AS n_runs,
          c.strbytes AS plain_bytes,
-         c.nd_type * 8 + (c.n * length(printf('%b', c.nd_type - 1)) + 7) // 8 AS dict_bytes,
+         c.nd_type * 8 + (c.n * length(printf('%b', greatest(c.nd_type - 1, 0))) + 7) // 8 AS dict_bytes,
          r.runs_type * 12 AS rle_bytes
   FROM colstats c, runstats r
   UNION ALL
   SELECT 'user_id', c.n, c.nd_user, r.runs_user,
          c.n * 8,
-         c.nd_user * 8 + (c.n * length(printf('%b', c.nd_user - 1)) + 7) // 8,
+         c.nd_user * 8 + (c.n * length(printf('%b', greatest(c.nd_user - 1, 0))) + 7) // 8,
          r.runs_user * 12
   FROM colstats c, runstats r
   UNION ALL
   SELECT 'v_e2', c.n, c.nd_val, r.runs_val,
          c.n * 8,
-         c.nd_val * 8 + (c.n * length(printf('%b', c.nd_val - 1)) + 7) // 8,
+         c.nd_val * 8 + (c.n * length(printf('%b', greatest(c.nd_val - 1, 0))) + 7) // 8,
          r.runs_val * 12
   FROM colstats c, runstats r
   UNION ALL
   SELECT 'day', c.n, c.nd_day, r.runs_day,
          c.n * 8,
-         c.nd_day * 8 + (c.n * length(printf('%b', c.nd_day - 1)) + 7) // 8,
+         c.nd_day * 8 + (c.n * length(printf('%b', greatest(c.nd_day - 1, 0))) + 7) // 8,
          r.runs_day * 12
   FROM colstats c, runstats r
 )
@@ -557,10 +559,13 @@ def layout_encoding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     def runs(col: str):
         return (
             1
-            + F.sum(
-                F.when(
-                    ~F.col(f"a.{col}").eqNullSafe(F.col(f"b.{col}")), 1
-                ).otherwise(0)
+            + F.coalesce(
+                F.sum(
+                    F.when(
+                        ~F.col(f"a.{col}").eqNullSafe(F.col(f"b.{col}")), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
         ).cast("bigint")
 
@@ -576,13 +581,19 @@ def layout_encoding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("nd_user"),
         F.countDistinct("v_e2").cast("bigint").alias("nd_val"),
         F.countDistinct("day").cast("bigint").alias("nd_day"),
-        F.sum(F.length("event_type")).cast("bigint").alias("strbytes"),
+        F.coalesce(F.sum(F.length("event_type")), F.lit(0))
+        .cast("bigint")
+        .alias("strbytes"),
     )
     # two 1-row aggregate scalars cross joined (bounded by construction)
     stats = colstats.crossJoin(F.broadcast(runstats))
 
     def bits(nd: str):
-        return F.length(F.conv(F.col(nd) - 1, 10, 2)).cast("bigint")
+        # greatest(nd-1, 0): a zero-row column must not feed conv(-1)
+        # (64-char two's-complement) — both engines then agree on 1 bit.
+        return F.length(
+            F.conv(F.greatest(F.col(nd) - 1, F.lit(0)), 10, 2)
+        ).cast("bigint")
 
     def percol(name: str, nd: str, rn: str, plain):
         return stats.select(

@@ -424,6 +424,12 @@ _BATTERY4 = [
     # late r9: FDR family, conformal, LTV, attribution, HT estimation
     "ml_bh_fdr_permutation", "ml_conformal_interval", "events_cohort_ltv",
     "events_attribution_models", "sample_horvitz_thompson",
+    # r9b: drift/series, archive IO, codecs, spatial/ER, robust fit, layout
+    "ml_wasserstein_drift", "agg_ddsketch_quantiles", "events_top_paths",
+    "window_rolling_regression", "events_haar_wavelet_energy",
+    "io_tar_shard_roundtrip", "multimodal_qoi_roundtrip",
+    "dedup_soundex_blocking", "ml_ransac_line_md5",
+    "layout_encoding_efficiency",
 ]
 
 
