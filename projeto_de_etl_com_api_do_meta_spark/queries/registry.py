@@ -412,6 +412,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         aggregates,
         analysis_extra,
+        corpus_miner_queries,
         dedup_crossengine,
         documents_queries,
         drift_sequence_queries,

@@ -430,6 +430,9 @@ _BATTERY4 = [
     "io_tar_shard_roundtrip", "multimodal_qoi_roundtrip",
     "dedup_soundex_blocking", "ml_ransac_line_md5",
     "layout_encoding_efficiency",
+    # r9c: corpus mining + grid-search quantile regression
+    "corpus_cooc_svd_embedding", "ml_quantile_regression_pinball",
+    "text_rake_keywords", "corpus_phrase_search_positional",
 ]
 
 

@@ -54,6 +54,8 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ml_ransac_line_md5", "CARTESIAN"): "1-row point-count scalar + 64-row candidate spine broadcasts onto the calendar-bounded daily table",
     ("ml_ransac_line_md5", "GLOBAL_WINDOW"): "point indexing and top-5 model ranking over <=31-day / 64-candidate tables",
     ("layout_encoding_efficiency", "CARTESIAN"): "two 1-row aggregate scalars (colstats x runstats) cross joined",
+    ("corpus_cooc_svd_embedding", "CARTESIAN"): "1-row bigram-total scalar + vocab-sized rescale scalars broadcast onto the vocab^2-bounded lift matrix",
+    ("ml_quantile_regression_pinball", "CARTESIAN"): "41-row slope-grid spine broadcast onto the calendar-bounded daily table",
     # ---- round 8 stats/eval batch: every hit is a scalar-aggregate
     # broadcast, a calendar-bounded daily-spine window, or a small fixed
     # spine — never data-scale quadratic work ----
