@@ -141,6 +141,17 @@ HEADLINE: tuple[str, ...] = (
     # perf representative (embed_ann_ivf remains the IVF family rep).
     "multimodal_png_roundtrip",
     "multimodal_flac_roundtrip",
+    # round-9b/c: the two heaviest new family representatives — WebDataset
+    # tar-shard archive IO (applyInPandas write + binaryFile member walk;
+    # the new archive family's only member) and the co-occurrence SVD word
+    # embedding (corpus-scale bigram aggregate + vocab^2 integer matvec).
+    # The other 15 r9b/c ops measured sub-second-to-2s at sf0.1 and stay
+    # registry-only: their families keep heavier reps (geo kNN under the
+    # join family's fanout rep, QOI under JPEG/PNG, RANSAC/pinball under
+    # the bounded-spine ml stats) — the stdout line stays inside the
+    # driver's ~2000-char parse window.
+    "io_tar_shard_roundtrip",
+    "corpus_cooc_svd_embedding",
 )
 
 

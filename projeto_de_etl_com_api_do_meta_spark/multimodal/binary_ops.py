@@ -562,3 +562,50 @@ def attach_qoi_image(df: DataFrame) -> DataFrame:
     # same CPU-bound-encode posture as attach_png_image
     par = df.sparkSession.sparkContext.defaultParallelism
     return df.select("doc_id").repartition(par).mapInPandas(kernel, schema=schema)
+
+
+def gif_pixels_for_doc(doc_id: int) -> tuple[int, int, np.ndarray]:
+    """Deterministic per-doc GIF test image (8-bit grayscale).  GIF's LZW
+    rewards repetition, so the rule has flat 4-pixel bands along rows
+    (real back-references) while staying a pure integer function of
+    doc_id so an external engine recomputes the EXACT pixel sum in SQL:
+
+        width  = 6 + doc_id % 27            -- 6..32
+        height = 4 + doc_id % 12            -- 4..15
+        px[r,c] = (11r + 17*(c DIV 4) + doc_id) % 256
+    """
+    doc_id = int(doc_id)
+    w = 6 + doc_id % 27
+    h = 4 + doc_id % 12
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    px = (11 * r + 17 * (c // 4) + doc_id) % 256
+    return w, h, px.astype(np.uint8)
+
+
+def attach_gif_image(df: DataFrame) -> DataFrame:
+    """Materialize a REAL GIF87a per document (pure-stdlib LZW codec,
+    gif.py): deterministic dimensions + pixels from doc_id.  The binary
+    column holds genuine GIF files any browser can open."""
+    from .gif import GIF_CONTENT_TYPE, encode_gif
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("image_bytes", T.BinaryType()),
+            T.StructField("content_type", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id in batch["doc_id"]:
+                w, h, px = gif_pixels_for_doc(doc_id)
+                out.append(
+                    (doc_id, encode_gif(w, h, px.tobytes()), GIF_CONTENT_TYPE)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select("doc_id").repartition(par).mapInPandas(kernel, schema=schema)

@@ -2058,3 +2058,103 @@ def multimodal_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spread = docs.repartition(spark.sparkContext.defaultParallelism)
     return spread.mapInPandas(kernel, schema=schema).orderBy("doc_id")
+
+
+# -- GIF87a lossless round-trip (r9d): real LZW dictionary coding ------------------
+
+_ORACLE_GIF = """
+WITH ids AS (
+  SELECT doc_id,
+         6 + doc_id % 27 AS w,
+         4 + doc_id % 12 AS h
+  FROM documents WHERE doc_id % 7 = 5
+),
+m AS (
+  SELECT i.doc_id,
+         CAST(SUM((11 * r.x + 17 * (c.x // 4) + i.doc_id) % 256)
+              AS BIGINT) AS pixel_sum
+  FROM ids i, range(0, 15) r(x), range(0, 32) c(x)
+  WHERE r.x < i.h AND c.x < i.w
+  GROUP BY i.doc_id
+)
+SELECT i.doc_id,
+       CAST(i.w AS INTEGER) AS width,
+       CAST(i.h AS INTEGER) AS height,
+       m.pixel_sum,
+       TRUE AS ok_format,
+       TRUE AS ok_lossless
+FROM ids i JOIN m USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_gif_roundtrip",
+    oracle=_ORACLE_GIF,
+    tags=("multimodal",),
+    doc=(
+        "REAL GIF87a LOSSLESS round-trip: genuine browser-openable GIFs "
+        "(pure-stdlib codec, multimodal/gif.py — logical screen "
+        "descriptor, 256-gray global color table, and real LZW with "
+        "variable-width codes, CLEAR/EOI control codes, the KwKwK "
+        "decoder case, and the 4096-entry dictionary-reset protocol) "
+        "encoded into the binary column and decoded back inside one "
+        "Arrow-batched mapInPandas.  The generation rule's 4-pixel "
+        "bands force real LZW back-references.  8-bit grayscale "
+        "indices are lossless, so the DuckDB oracle recomputes the "
+        "EXACT decoded pixel sum from the rule; completes the codec "
+        "family's dictionary-coding quadrant beside PNG (LZ77+Huffman), "
+        "QOI (index/delta/RLE), JPEG (DCT) and FLAC (prediction+Rice)."
+    ),
+)
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..multimodal.binary_ops import attach_gif_image, gif_pixels_for_doc
+    from ..multimodal.gif import decode_gif
+
+    pin_query_session_conf(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 7 == 5)
+    )
+    imgs = attach_gif_image(docs)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("ok_format", T.BooleanType()),
+            T.StructField("ok_lossless", T.BooleanType()),
+        ]
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["image_bytes"]):
+                payload = bytes(payload)
+                ok_format = payload[:6] == b"GIF87a"
+                w, h, dec = decode_gif(payload)
+                _, _, orig = gif_pixels_for_doc(doc_id)
+                arr = np.frombuffer(dec, dtype=np.uint8).reshape(h, w)
+                ok_lossless = bool(np.array_equal(arr, orig))
+                out.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        int(arr.astype(np.int64).sum()),
+                        ok_format,
+                        ok_lossless,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return imgs.mapInPandas(kernel, schema=schema).orderBy("doc_id")

@@ -433,6 +433,8 @@ _BATTERY4 = [
     # r9c: corpus mining + grid-search quantile regression
     "corpus_cooc_svd_embedding", "ml_quantile_regression_pinball",
     "text_rake_keywords", "corpus_phrase_search_positional",
+    # r9d: LZW dictionary-coding codec
+    "multimodal_gif_roundtrip",
 ]
 
 
@@ -487,3 +489,90 @@ def test_out_of_domain_value_is_loud_not_wrong(tmp_path, spark):
     )
     with pytest.raises(duckdb.ConversionException):
         con.execute(spec.oracle).fetchall()
+
+
+@pytest.fixture(scope="module")
+def concentration_dir(tmp_path_factory):
+    """Fixture 5 (r9b): CONCENTRATION/TIE degeneracy — one user, one day,
+    one constant value, NO purchase events at all, and a corpus of six
+    IDENTICAL documents.  Exercises the arms the sf fixtures never hit:
+    absent-group 0/0 normalizations (Wasserstein n_b=0, Mann-Whitney
+    zero tie-corrected variance), all-tied order statistics, single-point
+    regressions (RANSAC i==j, pinball zero-loss ties, rolling window
+    n<7), single-bucket sketches, and full-duplicate dedup paths."""
+    out = str(tmp_path_factory.mktemp("concentration_fx"))
+    base = dt.datetime(2024, 3, 5, 9, 0, 0)
+    n = 40
+    events = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=13 * i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([42] * n, pa.int64()),
+            "event_type": pa.array(
+                [["click", "view"][i % 2] for i in range(n)], pa.string()
+            ),
+            "value": pa.array(
+                [7.77 if i % 10 else None for i in range(n)], pa.float64()
+            ),
+            "props": pa.array(['{"k":1}'] * n, pa.string()),
+        }
+    )
+    pq.write_table(events, f"{out}/events.parquet")
+
+    txt = "key value table scan the fast key value merge sort"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array([txt] * 6, pa.string()),
+            "lang": pa.array(["en"] * 6, pa.string()),
+            "source": pa.array(["s0"] * 6, pa.string()),
+            "n_chars": pa.array([len(txt)] * 6, pa.int64()),
+        }
+    )
+    pq.write_table(docs, f"{out}/documents.parquet")
+
+    vec = np.full(64, 0.125, dtype=np.float32)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(8), pa.int64()),
+            "embedding": pa.array([vec for _ in range(8)], pa.list_(pa.float32())),
+            "label": pa.array([1] * 8, pa.int32()),
+        }
+    )
+    pq.write_table(emb, f"{out}/embeddings.parquet")
+    for f in os.listdir("/root/testdata/sf0.001"):
+        dst = f"{out}/{f}"
+        if f.startswith(("documents", "embeddings", "events")) or os.path.exists(dst):
+            continue
+        os.symlink(f"/root/testdata/sf0.001/{f}", dst)
+    return out
+
+
+_BATTERY5 = [
+    # absent-group / zero-variance normalizations
+    "ml_wasserstein_drift", "ml_mann_whitney_u", "events_ab_test_ztest",
+    # all-tied order statistics and sketches
+    "agg_ddsketch_quantiles", "agg_weighted_median",
+    "agg_quantile_sketch_md5",
+    # single-point / sub-window regressions
+    "window_rolling_regression", "ml_ransac_line_md5",
+    "ml_quantile_regression_pinball", "ml_theil_sen_daily",
+    "events_haar_wavelet_energy",
+    # one-user sequence analytics (40-event path prefix, dense sessions)
+    "events_top_paths", "events_sessionize_30m",
+    "events_transition_matrix",
+    # constant-column layout + full-duplicate corpus
+    "layout_encoding_efficiency", "dedup_exact_docs",
+    "dedup_soundex_blocking", "corpus_cooc_svd_embedding",
+    "text_rake_keywords", "corpus_phrase_search_positional",
+    "io_tar_shard_roundtrip",
+    # identical embeddings: every pairwise distance ties at 0
+    "dedup_embedding_cosine", "embed_knn_bruteforce",
+]
+
+
+def test_concentration_cross_engine_parity(concentration_dir):
+    assert check(_BATTERY5, concentration_dir) == 0

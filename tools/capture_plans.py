@@ -154,6 +154,26 @@ FLAGSHIPS = [
         "(type, rep) cells — exploded rows never shuffle raw; CI order "
         "statistics run on the tiny replicate-mean table.",
     ),
+    (
+        "join_geo_grid_knn",
+        "Grid-bucketed spatial kNN (r9b): the 9-cell neighborhood "
+        "enumeration is a broadcast of a 9-row offset spine onto the "
+        "customer side, the supplier match is a plain shuffle EQUI-join "
+        "on (cell_x, cell_y) — no BroadcastNestedLoopJoin, no distance "
+        "cross product — and the argmin is a row_number window "
+        "PARTITIONED by customer. Candidate volume = customers x cell "
+        "density; at 100 TB you shrink cells to hold density ~ k and "
+        "salt hot cells, the plan shape is unchanged.",
+    ),
+    (
+        "corpus_cooc_svd_embedding",
+        "Spectral word embedding (r9c): the ONLY corpus-scale stage is "
+        "the bigram count hash aggregate (map-side combinable); the "
+        "positive-lift matrix lives on the vocab^2 grid, and both "
+        "power-iteration matvecs are vocab-row joins against broadcast "
+        "rescaled vectors — integer arithmetic end-to-end, so the plan "
+        "carries no float-summation ordering hazard across engines.",
+    ),
 ]
 
 
