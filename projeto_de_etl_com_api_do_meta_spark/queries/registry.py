@@ -427,6 +427,7 @@ def _load_all() -> None:
         pandas_interop,
         pipelines_queries,
         pretrain_extra,
+        profiling_formats,
         profiling_sketches,
         quality_queries,
         relational,

@@ -433,8 +433,10 @@ _BATTERY4 = [
     # r9c: corpus mining + grid-search quantile regression
     "corpus_cooc_svd_embedding", "ml_quantile_regression_pinball",
     "text_rake_keywords", "corpus_phrase_search_positional",
-    # r9d: LZW dictionary-coding codec
-    "multimodal_gif_roundtrip",
+    # r9d: LZW dictionary-coding codec, stump, KWIC, FD profile, fixed-width
+    "multimodal_gif_roundtrip", "ml_decision_stump_exact",
+    "corpus_kwic_concordance", "dq_functional_dependency_profile",
+    "io_fixed_width_roundtrip",
 ]
 
 

@@ -56,6 +56,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("layout_encoding_efficiency", "CARTESIAN"): "two 1-row aggregate scalars (colstats x runstats) cross joined",
     ("corpus_cooc_svd_embedding", "CARTESIAN"): "1-row bigram-total scalar + vocab-sized rescale scalars broadcast onto the vocab^2-bounded lift matrix",
     ("ml_quantile_regression_pinball", "CARTESIAN"): "41-row slope-grid spine broadcast onto the calendar-bounded daily table",
+    ("ml_decision_stump_exact", "CARTESIAN"): "1-row (n, p) totals scalar broadcast onto the distinct-value threshold table",
+    ("ml_decision_stump_exact", "GLOBAL_WINDOW"): "cumulative confusion cells + best-split ranking over the DISTINCT-VALUE table (bounded by cent resolution, the ml_auc_roc_exact contract)",
+    ("dq_functional_dependency_profile", "CARTESIAN"): "12 x (1-row distinct-aggregate scalar x 1-row violation-count scalar) broadcasts",
     # ---- round 8 stats/eval batch: every hit is a scalar-aggregate
     # broadcast, a calendar-bounded daily-spine window, or a small fixed
     # spine — never data-scale quadratic work ----
