@@ -156,14 +156,7 @@ FLAGSHIPS = [
     ),
     (
         "join_geo_grid_knn",
-        "Grid-bucketed spatial kNN (r9b): the 9-cell neighborhood "
-        "enumeration is a broadcast of a 9-row offset spine onto the "
-        "customer side, the supplier match is a plain shuffle EQUI-join "
-        "on (cell_x, cell_y) — no BroadcastNestedLoopJoin, no distance "
-        "cross product — and the argmin is a row_number window "
-        "PARTITIONED by customer. Candidate volume = customers x cell "
-        "density; at 100 TB you shrink cells to hold density ~ k and "
-        "salt hot cells, the plan shape is unchanged.",
+        "Grid-bucketed spatial kNN (r9b): the ONLY nested-loop in the tree is the allowlisted 9-row offset-spine broadcast (the 3x3 neighborhood enumeration — bounded by the constant 9, never data-scale); the supplier match itself is a BroadcastHashJoin on (cell_x, cell_y) — no distance cross product — and the argmin is a row_number window PARTITIONED by customer (WindowGroupLimit prunes to rank 1 before the final sort). Candidate volume = customers x cell density; at 100 TB you shrink cells to hold density ~ k and salt hot cells, the plan shape is unchanged.",
     ),
     (
         "corpus_cooc_svd_embedding",
