@@ -1,0 +1,364 @@
+"""Network-structure metrics and sequential analysis (round 9e).
+
+* ``graph_assortativity_degree`` — Newman's degree assortativity r over
+  the co-purchase graph: Pearson correlation of endpoint degrees across
+  edges, from exact BIGINT edge-sums with ONE final float expression.
+  Positive r = hubs link hubs (social nets), negative = hub-spoke
+  (technological nets) — the one-number summary of degree mixing.
+* ``graph_rich_club_coefficient`` — phi(k) = density of the subgraph
+  induced by nodes of degree > k, for k in {2, 4, 8, 16}: whether the
+  high-degree core is disproportionately interconnected.  Exact integer
+  counts; the k-spine is a 4-row broadcast.
+* ``events_sprt_sequential_test`` — Wald's Sequential Probability Ratio
+  Test on the daily purchase share (H0: p=0.18 vs H1: p=0.22, alpha =
+  beta = 0.05): the log-likelihood-ratio increments are CONSTANTS of the
+  hypotheses, precomputed in Python to e9 fixed-point and embedded as
+  literals in BOTH engines — no transcendental ever crosses the engine
+  boundary — so the cumulative LLR is an exact BIGINT walk over the
+  calendar-bounded daily series, reporting the first boundary crossing
+  and the decision.  The sequential companion of the fixed-horizon
+  events_ab_test_ztest (SPRT needs ~half the samples on average).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..session import pin_query_session_conf
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Degree assortativity
+# ---------------------------------------------------------------------------
+
+_ORACLE_ASSORT = """
+WITH pl AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e0 AS (
+  SELECT a.p AS u, b.p AS v
+  FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+),
+sym AS (SELECT u AS s, v AS d FROM e0 UNION SELECT v, u FROM e0),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY s),
+ek AS (
+  SELECT ds.k AS j, dd.k AS k
+  FROM sym e JOIN deg ds ON ds.s = e.s JOIN deg dd ON dd.s = e.d
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(j) AS BIGINT) AS sj,
+         CAST(SUM(j * k) AS BIGINT) AS sjk,
+         CAST(SUM(j * j) AS BIGINT) AS sj2
+  FROM ek
+)
+SELECT m AS m_directed, sj AS sum_deg, sjk AS sum_deg_products,
+       sj2 AS sum_deg_squares,
+       round(CAST(m * sjk - sj * sj AS DOUBLE)
+             / CAST(m * sj2 - sj * sj AS DOUBLE), 6) AS assortativity_r
+FROM sums
+"""
+
+
+@register(
+    "graph_assortativity_degree",
+    oracle=_ORACLE_ASSORT,
+    tags=("graph",),
+    doc=(
+        "Newman degree assortativity over the co-purchase part graph "
+        "(same support>=2 spine as LPA/closeness): Pearson correlation "
+        "of endpoint degrees across the SYMMETRIC edge list — by "
+        "symmetry sum(j)=sum(k) and sum(j^2)=sum(k^2), so r = "
+        "(M*Sjk - Sj^2) / (M*Sj2 - Sj^2) from four exact BIGINT edge "
+        "aggregates and ONE final float division.  The plan is two "
+        "degree-table joins onto the edge list (degree table broadcasts "
+        "at any realistic vocab) + one combinable aggregate; at 100 TB "
+        "degree products may need the documented DECIMAL(38,0) swap."
+    ),
+)
+def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pl.alias("a"), pl.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .where(F.col("supp") >= 2)
+        .select("u", "v")
+    )
+    sym = (
+        e0.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionAll(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .distinct()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    ek = (
+        sym.join(deg.select(F.col("s"), F.col("k").alias("j")), "s")
+        .join(
+            deg.select(F.col("s").alias("d"), F.col("k")),
+            "d",
+        )
+        .select("j", "k")
+    )
+    sums = ek.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("j").cast("bigint").alias("sj"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).cast("bigint").alias("sj2"),
+    )
+    num = F.col("m") * F.col("sjk") - F.col("sj") * F.col("sj")
+    den = F.col("m") * F.col("sj2") - F.col("sj") * F.col("sj")
+    return sums.select(
+        F.col("m").alias("m_directed"),
+        F.col("sj").alias("sum_deg"),
+        F.col("sjk").alias("sum_deg_products"),
+        F.col("sj2").alias("sum_deg_squares"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "assortativity_r"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient
+# ---------------------------------------------------------------------------
+
+_ORACLE_RICH_CLUB = """
+WITH pl AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e0 AS (
+  SELECT a.p AS u, b.p AS v
+  FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+),
+sym AS (SELECT u AS s, v AS d FROM e0 UNION SELECT v, u FROM e0),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY s),
+ks(kmin) AS (VALUES (2), (4), (8), (16)),
+club AS (
+  SELECT ks.kmin, d.s FROM deg d JOIN ks ON d.k > ks.kmin
+),
+nk AS (
+  SELECT kmin, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM club GROUP BY kmin
+),
+ekc AS (
+  SELECT c1.kmin, CAST(COUNT(*) AS BIGINT) AS m_sym
+  FROM sym e
+  JOIN club c1 ON c1.s = e.s
+  JOIN club c2 ON c2.s = e.d AND c2.kmin = c1.kmin
+  GROUP BY c1.kmin
+)
+SELECT CAST(n.kmin AS BIGINT) AS kmin, n.n_nodes,
+       COALESCE(e.m_sym, 0) AS m_sym,
+       CASE WHEN n.n_nodes >= 2
+            THEN round(CAST(COALESCE(e.m_sym, 0) AS DOUBLE)
+                       / CAST(n.n_nodes * (n.n_nodes - 1) AS DOUBLE), 6)
+            END AS phi
+FROM nk n LEFT JOIN ekc e ON e.kmin = n.kmin
+ORDER BY kmin
+"""
+
+
+@register(
+    "graph_rich_club_coefficient",
+    oracle=_ORACLE_RICH_CLUB,
+    tags=("graph",),
+    doc=(
+        "Rich-club coefficient phi(k) for k in {2,4,8,16} over the "
+        "co-purchase graph: the edge density of the subgraph induced by "
+        "nodes of degree > k — whether high-degree parts preferentially "
+        "co-occur with each other.  Club membership is a 4-row k-spine "
+        "join onto the degree table; induced edges are two membership "
+        "semi-joins onto the symmetric edge list; phi is exact counts "
+        "with one final float division, NULL where the club has < 2 "
+        "members.  The density counterpart of the assortativity "
+        "correlation (same spine, different mixing lens)."
+    ),
+)
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pl.alias("a"), pl.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .where(F.col("supp") >= 2)
+        .select("u", "v")
+    )
+    sym = (
+        e0.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionAll(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    ks = spark.createDataFrame([(2,), (4,), (8,), (16,)], "kmin int")
+    club = deg.crossJoin(F.broadcast(ks)).where(F.col("k") > F.col("kmin")).select(
+        "kmin", "s"
+    )
+    nk = club.groupBy("kmin").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    ekc = (
+        sym.join(club, "s")
+        .join(
+            club.select(F.col("kmin"), F.col("s").alias("d")),
+            ["kmin", "d"],
+        )
+        .groupBy("kmin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_sym"))
+    )
+    out = (
+        nk.join(ekc, "kmin", "left")
+        .select(
+            F.col("kmin").cast("bigint").alias("kmin"),
+            "n_nodes",
+            F.coalesce("m_sym", F.lit(0)).cast("bigint").alias("m_sym"),
+            F.when(
+                F.col("n_nodes") >= 2,
+                F.round(
+                    F.coalesce("m_sym", F.lit(0)).cast("double")
+                    / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double"),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+        .orderBy("kmin")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential test (Wald) on the daily purchase share
+# ---------------------------------------------------------------------------
+
+_P0, _P1 = 0.18, 0.22
+_ALPHA = _BETA = 0.05
+# LLR increments and boundaries as e9 fixed-point LITERALS — computed once
+# here in Python so no transcendental is ever evaluated inside either engine.
+_LLR_POS = round(math.log(_P1 / _P0) * 1_000_000_000)          # purchase
+_LLR_NEG = round(math.log((1 - _P1) / (1 - _P0)) * 1_000_000_000)
+_UPPER = round(math.log((1 - _BETA) / _ALPHA) * 1_000_000_000)  # accept H1
+_LOWER = round(math.log(_BETA / (1 - _ALPHA)) * 1_000_000_000)  # accept H0
+
+_ORACLE_SPRT = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+walk AS (
+  SELECT d, n_pos, n,
+         SUM(n_pos * CAST({_LLR_POS} AS BIGINT)
+             + (n - n_pos) * CAST({_LLR_NEG} AS BIGINT))
+           OVER (ORDER BY d) AS llr_e9,
+         SUM(n) OVER (ORDER BY d) AS n_seen
+  FROM daily
+),
+crossed AS (
+  SELECT *, CASE WHEN llr_e9 >= {_UPPER} THEN 'accept_h1'
+                 WHEN llr_e9 <= {_LOWER} THEN 'accept_h0' END AS verdict
+  FROM walk
+),
+first_cross AS (
+  SELECT * FROM crossed WHERE verdict IS NOT NULL
+  QUALIFY row_number() OVER (ORDER BY d) = 1
+),
+last_day AS (
+  SELECT * FROM crossed QUALIFY row_number() OVER (ORDER BY d DESC) = 1
+)
+SELECT COALESCE(f.verdict, 'continue') AS verdict,
+       COALESCE(f.d, l.d) AS decision_day,
+       COALESCE(f.n_seen, l.n_seen) AS n_samples,
+       COALESCE(f.llr_e9, l.llr_e9) AS llr_e9,
+       CAST({_UPPER} AS BIGINT) AS upper_e9,
+       CAST({_LOWER} AS BIGINT) AS lower_e9
+FROM last_day l LEFT JOIN first_cross f ON TRUE
+"""
+
+
+@register(
+    "events_sprt_sequential_test",
+    oracle=_ORACLE_SPRT,
+    tags=("events", "stats", "sequential"),
+    doc=(
+        "Wald's Sequential Probability Ratio Test on the daily purchase "
+        "share (H0 p=0.18 vs H1 p=0.22, alpha=beta=0.05): the per-sample "
+        "LLR increments are CONSTANTS of the hypotheses, precomputed to "
+        "e9 fixed-point in Python and embedded as literals in BOTH "
+        "engines — the cumulative LLR is an exact BIGINT prefix sum over "
+        "the calendar-bounded daily table, and the report is the first "
+        "boundary crossing (day, sample count, verdict) or 'continue'.  "
+        "The sequential companion of the fixed-horizon "
+        "events_ab_test_ztest: same decision guarantees at ~half the "
+        "expected sample size, and the daily granularity is exactly how "
+        "a production experiment framework checks it (peeking-safe by "
+        "construction)."
+    ),
+)
+def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("d")
+    walk = daily.select(
+        "d",
+        F.sum(
+            F.col("n_pos") * F.lit(_LLR_POS).cast("bigint")
+            + (F.col("n") - F.col("n_pos")) * F.lit(_LLR_NEG).cast("bigint")
+        )
+        .over(w)
+        .alias("llr_e9"),
+        F.sum("n").over(w).alias("n_seen"),
+    )
+    crossed = walk.withColumn(
+        "verdict",
+        F.when(F.col("llr_e9") >= _UPPER, "accept_h1").when(
+            F.col("llr_e9") <= _LOWER, "accept_h0"
+        ),
+    )
+    w_first = Window.orderBy("d")
+    first_cross = (
+        crossed.where(F.col("verdict").isNotNull())
+        .withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("verdict").alias("f_verdict"),
+            F.col("d").alias("f_d"),
+            F.col("n_seen").alias("f_n"),
+            F.col("llr_e9").alias("f_llr"),
+        )
+    )
+    w_last = Window.orderBy(F.col("d").desc())
+    last_day = (
+        crossed.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("d", "n_seen", "llr_e9")
+    )
+    # 1-row x 1-row scalar attach
+    return last_day.crossJoin(F.broadcast(first_cross)).select(
+        F.coalesce("f_verdict", F.lit("continue")).alias("verdict"),
+        F.coalesce("f_d", "d").alias("decision_day"),
+        F.coalesce("f_n", "n_seen").alias("n_samples"),
+        F.coalesce("f_llr", "llr_e9").alias("llr_e9"),
+        F.lit(_UPPER).cast("bigint").alias("upper_e9"),
+        F.lit(_LOWER).cast("bigint").alias("lower_e9"),
+    )

@@ -424,6 +424,7 @@ def _load_all() -> None:
         joins,
         ml_queries,
         multimodal_exact,
+        network_sequential,
         pandas_interop,
         pipelines_queries,
         pretrain_extra,

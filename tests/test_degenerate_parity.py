@@ -437,6 +437,9 @@ _BATTERY4 = [
     "multimodal_gif_roundtrip", "ml_decision_stump_exact",
     "corpus_kwic_concordance", "dq_functional_dependency_profile",
     "io_fixed_width_roundtrip",
+    # r9e: network mixing metrics + sequential test
+    "graph_assortativity_degree", "graph_rich_club_coefficient",
+    "events_sprt_sequential_test",
 ]
 
 

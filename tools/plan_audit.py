@@ -59,6 +59,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ml_decision_stump_exact", "CARTESIAN"): "1-row (n, p) totals scalar broadcast onto the distinct-value threshold table",
     ("ml_decision_stump_exact", "GLOBAL_WINDOW"): "cumulative confusion cells + best-split ranking over the DISTINCT-VALUE table (bounded by cent resolution, the ml_auc_roc_exact contract)",
     ("dq_functional_dependency_profile", "CARTESIAN"): "12 x (1-row distinct-aggregate scalar x 1-row violation-count scalar) broadcasts",
+    ("graph_rich_club_coefficient", "CARTESIAN"): "4-row k-threshold spine broadcast onto the vocabulary-scale degree table",
+    ("events_sprt_sequential_test", "CARTESIAN"): "1-row first-crossing scalar attached to the 1-row last-day scalar",
+    ("events_sprt_sequential_test", "GLOBAL_WINDOW"): "cumulative LLR walk over the calendar-bounded daily table",
     # ---- round 8 stats/eval batch: every hit is a scalar-aggregate
     # broadcast, a calendar-bounded daily-spine window, or a small fixed
     # spine — never data-scale quadratic work ----
