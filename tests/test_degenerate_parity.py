@@ -437,9 +437,10 @@ _BATTERY4 = [
     "multimodal_gif_roundtrip", "ml_decision_stump_exact",
     "corpus_kwic_concordance", "dq_functional_dependency_profile",
     "io_fixed_width_roundtrip",
-    # r9e: network mixing metrics + sequential test
+    # r9e: network mixing metrics + sequential test + the SQL-replayed
+    # lossy integer codec
     "graph_assortativity_degree", "graph_rich_club_coefficient",
-    "events_sprt_sequential_test",
+    "events_sprt_sequential_test", "multimodal_adpcm_roundtrip",
 ]
 
 
