@@ -167,7 +167,8 @@ hit AS (
   WHERE c.cum >= (q.q_pct * c.n + 99) // 100
     AND c.cum - c.cnt < (q.q_pct * c.n + 99) // 100
 )
-SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct, n, rnk,
+SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(n AS BIGINT) AS n, rnk,
        CAST(CASE WHEN e >= 3 THEN (8 + sub) * (1 << (e - 3)) ELSE sub END
             AS BIGINT) AS lo_e2,
        CAST(CASE WHEN e >= 3

@@ -282,8 +282,8 @@ last_day AS (
 )
 SELECT COALESCE(f.verdict, 'continue') AS verdict,
        COALESCE(f.d, l.d) AS decision_day,
-       COALESCE(f.n_seen, l.n_seen) AS n_samples,
-       COALESCE(f.llr_e9, l.llr_e9) AS llr_e9,
+       CAST(COALESCE(f.n_seen, l.n_seen) AS BIGINT) AS n_samples,
+       CAST(COALESCE(f.llr_e9, l.llr_e9) AS BIGINT) AS llr_e9,
        CAST({_UPPER} AS BIGINT) AS upper_e9,
        CAST({_LOWER} AS BIGINT) AS lower_e9
 FROM last_day l LEFT JOIN first_cross f ON TRUE

@@ -76,7 +76,8 @@ best AS (
       + CAST(pos_r * neg_r AS DOUBLE) / CAST(n_r AS DOUBLE), threshold) = 1
 )
 SELECT threshold AS threshold_e2, n, p AS n_positive,
-       n_l, pos_l, n_r, pos_r,
+       CAST(n_l AS BIGINT) AS n_l, CAST(pos_l AS BIGINT) AS pos_l,
+       CAST(n_r AS BIGINT) AS n_r, CAST(pos_r AS BIGINT) AS pos_r,
        round(gini2, 6) AS weighted_gini_x2,
        CAST(greatest(pos_l, neg_l) + greatest(pos_r, neg_r) AS BIGINT)
          AS n_correct_majority
