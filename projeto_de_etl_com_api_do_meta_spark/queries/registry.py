@@ -62,6 +62,73 @@ _LOADED = False
 #: rows-only (no-oracle) queries go last where a scored slot can never earn a
 #: hash match anyway.
 _PRIORITY: tuple[str, ...] = (
+    # ---- r9 window head (curated to EXACTLY ~50): the verdict's one
+    # never-scored name first, then the 33 early-r9 operators, then 16 of
+    # the 26 r9b-e additions — one representative per new family.  The 9
+    # names after this block are the deliberate r10 carry-overs (their
+    # families already have an in-window representative this round). ----
+    "warehouse_semi_additive_balance",
+    "agg_gini_inequality_approx",
+    "agg_bitmap_distinct",
+    "dedup_cluster_size_histogram",
+    "dedup_embedding_ivf_md5",
+    "embed_pca_whitening_fp",
+    "embed_dbscan_cosine",
+    "ml_eval_rouge_bleu",
+    "ml_bh_fdr_permutation",
+    "events_cohort_ltv",
+    "events_attribution_models",
+    "events_burst_detection",
+    "graph_hits_bipartite",
+    "graph_modularity_components",
+    "text_textrank_keywords",
+    "graph_label_propagation",
+    "ml_gains_lift_table_approx",
+    "multimodal_image_features_exact",
+    "multimodal_video_frames_exact",
+    "multimodal_image_resize_exact",
+    "multimodal_audio_features",
+    "multimodal_flac_roundtrip",
+    "multimodal_png_roundtrip",
+    "ml_mann_whitney_u",
+    "ml_theil_sen_daily",
+    "agg_quantile_sketch_md5",
+    "events_diff_in_diff",
+    "agg_weighted_median",
+    "ml_conformal_interval",
+    "sample_horvitz_thompson",
+    "ml_classifier_attribution",
+    "train_pack_nextfit_md5",
+    "io_xml_roundtrip",
+    # r9b-e representatives (one per new family)
+    "ml_wasserstein_drift",
+    "io_tar_shard_roundtrip",
+    "join_geo_grid_knn",
+    "ml_ransac_line_md5",
+    "warehouse_bitemporal_asof",
+    "graph_closeness_bfs",
+    "corpus_cooc_svd_embedding",
+    "ml_quantile_regression_pinball",
+    "text_rake_keywords",
+    "corpus_phrase_search_positional",
+    "multimodal_gif_roundtrip",
+    "multimodal_adpcm_roundtrip",
+    "ml_decision_stump_exact",
+    "dq_functional_dependency_profile",
+    "io_fixed_width_roundtrip",
+    "graph_assortativity_degree",
+    "events_sprt_sequential_test",
+    # ---- r10 carry-overs (first in line next round; families covered
+    # in-window this round by the representative above) ----
+    "agg_ddsketch_quantiles",
+    "events_top_paths",
+    "window_rolling_regression",
+    "events_haar_wavelet_energy",
+    "multimodal_qoi_roundtrip",
+    "dedup_soundex_blocking",
+    "layout_encoding_efficiency",
+    "corpus_kwic_concordance",
+    "graph_rich_club_coefficient",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
