@@ -353,8 +353,11 @@ def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("d", "n_seen", "llr_e9")
     )
-    # 1-row x 1-row scalar attach
-    return last_day.crossJoin(F.broadcast(first_cross)).select(
+    # 1-row LEFT scalar attach: when NO boundary was crossed first_cross is
+    # EMPTY and a plain crossJoin would wrongly drop the 'continue' row
+    # (bug caught by test_sprt_walk_recompute at sf0.001, where the series
+    # never crosses) — LEFT JOIN ON TRUE mirrors the oracle exactly.
+    return last_day.join(F.broadcast(first_cross), F.lit(True), "left").select(
         F.coalesce("f_verdict", F.lit("continue")).alias("verdict"),
         F.coalesce("f_d", "d").alias("decision_day"),
         F.coalesce("f_n", "n_seen").alias("n_samples"),

@@ -243,3 +243,88 @@ def test_fixed_width_preserves_totals(spark):
     for r in rows:
         n, s = m[r["c_mktsegment"]]
         assert (r["n_rows"], r["sum_acctbal_e2"], r["n_parse_ok"]) == (n, s, n)
+
+
+def test_assortativity_in_range_and_recompute(spark):
+    from projeto_de_etl_com_api_do_meta_spark.queries.network_sequential import (
+        graph_assortativity_degree,
+    )
+
+    row = graph_assortativity_degree(spark, SF).collect()[0]
+    m, sj, sjk, sj2 = (
+        row["m_directed"],
+        row["sum_deg"],
+        row["sum_deg_products"],
+        row["sum_deg_squares"],
+    )
+    assert -1.0 <= row["assortativity_r"] <= 1.0
+    assert row["assortativity_r"] == round((m * sjk - sj * sj) / (m * sj2 - sj * sj), 6)
+
+
+def test_rich_club_monotone_membership(spark):
+    from projeto_de_etl_com_api_do_meta_spark.queries.network_sequential import (
+        graph_rich_club_coefficient,
+    )
+
+    rows = sorted(
+        graph_rich_club_coefficient(spark, SF).collect(), key=lambda r: r["kmin"]
+    )
+    assert rows
+    # clubs shrink as k rises; induced edges can only shrink with them
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["m_sym"] <= a["m_sym"]
+    for r in rows:
+        assert r["m_sym"] % 2 == 0  # symmetric edge list counts both directions
+        if r["phi"] is not None:
+            assert 0.0 <= r["phi"] <= 1.0
+
+
+def test_sprt_walk_recompute(spark):
+    from projeto_de_etl_com_api_do_meta_spark.queries.network_sequential import (
+        _LLR_NEG,
+        _LLR_POS,
+        _LOWER,
+        _UPPER,
+        events_sprt_sequential_test,
+    )
+
+    row = events_sprt_sequential_test(spark, SF).collect()[0]
+    daily = (
+        load_table(spark, SF, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    llr = n_seen = 0
+    verdict, decision_day = "continue", daily[-1]["d"]
+    for r in daily:
+        llr += r["p"] * _LLR_POS + (r["n"] - r["p"]) * _LLR_NEG
+        n_seen += r["n"]
+        if llr >= _UPPER:
+            verdict, decision_day = "accept_h1", r["d"]
+            break
+        if llr <= _LOWER:
+            verdict, decision_day = "accept_h0", r["d"]
+            break
+    assert row["verdict"] == verdict
+    assert row["decision_day"] == decision_day
+    assert row["n_samples"] == n_seen and row["llr_e9"] == llr
+
+
+def test_adpcm_query_reconstruction_error_bounded(spark):
+    from projeto_de_etl_com_api_do_meta_spark.queries.pipelines_queries import (
+        multimodal_adpcm_roundtrip,
+    )
+
+    rows = multimodal_adpcm_roundtrip(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["ok_format"]
+        # mean |error| stays small once normalized by sample count: the
+        # fixture ramps are within the adaptive range
+        assert r["err_sum"] / r["n_samples"] < 2000
