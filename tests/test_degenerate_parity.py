@@ -577,6 +577,13 @@ _BATTERY5 = [
     "io_tar_shard_roundtrip",
     # identical embeddings: every pairwise distance ties at 0
     "dedup_embedding_cosine", "embed_knn_bruteforce",
+    # r9d/e: single-distinct-value stump (no valid split), one-day SPRT
+    # (the no-crossing 'continue' arm), constant-value FD pairs, codecs
+    # on the identical-doc corpus, KWIC with a tiny tied vocabulary
+    "ml_decision_stump_exact", "events_sprt_sequential_test",
+    "dq_functional_dependency_profile", "corpus_kwic_concordance",
+    "io_fixed_width_roundtrip", "multimodal_gif_roundtrip",
+    "multimodal_adpcm_roundtrip", "graph_assortativity_degree",
 ]
 
 
