@@ -365,3 +365,201 @@ def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_UPPER).cast("bigint").alias("upper_e9"),
         F.lit(_LOWER).cast("bigint").alias("lower_e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Discrete power-law MLE over user activity counts
+# ---------------------------------------------------------------------------
+
+_PL_XMIN = 5  # continuous-MLE approximation support threshold
+
+_ORACLE_POWER_LAW = f"""
+WITH act AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+tail AS (
+  SELECT x, CAST(round(ln(CAST(x AS DOUBLE) / ({_PL_XMIN} - 0.5))
+                  * 1000000000) AS BIGINT) AS lnterm_e9
+  FROM act WHERE x >= {_PL_XMIN}
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+         CAST(SUM(lnterm_e9) AS BIGINT) AS ln_sum_e9,
+         CAST(MAX(x) AS BIGINT) AS x_max
+  FROM tail
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM act)
+SELECT t.n_users, s.n_tail, CAST({_PL_XMIN} AS BIGINT) AS x_min, s.x_max,
+       s.ln_sum_e9,
+       round(1.0 + CAST(s.n_tail AS DOUBLE) * 1000000000.0
+                   / CAST(s.ln_sum_e9 AS DOUBLE), 6) AS alpha_hat
+FROM s, tot t
+"""
+
+
+@register(
+    "events_power_law_mle",
+    oracle=_ORACLE_POWER_LAW,
+    tags=("events", "stats"),
+    doc=(
+        "Discrete power-law exponent MLE over per-user activity counts "
+        "(Clauset-Shalizi-Newman 2009 continuous approximation with the "
+        "x_min - 1/2 shift): alpha = 1 + n / sum ln(x / (xmin - 0.5)).  "
+        "Each ln term is rounded to e9 fixed-point PER USER before the "
+        "sum (the unigram-surprisal determinism pattern — float addition "
+        "order can never flake the hash), so the only cross-engine float "
+        "is one identical final expression.  The heavy-tail diagnostic "
+        "behind every skew decision the engine makes: if activity is "
+        "power-law with small alpha, hot-key salting and AQE skew splits "
+        "are mandatory, not optional.  One hash aggregate + one "
+        "combinable tail aggregate — nothing data-scale after the "
+        "per-user count."
+    ),
+)
+def events_power_law_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    tail = act.where(F.col("x") >= _PL_XMIN).select(
+        "x",
+        F.round(
+            F.log(F.col("x").cast("double") / (_PL_XMIN - 0.5)) * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("lnterm_e9"),
+    )
+    s = tail.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum("lnterm_e9").cast("bigint").alias("ln_sum_e9"),
+        F.max("x").cast("bigint").alias("x_max"),
+    )
+    tot = act.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_users",
+        "n_tail",
+        F.lit(_PL_XMIN).cast("bigint").alias("x_min"),
+        "x_max",
+        "ln_sum_e9",
+        F.round(
+            1.0
+            + F.col("n_tail").cast("double")
+            * 1_000_000_000.0
+            / F.col("ln_sum_e9").cast("double"),
+            6,
+        ).alias("alpha_hat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collocation extraction by t-score
+# ---------------------------------------------------------------------------
+
+_ORACLE_TSCORE = """
+WITH toks0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, pos, w FROM toks0 WHERE regexp_matches(w, '^[a-z]+$')
+),
+big AS (
+  SELECT t1.w AS w1, t2.w AS w2, CAST(COUNT(*) AS BIGINT) AS f12
+  FROM toks t1 JOIN toks t2
+    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY t1.w, t2.w
+),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w),
+tot AS (SELECT CAST(SUM(f12) AS BIGINT) AS nb FROM big),
+scored AS (
+  SELECT b.w1, b.w2, b.f12, u1.f AS f1, u2.f AS f2, t.nb,
+         round((CAST(b.f12 AS DOUBLE)
+                - CAST(u1.f AS DOUBLE) * CAST(u2.f AS DOUBLE)
+                  / CAST(t.nb AS DOUBLE))
+               / sqrt(CAST(b.f12 AS DOUBLE)), 6) AS t_score
+  FROM big b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2
+  CROSS JOIN tot t
+  WHERE b.f12 >= 3
+)
+SELECT CAST(row_number() OVER (ORDER BY t_score DESC, w1, w2) AS BIGINT)
+         AS rk,
+       w1, w2, f12, f1, f2, t_score
+FROM scored
+QUALIFY row_number() OVER (ORDER BY t_score DESC, w1, w2) <= 15
+ORDER BY rk
+"""
+
+
+@register(
+    "corpus_collocation_tscore",
+    oracle=_ORACLE_TSCORE,
+    tags=("corpus", "text"),
+    doc=(
+        "Collocation extraction by t-score (Church & Hanks' hypothesis-"
+        "test framing): t = (f12 - f1*f2/N) / sqrt(f12) per adjacent "
+        "bigram with f12 >= 3, top-15 by (t DESC, words).  The t-score "
+        "favors HIGH-FREQUENCY associations where PMI (corpus_pmi_"
+        "bigrams) favors rare-but-exclusive ones and keyness (corpus_"
+        "keyness_loglikelihood) contrasts corpora — the third classic "
+        "association lens, one identical float expression over exact "
+        "BIGINT counts.  Bigram/unigram aggregates are the corpus-scale "
+        "passes (combinable); scoring and ranking run on the "
+        "vocab^2-bounded bigram table."
+    ),
+)
+def corpus_collocation_tscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("p0", "w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "w")
+    )
+    t2 = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    big = (
+        toks.join(t2, ["doc_id", "pos"])
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f12"))
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    tot = big.agg(F.sum("f12").cast("bigint").alias("nb"))
+    scored = (
+        big.where(F.col("f12") >= 3)
+        .join(uni.select(F.col("w").alias("w1"), F.col("f").alias("f1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("f").alias("f2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "f12",
+            "f1",
+            "f2",
+            F.round(
+                (
+                    F.col("f12").cast("double")
+                    - F.col("f1").cast("double")
+                    * F.col("f2").cast("double")
+                    / F.col("nb").cast("double")
+                )
+                / F.sqrt(F.col("f12").cast("double")),
+                6,
+            ).alias("t_score"),
+        )
+    )
+    w_rk = Window.orderBy(F.col("t_score").desc(), "w1", "w2")
+    return (
+        scored.select(
+            F.row_number().over(w_rk).cast("bigint").alias("rk"),
+            "w1",
+            "w2",
+            "f12",
+            "f1",
+            "f2",
+            "t_score",
+        )
+        .where(F.col("rk") <= 15)
+        .orderBy("rk")
+    )

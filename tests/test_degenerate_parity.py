@@ -438,9 +438,10 @@ _BATTERY4 = [
     "corpus_kwic_concordance", "dq_functional_dependency_profile",
     "io_fixed_width_roundtrip",
     # r9e: network mixing metrics + sequential test + the SQL-replayed
-    # lossy integer codec
+    # lossy integer codec + heavy-tail MLE + t-score collocations
     "graph_assortativity_degree", "graph_rich_club_coefficient",
     "events_sprt_sequential_test", "multimodal_adpcm_roundtrip",
+    "events_power_law_mle", "corpus_collocation_tscore",
 ]
 
 

@@ -62,6 +62,8 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("graph_rich_club_coefficient", "CARTESIAN"): "4-row k-threshold spine broadcast onto the vocabulary-scale degree table",
     ("events_sprt_sequential_test", "CARTESIAN"): "1-row first-crossing scalar attached to the 1-row last-day scalar",
     ("events_sprt_sequential_test", "GLOBAL_WINDOW"): "cumulative LLR walk over the calendar-bounded daily table",
+    ("events_power_law_mle", "CARTESIAN"): "1-row user-total scalar broadcast onto the 1-row tail-sum aggregate",
+    ("corpus_collocation_tscore", "CARTESIAN"): "1-row bigram-total scalar broadcast onto the vocab^2-bounded bigram table",
     # ---- round 8 stats/eval batch: every hit is a scalar-aggregate
     # broadcast, a calendar-bounded daily-spine window, or a small fixed
     # spine — never data-scale quadratic work ----
