@@ -563,3 +563,115 @@ def corpus_collocation_tscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 15)
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (nonparametric repeated-measures ANOVA)
+# ---------------------------------------------------------------------------
+
+_ORACLE_FRIEDMAN = """
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+full_blocks AS (
+  SELECT d FROM cells GROUP BY d
+  HAVING COUNT(*) = (SELECT COUNT(DISTINCT event_type) FROM cells)
+),
+ranked AS (
+  SELECT c.d, c.event_type,
+         CAST(row_number() OVER (PARTITION BY c.d ORDER BY c.v, c.event_type)
+              AS BIGINT) AS rk
+  FROM cells c JOIN full_blocks f ON c.d = f.d
+),
+sums AS (
+  SELECT event_type, CAST(SUM(rk) AS BIGINT) AS r_sum
+  FROM ranked GROUP BY event_type
+),
+meta AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(r_sum) AS BIGINT) AS total,
+         CAST(SUM(r_sum * r_sum) AS BIGINT) AS r2_sum
+  FROM sums
+),
+nblocks AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM full_blocks)
+SELECT n.n AS n_blocks, m.k AS k_treatments, m.r2_sum,
+       round(12.0 * CAST(m.r2_sum AS DOUBLE)
+             / (CAST(n.n AS DOUBLE) * CAST(m.k AS DOUBLE)
+                * CAST(m.k + 1 AS DOUBLE))
+             - 3.0 * CAST(n.n AS DOUBLE) * CAST(m.k + 1 AS DOUBLE),
+             6) AS friedman_q
+FROM meta m, nblocks n
+"""
+
+
+@register(
+    "ml_friedman_test",
+    oracle=_ORACLE_FRIEDMAN,
+    tags=("ml", "stats"),
+    doc=(
+        "Friedman test (nonparametric repeated-measures ANOVA): days are "
+        "blocks, event types are treatments, daily cent-revenue is the "
+        "response; within-block ranks (PARTITIONED per-day windows — "
+        "cent sums make ties measure-zero, and the (value, type) "
+        "tie-break pins determinism anyway), Q = 12*sum(R_j^2)/(n*k*(k+1)) "
+        "- 3n(k+1) from exact BIGINT rank sums with ONE final float "
+        "expression.  Completes the nonparametric family: Mann-Whitney "
+        "(2 independent), Wilcoxon (2 paired), Kruskal-Wallis-shaped "
+        "Friedman (k matched groups) — blocks missing any treatment are "
+        "excluded exactly as scipy does."
+    ),
+)
+def ml_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("d"), "event_type"
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    k_row = cells.agg(F.countDistinct("event_type").alias("k_all"))
+    full_blocks = (
+        cells.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(k_row))
+        .where(F.col("c") == F.col("k_all"))
+        .select("d")
+    )
+    w = Window.partitionBy("d").orderBy("v", "event_type")
+    ranked = cells.join(full_blocks, "d").select(
+        "d", "event_type", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("rk").cast("bigint").alias("r_sum")
+    )
+    meta = sums.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("r_sum").cast("bigint").alias("total"),
+        F.sum(F.col("r_sum") * F.col("r_sum")).cast("bigint").alias("r2_sum"),
+    )
+    nblocks = full_blocks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return meta.crossJoin(F.broadcast(nblocks)).select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        "r2_sum",
+        F.round(
+            12.0
+            * F.col("r2_sum").cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("k").cast("double")
+                * (F.col("k") + 1).cast("double")
+            )
+            - 3.0 * F.col("n").cast("double") * (F.col("k") + 1).cast("double"),
+            6,
+        ).alias("friedman_q"),
+    )

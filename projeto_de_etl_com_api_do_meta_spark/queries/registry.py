@@ -131,6 +131,8 @@ _PRIORITY: tuple[str, ...] = (
     "graph_rich_club_coefficient",
     "events_power_law_mle",
     "corpus_collocation_tscore",
+    "warehouse_fx_triangulation_asof",
+    "ml_friedman_test",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",

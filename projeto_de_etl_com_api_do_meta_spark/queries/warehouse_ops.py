@@ -2156,3 +2156,113 @@ def warehouse_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Currency conversion with as-of rates and USD triangulation
+# ---------------------------------------------------------------------------
+
+_ORACLE_FX = """
+WITH days AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+),
+rates AS (
+  SELECT d AS rate_date,
+         CAST(1000000 + (CAST(d - DATE '1970-01-01' AS BIGINT) % 97) * 1000
+              AS BIGINT) AS eur_usd_e6,
+         CAST(180000 + (CAST(d - DATE '1970-01-01' AS BIGINT) % 53) * 500
+              AS BIGINT) AS usd_brl_e6
+  FROM days WHERE day(d) % 3 = 1
+),
+priced AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS od,
+         year(o.o_orderdate) AS yr,
+         CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) AS eur_e2
+  FROM orders o
+),
+as_of AS (
+  SELECT p.*, r.eur_usd_e6, r.usd_brl_e6
+  FROM priced p JOIN rates r ON r.rate_date <= p.od
+  QUALIFY row_number() OVER (PARTITION BY p.o_orderkey
+                             ORDER BY r.rate_date DESC) = 1
+),
+conv AS (
+  SELECT yr,
+         eur_e2,
+         (eur_e2 * eur_usd_e6) // 1000000 AS usd_e2,
+         (((eur_e2 * eur_usd_e6) // 1000000) * usd_brl_e6) // 1000000
+           AS brl_e2
+  FROM as_of
+)
+SELECT CAST(yr AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(eur_e2) AS BIGINT) AS sum_eur_e2,
+       CAST(SUM(usd_e2) AS BIGINT) AS sum_usd_e2,
+       CAST(SUM(brl_e2) AS BIGINT) AS sum_brl_e2
+FROM conv GROUP BY yr ORDER BY yr
+"""
+
+
+@register(
+    "warehouse_fx_triangulation_asof",
+    oracle=_ORACLE_FX,
+    tags=("warehouse",),
+    doc=(
+        "Currency conversion with AS-OF rates and USD triangulation — the "
+        "finance-warehouse pattern the as-of family was missing: a "
+        "deterministic rate table publishes EUR->USD and USD->BRL every "
+        "third calendar day, every order converts at the LATEST rate on "
+        "or before its order date (backward as-of via a per-order "
+        "rate-date window), and BRL is reached by TRIANGULATING through "
+        "USD with per-leg e6 fixed-point floor division — two sequential "
+        "integer legs so no BIGINT product ever exceeds price*1e6 "
+        "(chaining both rates first would overflow at 1e19).  The "
+        "rate-spine inequality join fans out per order by the bounded "
+        "publication calendar, exactly the join_range_binned contract; "
+        "yearly totals in three currencies are exact cents."
+    ),
+)
+def warehouse_fx_triangulation_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    days = orders.select(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    epoch = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    rates = days.where(F.dayofmonth("d") % 3 == 1).select(
+        F.col("d").alias("rate_date"),
+        (1000000 + (epoch % 97) * 1000).cast("bigint").alias("eur_usd_e6"),
+        (180000 + (epoch % 53) * 500).cast("bigint").alias("usd_brl_e6"),
+    )
+    priced = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint").alias("eur_e2"),
+    )
+    joined = priced.join(
+        F.broadcast(rates), F.col("rate_date") <= F.col("od")
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("rate_date").desc())
+    asof = joined.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    conv = asof.select(
+        "yr",
+        "eur_e2",
+        "usd_brl_e6",
+        F.expr("(eur_e2 * eur_usd_e6) DIV 1000000").alias("usd_e2"),
+    ).select(
+        "yr",
+        "eur_e2",
+        "usd_e2",
+        F.expr("(usd_e2 * usd_brl_e6) DIV 1000000").alias("brl_e2"),
+    )
+    return (
+        conv.groupBy(F.col("yr").cast("bigint").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("eur_e2").cast("bigint").alias("sum_eur_e2"),
+            F.sum("usd_e2").cast("bigint").alias("sum_usd_e2"),
+            F.sum("brl_e2").cast("bigint").alias("sum_brl_e2"),
+        )
+        .orderBy("yr")
+    )

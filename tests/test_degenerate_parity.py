@@ -442,6 +442,7 @@ _BATTERY4 = [
     "graph_assortativity_degree", "graph_rich_club_coefficient",
     "events_sprt_sequential_test", "multimodal_adpcm_roundtrip",
     "events_power_law_mle", "corpus_collocation_tscore",
+    "warehouse_fx_triangulation_asof", "ml_friedman_test",
 ]
 
 

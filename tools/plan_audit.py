@@ -64,6 +64,8 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("events_sprt_sequential_test", "GLOBAL_WINDOW"): "cumulative LLR walk over the calendar-bounded daily table",
     ("events_power_law_mle", "CARTESIAN"): "1-row user-total scalar broadcast onto the 1-row tail-sum aggregate",
     ("corpus_collocation_tscore", "CARTESIAN"): "1-row bigram-total scalar broadcast onto the vocab^2-bounded bigram table",
+    ("warehouse_fx_triangulation_asof", "CARTESIAN"): "calendar-bounded rate-spine broadcast inequality join onto orders (fanout <= |published rates|, the join_range_binned contract)",
+    ("ml_friedman_test", "CARTESIAN"): "1-row treatment-count and block-count scalar broadcasts onto day-grained cells",
     # ---- round 8 stats/eval batch: every hit is a scalar-aggregate
     # broadcast, a calendar-bounded daily-spine window, or a small fixed
     # spine — never data-scale quadratic work ----
