@@ -675,3 +675,226 @@ def ml_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("friedman_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H test (k independent groups)
+# ---------------------------------------------------------------------------
+
+_ORACLE_KRUSKAL = """
+WITH scored AS (
+  SELECT event_type, CAST(round(value * 100.0, 0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+per_v AS (
+  SELECT v, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM scored GROUP BY v, event_type
+),
+vtot AS (
+  SELECT v, CAST(SUM(cnt) AS BIGINT) AS vc FROM per_v GROUP BY v
+),
+ranked AS (
+  SELECT v, vc,
+         COALESCE(SUM(vc) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM vtot
+),
+-- average rank of value v in HALF units: 2*before + vc + 1
+grp AS (
+  SELECT p.event_type,
+         CAST(SUM(p.cnt) AS BIGINT) AS n_g,
+         CAST(SUM(p.cnt * (2 * r.before + r.vc + 1)) AS BIGINT) AS r_half
+  FROM per_v p JOIN ranked r ON r.v = p.v
+  GROUP BY p.event_type
+),
+tie AS (
+  SELECT CAST(SUM(vc * vc * vc - vc) AS BIGINT) AS tie_sum,
+         CAST(SUM(vc) AS BIGINT) AS n
+  FROM vtot
+),
+h AS (
+  SELECT t.n, t.tie_sum,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         -- H = 12/(N(N+1)) * sum(R_g^2/n_g) - 3(N+1), ranks in half units
+         -- => R_g = r_half/2: H = 3/(N(N+1)) * sum(r_half^2/n_g) - 3(N+1)
+         SUM(CAST(g.r_half AS DOUBLE) * CAST(g.r_half AS DOUBLE)
+             / CAST(g.n_g AS DOUBLE)) AS s2
+  FROM grp g, tie t
+  GROUP BY t.n, t.tie_sum
+)
+SELECT n, k AS k_groups, tie_sum,
+       round((3.0 * s2 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+              - 3.0 * CAST(n + 1 AS DOUBLE))
+             / (1.0 - CAST(tie_sum AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
+             6) AS h_statistic
+FROM h
+"""
+
+
+@register(
+    "ml_kruskal_wallis",
+    oracle=_ORACLE_KRUSKAL,
+    tags=("ml", "stats"),
+    doc=(
+        "Kruskal-Wallis H test across the five event-type value "
+        "distributions — the k-group generalization that completes the "
+        "nonparametric family (Mann-Whitney: 2 independent, Wilcoxon: 2 "
+        "paired, Friedman: k blocked, Kruskal-Wallis: k independent).  "
+        "Average ranks over ties kept in integer HALF units exactly as "
+        "ml_mann_whitney_u (per-value counts -> one cumulative window "
+        "over the DISTINCT-CENT-VALUE table), per-group rank sums and "
+        "the tie-correction sum(t^3 - t) stay exact BIGINTs, and H with "
+        "its tie correction is one final float expression with "
+        "identical operand order on both engines.  SUM of DOUBLE "
+        "divisions across k=5 groups is order-hazard-free because the "
+        "grouped aggregation is over five rows with distinct keys — "
+        "both engines reduce in ascending-key order after the sort-free "
+        "hash, and the per-group terms are exact-integer ratios rounded "
+        "only at the end."
+    ),
+)
+def ml_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v"),
+    )
+    per_v = scored.groupBy("v", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    vtot = per_v.groupBy("v").agg(F.sum("cnt").cast("bigint").alias("vc"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vtot.select(
+        "v", "vc", F.coalesce(F.sum("vc").over(w), F.lit(0)).alias("before")
+    )
+    grp = (
+        per_v.join(ranked, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_g"),
+            F.sum(F.col("cnt") * (2 * F.col("before") + F.col("vc") + 1))
+            .cast("bigint")
+            .alias("r_half"),
+        )
+    )
+    tie = vtot.agg(
+        F.sum(F.col("vc") * F.col("vc") * F.col("vc") - F.col("vc"))
+        .cast("bigint")
+        .alias("tie_sum"),
+        F.sum("vc").cast("bigint").alias("n"),
+    )
+    h = (
+        grp.crossJoin(F.broadcast(tie))
+        .groupBy("n", "tie_sum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(
+                F.col("r_half").cast("double")
+                * F.col("r_half").cast("double")
+                / F.col("n_g").cast("double")
+            ).alias("s2"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    return h.select(
+        "n",
+        F.col("k").alias("k_groups"),
+        "tie_sum",
+        F.round(
+            (3.0 * F.col("s2") / (n_d * (n_d + 1)) - 3.0 * (n_d + 1))
+            / (
+                1.0
+                - F.col("tie_sum").cast("double") / (n_d * n_d * n_d - n_d)
+            ),
+            6,
+        ).alias("h_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time profile (Poisson-assumption diagnostic)
+# ---------------------------------------------------------------------------
+
+_ORACLE_INTERARRIVAL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+gaps AS (
+  SELECT user_id,
+         CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_s
+  FROM ordered WHERE prev_ts IS NOT NULL
+),
+bucketed AS (
+  SELECT CASE WHEN gap_s < 60 THEN '0_under_1m'
+              WHEN gap_s < 3600 THEN '1_1m_to_1h'
+              WHEN gap_s < 86400 THEN '2_1h_to_1d'
+              ELSE '3_over_1d' END AS bucket,
+         gap_s
+  FROM gaps
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap_sq
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register(
+    "events_interarrival_profile",
+    oracle=_ORACLE_INTERARRIVAL,
+    tags=("events", "timeseries"),
+    doc=(
+        "Per-user inter-arrival time profile — the Poisson-assumption "
+        "diagnostic behind every rate model (SPRT's Bernoulli days, the "
+        "rate-ratio test, capacity planning): successive event gaps per "
+        "user via ONE partitioned lag window (ties broken by event_id), "
+        "bucketed into sub-minute / sub-hour / sub-day / over-day bands "
+        "with exact BIGINT second sums, extrema, and square sums — "
+        "enough exact moments to compute the coefficient of variation "
+        "downstream (CV >> 1 = bursty, the Kleinberg-burst regime; "
+        "CV ~ 1 = memoryless).  Gap squares stay under 2^63 up to "
+        "~50-year spans; everything aggregates map-side after the "
+        "per-user shuffle."
+    ),
+)
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gaps = ordered.where(F.col("prev_ts").isNotNull()).select(
+        (
+            F.col("ts").cast("double").cast("long")
+            - F.col("prev_ts").cast("double").cast("long")
+        ).alias("gap_s")
+    )
+    bucket = (
+        F.when(F.col("gap_s") < 60, "0_under_1m")
+        .when(F.col("gap_s") < 3600, "1_1m_to_1h")
+        .when(F.col("gap_s") < 86400, "2_1h_to_1d")
+        .otherwise("3_over_1d")
+    )
+    return (
+        gaps.select(bucket.alias("bucket"), "gap_s")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap_s").cast("bigint").alias("sum_gap_s"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias(
+                "sum_gap_sq"
+            ),
+        )
+        .orderBy("bucket")
+    )

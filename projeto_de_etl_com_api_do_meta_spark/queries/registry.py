@@ -133,6 +133,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_collocation_tscore",
     "warehouse_fx_triangulation_asof",
     "ml_friedman_test",
+    "ml_kruskal_wallis",
+    "events_interarrival_profile",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",

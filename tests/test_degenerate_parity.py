@@ -443,6 +443,7 @@ _BATTERY4 = [
     "events_sprt_sequential_test", "multimodal_adpcm_roundtrip",
     "events_power_law_mle", "corpus_collocation_tscore",
     "warehouse_fx_triangulation_asof", "ml_friedman_test",
+    "ml_kruskal_wallis", "events_interarrival_profile",
 ]
 
 

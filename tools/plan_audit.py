@@ -66,6 +66,8 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("corpus_collocation_tscore", "CARTESIAN"): "1-row bigram-total scalar broadcast onto the vocab^2-bounded bigram table",
     ("warehouse_fx_triangulation_asof", "CARTESIAN"): "calendar-bounded rate-spine broadcast inequality join onto orders (fanout <= |published rates|, the join_range_binned contract)",
     ("ml_friedman_test", "CARTESIAN"): "1-row treatment-count and block-count scalar broadcasts onto day-grained cells",
+    ("ml_kruskal_wallis", "CARTESIAN"): "1-row tie/total scalar broadcast onto the 5-row per-group rank-sum table",
+    ("ml_kruskal_wallis", "GLOBAL_WINDOW"): "cumulative rank window over the DISTINCT-CENT-VALUE table (the ml_mann_whitney_u contract)",
     # ---- round 8 stats/eval batch: every hit is a scalar-aggregate
     # broadcast, a calendar-bounded daily-spine window, or a small fixed
     # spine — never data-scale quadratic work ----
