@@ -898,3 +898,222 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F + pairwise effect sizes
+# ---------------------------------------------------------------------------
+
+_ORACLE_ANOVA = """
+WITH scored AS (
+  SELECT event_type, CAST(round(value * 100.0, 0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+grp AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(v) AS BIGINT) AS s_g,
+         CAST(SUM(v * v) AS BIGINT) AS s2_g
+  FROM scored GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(s2_g) AS BIGINT) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM grp
+),
+parts AS (
+  -- SSB*n = sum over groups of (s_g*n - S*n_g)^2 / (n_g * n): keep the
+  -- per-group term as ONE float ratio of exact integers, then sum over
+  -- the k=5 distinct group keys
+  SELECT t.n, t.k,
+         SUM(CAST((g.s_g * t.n - t.s * g.n_g) AS DOUBLE)
+             * CAST((g.s_g * t.n - t.s * g.n_g) AS DOUBLE)
+             / (CAST(g.n_g AS DOUBLE) * CAST(t.n AS DOUBLE)
+                * CAST(t.n AS DOUBLE))) AS ssb,
+         SUM(CAST(g.s2_g AS DOUBLE)
+             - CAST(g.s_g AS DOUBLE) * CAST(g.s_g AS DOUBLE)
+               / CAST(g.n_g AS DOUBLE)) AS ssw
+  FROM grp g, tot t
+  GROUP BY t.n, t.k
+)
+SELECT p.n, p.k AS k_groups,
+       t.s AS grand_sum_e2, t.s2 AS grand_sumsq_e4,
+       round((p.ssb / (CAST(p.k AS DOUBLE) - 1.0))
+             / (p.ssw / (CAST(p.n AS DOUBLE) - CAST(p.k AS DOUBLE))), 6)
+         AS f_statistic
+FROM parts p, tot t
+"""
+
+
+@register(
+    "ml_anova_oneway_exact",
+    oracle=_ORACLE_ANOVA,
+    tags=("ml", "stats"),
+    doc=(
+        "One-way ANOVA F across the five event-type value distributions "
+        "— the parametric companion of ml_kruskal_wallis on the same "
+        "contrast: per-group (n, sum, sum-of-squares) cents stay exact "
+        "BIGINTs in ONE combinable aggregate, between/within sums of "
+        "squares are per-group float ratios of exact integers summed "
+        "over the k=5 group keys, and F = (SSB/(k-1)) / (SSW/(n-k)).  "
+        "Exactly the two-pass-free Welford-equivalent any SQL engine "
+        "uses; at 100 TB the only data-scale pass is the first grouped "
+        "aggregate (map-side combinable).  The SS floats stay INTERNAL: "
+        "at 2.4e11 magnitude their 16th digit differs across engines by "
+        "summation order (measured), but F's ratio cancels the noise to "
+        "1e-16 relative — so the output carries exact integer grand "
+        "moments plus the 6dp F only."
+    ),
+)
+def ml_anova_oneway_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v"),
+    )
+    grp = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("v").cast("bigint").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2_g"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("s2_g").cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    dev = (F.col("s_g") * F.col("n") - F.col("s") * F.col("n_g")).cast("double")
+    parts = j.groupBy("n", "k").agg(
+        F.sum(
+            dev
+            * dev
+            / (
+                F.col("n_g").cast("double")
+                * F.col("n").cast("double")
+                * F.col("n").cast("double")
+            )
+        ).alias("ssb"),
+        F.sum(
+            F.col("s2_g").cast("double")
+            - F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("ssw"),
+    )
+    return parts.crossJoin(F.broadcast(tot.select("s", "s2"))).select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.col("s").alias("grand_sum_e2"),
+        F.col("s2").alias("grand_sumsq_e4"),
+        F.round(
+            (F.col("ssb") / (F.col("k").cast("double") - 1.0))
+            / (
+                F.col("ssw")
+                / (F.col("n").cast("double") - F.col("k").cast("double"))
+            ),
+            6,
+        ).alias("f_statistic"),
+    )
+
+
+_ORACLE_EFFECT_SIZES = """
+WITH scored AS (
+  SELECT event_type, CAST(round(value * 100.0, 0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+grp AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(v) AS BIGINT) AS s_g,
+         CAST(SUM(v * v) AS BIGINT) AS s2_g
+  FROM scored GROUP BY event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n_g AS n_a, b.n_g AS n_b,
+       round((CAST(a.s_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+              - CAST(b.s_g AS DOUBLE) / CAST(b.n_g AS DOUBLE)) / 100.0,
+             4) AS mean_diff_dollars,
+       round((CAST(a.s_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+              - CAST(b.s_g AS DOUBLE) / CAST(b.n_g AS DOUBLE))
+             / sqrt((
+                 (CAST(a.s2_g AS DOUBLE)
+                  - CAST(a.s_g AS DOUBLE) * CAST(a.s_g AS DOUBLE)
+                    / CAST(a.n_g AS DOUBLE))
+                 + (CAST(b.s2_g AS DOUBLE)
+                    - CAST(b.s_g AS DOUBLE) * CAST(b.s_g AS DOUBLE)
+                      / CAST(b.n_g AS DOUBLE))
+               ) / CAST(a.n_g + b.n_g - 2 AS DOUBLE)),
+             6) AS cohens_d
+FROM grp a JOIN grp b ON a.event_type < b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "ml_effect_sizes_pairwise",
+    oracle=_ORACLE_EFFECT_SIZES,
+    tags=("ml", "stats"),
+    doc=(
+        "Pairwise Cohen's d effect sizes between all event-type value "
+        "distributions — the magnitude report the significance family "
+        "(z-test, Welch, Mann-Whitney, ANOVA) deliberately does not "
+        "give: d = mean difference over the pooled standard deviation, "
+        "every input an exact BIGINT group moment and the whole "
+        "statistic one identical float expression per pair.  The 5x5/2 "
+        "pair join runs on the 5-row group-moment table; at any scale "
+        "the only data pass is the single combinable moment aggregate "
+        "(shared with ml_anova_oneway_exact)."
+    ),
+)
+def ml_effect_sizes_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v"),
+    )
+    grp = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("v").cast("bigint").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2_g"),
+    )
+    a = grp.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("s_g").alias("s_a"),
+        F.col("s2_g").alias("s2_a"),
+    )
+    b = grp.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("s_g").alias("s_b"),
+        F.col("s2_g").alias("s2_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    mean_a = F.col("s_a").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    ss_a = (
+        F.col("s2_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a").cast("double")
+        / F.col("n_a").cast("double")
+    )
+    ss_b = (
+        F.col("s2_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b").cast("double")
+        / F.col("n_b").cast("double")
+    )
+    pooled = F.sqrt(
+        (ss_a + ss_b) / (F.col("n_a") + F.col("n_b") - 2).cast("double")
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.round((mean_a - mean_b) / 100.0, 4).alias("mean_diff_dollars"),
+        F.round((mean_a - mean_b) / pooled, 6).alias("cohens_d"),
+    ).orderBy("type_a", "type_b")

@@ -135,6 +135,8 @@ _PRIORITY: tuple[str, ...] = (
     "ml_friedman_test",
     "ml_kruskal_wallis",
     "events_interarrival_profile",
+    "ml_anova_oneway_exact",
+    "ml_effect_sizes_pairwise",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",

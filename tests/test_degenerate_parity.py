@@ -444,6 +444,7 @@ _BATTERY4 = [
     "events_power_law_mle", "corpus_collocation_tscore",
     "warehouse_fx_triangulation_asof", "ml_friedman_test",
     "ml_kruskal_wallis", "events_interarrival_profile",
+    "ml_anova_oneway_exact", "ml_effect_sizes_pairwise",
 ]
 
 
