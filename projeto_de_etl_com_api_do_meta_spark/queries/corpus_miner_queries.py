@@ -589,3 +589,172 @@ def corpus_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta authorship distance between sources
+# ---------------------------------------------------------------------------
+
+_BD_TOPW = 20
+
+_ORACLE_BURROWS = f"""
+WITH toks0 AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+toks AS (
+  SELECT source, w FROM toks0 WHERE regexp_matches(w, '^[a-z]+$')
+),
+topw AS (
+  SELECT w FROM toks GROUP BY w
+  QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, w) <= {_BD_TOPW}
+),
+stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY source),
+cnt AS (
+  SELECT t.source, t.w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks t JOIN topw ON t.w = topw.w
+  GROUP BY t.source, t.w
+),
+grid AS (
+  SELECT s.source, topw.w,
+         (COALESCE(c.c, 0) * 1000000) // s.n AS x_ppm
+  FROM stot s CROSS JOIN topw
+  LEFT JOIN cnt c ON c.source = s.source AND c.w = topw.w
+),
+wstats AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x_ppm) AS BIGINT) AS sx,
+         CAST(SUM(x_ppm * x_ppm) AS BIGINT) AS sx2
+  FROM grid GROUP BY w
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.w,
+         abs(a.x_ppm - b.x_ppm) AS dx,
+         ws.k, ws.sx, ws.sx2
+  FROM grid a
+  JOIN grid b ON a.w = b.w AND a.source < b.source
+  JOIN wstats ws ON ws.w = a.w
+  WHERE ws.k * ws.sx2 > ws.sx * ws.sx
+),
+terms AS (
+  -- per-word z-gap floored to e6 BEFORE the sum (order-hazard-free)
+  SELECT src_a, src_b,
+         CAST(floor(CAST(dx AS DOUBLE) * CAST(k AS DOUBLE) * 1000000.0
+                    / sqrt(CAST(k * sx2 - sx * sx AS DOUBLE)))
+              AS BIGINT) AS zgap_e6
+  FROM pairs
+),
+delta AS (
+  SELECT src_a, src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(zgap_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+           AS delta_e6
+  FROM terms GROUP BY src_a, src_b
+)
+SELECT CAST(row_number() OVER (ORDER BY delta_e6, src_a, src_b) AS BIGINT)
+         AS rk,
+       src_a, src_b, n_words, delta_e6
+FROM delta
+QUALIFY row_number() OVER (ORDER BY delta_e6, src_a, src_b) <= 10
+ORDER BY rk
+"""
+
+
+@register(
+    "corpus_burrows_delta",
+    oracle=_ORACLE_BURROWS,
+    tags=("corpus", "stylometry"),
+    doc=(
+        "Burrows' Delta (2002) — stylometry's standard authorship "
+        "distance — between corpus sources: the top-20 function-word "
+        "frequencies per source as exact floor-ppm integers, per-word "
+        "z-scores against the cross-source mean/std (variance kept as "
+        "the exact BIGINT k*Sx2 - Sx^2; zero-variance words dropped by "
+        "the exact integer test), and Delta(a,b) = mean |z_a - z_b| "
+        "with every per-word z-gap FLOORED to e6 before the sum so "
+        "float addition order cannot flake the hash.  Top-10 most "
+        "similar source pairs reported.  The word x source grid is "
+        "20x20; the only corpus-scale pass is the token count — "
+        "attribution over a 100 TB corpus costs one combinable "
+        "aggregate plus sketch-sized arithmetic."
+    ),
+)
+def corpus_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w").rlike("^[a-z]+$"))
+    w_top = Window.orderBy(F.col("cnt").desc(), "w")
+    topw = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(w_top))
+        .where(F.col("rk") <= _BD_TOPW)
+        .select("w")
+    )
+    stot = toks.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cnt = (
+        toks.join(F.broadcast(topw), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(topw))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr("(COALESCE(c, 0) * 1000000) DIV n").alias("x_ppm"),
+        )
+    )
+    wstats = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x_ppm").cast("bigint").alias("sx"),
+        F.sum(F.col("x_ppm") * F.col("x_ppm")).cast("bigint").alias("sx2"),
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"), "w", F.col("x_ppm").alias("xa")
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"), F.col("w").alias("w"), F.col("x_ppm").alias("xb")
+    )
+    pairs = (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(wstats), "w")
+        .where(
+            F.col("k") * F.col("sx2") > F.col("sx") * F.col("sx")
+        )
+    )
+    terms = pairs.select(
+        "src_a",
+        "src_b",
+        F.floor(
+            F.abs(F.col("xa") - F.col("xb")).cast("double")
+            * F.col("k").cast("double")
+            * 1000000.0
+            / F.sqrt(
+                (F.col("k") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("zgap_e6"),
+    )
+    delta = terms.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.expr("SUM(zgap_e6) DIV COUNT(*)").cast("bigint").alias("delta_e6"),
+    )
+    w_rk = Window.orderBy("delta_e6", "src_a", "src_b")
+    return (
+        delta.select(
+            F.row_number().over(w_rk).cast("bigint").alias("rk"),
+            "src_a",
+            "src_b",
+            "n_words",
+            "delta_e6",
+        )
+        .where(F.col("rk") <= 10)
+        .orderBy("rk")
+    )

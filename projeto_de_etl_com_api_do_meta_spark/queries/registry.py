@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_interarrival_profile",
     "ml_anova_oneway_exact",
     "ml_effect_sizes_pairwise",
+    "corpus_burrows_delta",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",

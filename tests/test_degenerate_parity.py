@@ -445,6 +445,7 @@ _BATTERY4 = [
     "warehouse_fx_triangulation_asof", "ml_friedman_test",
     "ml_kruskal_wallis", "events_interarrival_profile",
     "ml_anova_oneway_exact", "ml_effect_sizes_pairwise",
+    "corpus_burrows_delta",
 ]
 
 

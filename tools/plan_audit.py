@@ -70,6 +70,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ml_kruskal_wallis", "GLOBAL_WINDOW"): "cumulative rank window over the DISTINCT-CENT-VALUE table (the ml_mann_whitney_u contract)",
     ("ml_anova_oneway_exact", "CARTESIAN"): "1-row grand-total scalar broadcast onto the 5-row group-moment table (twice: parts + output attach)",
     ("ml_effect_sizes_pairwise", "CARTESIAN"): "5-row group-moment self pair join (10 pairs, bounded by |event types|)",
+    ("corpus_burrows_delta", "CARTESIAN"): "20-source x 20-word grid construction broadcasts (stot x topw) — sketch-sized by construction",
     # ---- round 8 stats/eval batch: every hit is a scalar-aggregate
     # broadcast, a calendar-bounded daily-spine window, or a small fixed
     # spine — never data-scale quadratic work ----
