@@ -261,6 +261,20 @@ def main() -> None:
             }
             if overflow:
                 out["isolated_skipped_over_cap"] = [n for n, _, _ in overflow]
+            # An isolated crash is a first-class failure, not noise: fold it
+            # into the top-level "errors" key so the driver artifact (and
+            # test_bench_recovery's gate) can never show a silent
+            # {"error": true} again (VERDICT r9 item 3 — embed_ann_ivf's
+            # fresh-session crash shipped unseen in BENCH_r09).
+            iso_errors = {
+                n: d.get("exception", "isolated run failed")
+                for n, d in iso.items()
+                if d.get("error")
+            }
+            if iso_errors:
+                out.setdefault("errors", {}).update(
+                    {f"isolated:{n}": e for n, e in iso_errors.items()}
+                )
     # The driver extracts the metric JSON from the last ~2000 chars of
     # captured output (BENCH_r05 exceeded that and arrived unparsed while
     # the shorter BENCH_r04 parsed), so the stdout line must stay well

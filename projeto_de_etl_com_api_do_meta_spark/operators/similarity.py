@@ -464,17 +464,53 @@ def ivf_topk(
     exact brute-force result (pinned by unit test)."""
     uc = unit_vectors(corpus, id_col, vec_col, "neighbor_id", "cv")
     assign, cents = ivf_index(uc, "neighbor_id", "cv", nlist, iters)
+    # Constraint cut on the inverted-file key.  `cluster` is an alias of an
+    # argmax expression over `cv`, and on pyspark 4.1.2
+    # InferFiltersFromConstraints substitutes that expression through the
+    # probe-join equality and pushes an inferred predicate referencing `cv`
+    # onto the PROBE side, where it cannot bind — a deterministic
+    # fresh-session executor crash (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+    # localCheckpoint does NOT help (LogicalRDD preserves originConstraints),
+    # so instead make the key expression non-deterministic-flagged with a
+    # value-stable zero: QueryPlan.validConstraints only tracks deterministic
+    # expressions, so no constraint about `cluster` can cross the join.
+    # Regression-pinned by tests/test_virgin_session.py.
+    assign = assign.withColumn(
+        "cluster", F.col("cluster") + (F.rand(7) * 0).cast("int")
+    )
     uq = unit_vectors(queries, id_col, vec_col, "query_id", "qv")
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("_dot").desc(), F.col("cluster")
+    # Rank centroids per query ROW-LOCALLY against the centroid table
+    # collected to a literal (bounded: nlist rows by construction — an IVF
+    # index has a driver-sized codebook even at 100 TB).  sort by
+    # (-dot, cluster) then slice nprobe, i.e. the same (dot DESC, cluster
+    # ASC) tie-break the previous window formulation had.  This needs NO
+    # crossJoin, NO shuffle, and NO window for probe selection — and it
+    # avoids a pyspark 4.1.2 Catalyst defect where a WindowGroupLimit-pruned
+    # probe side of a shared-lineage self-join (queries == corpus) made the
+    # post-join ZipWith dot fail attribute binding on its FIRST execution in
+    # a fresh session (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on cv#...);
+    # regression-pinned by tests/test_virgin_session.py.
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cluster"])
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cluster"])).alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
     )
-    probes = (
-        uq.crossJoin(F.broadcast(cents))
-        .withColumn("_dot", dot(F.col("qv"), F.col("cvec")))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cluster")
+    ranked = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            (-dot(F.col("qv"), c["cvec"])).alias("negdot"),
+            c["cluster"].alias("cluster"),
+        ),
     )
+    probe_arr = F.slice(F.array_sort(ranked), 1, nprobe)
+    probes = uq.withColumn(
+        "cluster", F.explode(F.transform(probe_arr, lambda s: s["cluster"]))
+    ).select("query_id", "qv", "cluster")
     scored = (
         probes.join(assign, "cluster")
         .where(F.col("query_id") != F.col("neighbor_id"))

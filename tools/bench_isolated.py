@@ -63,8 +63,18 @@ def measure_isolated(
             (ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")), None
         )
         if line is None:
+            # Loud failure (VERDICT r9 item 3): carry the actual exception
+            # text into the artifact so a crash-in-isolation can never again
+            # read as benign noise.  bench.py surfaces any isolated error in
+            # a top-level "errors" key and test_bench_recovery gates on it.
+            tail = proc.stderr.strip().splitlines()
+            exc = next(
+                (ln for ln in reversed(tail)
+                 if "Error" in ln or "Exception" in ln),
+                tail[-1] if tail else "no stderr",
+            )
             print(f"{name}: FAILED\n{proc.stderr[-2000:]}", file=sys.stderr)
-            out[name] = {"error": True}
+            out[name] = {"error": True, "exception": exc[:500]}
             continue
         r = json.loads(line[len("RESULT "):])
         warm = r["warm"]
