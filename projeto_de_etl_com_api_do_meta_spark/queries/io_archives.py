@@ -29,6 +29,7 @@ from __future__ import annotations
 import io as _io
 import json
 import os
+import shutil
 import tarfile
 import tempfile
 
@@ -69,7 +70,11 @@ FROM documents GROUP BY lang ORDER BY lang
         "This is the training-data delivery format: shard count is the "
         "parallelism knob, samples stay byte-contiguous inside a shard, "
         "and the read side is one sequential stream per task with zero "
-        "row-level seeks."
+        "row-level seeks.  NOTE: the shard directory is driver-created "
+        "tempfile space, so executor-side writes reaching it assumes a "
+        "shared filesystem (true in local mode; on a real cluster point "
+        "the target at shared storage, e.g. an object-store path) — and "
+        "it is removed after the audit aggregate is materialized."
     ),
 )
 def io_tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +178,7 @@ def io_tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shards = spark.read.format("binaryFile").load(os.path.join(target, "*.tar"))
     rows = shards.select("content").mapInPandas(unpack, schema=read_schema)
-    return (
+    audit = (
         rows.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -187,3 +192,10 @@ def io_tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    # Materialize the audit (bounded: one row per lang) so the shard temp
+    # directory can be removed NOW instead of leaking on every run (ADVICE
+    # r9); the returned DataFrame no longer references the tar paths, so
+    # lazy re-evaluation by the caller stays valid after cleanup.
+    audit_rows = audit.collect()
+    shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(audit_rows, audit.schema)

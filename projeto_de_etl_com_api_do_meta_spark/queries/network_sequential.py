@@ -409,7 +409,14 @@ FROM s, tot t
         "Each ln term is rounded to e9 fixed-point PER USER before the "
         "sum (the unigram-surprisal determinism pattern — float addition "
         "order can never flake the hash), so the only cross-engine float "
-        "is one identical final expression.  The heavy-tail diagnostic "
+        "is one identical final expression.  ACCEPTED ULP RISK: ln() is "
+        "evaluated independently in both engines (JVM Math.log is 1-ulp, "
+        "not correctly rounded), so a term within half an ulp of a "
+        "0.5e-9 rounding boundary could in principle flip the e9 "
+        "integer on a divergent libm; tests/test_advice_r10.py sweeps "
+        "the full realistic count domain cross-engine so any divergence "
+        "on this platform fails loudly instead of flaking the differ.  "
+        "The heavy-tail diagnostic "
         "behind every skew decision the engine makes: if activity is "
         "power-law with small alpha, hot-key salting and AQE skew splits "
         "are mandatory, not optional.  One hash aggregate + one "

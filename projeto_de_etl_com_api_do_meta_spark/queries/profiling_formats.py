@@ -292,10 +292,11 @@ def _fd_pair_sql(lhs: str, rhs: str) -> str:
 _ORACLE_FD_FULL = (
     """
 WITH ev AS (
-  SELECT event_type,
-         CAST(user_id AS VARCHAR) AS user_id,
-         CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-         CAST(CAST(round(value * 100.0, 0) AS BIGINT) // 10000 AS VARCHAR)
+  SELECT COALESCE(event_type, '<NULL>') AS event_type,
+         COALESCE(CAST(user_id AS VARCHAR), '<NULL>') AS user_id,
+         COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '<NULL>') AS day,
+         COALESCE(CAST(CAST(round(value * 100.0, 0) AS BIGINT) // 10000
+                       AS VARCHAR), '<NULL>')
            AS value_bucket
   FROM events WHERE value IS NOT NULL
 ),
@@ -336,12 +337,27 @@ def dq_functional_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFr
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
+        # NULL-sentinel every FD column SYMMETRICALLY with the oracle:
+        # DuckDB's COUNT(DISTINCT (lhs, rhs)) counts struct tuples with a
+        # NULL field while Spark's countDistinct(lhs, rhs) drops them — a
+        # latent cross-engine divergence in n_pair_distinct if any FD column
+        # is ever NULL (ADVICE r9).  Coalescing both engines to '<NULL>'
+        # makes the two distinct-count semantics agree for any input.
         .select(
-            "event_type",
-            F.col("user_id").cast("string").alias("user_id"),
-            F.col("ts").cast("date").cast("string").alias("day"),
-            F.expr("CAST(CAST(round(value * 100.0, 0) AS BIGINT) DIV 10000 AS STRING)")
-            .alias("value_bucket"),
+            F.coalesce(F.col("event_type"), F.lit("<NULL>")).alias("event_type"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("<NULL>")).alias(
+                "user_id"
+            ),
+            F.coalesce(
+                F.col("ts").cast("date").cast("string"), F.lit("<NULL>")
+            ).alias("day"),
+            F.coalesce(
+                F.expr(
+                    "CAST(CAST(round(value * 100.0, 0) AS BIGINT) DIV 10000"
+                    " AS STRING)"
+                ),
+                F.lit("<NULL>"),
+            ).alias("value_bucket"),
         )
         .persist()
     )

@@ -62,11 +62,14 @@ _LOADED = False
 #: rows-only (no-oracle) queries go last where a scored slot can never earn a
 #: hash match anyway.
 _PRIORITY: tuple[str, ...] = (
-    # ---- r9 window head (curated to EXACTLY ~50): the verdict's one
-    # never-scored name first, then the 33 early-r9 operators, then 16 of
-    # the 26 r9b-e additions — one representative per new family.  The 9
-    # names after this block are the deliberate r10 carry-overs (their
-    # families already have an in-window representative this round). ----
+    # ---- r9 window head (was curated to EXACTLY 50, all green in
+    # CORRECTNESS_r09): the verdict's one never-scored name first, then the
+    # 33 early-r9 operators, then 17 r9b-e representatives.  The EIGHTEEN
+    # names in the carry-over block after it (agg_ddsketch_quantiles ..
+    # corpus_burrows_delta — the r9e commits appended nine) were the
+    # deliberate r10 carry-overs; with the whole r9 head now driver-green,
+    # _reorder auto-seats those 18 at the top of the r10 window, followed by
+    # this round's new oracle-backed operators. ----
     "warehouse_semi_additive_balance",
     "agg_gini_inequality_approx",
     "agg_bitmap_distinct",
