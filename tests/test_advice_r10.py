@@ -119,3 +119,28 @@ def test_tar_shard_tempdir_cleaned(spark):
     assert out.count() > 0
     after = set(glob.glob(os.path.join(tempfile.gettempdir(), "tar_shards_*")))
     assert after - before == set(), "shard temp dir leaked"
+
+
+def test_coverage_counts_block_fresh():
+    """COVERAGE.md's generated-counts block must match the live registry +
+    correctness artifacts (VERDICT r9 item 5: the hand-written header went
+    stale twice; now regeneration is asserted in CI)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_operators_md import _CC_BEGIN, _CC_END, _coverage_counts
+
+    total, n_oracle, n_green, latest = _coverage_counts()
+    text = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    start = text.index(_CC_BEGIN)
+    block = text[start : text.index(_CC_END)]
+    expected = (
+        f"**{total} registry queries, {n_oracle} oracle-backed, "
+        f"{n_green} unique driver-green"
+    )
+    assert expected in block, (
+        "stale COVERAGE.md counts — run python tools/gen_operators_md.py"
+    )
+    assert f"r{latest:02d}" in block
