@@ -169,6 +169,173 @@ def join_geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Auto cell-size grid kNN (the r9c probe lesson encoded as code)
+# ---------------------------------------------------------------------------
+
+#: ~candidates per 3x3 probe neighborhood the auto picker targets.  The r9c
+#: probe drove the FIXED 20-degree grid to disk-spill death at x100 supplier
+#: density and recovered the x10 wall-clock by shrinking cells with density
+#: (SCALE.md r9c); this constant is that lesson as a default.
+_GEO_TARGET_CAND = 32.0
+_GEO_LAT_SPAN = 160000001.0
+_GEO_LON_SPAN = 360000001.0
+
+
+def auto_cell_microdeg(n_points: int, target: float = _GEO_TARGET_CAND) -> int:
+    """Density-scaled grid cell size: pick cell so a 3x3 neighborhood holds
+    ~``target`` points under a uniform-density estimate —
+    cell = floor(sqrt(target * area / (9 n))).
+
+    Every operation here (mul, div, sqrt, floor) is correctly-rounded
+    IEEE-754, so the Python value is bit-identical to the same expression
+    evaluated in DuckDB SQL — the oracle recomputes it and the differ stays
+    exact (the no-transcendentals-across-the-boundary rule: sqrt is NOT a
+    transcendental, it is exactly rounded).  Same auto-regime pattern as
+    ``jaccard_pairs_capped(cap_mode='auto')``: one cheap aggregate buys the
+    regime decision."""
+    import math
+
+    n = max(1, int(n_points))
+    cell = math.floor(
+        math.sqrt(target * _GEO_LAT_SPAN * _GEO_LON_SPAN / (9.0 * n))
+    )
+    return max(1, int(cell))
+
+
+_ORACLE_GEO_KNN_AUTO = """
+WITH cust AS (
+  SELECT c_custkey,
+         (c_custkey * 48271) % 160000001 - 80000000 AS lat,
+         (c_custkey * 69621) % 360000001 - 180000000 AS lon
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey,
+         (s_suppkey * 40503) % 160000001 - 80000000 AS lat,
+         (s_suppkey * 69069) % 360000001 - 180000000 AS lon
+  FROM supplier
+),
+cellsz AS (
+  SELECT GREATEST(CAST(floor(sqrt(32e0 * 160000001e0 * 360000001e0
+                              / (9e0 * GREATEST(COUNT(*), 1)))) AS BIGINT),
+                  1) AS cell
+  FROM supp
+),
+cgrid AS (
+  SELECT c.*, (lat + 80000000) // z.cell AS cx,
+              (lon + 180000000) // z.cell AS cy
+  FROM cust c, cellsz z
+),
+sgrid AS (
+  SELECT s.*, (lat + 80000000) // z.cell AS cx,
+              (lon + 180000000) // z.cell AS cy
+  FROM supp s, cellsz z
+),
+offs(dx, dy) AS (
+  SELECT a.x - 1, b.x - 1 FROM range(0, 3) a(x), range(0, 3) b(x)
+),
+cand AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (c.lat - s.lat) * (c.lat - s.lat)
+           + (c.lon - s.lon) * (c.lon - s.lon) AS d2
+  FROM cgrid c
+  JOIN offs o ON TRUE
+  JOIN sgrid s ON s.cx = c.cx + o.dx AND s.cy = c.cy + o.dy
+),
+best AS (
+  SELECT c_custkey, s_suppkey, d2
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) = 1
+)
+SELECT c.c_custkey,
+       b.s_suppkey AS nearest_suppkey,
+       b.d2 AS d2_microdeg,
+       b.s_suppkey IS NOT NULL AS matched,
+       (SELECT cell FROM cellsz) AS cell_microdeg
+FROM cust c LEFT JOIN best b USING (c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "join_geo_grid_knn_auto",
+    oracle=_ORACLE_GEO_KNN_AUTO,
+    tags=("join", "spatial", "scale"),
+    doc=(
+        "Grid kNN with the DENSITY-SCALED cell size chosen by code, not by "
+        "hand (VERDICT r9 item 6): one cheap COUNT over the build side "
+        "picks cell = floor(sqrt(target_cand * area / (9 n))) so a 3x3 "
+        "probe neighborhood holds ~32 candidates at ANY scale — the exact "
+        "knob the r9c probe had to turn manually after driving the fixed "
+        "20-degree grid to disk-spill death at x100 density.  The picker "
+        "is pure correctly-rounded IEEE arithmetic (sqrt is not a "
+        "transcendental), so the oracle recomputes the identical cell and "
+        "the differ stays value-exact; the chosen cell is emitted as a "
+        "column so the regime decision itself is verified cross-engine."
+    ),
+)
+def join_geo_grid_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 160000001 - 80000000).alias("lat"),
+        ((F.col("c_custkey") * 69621) % 360000001 - 180000000).alias("lon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 40503) % 160000001 - 80000000).alias("lat"),
+        ((F.col("s_suppkey") * 69069) % 360000001 - 180000000).alias("lon"),
+    )
+    # One cheap count picks the regime (bounded driver state: a single int).
+    cell = auto_cell_microdeg(supp.count())
+    cgrid = cust.select(
+        "*",
+        F.floor((F.col("lat") + 80000000) / cell).alias("cx"),
+        F.floor((F.col("lon") + 180000000) / cell).alias("cy"),
+    )
+    sgrid = supp.select(
+        F.col("s_suppkey"),
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        F.floor((F.col("lat") + 80000000) / cell).alias("scx"),
+        F.floor((F.col("lon") + 180000000) / cell).alias("scy"),
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    cand = (
+        cgrid.crossJoin(F.broadcast(offs))
+        .join(
+            sgrid,
+            (F.col("cx") + F.col("dx") == F.col("scx"))
+            & (F.col("cy") + F.col("dy") == F.col("scy")),
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            (
+                (F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat"))
+                + (F.col("lon") - F.col("s_lon")) * (F.col("lon") - F.col("s_lon"))
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
+    best = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        cust.select("c_custkey")
+        .join(best.select("c_custkey", "s_suppkey", "d2"), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            F.col("d2").alias("d2_microdeg"),
+            F.col("s_suppkey").isNotNull().alias("matched"),
+            F.lit(cell).cast("bigint").alias("cell_microdeg"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Phonetic (Soundex) blocking for entity resolution
 # ---------------------------------------------------------------------------
 

@@ -51,6 +51,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("window_rolling_regression", "GLOBAL_WINDOW"): "rolling OLS windows over the calendar-bounded daily spine (the events_seasonal_decompose contract)",
     ("events_haar_wavelet_energy", "CARTESIAN"): "1-row calendar-origin scalar broadcast onto the <=32-row daily table",
     ("join_geo_grid_knn", "CARTESIAN"): "9-row grid-offset spine broadcast onto customers (the 3x3 neighborhood enumeration); the supplier match itself is a cell equi-join",
+    ("join_geo_grid_knn_auto", "CARTESIAN"): "9-row grid-offset spine broadcast onto customers (the 3x3 neighborhood enumeration); the supplier match itself is a cell equi-join on density-scaled cells",
     ("ml_ransac_line_md5", "CARTESIAN"): "1-row point-count scalar + 64-row candidate spine broadcasts onto the calendar-bounded daily table",
     ("ml_ransac_line_md5", "GLOBAL_WINDOW"): "point indexing and top-5 model ranking over <=31-day / 64-candidate tables",
     ("layout_encoding_efficiency", "CARTESIAN"): "two 1-row aggregate scalars (colstats x runstats) cross joined",
