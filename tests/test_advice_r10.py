@@ -144,3 +144,25 @@ def test_coverage_counts_block_fresh():
         "stale COVERAGE.md counts — run python tools/gen_operators_md.py"
     )
     assert f"r{latest:02d}" in block
+
+
+def test_rows_only_residue_documented():
+    """Every rows-only registry entry must have a row in COVERAGE.md's
+    residue table (name + why-not + twin), and the table must not list
+    names that are no longer rows-only (VERDICT r9 item 9)."""
+    from projeto_de_etl_com_api_do_meta_spark.queries.registry import (
+        QUERIES,
+        _load_all,
+    )
+
+    _load_all()
+    rows_only = {n for n, s in QUERIES.items() if not s.oracle}
+    text = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    section = text.split("## Rows-only residue")[1].split("\n## ")[0]
+    import re
+
+    documented = set(re.findall(r"^\| `([a-z0-9_]+)` \|", section, re.M))
+    assert rows_only - documented == set(), "undocumented rows-only entries"
+    assert documented - rows_only == set(), "stale residue rows"

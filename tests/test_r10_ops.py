@@ -53,3 +53,55 @@ class TestAutoCellPicker:
         cells = {r["cell_microdeg"] for r in rows}
         assert len(cells) == 1
         assert all(r["matched"] for r in rows)
+
+
+class TestKcoreDeepPeelGuard:
+    """VERDICT r9 item 7: exercise BOTH sides of the oracle-unroll guard
+    with a fixture whose peel depth exceeds the fixed SQL unroll."""
+
+    def _deep_fixture(self, spark):
+        # 6-cycle (every node degree 2 -> the surviving 2-core) plus a
+        # 30-node path: peeling strips the path's two endpoints per round,
+        # so convergence needs ~15 rounds — far past an 8-round unroll.
+        cyc = [(i, (i + 1) % 6) for i in range(6)]
+        path = [(100 + i, 100 + i + 1) for i in range(30)]
+        und = cyc + path
+        edges = und + [(v, u) for u, v in und]
+        return spark.createDataFrame(edges, "u long, v long")
+
+    def test_guard_raises_past_unroll(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.graph_queries import (
+            kcore_peel_edges,
+        )
+
+        with pytest.raises(RuntimeError, match="raise _KCORE_ROUNDS"):
+            kcore_peel_edges(self._deep_fixture(spark), k=2, oracle_unroll=8)
+
+    def test_deep_peel_converges_without_guard(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.graph_queries import (
+            kcore_peel_edges,
+        )
+
+        core, rounds = kcore_peel_edges(
+            self._deep_fixture(spark), k=2, oracle_unroll=None
+        )
+        got = sorted((r["u"], r["v"]) for r in core.collect())
+        want = sorted(
+            [(i, (i + 1) % 6) for i in range(6)]
+            + [((i + 1) % 6, i) for i in range(6)]
+        )
+        assert got == want  # exactly the cycle, both directions
+        assert rounds > 8  # the fixture genuinely out-peels the unroll
+
+    def test_shallow_peel_inside_unroll_ok(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.graph_queries import (
+            kcore_peel_edges,
+        )
+
+        # triangle + one pendant: converges in 1 round, inside any unroll
+        und = [(0, 1), (1, 2), (0, 2), (2, 3)]
+        edges = und + [(v, u) for u, v in und]
+        e = spark.createDataFrame(edges, "u long, v long")
+        core, rounds = kcore_peel_edges(e, k=2, oracle_unroll=8)
+        assert rounds == 1
+        assert core.count() == 6  # the triangle, both directions
