@@ -491,6 +491,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         aggregates,
         analysis_extra,
+        analytics_r10,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

@@ -46,6 +46,8 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     # ---- round 9b drift/series batch: scalar-aggregate broadcasts and
     # windows over reduced (distinct-value / bucket / daily-spine) tables ----
     ("ml_wasserstein_drift", "CARTESIAN"): "1-row (n_a, n_b) totals scalar broadcast onto the distinct-value ECDF table",
+    ("agg_top_n_with_others", "GLOBAL_WINDOW"): "rank window over the brand-cardinality table (dozens of rows), never the fact table",
+    ("warehouse_inventory_aging", "CARTESIAN"): "1-row (anchor date, total count) scalar broadcast onto orders",
     ("ml_wasserstein_drift", "GLOBAL_WINDOW"): "cumulative ECDF window over the DISTINCT-VALUE table (bounded by cent resolution, the ml_auc_roc_exact contract)",
     ("agg_ddsketch_quantiles", "CARTESIAN"): "3-row quantile-target spine broadcast onto the sketch-bucket table (<=8*log2(max) buckets per group)",
     ("window_rolling_regression", "GLOBAL_WINDOW"): "rolling OLS windows over the calendar-bounded daily spine (the events_seasonal_decompose contract)",

@@ -45,7 +45,11 @@ _LANG_P = [0.41, 0.14, 0.15, 0.15, 0.15]
 
 
 def gen_corpus(
-    out_dir: str, mult: int, seed: int = 7, realistic_vocab: bool = False
+    out_dir: str,
+    mult: int,
+    seed: int = 7,
+    realistic_vocab: bool = False,
+    vocab_size: int = 2000,
 ) -> None:
     """Write documents.parquet + embeddings.parquet at ``mult`` x sf0.1 and
     symlink every other sf0.1 table into ``out_dir``.
@@ -62,7 +66,7 @@ def gen_corpus(
     os.makedirs(out_dir, exist_ok=True)
 
     vocab = (
-        np.array([f"w{i:04d}" for i in range(2000)])
+        np.array([f"w{i:04d}" for i in range(vocab_size)])
         if realistic_vocab
         else np.array(_VOCAB)
     )
