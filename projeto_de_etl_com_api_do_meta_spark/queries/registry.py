@@ -518,6 +518,7 @@ def _load_all() -> None:
         segmentation_cdc,
         skew_queries,
         spatial_er_queries,
+        stats_r10,
         text_cleaning,
         tpch_extra,
         tpch_remaining,

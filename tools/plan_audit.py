@@ -48,6 +48,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ml_wasserstein_drift", "CARTESIAN"): "1-row (n_a, n_b) totals scalar broadcast onto the distinct-value ECDF table",
     ("agg_top_n_with_others", "GLOBAL_WINDOW"): "rank window over the brand-cardinality table (dozens of rows), never the fact table",
     ("warehouse_inventory_aging", "CARTESIAN"): "1-row (anchor date, total count) scalar broadcast onto orders",
+    ("ml_cronbach_alpha", "CARTESIAN"): "1-row scalar attaches: (n_users,k) onto the 5-row item table and the two 1-row moment tables onto each other",
+    ("ml_runs_test", "CARTESIAN"): "1-row (n_days, total) scalar broadcast onto the calendar-bounded daily table",
+    ("ml_runs_test", "GLOBAL_WINDOW"): "lag over the calendar-bounded daily sign sequence (<= days in range)",
+    ("events_page_trend_test", "CARTESIAN"): "1-row block-count scalar attach onto the 1-row L aggregate",
+    ("events_page_trend_test", "GLOBAL_WINDOW"): "dense_rank over the k-treatment domain (5 event types)",
     ("ml_wasserstein_drift", "GLOBAL_WINDOW"): "cumulative ECDF window over the DISTINCT-VALUE table (bounded by cent resolution, the ml_auc_roc_exact contract)",
     ("agg_ddsketch_quantiles", "CARTESIAN"): "3-row quantile-target spine broadcast onto the sketch-bucket table (<=8*log2(max) buckets per group)",
     ("window_rolling_regression", "GLOBAL_WINDOW"): "rolling OLS windows over the calendar-bounded daily spine (the events_seasonal_decompose contract)",
