@@ -513,6 +513,7 @@ def _load_all() -> None:
         quality_queries,
         relational,
         retrieval_extra,
+        retrieval_r10,
         robust_stats,
         scalar_funcs,
         segmentation_cdc,
