@@ -517,6 +517,7 @@ def _load_all() -> None:
         robust_stats,
         scalar_funcs,
         segmentation_cdc,
+        sequential_r10,
         skew_queries,
         spatial_er_queries,
         stats_r10,
