@@ -609,3 +609,49 @@ def attach_gif_image(df: DataFrame) -> DataFrame:
 
     par = df.sparkSession.sparkContext.defaultParallelism
     return df.select("doc_id").repartition(par).mapInPandas(kernel, schema=schema)
+
+
+def bmp_pixels_for_doc(doc_id: int) -> tuple[int, int, np.ndarray]:
+    """Deterministic per-doc BMP test image (24-bit RGB).  Pure-integer
+    generation rule so an external engine recomputes the EXACT pixel sum:
+
+        width  = 5 + doc_id % 28          -- 5..32: hits all 4 row-padding
+        height = 4 + doc_id % 11          -- 4..14    residues (3w mod 4)
+        px[r,c,ch] = (7r + 11*(c DIV 2) + 29ch + doc_id) % 256
+    """
+    doc_id = int(doc_id)
+    w = 5 + doc_id % 28
+    h = 4 + doc_id % 11
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    px = (7 * r + 11 * (c // 2) + 29 * ch + doc_id) % 256
+    return w, h, px.astype(np.uint8)
+
+
+def attach_bmp_image(df: DataFrame) -> DataFrame:
+    """Materialize a REAL 24-bit BMP per document (multimodal/bmp.py):
+    deterministic dimensions + pixels from doc_id; the binary column holds
+    genuine BM-magic files any image viewer opens."""
+    from .bmp import BMP_CONTENT_TYPE, encode_bmp
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("image_bytes", T.BinaryType()),
+            T.StructField("content_type", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id in batch["doc_id"]:
+                w, h, px = bmp_pixels_for_doc(doc_id)
+                out.append(
+                    (doc_id, encode_bmp(w, h, px.tobytes()), BMP_CONTENT_TYPE)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select("doc_id").repartition(par).mapInPandas(kernel, schema=schema)

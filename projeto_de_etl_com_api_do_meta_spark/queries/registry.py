@@ -504,6 +504,7 @@ def _load_all() -> None:
         joins,
         ml_queries,
         multimodal_exact,
+        multimodal_r10,
         network_sequential,
         pandas_interop,
         pipelines_queries,
