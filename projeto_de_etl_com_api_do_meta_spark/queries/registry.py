@@ -492,6 +492,7 @@ def _load_all() -> None:
         aggregates,
         analysis_extra,
         analytics_r10,
+        analytics_r10b,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,
