@@ -493,6 +493,7 @@ def _load_all() -> None:
         analysis_extra,
         analytics_r10,
         analytics_r10b,
+        analytics_r10c,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,
