@@ -40,8 +40,12 @@ WITH daily AS (
   GROUP BY 1, 2
 ),
 arrs AS (
-  SELECT list(x ORDER BY d) FILTER (event_type = 'click') AS A,
-         list(x ORDER BY d) FILTER (event_type = 'view') AS B
+  -- COALESCE: list() over zero rows is NULL in DuckDB but [] in Spark's
+  -- collect_list — pin the empty-series contract to [] in both engines
+  SELECT COALESCE(list(x ORDER BY d) FILTER (event_type = 'click'),
+                  CAST([] AS BIGINT[])) AS A,
+         COALESCE(list(x ORDER BY d) FILTER (event_type = 'view'),
+                  CAST([] AS BIGINT[])) AS B
   FROM daily
 ),
 dp AS (
@@ -66,8 +70,9 @@ dp AS (
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        CAST(dtw AS BIGINT) AS dtw_distance,
-       round(CAST(dtw AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 6)
-         AS dtw_per_step
+       CASE WHEN n_a + n_b = 0 THEN NULL
+            ELSE round(CAST(dtw AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 6)
+       END AS dtw_per_step
 FROM dp
 """
 
@@ -141,11 +146,15 @@ element_at(
         F.size("A").cast("bigint").alias("n_a"),
         F.size("B").cast("bigint").alias("n_b"),
         F.expr(dp_expr).cast("bigint").alias("dtw_distance"),
-        F.round(
-            F.expr(dp_expr).cast("double")
-            / (F.size("A") + F.size("B")).cast("double"),
-            6,
-        ).alias("dtw_per_step"),
+        F.when(F.size("A") + F.size("B") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.expr(dp_expr).cast("double")
+                / (F.size("A") + F.size("B")).cast("double"),
+                6,
+            )
+        )
+        .alias("dtw_per_step"),
     )
 
 

@@ -145,8 +145,10 @@ item AS (
   FROM c GROUP BY event_type
 ),
 itemvar AS (
+  -- no GROUP BY: must yield exactly one row even over an EMPTY item table
+  -- (zero-row parity: Spark's global agg always emits one row)
   SELECT CAST(SUM(n.n_users * q - s * s) AS BIGINT) AS sum_item_var_num
-  FROM item, n GROUP BY n.n_users
+  FROM item, n
 ),
 tot AS (
   SELECT CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(t * t) AS BIGINT) AS st2

@@ -446,6 +446,19 @@ _BATTERY4 = [
     "ml_kruskal_wallis", "events_interarrival_profile",
     "ml_anova_oneway_exact", "ml_effect_sizes_pairwise",
     "corpus_burrows_delta",
+    # r10: warehouse/BI rollups, ER survivorship + blocking eval, exact
+    # stats, retrieval eval, fold-exact DTW + sharded Misra-Gries, codecs,
+    # archive IO, concentration indices, auto geo cells
+    "warehouse_fiscal_445_rollup", "agg_top_n_with_others",
+    "er_golden_record", "warehouse_inventory_aging",
+    "ml_cochran_q", "ml_cronbach_alpha", "ml_dixon_q_outlier",
+    "ml_runs_test", "events_page_trend_test", "agg_hoover_index",
+    "eval_rbo_rankings", "dedup_tf_cosine_pairs",
+    "events_dtw_daily", "corpus_misra_gries_sharded",
+    "multimodal_bmp_roundtrip", "ml_lin_ccc", "agg_palma_ratio",
+    "er_blocking_quality", "io_zip_shard_roundtrip",
+    "agg_hhi_concentration", "agg_pareto_coverage",
+    "join_geo_grid_knn_auto",
 ]
 
 
