@@ -367,3 +367,98 @@ def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pareto_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type affinity (pairwise Jaccard of user sets)
+# ---------------------------------------------------------------------------
+
+_ORACLE_TYPE_JACCARD = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM ut GROUP BY event_type
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       sa.n_users AS n_a, sb.n_users AS n_b,
+       CAST(sa.n_users + sb.n_users - p.n_both AS BIGINT) AS n_union,
+       round(CAST(p.n_both AS DOUBLE)
+             / CAST(sa.n_users + sb.n_users - p.n_both AS DOUBLE), 6)
+         AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.event_type = p.type_a
+JOIN sizes sb ON sb.event_type = p.type_b
+ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "events_type_jaccard_matrix",
+    oracle=_ORACLE_TYPE_JACCARD,
+    tags=("events", "analytics", "similarity"),
+    doc=(
+        "Behavioral affinity matrix: pairwise Jaccard similarity of the "
+        "USER SETS behind each event type (do the people who click also "
+        "purchase?), computed as a self-join of the distinct (user, "
+        "type) table on user_id — intersection counts and set sizes are "
+        "exact BIGINTs, one final rational per pair.  The audience-"
+        "overlap analysis behind every cross-sell/segmentation decision, "
+        "and the same shape as a feature-cooccurrence matrix: the "
+        "distinct-pair self-join keyed on the entity is the scale "
+        "pattern (work = sum over users of k_u^2 with k_u <= |types|, "
+        "never |users|^2)."
+    ),
+)
+def events_type_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            .cast("bigint")
+            .alias("n_union"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

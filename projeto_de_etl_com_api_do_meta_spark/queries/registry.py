@@ -524,6 +524,7 @@ def _load_all() -> None:
         skew_queries,
         spatial_er_queries,
         stats_r10,
+        stats_r10b,
         text_cleaning,
         tpch_extra,
         tpch_remaining,

@@ -1,0 +1,317 @@
+"""Round-10 second stats batch: agreement and robust-location estimators.
+
+* ``ml_bland_altman`` — Bland-Altman agreement limits between the daily
+  click and view series, with the outside-limits count decided by a PURE
+  INTEGER inequality (1.96 = 49/25 exactly, so the fence test clears
+  denominators instead of comparing against a float bound).
+* ``agg_trimmed_winsorized`` — 5%-trimmed and winsorized means per
+  segment from exact rank thresholds.
+* ``ml_fleiss_kappa`` — multi-rater chance-corrected agreement for three
+  deterministic document raters, carried as one integer rational.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..session import pin_query_session_conf
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Bland-Altman limits of agreement
+# ---------------------------------------------------------------------------
+
+_ORACLE_BLAND = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS diff
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(diff) AS BIGINT) AS sd1,
+         CAST(SUM(diff * diff) AS BIGINT) AS sd2
+  FROM daily
+),
+outside AS (
+  -- integer fence: |d - mean| > 1.96*sigma  <=>
+  -- 625*(n*d - S)^2 > 2401*n*(n*S2 - S^2)/n ... cleared of denominators:
+  -- 625*(n*d - S)^2 > 2401*(n*S2 - S^2)
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_outside
+  FROM daily, m
+  WHERE 625 * (m.n * diff - m.sd1) * (m.n * diff - m.sd1)
+        > 2401 * (m.n * sd2 - sd1 * sd1)
+)
+SELECT m.n, m.sd1 AS sum_diff, m.sd2 AS sum_diff_sq, o.n_outside,
+       round(CAST(m.sd1 AS DOUBLE) / m.n, 6) AS mean_diff,
+       round(CAST(m.sd1 AS DOUBLE) / m.n
+             - 1.96 * sqrt(CAST(m.n * m.sd2 - m.sd1 * m.sd1 AS DOUBLE))
+               / m.n, 6) AS loa_low,
+       round(CAST(m.sd1 AS DOUBLE) / m.n
+             + 1.96 * sqrt(CAST(m.n * m.sd2 - m.sd1 * m.sd1 AS DOUBLE))
+               / m.n, 6) AS loa_high
+FROM m, outside o
+"""
+
+
+@register(
+    "ml_bland_altman",
+    oracle=_ORACLE_BLAND,
+    tags=("ml", "stats"),
+    doc=(
+        "Bland-Altman limits of agreement between the daily click and "
+        "view counts: mean difference +- 1.96 sd as the agreement "
+        "interval, with the OUTSIDE-LIMITS count decided by the exact "
+        "integer inequality 625*(n*d - S)^2 > 2401*(n*S2 - S^2) — 1.96 "
+        "is exactly 49/25, so clearing denominators removes every float "
+        "from the classification and only the reported interval "
+        "endpoints are (correctly-rounded) floats.  The method-agreement "
+        "analysis that catches what correlation hides: two measures can "
+        "correlate at 0.99 and still disagree by a constant bias.  "
+        "Completes the agreement family with ml_lin_ccc and "
+        "ml_cohens_kappa."
+    ),
+)
+def ml_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            - F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("diff")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("diff").cast("bigint").alias("sd1"),
+        F.sum(F.col("diff") * F.col("diff")).cast("bigint").alias("sd2"),
+    )
+    joined = daily.join(F.broadcast(m), F.lit(True), "left")
+    dev = F.col("n") * F.col("diff") - F.col("sd1")
+    outside = joined.where(
+        625 * dev * dev > 2401 * (F.col("n") * F.col("sd2") - F.col("sd1") * F.col("sd1"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_outside"))
+    n, sd1, sd2 = F.col("n"), F.col("sd1"), F.col("sd2")
+    sigma_term = F.lit(1.96) * F.sqrt(
+        (n * sd2 - sd1 * sd1).cast("double")
+    ) / n
+    return m.join(F.broadcast(outside), F.lit(True), "left").select(
+        "n",
+        sd1.alias("sum_diff"),
+        sd2.alias("sum_diff_sq"),
+        "n_outside",
+        F.round(sd1.cast("double") / n, 6).alias("mean_diff"),
+        F.round(sd1.cast("double") / n - sigma_term, 6).alias("loa_low"),
+        F.round(sd1.cast("double") / n + sigma_term, 6).alias("loa_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed and winsorized means per segment
+# ---------------------------------------------------------------------------
+
+_ORACLE_TRIMMED = """
+WITH cents AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS x,
+         c_custkey
+  FROM customer
+),
+ranked AS (
+  SELECT seg, x,
+         row_number() OVER (PARTITION BY seg ORDER BY x, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM cents
+),
+km AS (SELECT seg, x, rn, n, n // 20 AS k FROM ranked)
+SELECT seg, CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN x ELSE 0 END)
+            AS BIGINT) AS interior_sum_e2,
+       CAST(MAX(CASE WHEN rn = k + 1 THEN x END) AS BIGINT) AS low_clamp_e2,
+       CAST(MAX(CASE WHEN rn = n - k THEN x END) AS BIGINT) AS high_clamp_e2,
+       round(CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN x ELSE 0 END)
+                  AS DOUBLE) / (MAX(n) - 2 * MAX(k)), 6) AS trimmed_mean,
+       round(CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN x ELSE 0 END)
+                  + MAX(k) * MAX(CASE WHEN rn = k + 1 THEN x END)
+                  + MAX(k) * MAX(CASE WHEN rn = n - k THEN x END)
+                  AS DOUBLE) / MAX(n), 6) AS winsorized_mean
+FROM km GROUP BY seg ORDER BY seg
+"""
+
+
+@register(
+    "agg_trimmed_winsorized",
+    oracle=_ORACLE_TRIMMED,
+    tags=("agg", "stats", "dq"),
+    doc=(
+        "5%%-trimmed and winsorized means per segment from EXACT rank "
+        "thresholds (k = n DIV 20 observations dropped/clamped per "
+        "tail): the interior sum, clamp values x_(k+1) / x_(n-k) and "
+        "counts are all BIGINT cents, and the two means are the only "
+        "floats — winsorized = (interior + k*low_clamp + k*high_clamp)/n "
+        "reconstructed from integers rather than re-aggregating a "
+        "mutated column.  The robust-location pair every DQ dashboard "
+        "wants next to the mean/median, and the standard pre-treatment "
+        "for heavy-tailed monetary columns before OLS.  One partitioned "
+        "rank window + one grouped aggregate."
+    ),
+)
+def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    cents = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("bigint").alias("x"),
+        "c_custkey",
+    )
+    w = Window.partitionBy("seg").orderBy("x", "c_custkey")
+    wn = Window.partitionBy("seg")
+    ranked = cents.select(
+        "seg",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("k", F.floor(F.col("n") / 20))
+    interior = F.sum(
+        F.when(
+            (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")),
+            F.col("x"),
+        ).otherwise(0)
+    ).cast("bigint")
+    low = F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("x"))).cast("bigint")
+    high = F.max(
+        F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("x"))
+    ).cast("bigint")
+    return (
+        ranked.groupBy("seg")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("k").cast("bigint").alias("k"),
+            interior.alias("interior_sum_e2"),
+            low.alias("low_clamp_e2"),
+            high.alias("high_clamp_e2"),
+        )
+        .select(
+            "seg",
+            "n",
+            "k",
+            "interior_sum_e2",
+            "low_clamp_e2",
+            "high_clamp_e2",
+            F.round(
+                F.col("interior_sum_e2").cast("double")
+                / (F.col("n") - 2 * F.col("k")),
+                6,
+            ).alias("trimmed_mean"),
+            F.round(
+                (
+                    F.col("interior_sum_e2")
+                    + F.col("k") * F.col("low_clamp_e2")
+                    + F.col("k") * F.col("high_clamp_e2")
+                ).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa (three deterministic raters)
+# ---------------------------------------------------------------------------
+
+_ORACLE_FLEISS = """
+WITH rated AS (
+  SELECT (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+          + CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END
+          + CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END) AS pos_votes
+  FROM documents
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(pos_votes * pos_votes
+                  + (3 - pos_votes) * (3 - pos_votes)) AS BIGINT) AS s2,
+         CAST(SUM(pos_votes) AS BIGINT) AS c_pos,
+         CAST(SUM(3 - pos_votes) AS BIGINT) AS c_neg
+  FROM rated
+)
+SELECT n_items, s2, c_pos, c_neg,
+       CAST((s2 - 3 * n_items) * (3 * n_items) * (3 * n_items)
+            - 3 * n_items * 2 * (c_pos * c_pos + c_neg * c_neg)
+            AS BIGINT) AS kappa_num,
+       CAST(2 * 3 * n_items
+            * ((3 * n_items) * (3 * n_items)
+               - (c_pos * c_pos + c_neg * c_neg)) AS BIGINT) AS kappa_den,
+       round(CAST((s2 - 3 * n_items) * (3 * n_items) * (3 * n_items)
+                  - 3 * n_items * 2 * (c_pos * c_pos + c_neg * c_neg)
+                  AS DOUBLE)
+             / CAST(2 * 3 * n_items
+                    * ((3 * n_items) * (3 * n_items)
+                       - (c_pos * c_pos + c_neg * c_neg)) AS DOUBLE),
+             6) AS fleiss_kappa
+FROM m
+"""
+
+
+@register(
+    "ml_fleiss_kappa",
+    oracle=_ORACLE_FLEISS,
+    tags=("ml", "stats", "quality"),
+    doc=(
+        "Fleiss' kappa for THREE deterministic document raters "
+        "(char-length gate, token-count gate, 'data'-substring gate) on "
+        "a binary category: generalizes Cohen's two-rater kappa to any "
+        "panel.  With n=3 raters the per-item agreement sum S2 = "
+        "sum(n_pos^2 + n_neg^2), the category totals and every "
+        "intermediate are exact BIGINTs, and kappa = (P_bar - P_e)/(1 - "
+        "P_e) is carried as ONE integer rational (numerator/denominator "
+        "emitted) before the final float.  The rater-panel audit a "
+        "curation pipeline runs before trusting ensemble quality votes.  "
+        "Map-only scan + one scalar aggregate."
+    ),
+)
+def ml_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+        + F.when(F.size(F.split("text", " ")) >= 55, 1).otherwise(0)
+        + F.when(F.col("text").contains("data"), 1).otherwise(0)
+    )
+    rated = docs.select(pos.alias("pos_votes"))
+    m = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(
+            F.col("pos_votes") * F.col("pos_votes")
+            + (3 - F.col("pos_votes")) * (3 - F.col("pos_votes"))
+        )
+        .cast("bigint")
+        .alias("s2"),
+        F.sum("pos_votes").cast("bigint").alias("c_pos"),
+        F.sum(3 - F.col("pos_votes")).cast("bigint").alias("c_neg"),
+    )
+    n, s2 = F.col("n_items"), F.col("s2")
+    cc = F.col("c_pos") * F.col("c_pos") + F.col("c_neg") * F.col("c_neg")
+    nn = 3 * n
+    num = ((s2 - nn) * nn * nn - nn * 2 * cc).cast("bigint")
+    den = (2 * nn * (nn * nn - cc)).cast("bigint")
+    return m.select(
+        "n_items",
+        "s2",
+        "c_pos",
+        "c_neg",
+        num.alias("kappa_num"),
+        den.alias("kappa_den"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "fleiss_kappa"
+        ),
+    )

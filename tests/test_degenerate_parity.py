@@ -459,6 +459,8 @@ _BATTERY4 = [
     "er_blocking_quality", "io_zip_shard_roundtrip",
     "agg_hhi_concentration", "agg_pareto_coverage",
     "join_geo_grid_knn_auto",
+    "ml_bland_altman", "agg_trimmed_winsorized", "ml_fleiss_kappa",
+    "events_type_jaccard_matrix",
 ]
 
 
