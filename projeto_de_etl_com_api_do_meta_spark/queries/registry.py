@@ -121,8 +121,12 @@ _PRIORITY: tuple[str, ...] = (
     "io_fixed_width_roundtrip",
     "graph_assortativity_degree",
     "events_sprt_sequential_test",
-    # ---- r10 carry-overs (first in line next round; families covered
-    # in-window this round by the representative above) ----
+    # ---- r10 window composition: these 18 carry-overs (all local-green
+    # at r9 close) auto-seat first, and the 26 NEW r10 operators (not
+    # listed here — _reorder's second loop seats any unverified
+    # oracle-backed name) follow in module order: 44 unverified names
+    # total, comfortably inside the ~50-slot window, so NOTHING needs
+    # hand-curation this round and zero never-scored names carry to r11. ----
     "agg_ddsketch_quantiles",
     "events_top_paths",
     "window_rolling_regression",
