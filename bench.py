@@ -87,7 +87,6 @@ HEADLINE: tuple[str, ...] = (
     "embed_ann_lsh_md5",
     "embed_ann_srp_md5",
     # round-3 session additions (corpus-scale north-stars):
-    "train_shuffle_epochs",
     "text_bigram_perplexity",
     # round-4 additions: the end-to-end curation funnel (flagship
     # composition) and the per-stage ops it introduced
@@ -102,7 +101,6 @@ HEADLINE: tuple[str, ...] = (
     # round-5 continuation: ranked retrieval + importance-based selection,
     # corpus-relative perplexity bucketing, SFT flattening
     "sample_dsir_importance",
-    "text_ccnet_perplexity_buckets",
     # round-6: lakehouse MERGE (full DML path incl. table build), exact
     # Kneser-Ney model build, integer-exact covariance, KMV sketching,
     # CLIP-style pair gating
@@ -153,6 +151,19 @@ HEADLINE: tuple[str, ...] = (
     # stump under the bounded-spine ml stats.
     "io_tar_shard_roundtrip",
     "corpus_cooc_svd_embedding",
+    # round-10: the two heaviest new family representatives — the sharded
+    # Misra-Gries fold (per-shard HOF sketch + merge audit; the sketch
+    # family's first fold-based member) and the trigram-TF cosine posting
+    # join (fraction-capped candidate generation; heaviest new dedup rep).
+    # er_blocking_quality is a composition of this plus the prefix
+    # blocker, so the cosine rep covers its cost axis; DTW/BMP/ZIP and
+    # the stats battery measured sub-2s at sf0.1 and stay registry-only.
+    # To hold the 1800-char stdout guard, two sub-second entries rotate
+    # out by the family-heaviest rule: train_shuffle_epochs 0.86s (train
+    # family keeps pipeline_training_funnel) and text_ccnet_perplexity_
+    # buckets 0.97s (text keeps bigram_perplexity + decontaminate_bloom).
+    "corpus_misra_gries_sharded",
+    "dedup_tf_cosine_pairs",
 )
 
 
