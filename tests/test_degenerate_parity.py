@@ -461,6 +461,7 @@ _BATTERY4 = [
     "join_geo_grid_knn_auto",
     "ml_bland_altman", "agg_trimmed_winsorized", "ml_fleiss_kappa",
     "events_type_jaccard_matrix",
+    "graph_local_clustering", "events_changepoint_binseg",
 ]
 
 
