@@ -139,6 +139,8 @@ SELECT CAST({_TOPN_BRANDS + 1} AS BIGINT) AS rank, 'Others' AS brand,
        CAST(SUM(revenue_e2) AS BIGINT) AS revenue_e2,
        CAST(SUM(n_lineitems) AS BIGINT) AS n_lineitems
 FROM rk WHERE rn > {_TOPN_BRANDS}
+HAVING COUNT(*) > 0  -- empty tail -> NO Others row (zero-row parity with
+                     -- the Spark side's isNotNull guard)
 ORDER BY rank
 """
 
