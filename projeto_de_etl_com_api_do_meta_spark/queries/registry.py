@@ -122,9 +122,9 @@ _PRIORITY: tuple[str, ...] = (
     "graph_assortativity_degree",
     "events_sprt_sequential_test",
     # ---- r10 window composition: these 18 carry-overs (all local-green
-    # at r9 close) auto-seat first, and the 28 NEW r10 operators (not
+    # at r9 close) auto-seat first, and the 29 NEW r10 operators (not
     # listed here — _reorder's second loop seats any unverified
-    # oracle-backed name) follow in module order: 46 unverified names
+    # oracle-backed name) follow in module order: 47 unverified names
     # total, comfortably inside the ~50-slot window, so NOTHING needs
     # hand-curation this round and zero never-scored names carry to r11. ----
     "agg_ddsketch_quantiles",

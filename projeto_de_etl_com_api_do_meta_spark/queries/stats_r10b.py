@@ -315,3 +315,116 @@ def ml_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fleiss_kappa"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Youden-J optimal classification threshold
+# ---------------------------------------------------------------------------
+
+_ORACLE_YOUDEN = """
+WITH scored AS (
+  SELECT label % 2 AS y,
+         CAST(round((0.7 * (label % 2)
+               + 0.3 * ((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                          ::BIGINT % 1000) / 999.0)) * 1000000, 0) AS BIGINT)
+           AS s_e6
+  FROM embeddings
+),
+per_score AS (
+  SELECT s_e6, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM scored GROUP BY s_e6
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+         CAST(SUM(cnt - n_pos) AS BIGINT) AS n
+  FROM per_score
+),
+cum AS (
+  SELECT s_e6,
+         CAST(SUM(n_pos) OVER (ORDER BY s_e6 DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+         CAST(SUM(cnt - n_pos) OVER (ORDER BY s_e6 DESC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+  FROM per_score
+)
+SELECT c.s_e6 AS threshold_e6, c.tp, c.fp,
+       CAST(t.p - c.tp AS BIGINT) AS fn,
+       CAST(t.n - c.fp AS BIGINT) AS tn,
+       CAST(c.tp * t.n - c.fp * t.p AS BIGINT) AS j_num,
+       round(CAST(c.tp AS DOUBLE) / t.p - CAST(c.fp AS DOUBLE) / t.n, 6)
+         AS youden_j
+FROM cum c, tot t
+QUALIFY row_number() OVER (ORDER BY c.tp * t.n - c.fp * t.p DESC, c.s_e6) = 1
+"""
+
+
+@register(
+    "ml_youden_j_threshold",
+    oracle=_ORACLE_YOUDEN,
+    tags=("ml", "eval"),
+    doc=(
+        "Youden-J optimal operating point: over the DISTINCT-SCORE table "
+        "(the ml_auc_roc_exact scoring setup — e6 fixed-point scores, "
+        "md5-lane noise), cumulative TP/FP from the top give every ROC "
+        "vertex in one window, and the argmax of J = TPR - FPR is decided "
+        "by the INTEGER key tp*N - fp*P (cross-multiplied, so no float "
+        "ever orders the thresholds; ties break to the lower threshold).  "
+        "Emits the full confusion matrix at the chosen cut.  The "
+        "threshold-picking step between ROC evaluation and deployment — "
+        "window state bounded by score resolution, never row count."
+    ),
+)
+def ml_youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    ) / F.lit(999.0)
+    scored = emb.select(
+        (F.col("label") % 2).alias("y"),
+        F.round(
+            (F.lit(0.7) * (F.col("label") % 2) + F.lit(0.3) * noise) * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("s_e6"),
+    )
+    per_score = scored.groupBy("s_e6").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    tot = per_score.agg(
+        F.sum("n_pos").cast("bigint").alias("p"),
+        F.sum(F.col("cnt") - F.col("n_pos")).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy(F.col("s_e6").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        "s_e6",
+        F.sum("n_pos").over(w).cast("bigint").alias("tp"),
+        F.sum(F.col("cnt") - F.col("n_pos")).over(w).cast("bigint").alias("fp"),
+    )
+    joined = cum.join(F.broadcast(tot), F.lit(True), "left")
+    j_num = (F.col("tp") * F.col("n") - F.col("fp") * F.col("p")).cast("bigint")
+    w_best = Window.orderBy(j_num.desc(), "s_e6")
+    return (
+        joined.withColumn("_rn", F.row_number().over(w_best))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("s_e6").alias("threshold_e6"),
+            "tp",
+            "fp",
+            (F.col("p") - F.col("tp")).cast("bigint").alias("fn"),
+            (F.col("n") - F.col("fp")).cast("bigint").alias("tn"),
+            j_num.alias("j_num"),
+            F.round(
+                F.col("tp").cast("double") / F.col("p")
+                - F.col("fp").cast("double") / F.col("n"),
+                6,
+            ).alias("youden_j"),
+        )
+    )
