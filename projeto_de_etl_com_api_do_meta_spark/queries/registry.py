@@ -145,6 +145,38 @@ _PRIORITY: tuple[str, ...] = (
     "ml_anova_oneway_exact",
     "ml_effect_sizes_pairwise",
     "corpus_burrows_delta",
+    # ---- the 29 NEW r10 operators, pinned explicitly so the scoring
+    # window (18 carry-overs + these = 47 unverified) is deterministic and
+    # any late additions land AFTER them as r11 carry-overs. ----
+    "warehouse_fiscal_445_rollup",
+    "agg_top_n_with_others",
+    "er_golden_record",
+    "warehouse_inventory_aging",
+    "ml_cochran_q",
+    "ml_cronbach_alpha",
+    "ml_dixon_q_outlier",
+    "ml_runs_test",
+    "events_page_trend_test",
+    "agg_hoover_index",
+    "eval_rbo_rankings",
+    "dedup_tf_cosine_pairs",
+    "events_dtw_daily",
+    "corpus_misra_gries_sharded",
+    "multimodal_bmp_roundtrip",
+    "ml_lin_ccc",
+    "agg_palma_ratio",
+    "er_blocking_quality",
+    "io_zip_shard_roundtrip",
+    "agg_hhi_concentration",
+    "agg_pareto_coverage",
+    "join_geo_grid_knn_auto",
+    "ml_bland_altman",
+    "agg_trimmed_winsorized",
+    "ml_fleiss_kappa",
+    "events_type_jaccard_matrix",
+    "graph_local_clustering",
+    "events_changepoint_binseg",
+    "ml_youden_j_threshold",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
