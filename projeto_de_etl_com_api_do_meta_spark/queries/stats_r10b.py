@@ -428,3 +428,134 @@ def ml_youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("youden_j"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shewhart X-bar / R control chart
+# ---------------------------------------------------------------------------
+
+#: Standard SPC chart constants for subgroup size n=24, pinned as EXACT
+#: RATIONALS (x1000) so every control decision is an integer inequality:
+#: A2 = 0.157, D3 = 0.451, D4 = 1.548 (classic ASTM tables).
+_SPC_A2_E3 = 157
+_SPC_D3_E3 = 451
+_SPC_D4_E3 = 1548
+
+_ORACLE_XBAR = f"""
+WITH hourly AS (
+  SELECT CAST(ts AS DATE) AS d, date_part('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+subgroups AS (
+  -- only complete 24-hour subgroups enter the chart (standard practice)
+  SELECT d, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(MAX(x) - MIN(x) AS BIGINT) AS r
+  FROM hourly GROUP BY d HAVING COUNT(*) = 24
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(s) AS BIGINT) AS t,
+         CAST(SUM(r) AS BIGINT) AS sr
+  FROM subgroups
+),
+viol AS (
+  -- integer control tests: mean_d outside Xbarbar +- A2*Rbar  <=>
+  -- |m*s_d*1000 - t*1000| > 24*{_SPC_A2_E3}*sr ; range rule likewise
+  SELECT CAST(SUM(CASE WHEN abs(mm.m * sg.s * 1000 - mm.t * 1000)
+                            > 24 * {_SPC_A2_E3} * mm.sr
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_ooc,
+         CAST(SUM(CASE WHEN sg.r * 1000 * mm.m > {_SPC_D4_E3} * mm.sr
+                         OR sg.r * 1000 * mm.m < {_SPC_D3_E3} * mm.sr
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_range_ooc
+  FROM subgroups sg, m mm
+)
+SELECT mm.m AS n_subgroups, mm.t AS total_events, mm.sr AS sum_ranges,
+       v.n_mean_ooc, v.n_range_ooc,
+       round(CAST(mm.t AS DOUBLE) / (24 * mm.m), 6) AS xbarbar,
+       round(CAST(mm.t AS DOUBLE) / (24 * mm.m)
+             + {_SPC_A2_E3} / 1000.0 * mm.sr / mm.m, 6) AS ucl_xbar,
+       round(CAST(mm.t AS DOUBLE) / (24 * mm.m)
+             - {_SPC_A2_E3} / 1000.0 * mm.sr / mm.m, 6) AS lcl_xbar,
+       round({_SPC_D4_E3} / 1000.0 * mm.sr / mm.m, 6) AS ucl_range
+FROM m mm, viol v
+"""
+
+
+@register(
+    "events_control_chart_xbar_r",
+    oracle=_ORACLE_XBAR,
+    tags=("events", "stats", "dq"),
+    doc=(
+        "Shewhart X-bar/R control chart over daily subgroups of hourly "
+        "event counts (n=24, complete days only): center line and "
+        "control limits from the grand mean and mean range with the "
+        "ASTM constants A2/D3/D4 pinned as EXACT rationals (x1000), so "
+        "every out-of-control decision is a pure integer inequality — "
+        "|m*s_d - t|*1000 > 24*157*sum_R — and only the reported limit "
+        "values are floats.  The SPC primitive production monitoring is "
+        "built on (and the ancestor of every drift detector in the "
+        "suite: CUSUM reacts faster, the control chart localizes WHICH "
+        "subgroup broke).  Two grouped aggregates + one scalar "
+        "broadcast."
+    ),
+)
+def events_control_chart_xbar_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    subgroups = (
+        hourly.groupBy("d")
+        .agg(
+            F.sum("x").cast("bigint").alias("s"),
+            (F.max("x") - F.min("x")).cast("bigint").alias("r"),
+            F.count(F.lit(1)).alias("_nh"),
+        )
+        .where(F.col("_nh") == 24)
+        .select("d", "s", "r")
+    )
+    m = subgroups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("s").cast("bigint").alias("t"),
+        F.sum("r").cast("bigint").alias("sr"),
+    )
+    j = subgroups.join(F.broadcast(m), F.lit(True), "left")
+    mean_ooc = F.sum(
+        F.when(
+            F.abs(F.col("m") * F.col("s") * 1000 - F.col("t") * 1000)
+            > 24 * _SPC_A2_E3 * F.col("sr"),
+            1,
+        ).otherwise(0)
+    ).cast("bigint")
+    range_ooc = F.sum(
+        F.when(
+            (F.col("r") * 1000 * F.col("m") > _SPC_D4_E3 * F.col("sr"))
+            | (F.col("r") * 1000 * F.col("m") < _SPC_D3_E3 * F.col("sr")),
+            1,
+        ).otherwise(0)
+    ).cast("bigint")
+    viol = j.agg(mean_ooc.alias("n_mean_ooc"), range_ooc.alias("n_range_ooc"))
+    mm, t, sr = F.col("m"), F.col("t"), F.col("sr")
+    return m.join(F.broadcast(viol), F.lit(True), "left").select(
+        mm.alias("n_subgroups"),
+        t.alias("total_events"),
+        sr.alias("sum_ranges"),
+        "n_mean_ooc",
+        "n_range_ooc",
+        F.round(t.cast("double") / (24 * mm), 6).alias("xbarbar"),
+        F.round(
+            t.cast("double") / (24 * mm)
+            + F.lit(_SPC_A2_E3) / F.lit(1000.0) * sr / mm,
+            6,
+        ).alias("ucl_xbar"),
+        F.round(
+            t.cast("double") / (24 * mm)
+            - F.lit(_SPC_A2_E3) / F.lit(1000.0) * sr / mm,
+            6,
+        ).alias("lcl_xbar"),
+        F.round(F.lit(_SPC_D4_E3) / F.lit(1000.0) * sr / mm, 6).alias(
+            "ucl_range"
+        ),
+    )

@@ -462,7 +462,7 @@ _BATTERY4 = [
     "ml_bland_altman", "agg_trimmed_winsorized", "ml_fleiss_kappa",
     "events_type_jaccard_matrix",
     "graph_local_clustering", "events_changepoint_binseg",
-    "ml_youden_j_threshold",
+    "ml_youden_j_threshold", "events_control_chart_xbar_r",
 ]
 
 

@@ -62,6 +62,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("events_changepoint_binseg", "GLOBAL_WINDOW"): "cumulative-sum and argmax windows over the calendar-bounded daily spine (<= days in range)",
     ("ml_youden_j_threshold", "CARTESIAN"): "1-row (P, N) totals scalar broadcast onto the distinct-score ROC table",
     ("ml_youden_j_threshold", "GLOBAL_WINDOW"): "cumulative TP/FP and argmax windows over the DISTINCT-SCORE table (bounded by e6 score resolution — the ml_auc_roc_exact contract)",
+    ("events_control_chart_xbar_r", "CARTESIAN"): "1-row grand-moment scalar broadcast onto the calendar-bounded daily subgroup table + the 1-row violation attach",
     ("ml_wasserstein_drift", "GLOBAL_WINDOW"): "cumulative ECDF window over the DISTINCT-VALUE table (bounded by cent resolution, the ml_auc_roc_exact contract)",
     ("agg_ddsketch_quantiles", "CARTESIAN"): "3-row quantile-target spine broadcast onto the sketch-bucket table (<=8*log2(max) buckets per group)",
     ("window_rolling_regression", "GLOBAL_WINDOW"): "rolling OLS windows over the calendar-bounded daily spine (the events_seasonal_decompose contract)",
