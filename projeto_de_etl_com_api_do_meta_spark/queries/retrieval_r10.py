@@ -173,10 +173,15 @@ def eval_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sparse trigram-TF cosine pairs (fraction-df-capped posting join)
 # ---------------------------------------------------------------------------
 
-#: keep a trigram shingle only if 20 * df <= N (df at most 5% of the corpus) — an
-#: integer-exact FRACTION cap, so it adapts to corpus size the way the
-#: jaccard capped generator's fraction regime does.
+#: keep a trigram shingle only if df <= min(N/20, 64): the FRACTION term
+#: adapts to small corpora, the ABSOLUTE ceiling bounds posting work
+#: sum(df^2) linearly at scale — the r10b probe measured the pure
+#: fraction cap bending superlinear at x16 (31 s, SCALE_PROBE_r10b)
+#: because 20*df <= N admits linearly growing absolute df; the ceiling
+#: is the jaccard_pairs_capped absolute-regime lesson applied here.
+#: Both terms are integer-exact in both engines.
 _TFCOS_CAP_MULT = 20
+_TFCOS_ABS_CAP = 64
 _TFCOS_MIN_COS = 0.5
 
 
@@ -201,7 +206,8 @@ n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
 kept AS (
   SELECT tf.* FROM tf
   JOIN (SELECT g FROM tf, n GROUP BY g, n.n_docs
-        HAVING {_TFCOS_CAP_MULT} * COUNT(*) <= n.n_docs) c
+        HAVING {_TFCOS_CAP_MULT} * COUNT(*) <= n.n_docs
+           AND COUNT(*) <= {_TFCOS_ABS_CAP}) c
     USING (g)
 ),
 dots AS (
@@ -234,8 +240,10 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "similarity", "north-star"),
     doc=(
         "Sparse TRIGRAM-tf cosine near-dup pairs: word-trigram frequency "
-        "vectors, a FRACTION df cap (20*df <= N, integer-exact, the "
-        "jaccard capped-generator auto-regime) dropping boilerplate "
+        "vectors, a df cap min(N/20, 64) — fraction term for small corpora, "
+        "ABSOLUTE ceiling bounding sum(df^2) linearly at scale (the "
+        "jaccard capped-generator regime lesson, probe-measured) — "
+        "dropping boilerplate "
         "shingles BEFORE the posting-list equi-join — posting work is "
         "sum(df^2) over cold shingles, never |docs|^2 — integer dot "
         "products, an integer 4*dot^2 >= n2_a*n2_b prefilter that kills "
@@ -274,7 +282,10 @@ def dedup_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .join(F.broadcast(n), F.lit(True), "left")
-        .where(_TFCOS_CAP_MULT * F.col("df") <= F.col("n_docs"))
+        .where(
+            (_TFCOS_CAP_MULT * F.col("df") <= F.col("n_docs"))
+            & (F.col("df") <= _TFCOS_ABS_CAP)
+        )
         .select("g")
     )
     kept = tf.join(cold, "g")
