@@ -221,6 +221,7 @@ def agg_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ERBQ_CAP_MULT = 20
+_ERBQ_ABS_CAP = 64  # min(N/20, 64) — mirrors dedup_tf_cosine_pairs' cap
 _ERBQ_MIN_COS = 0.5
 
 
@@ -253,7 +254,8 @@ nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
 kept AS (
   SELECT tf.* FROM tf
   JOIN (SELECT g FROM tf, nd GROUP BY g, nd.n_docs
-        HAVING {_ERBQ_CAP_MULT} * COUNT(*) <= nd.n_docs) c USING (g)
+        HAVING {_ERBQ_CAP_MULT} * COUNT(*) <= nd.n_docs
+           AND COUNT(*) <= {_ERBQ_ABS_CAP}) c USING (g)
 ),
 dots AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -300,7 +302,8 @@ FROM counts
         "of true near-dup pairs the blocker keeps) and REDUCTION RATIO "
         "(fraction of the n^2 comparison space it eliminates), for the "
         "8-token-prefix blocker scored against the trigram-cosine>=0.5 "
-        "ground truth (the dedup_tf_cosine_pairs semantics inlined).  "
+        "ground truth (the dedup_tf_cosine_pairs semantics inlined, "
+        "including its min(N/20, 64) df cap).  "
         "Both metrics are exact integer ppm — floor division, no "
         "floats — so the quality/cost trade-off of a blocking choice is "
         "itself a differ-verified quantity.  Near-dups whose edits touch "
@@ -342,7 +345,10 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .join(F.broadcast(nd), F.lit(True), "left")
-        .where(_ERBQ_CAP_MULT * F.col("df") <= F.col("n_docs"))
+        .where(
+            (_ERBQ_CAP_MULT * F.col("df") <= F.col("n_docs"))
+            & (F.col("df") <= _ERBQ_ABS_CAP)
+        )
         .select("g")
     )
     kept = tf.join(cold, "g")
