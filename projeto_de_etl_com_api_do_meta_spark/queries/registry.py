@@ -122,9 +122,9 @@ _PRIORITY: tuple[str, ...] = (
     "graph_assortativity_degree",
     "events_sprt_sequential_test",
     # ---- r10 window composition: these 18 carry-overs (all local-green
-    # at r9 close) auto-seat first, and the 31 NEW r10 operators (not
+    # at r9 close) auto-seat first, and the 32 NEW r10 operators (not
     # listed here — _reorder's second loop seats any unverified
-    # oracle-backed name) follow in module order: 49 unverified names
+    # oracle-backed name) follow in module order: 50 unverified names
     # total, comfortably inside the ~50-slot window, so NOTHING needs
     # hand-curation this round and zero never-scored names carry to r11. ----
     "agg_ddsketch_quantiles",
@@ -145,7 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "ml_anova_oneway_exact",
     "ml_effect_sizes_pairwise",
     "corpus_burrows_delta",
-    # ---- the 31 NEW r10 operators, pinned explicitly so the scoring
+    # ---- the 32 NEW r10 operators, pinned explicitly so the scoring
     # window (18 carry-overs + these = 47 unverified) is deterministic and
     # any late additions land AFTER them as r11 carry-overs. ----
     "warehouse_fiscal_445_rollup",
@@ -179,6 +179,7 @@ _PRIORITY: tuple[str, ...] = (
     "ml_youden_j_threshold",
     "events_control_chart_xbar_r",
     "embed_cluster_medoid",
+    "corpus_mtld_diversity",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -545,6 +546,7 @@ def _load_all() -> None:
         joins,
         medoid_r10,
         ml_queries,
+        mtld_r10,
         multimodal_exact,
         multimodal_r10,
         network_sequential,

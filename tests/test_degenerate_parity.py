@@ -463,7 +463,7 @@ _BATTERY4 = [
     "events_type_jaccard_matrix",
     "graph_local_clustering", "events_changepoint_binseg",
     "ml_youden_j_threshold", "events_control_chart_xbar_r",
-    "embed_cluster_medoid",
+    "embed_cluster_medoid", "corpus_mtld_diversity",
 ]
 
 
