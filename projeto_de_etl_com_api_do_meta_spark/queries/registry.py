@@ -180,6 +180,27 @@ _PRIORITY: tuple[str, ...] = (
     "events_control_chart_xbar_r",
     "embed_cluster_medoid",
     "corpus_mtld_diversity",
+    # ---- r10 session-2 additions (18 ops, all local-exact at sf0.01 AND
+    # sf0.1): they land AFTER the 50-name r10 window above, so they are the
+    # deliberate r11 carry-overs, pinned in module-batch order. ----
+    "er_jaro_winkler_pairs",
+    "er_damerau_levenshtein",
+    "ml_brown_forsythe",
+    "ml_mood_median_test",
+    "ml_jonckheere_trend",
+    "ml_cliffs_delta",
+    "ml_krippendorff_alpha",
+    "events_mann_kendall_trend",
+    "geo_geohash_encode",
+    "geo_point_in_polygon",
+    "geo_trajectory_length",
+    "agg_ams_f2_sketch",
+    "warehouse_bridge_allocation",
+    "io_varint_roundtrip",
+    "events_forecast_accuracy_naive",
+    "events_hampel_filter",
+    "ml_anderson_darling_2samp",
+    "retrieval_err_eval",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -533,6 +554,7 @@ def _load_all() -> None:
         analytics_r10,
         analytics_r10b,
         analytics_r10c,
+        analytics_r10d,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,
@@ -540,6 +562,7 @@ def _load_all() -> None:
         embeddings_queries,
         eval_stats,
         events_queries,
+        geo_r10,
         graph_queries,
         graph_r10,
         io_archives,
@@ -563,11 +586,14 @@ def _load_all() -> None:
         scalar_funcs,
         segmentation_cdc,
         sequential_r10,
+        similarity_r10,
         skew_queries,
         spatial_er_queries,
         stats_r10,
         stats_r10b,
+        stats_r10c,
         text_cleaning,
+        timeseries_r10,
         tpch_extra,
         tpch_remaining,
         training_ops,

@@ -464,6 +464,15 @@ _BATTERY4 = [
     "graph_local_clustering", "events_changepoint_binseg",
     "ml_youden_j_threshold", "events_control_chart_xbar_r",
     "embed_cluster_medoid", "corpus_mtld_diversity",
+    # r10 session 2: string-distance ER vs DuckDB's independent builtins,
+    # nonparametric batch (dominance spine, exact 2*median machinery)
+    "er_jaro_winkler_pairs", "er_damerau_levenshtein",
+    "ml_brown_forsythe", "ml_mood_median_test", "ml_jonckheere_trend",
+    "ml_cliffs_delta", "ml_krippendorff_alpha", "events_mann_kendall_trend",
+    "geo_geohash_encode", "geo_point_in_polygon", "geo_trajectory_length",
+    "agg_ams_f2_sketch", "warehouse_bridge_allocation", "io_varint_roundtrip",
+    "events_forecast_accuracy_naive", "events_hampel_filter",
+    "ml_anderson_darling_2samp", "retrieval_err_eval",
 ]
 
 
