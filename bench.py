@@ -164,6 +164,11 @@ HEADLINE: tuple[str, ...] = (
     # buckets 0.97s (text keeps bigram_perplexity + decontaminate_bloom).
     "corpus_misra_gries_sharded",
     "dedup_tf_cosine_pairs",
+    # r10 session 2: the string-distance ER join (Arrow-batched JW over
+    # blocked candidates, 4.8s at sf0.1) is the heaviest new family rep;
+    # DL shares its candidate generator, geo/stats/codec additions all
+    # measured sub-3s and stay registry-only per the family-heaviest rule.
+    "er_jaro_winkler_pairs",
 )
 
 
