@@ -201,6 +201,11 @@ _PRIORITY: tuple[str, ...] = (
     "events_hampel_filter",
     "ml_anderson_darling_2samp",
     "retrieval_err_eval",
+    "ml_ljung_box",
+    "ml_kendall_w",
+    "ml_grubbs_test",
+    "warehouse_factless_coverage",
+    "corpus_ascii85_roundtrip",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -592,6 +597,7 @@ def _load_all() -> None:
         stats_r10,
         stats_r10b,
         stats_r10c,
+        stats_r10d,
         text_cleaning,
         timeseries_r10,
         tpch_extra,

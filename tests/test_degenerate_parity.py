@@ -473,6 +473,8 @@ _BATTERY4 = [
     "agg_ams_f2_sketch", "warehouse_bridge_allocation", "io_varint_roundtrip",
     "events_forecast_accuracy_naive", "events_hampel_filter",
     "ml_anderson_darling_2samp", "retrieval_err_eval",
+    "ml_ljung_box", "ml_kendall_w", "ml_grubbs_test",
+    "warehouse_factless_coverage", "corpus_ascii85_roundtrip",
 ]
 
 
