@@ -251,3 +251,120 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((s - sk).cast("double") / (n - k), 6).alias("right_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition (k=3) via iterative support peeling
+# ---------------------------------------------------------------------------
+
+_KTRUSS_K = 3
+_KTRUSS_ROUNDS = 6  # oracle unroll depth; Spark iterates to fixpoint
+
+
+def _ktruss_oracle() -> str:
+    """Unrolled truss peeling: each round recounts every edge's triangle
+    support inside the surviving subgraph and drops edges with support
+    < k-2.  Peeling is monotone (the edge set only shrinks), so surplus
+    rounds past convergence are no-ops and the fixed unroll equals the
+    true k-truss whenever the fixture converges inside it (the Spark
+    loop counts its rounds and raises otherwise — the k-core guard
+    pattern at graph_queries.py:544)."""
+    rounds = []
+    prev = "c0"
+    for i in range(1, _KTRUSS_ROUNDS + 1):
+        rounds.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev} UNION ALL SELECT v AS u, u AS v FROM {prev}
+),
+c{i} AS MATERIALIZED (
+  SELECT e.u, e.v
+  FROM {prev} e
+  JOIN d{i} a ON a.u = e.u
+  JOIN d{i} b ON b.u = e.v AND b.v = a.v
+  GROUP BY e.u, e.v
+  HAVING COUNT(*) >= {_KTRUSS_K - 2}
+)""")
+        prev = f"c{i}"
+    chain = ",".join(rounds)
+    return f"""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+c0 AS MATERIALIZED (
+  SELECT a.p AS u, b.p AS v
+  FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+),{chain}
+SELECT node, CAST(COUNT(*) AS BIGINT) AS truss_degree FROM (
+  SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+) GROUP BY node ORDER BY node
+"""
+
+
+@register(
+    "graph_ktruss_peel",
+    oracle=_ktruss_oracle(),
+    tags=("graph", "analytics"),
+    doc=(
+        f"{_KTRUSS_K}-truss decomposition of the part co-purchase graph "
+        "(same support>=2 canonical edge set as graph_triangle_count): "
+        "iteratively recount each edge's triangle support INSIDE the "
+        "surviving subgraph and drop edges below k-2 until fixpoint — "
+        "the edge-cohesion strengthening of k-core (every truss edge is "
+        "wedged into a triangle of truss edges).  Each round is one "
+        "edge-edge wedge join + a grouped support count with a "
+        "localCheckpoint lineage cut; Spark runs to fixpoint and counts "
+        f"its rounds, the oracle unrolls {_KTRUSS_ROUNDS} monotone "
+        "rounds, and the loop raises if convergence ever exceeds the "
+        "unroll so the cross-engine contract cannot silently go stale."
+    ),
+)
+def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pl.alias("a"), pl.alias("b")
+    c = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    n_prev = c.count()
+    rounds = 0
+    for _ in range(64):  # safety bound far above any plausible truss depth
+        d = c.unionByName(
+            c.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        da = d.select(F.col("u").alias("au"), F.col("v").alias("aw"))
+        db = d.select(F.col("u").alias("bu"), F.col("v").alias("bw"))
+        c = (
+            c.join(da, F.col("au") == F.col("u"))
+            .join(db, (F.col("bu") == F.col("v")) & (F.col("bw") == F.col("aw")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .where(F.col("s") >= _KTRUSS_K - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n = c.count()
+        if n == n_prev:
+            break
+        rounds += 1
+        n_prev = n
+    if rounds > _KTRUSS_ROUNDS:
+        raise RuntimeError(
+            f"k-truss peel converged in {rounds} rounds but the DuckDB "
+            f"oracle unrolls only {_KTRUSS_ROUNDS}; raise _KTRUSS_ROUNDS "
+            f"to >= {rounds} so the cross-engine check stays exact"
+        )
+    nodes = c.select(F.col("u").alias("node")).unionByName(
+        c.select(F.col("v").alias("node"))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("truss_degree")
+    )

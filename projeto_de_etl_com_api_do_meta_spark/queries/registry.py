@@ -206,6 +206,9 @@ _PRIORITY: tuple[str, ...] = (
     "ml_grubbs_test",
     "warehouse_factless_coverage",
     "corpus_ascii85_roundtrip",
+    "graph_ktruss_peel",
+    "events_page_hinkley_fold",
+    "ml_mcc_confusion_battery",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",

@@ -602,3 +602,142 @@ def corpus_ascii85_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_roundtrip_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Confusion-matrix effect battery at the exact median threshold
+# ---------------------------------------------------------------------------
+
+_ORACLE_MCC = """
+WITH x AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         CAST(round(value * 100) AS BIGINT) AS score
+  FROM events WHERE value IS NOT NULL
+),
+o AS (
+  SELECT label, score, row_number() OVER (ORDER BY score) AS rn,
+         COUNT(*) OVER () AS n
+  FROM x
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN score ELSE 0 END)
+              + SUM(CASE WHEN rn = (n + 2) // 2 THEN score ELSE 0 END)
+              AS BIGINT) AS med2
+  FROM o
+),
+cm AS (
+  SELECT CAST(SUM(CASE WHEN label = 1 AND 2 * score > m.med2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN label = 0 AND 2 * score > m.med2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN label = 0 AND 2 * score <= m.med2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(SUM(CASE WHEN label = 1 AND 2 * score <= m.med2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM x, m
+)
+SELECT tp, fp, tn, fn,
+       round(CASE WHEN (tp + fp) * (tp + fn) = 0
+                       OR (tn + fp) * (tn + fn) = 0 THEN 0.0
+                  ELSE (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                       / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                              * (tn + fp) * (tn + fn)) END, 6) AS mcc,
+       round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                  ELSE 2.0 * tp / (2 * tp + fp + fn) END, 6) AS f1,
+       round(CASE WHEN (tp + fn) = 0 OR (tn + fp) = 0 THEN 0.0
+                  ELSE 0.5 * (CAST(tp AS DOUBLE) / (tp + fn)
+                              + CAST(tn AS DOUBLE) / (tn + fp)) END,
+             6) AS balanced_accuracy,
+       round(CASE WHEN (tp + fn) = 0 OR (tn + fp) = 0 THEN 0.0
+                  ELSE CAST(tp AS DOUBLE) / (tp + fn)
+                       + CAST(tn AS DOUBLE) / (tn + fp) - 1.0 END,
+             6) AS informedness
+FROM cm
+"""
+
+
+@register(
+    "ml_mcc_confusion_battery",
+    oracle=_ORACLE_MCC,
+    tags=("ml", "eval"),
+    doc=(
+        "Confusion-matrix effect battery (MCC, F1, balanced accuracy, "
+        "Youden informedness) for the value-predicts-purchase classifier "
+        "at the EXACT grand-median threshold: the cut is the integer "
+        "2*median order statistic, every cell of the confusion matrix is "
+        "an exact BIGINT (2*score > med2 integer compares), and each "
+        "metric is one final float expression — MCC's four marginal "
+        "products run in double because their product overflows BIGINT "
+        "at sf1.  The threshold-fixed companion of the repo's "
+        "ROC/PR-curve evals (AUC sweeps thresholds; this pins one and "
+        "reports the operating-point portfolio)."
+    ),
+)
+def ml_mcc_confusion_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.where(F.col("value").isNotNull()).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        F.round(F.col("value") * 100).cast("bigint").alias("score"),
+    )
+    o = x.select(
+        "label",
+        "score",
+        F.row_number().over(Window.orderBy("score")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    m = o.agg(
+        (
+            F.sum(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("score")).otherwise(0)
+            )
+            + F.sum(
+                F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("score")).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("med2")
+    )
+    pred_pos = 2 * F.col("score") > F.col("med2")
+    cm = x.join(F.broadcast(m), F.lit(True), "left").agg(
+        F.sum(F.when((F.col("label") == 1) & pred_pos, 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("label") == 0) & pred_pos, 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("label") == 0) & ~pred_pos, 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+        F.sum(F.when((F.col("label") == 1) & ~pred_pos, 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    tp, fp, tn, fn = (F.col(c) for c in ("tp", "fp", "tn", "fn"))
+    mcc = F.when(
+        ((tp + fp) * (tp + fn) == 0) | ((tn + fp) * (tn + fn) == 0), F.lit(0.0)
+    ).otherwise(
+        (tp.cast("double") * tn - fp.cast("double") * fn)
+        / F.sqrt(
+            (tp + fp).cast("double") * (tp + fn) * (tn + fp) * (tn + fn)
+        )
+    )
+    f1 = F.when(2 * tp + fp + fn == 0, F.lit(0.0)).otherwise(
+        2.0 * tp / (2 * tp + fp + fn)
+    )
+    bal = F.when(((tp + fn) == 0) | ((tn + fp) == 0), F.lit(0.0)).otherwise(
+        0.5 * (tp.cast("double") / (tp + fn) + tn.cast("double") / (tn + fp))
+    )
+    inf = F.when(((tp + fn) == 0) | ((tn + fp) == 0), F.lit(0.0)).otherwise(
+        tp.cast("double") / (tp + fn) + tn.cast("double") / (tn + fp) - 1.0
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(mcc, 6).alias("mcc"),
+        F.round(f1, 6).alias("f1"),
+        F.round(bal, 6).alias("balanced_accuracy"),
+        F.round(inf, 6).alias("informedness"),
+    )

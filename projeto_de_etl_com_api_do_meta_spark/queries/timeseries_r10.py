@@ -518,3 +518,120 @@ def retrieval_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift detector as an integer-state fold
+# ---------------------------------------------------------------------------
+
+_PH_DELTA_E6 = 1_000_000   # delta = 1 count of slack per step
+_PH_LAMBDA_E6 = 20_000_000  # alarm when m - min(m) exceeds 20 counts
+
+#: Five-cell BIGINT fold state: [t, sum, m_e6, min_m_e6, first_alarm_t].
+#: The only non-integer op per step is round(1e6*x - 1e6*s/t) — one
+#: correctly-rounded double expression on exact integers, identical
+#: ARITHMETIC in both engines, immediately re-fixed to BIGINT.  The step
+#: text is generated ONCE from this template; only the list-indexing
+#: syntax differs per engine (Spark brackets are 0-based, DuckDB's are
+#: 1-based, so both sides use their 1-based accessor explicitly).
+
+
+def _ph_step(idx, x: str, arr_open: str, arr_close: str) -> str:
+    """Fold-step lambda body; ``idx(i)`` renders 1-based element access,
+    ``x`` the current element's value, ``arr_open``/``arr_close`` the
+    engine's array constructor (DuckDB brackets, Spark array(...))."""
+    t, sm, m, mn, al = (idx(i) for i in range(1, 6))
+    m_new = (
+        f"{m} + CAST(round(1000000.0 * {x} "
+        f"- 1000000.0 * ({sm} + {x}) / ({t} + 1)) AS BIGINT) - {_PH_DELTA_E6}"
+    )
+    return (
+        f"(acc, e) -> {arr_open}"
+        f"{t} + 1, "
+        f"{sm} + {x}, "
+        f"{m_new}, "
+        f"LEAST({mn}, {m_new}), "
+        f"CASE WHEN {al} > 0 THEN {al} "
+        f"WHEN {m_new} - LEAST({mn}, {m_new}) > {_PH_LAMBDA_E6} "
+        f"THEN {t} + 1 ELSE 0 END"
+        f"{arr_close}"
+    )
+
+
+_PH_STEP_DUCK = _ph_step(lambda i: f"acc[{i}]", "e[1]", "[", "]")
+_PH_STEP_SPARK = _ph_step(
+    lambda i: f"element_at(acc, {i})", "e", "array(", ")"
+)
+
+_ORACLE_PAGE_HINKLEY = f"""
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+ordered AS (
+  SELECT g, list(x ORDER BY d) AS xs FROM daily GROUP BY g
+),
+folded AS (
+  SELECT g,
+         list_reduce(
+           list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                         CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                         CAST(0 AS BIGINT)],
+                        list_transform(xs, x -> [x, CAST(0 AS BIGINT),
+                                                 CAST(0 AS BIGINT),
+                                                 CAST(0 AS BIGINT),
+                                                 CAST(0 AS BIGINT)])),
+           {_PH_STEP_DUCK}) AS st
+  FROM ordered
+)
+SELECT g AS event_type,
+       st[1] AS n_days, st[2] AS total_events,
+       st[3] AS m_e6, st[4] AS min_m_e6, st[5] AS first_alarm_day
+FROM folded
+"""
+
+
+@register(
+    "events_page_hinkley_fold",
+    oracle=_ORACLE_PAGE_HINKLEY,
+    tags=("events", "timeseries", "drift"),
+    doc=(
+        "Page-Hinkley sequential drift detector over each type's daily "
+        "count series as a five-cell INTEGER fold [t, sum, m_e6, "
+        "min_m_e6, first_alarm_t]: m accumulates e6-fixed deviations "
+        "from the RUNNING mean (the one double expression per step is "
+        "identical text in both engines and is immediately re-fixed to "
+        "BIGINT), the running minimum rides in the state, and the alarm "
+        "fires the first day m - min(m) exceeds lambda — the online "
+        "sibling of the offline CUSUM/binseg changepoint queries.  One "
+        "shuffle groups each series; at 100 TB the same recursion runs "
+        "as streaming stateful-counter state."
+    ),
+)
+def events_page_hinkley_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    ordered = daily.groupBy("g").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, x))), p -> p.x)")
+        .alias("xs")
+    )
+    folded = ordered.select(
+        "g",
+        F.expr(
+            "aggregate(xs, array(CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+            "CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)), "
+            + _PH_STEP_SPARK
+            + ")"
+        ).alias("st"),
+    )
+    return folded.select(
+        F.col("g").alias("event_type"),
+        F.element_at("st", 1).alias("n_days"),
+        F.element_at("st", 2).alias("total_events"),
+        F.element_at("st", 3).alias("m_e6"),
+        F.element_at("st", 4).alias("min_m_e6"),
+        F.element_at("st", 5).alias("first_alarm_day"),
+    )

@@ -475,6 +475,8 @@ _BATTERY4 = [
     "ml_anderson_darling_2samp", "retrieval_err_eval",
     "ml_ljung_box", "ml_kendall_w", "ml_grubbs_test",
     "warehouse_factless_coverage", "corpus_ascii85_roundtrip",
+    "graph_ktruss_peel", "events_page_hinkley_fold",
+    "ml_mcc_confusion_battery",
 ]
 
 
