@@ -209,6 +209,10 @@ _PRIORITY: tuple[str, ...] = (
     "graph_ktruss_peel",
     "events_page_hinkley_fold",
     "ml_mcc_confusion_battery",
+    "ml_cochran_armitage_trend",
+    "ml_mantel_haenszel_or",
+    "corpus_s_stemmer_tokens",
+    "io_packbits_roundtrip",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -601,6 +605,7 @@ def _load_all() -> None:
         stats_r10b,
         stats_r10c,
         stats_r10d,
+        stats_r10e,
         text_cleaning,
         timeseries_r10,
         tpch_extra,

@@ -477,6 +477,8 @@ _BATTERY4 = [
     "warehouse_factless_coverage", "corpus_ascii85_roundtrip",
     "graph_ktruss_peel", "events_page_hinkley_fold",
     "ml_mcc_confusion_battery",
+    "ml_cochran_armitage_trend", "ml_mantel_haenszel_or",
+    "corpus_s_stemmer_tokens", "io_packbits_roundtrip",
 ]
 
 

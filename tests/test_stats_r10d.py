@@ -253,3 +253,101 @@ class TestMccBattery:
         assert r["informedness"] == _pytest.approx(
             2 * r["balanced_accuracy"] - 1, abs=2e-6
         )
+
+
+class TestPackBits:
+    def test_canonical_apple_stream_decodes(self):
+        """The classic TN1023 example stream must decode correctly."""
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r10e import (
+            packbits_decode,
+        )
+
+        stream = bytes.fromhex("FEAA02800A22AAAAAAAAAAAAAAAAAAAA")
+        # FE AA: repeat AA 3x; 02 80 0A 22: literal 80 0A 22; rest: literal
+        out = packbits_decode(bytes.fromhex("FEAA02800A22"))
+        assert out == bytes.fromhex("AAAAAA800A22")
+        del stream
+
+    def test_roundtrip_randomized(self):
+        import random
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r10e import (
+            packbits_decode,
+            packbits_encode,
+        )
+
+        rng = random.Random(29)
+        for _ in range(300):
+            n = rng.randint(0, 400)
+            # runs-heavy data to exercise both packet kinds incl. 128+ runs
+            data = b"".join(
+                bytes([rng.randrange(4)]) * rng.choice([1, 1, 2, 3, 5, 130, 300])
+                for _ in range(n // 8 + 1)
+            )[:n]
+            assert packbits_decode(packbits_encode(data)) == data
+
+    def test_analytic_length_matches_encoder(self):
+        """The oracle's length formula must equal the real encoder's
+        output length on adversarial run structures."""
+        import math
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r10e import (
+            packbits_encode,
+        )
+
+        def analytic_len(data: bytes) -> int:
+            if not data:
+                return 0
+            runs = []
+            cur, cnt = data[0], 1
+            for b in data[1:]:
+                if b == cur:
+                    cnt += 1
+                else:
+                    runs.append(cnt)
+                    cur, cnt = b, 1
+            runs.append(cnt)
+            total = 0
+            lit = 0
+            for r in runs:
+                if r >= 3:
+                    if lit:
+                        total += lit + math.ceil(lit / 128)
+                        lit = 0
+                    total += 2 * math.ceil(r / 128)
+                else:
+                    lit += r
+            if lit:
+                total += lit + math.ceil(lit / 128)
+            return total
+
+        cases = [
+            b"", b"a", b"ab", b"aaa", b"aab", b"abb", b"abcabc",
+            b"a" * 128, b"a" * 129, b"a" * 300, b"ab" * 100,
+            b"x" * 2 + b"y" * 3 + b"z" * 2, bytes(range(200)),
+            b"q" * 130 + b"r" * 2 + b"s" * 5,
+        ]
+        for data in cases:
+            assert len(packbits_encode(data)) == analytic_len(data), data
+
+
+class TestSStemmer:
+    def test_rule_goldens(self, spark):
+        from pyspark.sql import functions as F
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r10e import (
+            _S_STEM_SQL,
+        )
+
+        cases = {
+            "queries": "query", "eies": "eies", "daies": "daies",
+            "tables": "table", "goes": "goes", "trees": "trees",
+            "rows": "row", "bus": "bus", "glass": "glass", "s": "s",
+            "scan": "scan",
+        }
+        df = spark.createDataFrame([(w,) for w in cases], ["w"])
+        got = {
+            r["w"]: r["stem"]
+            for r in df.select("w", F.expr(_S_STEM_SQL).alias("stem")).collect()
+        }
+        assert got == cases
