@@ -213,6 +213,11 @@ _PRIORITY: tuple[str, ...] = (
     "ml_mantel_haenszel_or",
     "corpus_s_stemmer_tokens",
     "io_packbits_roundtrip",
+    "ml_tukey_hsd",
+    "ml_passing_bablok",
+    "ml_deming_regression",
+    "dq_checksum_audit",
+    "ml_distribution_distances",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -606,6 +611,7 @@ def _load_all() -> None:
         stats_r10c,
         stats_r10d,
         stats_r10e,
+        stats_r10f,
         text_cleaning,
         timeseries_r10,
         tpch_extra,

@@ -479,6 +479,8 @@ _BATTERY4 = [
     "ml_mcc_confusion_battery",
     "ml_cochran_armitage_trend", "ml_mantel_haenszel_or",
     "corpus_s_stemmer_tokens", "io_packbits_roundtrip",
+    "ml_tukey_hsd", "ml_passing_bablok", "ml_deming_regression",
+    "dq_checksum_audit", "ml_distribution_distances",
 ]
 
 

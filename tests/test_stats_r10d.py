@@ -351,3 +351,51 @@ class TestSStemmer:
             for r in df.select("w", F.expr(_S_STEM_SQL).alias("stem")).collect()
         }
         assert got == cases
+
+
+class TestChecksumAudit:
+    def test_matches_zlib_on_ascii(self, spark):
+        """The engine's per-doc Adler-32/CRC-32 folds must equal zlib's
+        byte checksums on ASCII text (the fold is defined over code
+        points, which coincide with bytes there)."""
+        import zlib
+
+        from pyspark.sql import functions as F
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r10f import (
+            dq_checksum_audit,
+        )
+
+        import duckdb
+
+        texts = ["hello world", "a", "abc" * 50, "the quick brown fox", "zz"]
+        want_adler = sum(zlib.adler32(t.encode()) for t in texts)
+        want_crc = sum(zlib.crc32(t.encode()) for t in texts)
+
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = tempfile.mkdtemp()
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s0"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(docs, f"{out}/documents.parquet")
+        import os as _os
+
+        for f in _os.listdir("/root/testdata/sf0.001"):
+            dst = f"{out}/{f}"
+            if f.startswith("documents") or _os.path.exists(dst):
+                continue
+            _os.symlink(f"/root/testdata/sf0.001/{f}", dst)
+        r = dq_checksum_audit(spark, out).collect()[0]
+        assert r["sum_adler32"] == want_adler
+        assert r["sum_crc32"] == want_crc
+        del F, duckdb
