@@ -218,6 +218,8 @@ _PRIORITY: tuple[str, ...] = (
     "ml_deming_regression",
     "dq_checksum_audit",
     "ml_distribution_distances",
+    "warehouse_as_was_as_is",
+    "ml_distance_correlation",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",

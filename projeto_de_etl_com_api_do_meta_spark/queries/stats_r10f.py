@@ -606,3 +606,289 @@ def ml_distribution_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hellinger"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-was vs as-is SCD2 dual-perspective report
+# ---------------------------------------------------------------------------
+
+_ORACLE_AS_WAS_AS_IS = """
+WITH src AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(round(value * 100) / 10000.0) AS BIGINT) AS tier
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+changes AS (
+  SELECT * FROM (
+    SELECT user_id, ts, tier,
+           lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev
+    FROM src)
+  WHERE prev IS NULL OR tier <> prev
+),
+versions AS (
+  SELECT user_id, ts AS valid_from, tier,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM changes
+),
+clicks AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+),
+as_was AS (
+  SELECT v.tier, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c.cents) AS BIGINT) AS cents
+  FROM clicks c JOIN versions v
+    ON v.user_id = c.user_id AND c.ts >= v.valid_from
+   AND (v.valid_to IS NULL OR c.ts < v.valid_to)
+  GROUP BY v.tier
+),
+as_is AS (
+  SELECT v.tier, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c.cents) AS BIGINT) AS cents
+  FROM clicks c JOIN versions v
+    ON v.user_id = c.user_id AND v.valid_to IS NULL
+  GROUP BY v.tier
+)
+SELECT COALESCE(w.tier, i.tier) AS tier,
+       COALESCE(w.n, 0) AS n_as_was, COALESCE(w.cents, 0) AS cents_as_was,
+       COALESCE(i.n, 0) AS n_as_is, COALESCE(i.cents, 0) AS cents_as_is
+FROM as_was w FULL OUTER JOIN as_is i ON i.tier = w.tier
+"""
+
+
+@register(
+    "warehouse_as_was_as_is",
+    oracle=_ORACLE_AS_WAS_AS_IS,
+    tags=("warehouse",),
+    doc=(
+        "The SCD2 dual-perspective report — click revenue by customer "
+        "tier AS-WAS (the tier in effect when each click happened, the "
+        "point-in-time join) next to AS-IS (every click restated under "
+        "the customer's CURRENT tier): the report pair that motivates "
+        "keeping type-2 history at all, and whose row-level divergence "
+        "(clicks before a user's first version exist only as-is) is the "
+        "auditable difference between the two attributions.  Versions "
+        "from the same change-detection window as warehouse_scd2_build; "
+        "exact cents; one full-outer tier merge with 0-fill."
+    ),
+)
+def warehouse_as_was_as_is(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    src = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.round(F.col("value") * 100) / 10000.0)
+        .cast("bigint")
+        .alias("tier"),
+    )
+    changes = (
+        src.withColumn("prev", F.lag("tier").over(w))
+        .where(F.col("prev").isNull() | (F.col("tier") != F.col("prev")))
+        .drop("prev", "event_id")
+    )
+    versions = changes.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("valid_from"),
+        "tier",
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts")
+        ).alias("valid_to"),
+    )
+    del wv
+    clicks = ev.where(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    ).select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    as_was = (
+        clicks.join(
+            versions,
+            (F.col("v_user_id") == clicks.user_id)
+            & (clicks.ts >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (clicks.ts < F.col("valid_to"))),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_as_was"),
+            F.sum("cents").cast("bigint").alias("cents_as_was"),
+        )
+    )
+    as_is = (
+        clicks.join(
+            versions.where(F.col("valid_to").isNull()),
+            F.col("v_user_id") == clicks.user_id,
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_as_is"),
+            F.sum("cents").cast("bigint").alias("cents_as_is"),
+        )
+    )
+    return (
+        as_was.join(as_is, "tier", "full_outer")
+        .select(
+            "tier",
+            F.coalesce("n_as_was", F.lit(0)).alias("n_as_was"),
+            F.coalesce("cents_as_was", F.lit(0)).alias("cents_as_was"),
+            F.coalesce("n_as_is", F.lit(0)).alias("n_as_is"),
+            F.coalesce("cents_as_is", F.lit(0)).alias("cents_as_is"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distance correlation over the daily spine
+# ---------------------------------------------------------------------------
+
+_ORACLE_DCOR = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+pairs AS (
+  SELECT a.day AS di, b.day AS dj,
+         ABS(a.x - b.x) AS ax, ABS(a.y - b.y) AS ay
+  FROM daily a CROSS JOIN daily b
+),
+rows_ AS (
+  SELECT di, CAST(SUM(ax) AS BIGINT) AS rx, CAST(SUM(ay) AS BIGINT) AS ry
+  FROM pairs GROUP BY di
+),
+g AS (
+  SELECT CAST(SUM(rx) AS BIGINT) AS gx, CAST(SUM(ry) AS BIGINT) AS gy
+  FROM rows_
+),
+cent AS (
+  -- double-centered entries scaled by n^2 (exact integers; the matrix
+  -- is symmetric so row and column sums coincide)
+  SELECT n.n * n.n * p.ax - n.n * ri.rx - n.n * rj.rx + g.gx AS axx,
+         n.n * n.n * p.ay - n.n * ri.ry - n.n * rj.ry + g.gy AS ayy
+  FROM pairs p
+  JOIN rows_ ri ON ri.di = p.di
+  JOIN rows_ rj ON rj.di = p.dj, n, g
+),
+s AS (
+  SELECT CAST(SUM(axx * ayy) AS BIGINT) AS dcov2_num,
+         CAST(SUM(axx * axx) AS BIGINT) AS dvarx_num,
+         CAST(SUM(ayy * ayy) AS BIGINT) AS dvary_num
+  FROM cent
+)
+SELECT n.n AS n_days, s.dcov2_num, s.dvarx_num, s.dvary_num,
+       round(CASE WHEN s.dvarx_num <= 0 OR s.dvary_num <= 0
+                       OR s.dcov2_num <= 0 THEN 0.0
+                  ELSE sqrt(CAST(s.dcov2_num AS DOUBLE)
+                            / sqrt(CAST(s.dvarx_num AS DOUBLE)
+                                   * CAST(s.dvary_num AS DOUBLE))) END,
+             6) AS dcor
+FROM s, n
+"""
+
+
+@register(
+    "ml_distance_correlation",
+    oracle=_ORACLE_DCOR,
+    tags=("ml", "stats"),
+    doc=(
+        "Szekely's distance correlation between the click and view daily "
+        "series — the dependence measure that is ZERO iff independent "
+        "(Pearson misses every nonlinear relationship): pairwise "
+        "|x_i - x_j| distance matrices over the calendar-bounded spine, "
+        "double-centered entries carried as exact n^2-scaled BIGINTs "
+        "(the common scale cancels in the ratio), dCov^2/dVar sums exact, "
+        "and one final float renders dCor.  The n x n pair grid is "
+        "30 x 30 at any event volume — spine-bounded, never row-bounded."
+    ),
+)
+def ml_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    # full n x n grid over the bounded daily spine (benign cartesian:
+    # 30 x 30 rows at any data volume — plan-audit: spine-bounded)
+    pairs = a.crossJoin(b).select(
+        F.col("a.day").alias("di"),
+        F.col("b.day").alias("dj"),
+        F.abs(F.col("a.x") - F.col("b.x")).alias("ax"),
+        F.abs(F.col("a.y") - F.col("b.y")).alias("ay"),
+    )
+    rows_ = pairs.groupBy("di").agg(
+        F.sum("ax").cast("bigint").alias("rx"),
+        F.sum("ay").cast("bigint").alias("ry"),
+    )
+    g = rows_.agg(
+        F.sum("rx").cast("bigint").alias("gx"),
+        F.sum("ry").cast("bigint").alias("gy"),
+    )
+    ri = rows_.select(
+        F.col("di").alias("i_key"), F.col("rx").alias("rxi"), F.col("ry").alias("ryi")
+    )
+    rj = rows_.select(
+        F.col("di").alias("j_key"), F.col("rx").alias("rxj"), F.col("ry").alias("ryj")
+    )
+    cent = (
+        pairs.join(F.broadcast(ri), F.col("i_key") == F.col("di"))
+        .join(F.broadcast(rj), F.col("j_key") == F.col("dj"))
+        .join(F.broadcast(n), F.lit(True), "left")
+        .join(F.broadcast(g), F.lit(True), "left")
+        .select(
+            (
+                F.col("n") * F.col("n") * F.col("ax")
+                - F.col("n") * F.col("rxi")
+                - F.col("n") * F.col("rxj")
+                + F.col("gx")
+            ).alias("axx"),
+            (
+                F.col("n") * F.col("n") * F.col("ay")
+                - F.col("n") * F.col("ryi")
+                - F.col("n") * F.col("ryj")
+                + F.col("gy")
+            ).alias("ayy"),
+        )
+    )
+    s = cent.agg(
+        F.sum(F.col("axx") * F.col("ayy")).cast("bigint").alias("dcov2_num"),
+        F.sum(F.col("axx") * F.col("axx")).cast("bigint").alias("dvarx_num"),
+        F.sum(F.col("ayy") * F.col("ayy")).cast("bigint").alias("dvary_num"),
+    )
+    dcor = F.when(
+        (F.col("dvarx_num") <= 0)
+        | (F.col("dvary_num") <= 0)
+        | (F.col("dcov2_num") <= 0),
+        F.lit(0.0),
+    ).otherwise(
+        F.sqrt(
+            F.col("dcov2_num").cast("double")
+            / F.sqrt(
+                F.col("dvarx_num").cast("double")
+                * F.col("dvary_num").cast("double")
+            )
+        )
+    )
+    return s.join(F.broadcast(n), F.lit(True), "left").select(
+        F.col("n").alias("n_days"),
+        "dcov2_num",
+        "dvarx_num",
+        "dvary_num",
+        F.round(dcor, 6).alias("dcor"),
+    )

@@ -481,6 +481,7 @@ _BATTERY4 = [
     "corpus_s_stemmer_tokens", "io_packbits_roundtrip",
     "ml_tukey_hsd", "ml_passing_bablok", "ml_deming_regression",
     "dq_checksum_audit", "ml_distribution_distances",
+    "warehouse_as_was_as_is", "ml_distance_correlation",
 ]
 
 
