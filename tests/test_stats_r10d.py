@@ -399,3 +399,120 @@ class TestChecksumAudit:
         assert r["sum_adler32"] == want_adler
         assert r["sum_crc32"] == want_crc
         del F, duckdb
+
+
+class TestMethodComparison:
+    def _write_xy_events(self, tmp_path, xy):
+        """days with exact (clicks, views) counts per day."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for day, (x, y) in enumerate(xy):
+            for _ in range(x):
+                rows.append((eid, base + dt.timedelta(days=day), "click"))
+                eid += 1
+            for _ in range(y):
+                rows.append((eid, base + dt.timedelta(days=day), "view"))
+                eid += 1
+        events = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        out = str(tmp_path)
+        pq.write_table(events, f"{out}/events.parquet")
+        import os as _os
+
+        for f in _os.listdir("/root/testdata/sf0.001"):
+            dst = f"{out}/{f}"
+            if f.startswith("events") or _os.path.exists(dst):
+                continue
+            _os.symlink(f"/root/testdata/sf0.001/{f}", dst)
+        return out
+
+    def test_deming_exact_linear(self, spark, tmp_path):
+        """y = 2x exactly => Deming slope == 2 (EIV reduces to the truth
+        when the relationship is noiseless)."""
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r10f import (
+            ml_deming_regression,
+        )
+
+        out = self._write_xy_events(
+            tmp_path, [(2, 4), (3, 6), (5, 10), (7, 14), (11, 22)]
+        )
+        r = ml_deming_regression(spark, out).collect()[0]
+        assert r["deming_slope"] == pytest.approx(2.0, abs=1e-6)
+
+    def test_passing_bablok_identity_line(self, spark, tmp_path):
+        """y = x + 3 => every pairwise slope is exactly 1."""
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r10f import (
+            ml_passing_bablok,
+        )
+
+        out = self._write_xy_events(
+            tmp_path, [(2, 5), (4, 7), (6, 9), (9, 12), (13, 16)]
+        )
+        r = ml_passing_bablok(spark, out).collect()[0]
+        assert r["pb_slope"] == pytest.approx(1.0, abs=1e-6)
+        assert r["n_below_minus1"] == 0
+
+    def test_dcor_perfect_dependence(self, spark, tmp_path):
+        """y = 3x => dCor == 1 (distance correlation detects exact linear
+        dependence at full strength)."""
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r10f import (
+            ml_distance_correlation,
+        )
+
+        out = self._write_xy_events(
+            tmp_path, [(1, 3), (2, 6), (4, 12), (7, 21), (8, 24)]
+        )
+        r = ml_distance_correlation(spark, out).collect()[0]
+        assert r["dcor"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_tukey_pairs_count(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r10f import (
+            ml_tukey_hsd,
+        )
+
+        rows = ml_tukey_hsd(spark, SF_DIR).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r["q_stat"] >= 0.0
+
+    def test_distribution_distance_bounds(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r10f import (
+            ml_distribution_distances,
+        )
+
+        r = ml_distribution_distances(spark, SF_DIR).collect()[0]
+        assert 0.0 <= r["total_variation"] <= 1.0
+        assert 0.0 <= r["bhattacharyya_coef"] <= 1.0 + 1e-9
+        assert 0.0 <= r["hellinger"] <= 1.0
+        # Hellinger^2 + BC == 1 by construction
+        assert r["hellinger"] ** 2 + r["bhattacharyya_coef"] == pytest.approx(
+            1.0, abs=5e-6
+        )
+
+    def test_as_was_as_is_totals(self, spark):
+        """As-is restates every attributable click, so the as-is total
+        click count is >= the as-was total (clicks before a user's first
+        version exist only as-is)."""
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r10f import (
+            warehouse_as_was_as_is,
+        )
+
+        rows = warehouse_as_was_as_is(spark, SF_DIR).collect()
+        assert rows
+        assert sum(r["n_as_is"] for r in rows) >= sum(
+            r["n_as_was"] for r in rows
+        )
