@@ -1,0 +1,329 @@
+"""Round-10g batch: inequality curve, survey sampling, OLS diagnostics.
+
+* ``agg_lorenz_curve_deciles`` — the Lorenz curve at the ten decile
+  points as exact ppm integer pairs (the curve the Gini/Palma/Hoover
+  indices summarize).
+* ``sample_pps_systematic`` — probability-proportional-to-size
+  systematic sampling in deterministic md5 order via cumulative-size
+  threshold crossings, all integer arithmetic.
+* ``ml_regression_diagnostics`` — per-point OLS diagnostics (residual,
+  leverage, Cook's distance) for the daily click->view regression, every
+  input an exact integer moment.
+
+Reference scope: [EXT] SURVEY §6 analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..session import pin_query_session_conf
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles
+# ---------------------------------------------------------------------------
+
+_ORACLE_LORENZ = """
+WITH x AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey
+  FROM orders
+),
+o AS (
+  SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n,
+         SUM(v) OVER (ORDER BY v, o_orderkey ROWS UNBOUNDED PRECEDING)
+           AS cum_v,
+         SUM(v) OVER () AS tot_v
+  FROM x
+),
+deciles AS (
+  -- the largest rn with rn*10 <= d*n: rn = (d*n) // 10
+  SELECT CAST(d.d AS BIGINT) AS decile, o.cum_v, o.tot_v, o.n
+  FROM (SELECT unnest(generate_series(1, 10)) AS d) d
+  JOIN o ON o.rn = (d.d * o.n) // 10
+)
+SELECT decile,
+       CAST(((decile * n // 10) * 1000000) // n AS BIGINT) AS cum_pop_ppm,
+       CAST((cum_v * 1000000) // tot_v AS BIGINT) AS cum_value_ppm
+FROM deciles
+"""
+
+
+@register(
+    "agg_lorenz_curve_deciles",
+    oracle=_ORACLE_LORENZ,
+    tags=("agg", "analytics"),
+    doc=(
+        "The Lorenz curve of order totals at the ten decile points: "
+        "orders sorted by value (deterministic o_orderkey tiebreak), the "
+        "decile row is the exact integer rank (d*n)//10, and both curve "
+        "coordinates are exact ppm INTEGER divisions of BIGINT "
+        "cumulative sums — the full inequality CURVE whose area the "
+        "repo's Gini summarizes and whose tails Palma/Pareto read.  One "
+        "global-order window (rank-bounded output: exactly 10 rows)."
+    ),
+)
+def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        "o_orderkey",
+    )
+    w = Window.orderBy("v", "o_orderkey")
+    o = x.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_v"),
+        F.sum("v").over(Window.partitionBy(F.lit(1))).alias("tot_v"),
+    )
+    d = spark.range(1, 11).select(F.col("id").cast("bigint").alias("decile"))
+    deciles = F.broadcast(d).join(
+        o, F.col("rn") == F.expr("(decile * n) div 10")
+    )
+    return deciles.select(
+        "decile",
+        F.expr("(((decile * n) div 10) * 1000000) div n")
+        .cast("bigint")
+        .alias("cum_pop_ppm"),
+        F.expr("(cum_v * 1000000) div tot_v")
+        .cast("bigint")
+        .alias("cum_value_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling
+# ---------------------------------------------------------------------------
+
+_PPS_SAMPLES = 50
+
+_ORACLE_PPS = f"""
+WITH x AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE n_chars > 0
+),
+o AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum,
+         SUM(n_chars) OVER () AS tot
+  FROM x
+),
+-- doc i is selected iff the half-open size interval [cum - n, cum)
+-- contains a sampling point k*tot/m for integer k in [0, m): the
+-- integer-exact test floor((cum-1)*m/tot) > floor((cum-n-1)*m/tot) via
+-- ((cum - 1) * m) // tot vs ((cum - n_chars - 1) * m) // tot
+sel AS (
+  SELECT doc_id, n_chars, cum, tot,
+         ((cum - 1) * {_PPS_SAMPLES}) // tot
+           - CASE WHEN cum - n_chars = 0 THEN -1
+                  ELSE ((cum - n_chars - 1) * {_PPS_SAMPLES}) // tot END
+           AS n_hits
+  FROM o
+)
+SELECT doc_id, n_chars, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST((cum * 1000000) // tot AS BIGINT) AS cum_ppm
+FROM sel WHERE n_hits > 0
+"""
+
+
+@register(
+    "sample_pps_systematic",
+    oracle=_ORACLE_PPS,
+    tags=("sample",),
+    doc=(
+        f"Probability-proportional-to-size systematic sample of "
+        f"{_PPS_SAMPLES} draws over the document corpus: documents line "
+        "up in deterministic md5 order, each occupies its n_chars-sized "
+        "interval of the cumulative size line, and a document is drawn "
+        "once per sampling point k*total/m landing inside its interval — "
+        "the point-in-interval test is EXACT integer floor-division "
+        "((cum-1)m)//tot minus the previous boundary, so no float ever "
+        "selects (big docs can be drawn multiple times, n_hits carries "
+        "the multiplicity).  The classic survey/importance design where "
+        "uniform sampling wastes budget on tiny units.  One global-order "
+        "window; output bounded by the sample count."
+    ),
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.where(F.col("n_chars") > 0).select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    w = Window.orderBy("h", "doc_id")
+    o = x.select(
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("n_chars").over(Window.partitionBy(F.lit(1))).alias("tot"),
+    )
+    n_hits = F.expr(
+        f"((cum - 1) * {_PPS_SAMPLES}) div tot"
+    ) - F.when(F.col("cum") - F.col("n_chars") == 0, F.lit(-1)).otherwise(
+        F.expr(f"((cum - n_chars - 1) * {_PPS_SAMPLES}) div tot")
+    )
+    sel = o.select(
+        "doc_id",
+        "n_chars",
+        n_hits.cast("bigint").alias("n_hits"),
+        F.expr("(cum * 1000000) div tot").cast("bigint").alias("cum_ppm"),
+    )
+    return sel.where(F.col("n_hits") > 0)
+
+
+# ---------------------------------------------------------------------------
+# OLS regression diagnostics over the daily spine
+# ---------------------------------------------------------------------------
+
+_ORACLE_REG_DIAG = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM daily
+),
+diag AS (
+  -- slope = Sxy/Sxx on n-scaled centered moments (exact integers);
+  -- residual_e6 and leverage_e9 are single fixed-op-order float
+  -- expressions on BIGINTs, re-fixed to integers per row
+  SELECT d.day, d.x, d.y, m.n,
+         CAST(round((CAST(d.y AS DOUBLE)
+                     - (CAST(m.sy AS DOUBLE) / m.n
+                        + (CAST(m.n AS DOUBLE) * m.sxy
+                           - CAST(m.sx AS DOUBLE) * m.sy)
+                          / (CAST(m.n AS DOUBLE) * m.sxx
+                             - CAST(m.sx AS DOUBLE) * m.sx)
+                          * (d.x - CAST(m.sx AS DOUBLE) / m.n)))
+                    * 1000000.0) AS BIGINT) AS resid_e6,
+         CAST(round((1.0 / m.n
+                     + (CAST(m.n AS DOUBLE) * d.x - m.sx)
+                       * (CAST(m.n AS DOUBLE) * d.x - m.sx)
+                       / m.n
+                       / (CAST(m.n AS DOUBLE) * m.sxx
+                          - CAST(m.sx AS DOUBLE) * m.sx))
+                    * 1000000000.0) AS BIGINT) AS lev_e9
+  FROM daily d, m
+),
+sse AS (
+  SELECT CAST(SUM(resid_e6 * resid_e6) AS BIGINT) AS sse_e12,
+         ANY_VALUE(n) AS n
+  FROM diag
+)
+SELECT d.day, d.x, d.y, d.resid_e6, d.lev_e9,
+       round(CASE WHEN s.n <= 2 OR s.sse_e12 = 0
+                       OR 1000000000 - d.lev_e9 <= 0 THEN 0.0
+                  ELSE (CAST(d.resid_e6 AS DOUBLE) * d.resid_e6
+                        / (CAST(s.sse_e12 AS DOUBLE) / (s.n - 2)))
+                       * (CAST(d.lev_e9 AS DOUBLE)
+                          / (1000000000.0 - d.lev_e9))
+                       / (2.0 * (1000000000.0 - d.lev_e9)
+                          / 1000000000.0) END,
+             6) AS cooks_d
+FROM diag d, sse s
+"""
+
+
+@register(
+    "ml_regression_diagnostics",
+    oracle=_ORACLE_REG_DIAG,
+    tags=("ml", "stats"),
+    doc=(
+        "Per-point OLS diagnostics for the daily click->view regression: "
+        "residuals and leverages rendered from exact integer moments by "
+        "single fixed-op-order expressions and re-FIXED to e6/e9 "
+        "integers per row (so the SSE cross-row sum is integer "
+        "arithmetic), then Cook's distance D_i = r_i^2/(p*MSE) * "
+        "h_i/(1-h_i)^2 as the final float — the WHICH-day-drives-the-fit "
+        "answer the slope alone hides.  Spine-bounded; one grouped "
+        "aggregate + two broadcast attaches."
+    ),
+)
+def ml_regression_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    dm = daily.join(F.broadcast(m), F.lit(True), "left")
+    sxx_c = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    sxy_c = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    yhat = (
+        F.col("sy").cast("double") / F.col("n")
+        + sxy_c / sxx_c * (F.col("x") - F.col("sx").cast("double") / F.col("n"))
+    )
+    ux = F.col("n").cast("double") * F.col("x") - F.col("sx")
+    diag = dm.select(
+        "day",
+        "x",
+        "y",
+        "n",
+        F.round((F.col("y").cast("double") - yhat) * 1000000.0)
+        .cast("bigint")
+        .alias("resid_e6"),
+        F.round(
+            (1.0 / F.col("n") + ux * ux / F.col("n") / sxx_c) * 1000000000.0
+        )
+        .cast("bigint")
+        .alias("lev_e9"),
+    )
+    sse = diag.agg(
+        F.sum(F.col("resid_e6") * F.col("resid_e6"))
+        .cast("bigint")
+        .alias("sse_e12"),
+        F.first("n").cast("bigint").alias("n_"),
+    )
+    out = diag.join(F.broadcast(sse), F.lit(True), "left")
+    cooks = F.when(
+        (F.col("n_") <= 2)
+        | (F.col("sse_e12") == 0)
+        | (1000000000 - F.col("lev_e9") <= 0),
+        F.lit(0.0),
+    ).otherwise(
+        (
+            F.col("resid_e6").cast("double")
+            * F.col("resid_e6")
+            / (F.col("sse_e12").cast("double") / (F.col("n_") - 2))
+        )
+        * (F.col("lev_e9").cast("double") / (1000000000.0 - F.col("lev_e9")))
+        / (2.0 * (1000000000.0 - F.col("lev_e9")) / 1000000000.0)
+    )
+    return out.select(
+        "day", "x", "y", "resid_e6", "lev_e9", F.round(cooks, 6).alias("cooks_d")
+    )
