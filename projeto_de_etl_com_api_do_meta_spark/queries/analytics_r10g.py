@@ -327,3 +327,155 @@ def ml_regression_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", "x", "y", "resid_e6", "lev_e9", F.round(cooks, 6).alias("cooks_d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test between two survival cohorts
+# ---------------------------------------------------------------------------
+
+_ORACLE_LOGRANK = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s0,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p0,
+         MAX(ts) AS last_seen
+  FROM events GROUP BY user_id
+),
+spells AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+         CASE WHEN p0 IS NOT NULL AND p0 >= s0 THEN 1 ELSE 0 END AS ev,
+         CASE WHEN p0 IS NOT NULL AND p0 >= s0
+              THEN date_diff('day', s0, p0)
+              ELSE date_diff('day', s0, last_seen) END AS dur
+  FROM per_user WHERE s0 IS NOT NULL
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM spells
+),
+grouped AS (
+  SELECT dur,
+         CAST(SUM(CASE WHEN cohort = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM spells GROUP BY dur
+),
+ordered AS (
+  SELECT dur, d1, d,
+         tot.t1 - COALESCE(SUM(r1) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+         tot.t - COALESCE(SUM(r) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM grouped, tot
+),
+terms AS (
+  SELECT d1, d, n1, n,
+         CAST(round(CAST(n1 AS DOUBLE) * d * 1000000000.0 / n) AS BIGINT)
+           AS e1_e9,
+         CAST(round(CASE WHEN n <= 1 THEN 0.0
+                         ELSE CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d)
+                              / (CAST(n AS DOUBLE) * n * (n - 1))
+                              * 1000000000.0 END) AS BIGINT) AS v_e9
+  FROM ordered WHERE d > 0
+)
+SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+       CAST(SUM(e1_e9) AS BIGINT) AS e1_e9,
+       CAST(SUM(v_e9) AS BIGINT) AS v_e9,
+       CAST(COUNT(*) AS BIGINT) AS n_event_times,
+       round(CASE WHEN SUM(v_e9) <= 0 THEN 0.0
+                  ELSE (CAST(SUM(d1) AS DOUBLE)
+                        - CAST(SUM(e1_e9) AS DOUBLE) / 1000000000.0)
+                       / sqrt(CAST(SUM(v_e9) AS DOUBLE) / 1000000000.0) END,
+             6) AS z_stat
+FROM terms
+"""
+
+
+@register(
+    "ml_logrank_test",
+    oracle=_ORACLE_LOGRANK,
+    tags=("ml", "stats", "events"),
+    doc=(
+        "Log-rank test between the odd/even user cohorts' signup-to-"
+        "purchase survival curves (same spell construction as "
+        "events_survival_kaplan_meier): at each distinct event time the "
+        "at-risk counts come from exact cumulative windows, the "
+        "hypergeometric expectation n1 d / n and variance d n1 (n-n1) "
+        "(n-d) / (n^2 (n-1)) are e9-FIXED per time before the cross-time "
+        "sums, and z = (O - E)/sqrt(V) is the single final float — the "
+        "do-the-curves-differ answer KM itself cannot give.  State "
+        "bounded by distinct durations (the calendar)."
+    ),
+)
+def ml_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p0"),
+        F.max("ts").alias("last_seen"),
+    )
+    converted = F.col("p0").isNotNull() & (F.col("p0") >= F.col("s0"))
+    spells = per_user.where(F.col("s0").isNotNull()).select(
+        (F.col("user_id") % 2).cast("bigint").alias("cohort"),
+        F.when(converted, 1).otherwise(0).alias("ev"),
+        F.when(converted, F.datediff(F.col("p0"), F.col("s0")))
+        .otherwise(F.datediff(F.col("last_seen"), F.col("s0")))
+        .alias("dur"),
+    )
+    tot = spells.agg(
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    grouped = spells.groupBy("dur").agg(
+        F.sum(F.when(F.col("cohort") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("r1"),
+        F.count(F.lit(1)).cast("bigint").alias("r"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    ordered = grouped.join(F.broadcast(tot), F.lit(True), "left").select(
+        "dur",
+        "d1",
+        "d",
+        (F.col("t1") - F.coalesce(F.sum("r1").over(wprev), F.lit(0))).alias("n1"),
+        (F.col("t") - F.coalesce(F.sum("r").over(wprev), F.lit(0))).alias("n"),
+    )
+    e1_e9 = F.round(
+        F.col("n1").cast("double") * F.col("d") * 1000000000.0 / F.col("n")
+    ).cast("bigint")
+    v_e9 = F.round(
+        F.when(F.col("n") <= 1, F.lit(0.0)).otherwise(
+            F.col("d").cast("double")
+            * F.col("n1")
+            * (F.col("n") - F.col("n1"))
+            * (F.col("n") - F.col("d"))
+            / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+            * 1000000000.0
+        )
+    ).cast("bigint")
+    terms = ordered.where(F.col("d") > 0).select(
+        "d1", e1_e9.alias("e1_e9"), v_e9.alias("v_e9")
+    )
+    z = F.when(F.sum("v_e9") <= 0, F.lit(0.0)).otherwise(
+        (
+            F.sum("d1").cast("double")
+            - F.sum("e1_e9").cast("double") / 1000000000.0
+        )
+        / F.sqrt(F.sum("v_e9").cast("double") / 1000000000.0)
+    )
+    return terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1_e9").cast("bigint").alias("e1_e9"),
+        F.sum("v_e9").cast("bigint").alias("v_e9"),
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        F.round(z, 6).alias("z_stat"),
+    )

@@ -180,9 +180,10 @@ _PRIORITY: tuple[str, ...] = (
     "events_control_chart_xbar_r",
     "embed_cluster_medoid",
     "corpus_mtld_diversity",
-    # ---- r10 session-2 additions (18 ops, all local-exact at sf0.01 AND
-    # sf0.1): they land AFTER the 50-name r10 window above, so they are the
-    # deliberate r11 carry-overs, pinned in module-batch order. ----
+    # ---- r10 session-2 additions (42 ops through ml_logrank_test, all
+    # local-exact at sf0.01 AND sf0.1 and virgin-swept): they land AFTER
+    # the 50-name r10 window above, so they are the deliberate r11
+    # carry-overs, pinned in module-batch order. ----
     "er_jaro_winkler_pairs",
     "er_damerau_levenshtein",
     "ml_brown_forsythe",
@@ -220,6 +221,10 @@ _PRIORITY: tuple[str, ...] = (
     "ml_distribution_distances",
     "warehouse_as_was_as_is",
     "ml_distance_correlation",
+    "agg_lorenz_curve_deciles",
+    "sample_pps_systematic",
+    "ml_regression_diagnostics",
+    "ml_logrank_test",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -574,6 +579,7 @@ def _load_all() -> None:
         analytics_r10b,
         analytics_r10c,
         analytics_r10d,
+        analytics_r10g,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

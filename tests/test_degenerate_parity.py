@@ -482,6 +482,8 @@ _BATTERY4 = [
     "ml_tukey_hsd", "ml_passing_bablok", "ml_deming_regression",
     "dq_checksum_audit", "ml_distribution_distances",
     "warehouse_as_was_as_is", "ml_distance_correlation",
+    "agg_lorenz_curve_deciles", "sample_pps_systematic",
+    "ml_regression_diagnostics", "ml_logrank_test",
 ]
 
 
