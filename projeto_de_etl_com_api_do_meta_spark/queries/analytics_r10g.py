@@ -479,3 +479,230 @@ def ml_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel chi-square (companion of the MH odds ratio)
+# ---------------------------------------------------------------------------
+
+_ORACLE_CMH = """
+WITH x AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN round(value * 100) >= 20000 THEN 1 ELSE 0 END AS e
+  FROM events WHERE value IS NOT NULL
+),
+cells AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(SUM(y) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x GROUP BY day
+),
+terms AS (
+  SELECT a,
+         CAST(round(CAST(r1 AS DOUBLE) * c1 * 1000000000.0 / n) AS BIGINT)
+           AS e_e9,
+         CAST(round(CASE WHEN n <= 1 THEN 0.0
+                         ELSE CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1)
+                              / (CAST(n AS DOUBLE) * n * (n - 1))
+                              * 1000000000.0 END) AS BIGINT) AS v_e9
+  FROM cells WHERE n > 0
+)
+SELECT CAST(SUM(a) AS BIGINT) AS sum_a,
+       CAST(SUM(e_e9) AS BIGINT) AS sum_e_e9,
+       CAST(SUM(v_e9) AS BIGINT) AS sum_v_e9,
+       CAST(COUNT(*) AS BIGINT) AS n_strata,
+       round(CASE WHEN SUM(v_e9) <= 0 THEN 0.0
+                  ELSE (ABS(CAST(SUM(a) AS DOUBLE)
+                            - CAST(SUM(e_e9) AS DOUBLE) / 1000000000.0)
+                        - 0.5)
+                       * (ABS(CAST(SUM(a) AS DOUBLE)
+                              - CAST(SUM(e_e9) AS DOUBLE) / 1000000000.0)
+                          - 0.5)
+                       / (CAST(SUM(v_e9) AS DOUBLE) / 1000000000.0) END,
+             6) AS cmh_chi2
+FROM terms
+"""
+
+
+@register(
+    "ml_cmh_chi2",
+    oracle=_ORACLE_CMH,
+    tags=("ml", "stats"),
+    doc=(
+        "Cochran-Mantel-Haenszel chi-square (continuity-corrected) for "
+        "the same day-stratified exposure->purchase tables as "
+        "ml_mantel_haenszel_or — the TEST companion of that estimate: "
+        "per-stratum hypergeometric expectation r1 c1/n and variance "
+        "r1(n-r1)c1(n-c1)/(n^2(n-1)) e9-FIXED before the cross-stratum "
+        "sums, observed cell count exact, one final float.  Detects a "
+        "common association the pooled table dilutes."
+    ),
+)
+def ml_cmh_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.where(F.col("value").isNotNull()).select(
+        F.to_date("ts").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.when(F.round(F.col("value") * 100) >= 20000, 1).otherwise(0).alias("e"),
+    )
+    cells = x.groupBy("day").agg(
+        F.sum(F.when((F.col("e") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("e") == 1, 1).otherwise(0)).cast("bigint").alias("r1"),
+        F.sum("y").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    e_e9 = F.round(
+        F.col("r1").cast("double") * F.col("c1") * 1000000000.0 / F.col("n")
+    ).cast("bigint")
+    v_e9 = F.round(
+        F.when(F.col("n") <= 1, F.lit(0.0)).otherwise(
+            F.col("r1").cast("double")
+            * (F.col("n") - F.col("r1"))
+            * F.col("c1")
+            * (F.col("n") - F.col("c1"))
+            / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+            * 1000000000.0
+        )
+    ).cast("bigint")
+    terms = cells.where(F.col("n") > 0).select(
+        "a", e_e9.alias("e_e9"), v_e9.alias("v_e9")
+    )
+    dev = F.abs(
+        F.sum("a").cast("double") - F.sum("e_e9").cast("double") / 1000000000.0
+    )
+    chi2 = F.when(F.sum("v_e9") <= 0, F.lit(0.0)).otherwise(
+        (dev - 0.5) * (dev - 0.5) / (F.sum("v_e9").cast("double") / 1000000000.0)
+    )
+    return terms.agg(
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum("e_e9").cast("bigint").alias("sum_e_e9"),
+        F.sum("v_e9").cast("bigint").alias("sum_v_e9"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.round(chi2, 6).alias("cmh_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact sign test (true binomial p-value via integer folds)
+# ---------------------------------------------------------------------------
+
+_ORACLE_SIGN_TEST = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN x <> y THEN 1 ELSE 0 END) AS BIGINT) AS n
+  FROM daily
+),
+p AS (
+  -- exact binomial tail: C(n,k) built by the integer-exact multiplicative
+  -- fold C*(n-k)//(k+1); tail_num = sum over k >= max(pos, n-pos) of
+  -- C(n,k), doubled unless the two tails coincide; p = tail/2^n
+  SELECT pos, n,
+         CASE WHEN n IS NULL OR n <= 0
+              THEN [CAST(1 AS BIGINT), CAST(0 AS BIGINT)]
+              ELSE list_reduce(
+           list_prepend([CAST(1 AS BIGINT), CAST(0 AS BIGINT)],
+                        list_transform(range(0, CAST(n AS BIGINT)),
+                                       k -> [k, CAST(0 AS BIGINT)])),
+           (acc, e) -> [
+             (acc[1] * (n - e[1])) // (e[1] + 1),
+             acc[2] + CASE WHEN e[1] >= GREATEST(pos, n - pos)
+                           THEN acc[1] ELSE 0 END]
+         ) END AS st
+  FROM s
+)
+SELECT pos AS n_positive, n AS n_nonzero,
+       CAST(st[2] + CASE WHEN n >= GREATEST(pos, n - pos)
+                         THEN st[1] ELSE 0 END AS BIGINT) AS tail_num,
+       round(LEAST(1.0,
+             CAST(st[2] + CASE WHEN n >= GREATEST(pos, n - pos)
+                               THEN st[1] ELSE 0 END AS DOUBLE)
+             * (CASE WHEN 2 * pos = n THEN 1 ELSE 2 END)
+             / power(2.0, CAST(n AS DOUBLE))), 6) AS p_two_sided
+FROM p
+"""
+
+
+@register(
+    "ml_sign_test_exact",
+    oracle=_ORACLE_SIGN_TEST,
+    tags=("ml", "stats"),
+    doc=(
+        "Exact sign test on the paired daily click-vs-view counts with a "
+        "TRUE exact binomial p-value (no normal approximation anywhere): "
+        "binomial coefficients are built inside a two-cell integer fold "
+        "via the multiplicative identity C(n,k+1) = C(n,k)(n-k)/(k+1) — "
+        "every division is exact integer arithmetic — the upper-tail sum "
+        "accumulates in the second cell, and p = 2*tail/2^n (capped at "
+        "1, halved when the split is exactly even).  The only test in "
+        "the repo whose P-VALUE itself is cross-engine exact; spine-"
+        "bounded (n <= days, C(n,k) < 2^n fits BIGINT for n <= 62)."
+    ),
+)
+def ml_sign_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = daily.agg(
+        F.sum(F.when(F.col("x") > F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("x") != F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n"),
+    )
+    # n <= 0 guard: Spark's sequence(0, -1) silently DESCENDS (step -1)
+    # where DuckDB's range(0, 0) is empty — never hand the fold that case
+    fold = (
+        "CASE WHEN n IS NULL OR n <= 0 "
+        "THEN array(CAST(1 AS BIGINT), CAST(0 AS BIGINT)) "
+        "ELSE aggregate(sequence(CAST(0 AS BIGINT), n - 1), "
+        "array(CAST(1 AS BIGINT), CAST(0 AS BIGINT)), "
+        "(acc, k) -> array("
+        "(element_at(acc, 1) * (n - k)) div (k + 1), "
+        "element_at(acc, 2) + CASE WHEN k >= GREATEST(pos, n - pos) "
+        "THEN element_at(acc, 1) ELSE CAST(0 AS BIGINT) END)) END"
+    )
+    p = s.select("pos", "n", F.expr(fold).alias("st"))
+    tail = (
+        F.expr("element_at(st, 2)")
+        + F.when(
+            F.col("n") >= F.greatest(F.col("pos"), F.col("n") - F.col("pos")),
+            F.expr("element_at(st, 1)"),
+        ).otherwise(0)
+    ).cast("bigint")
+    p_two = F.round(
+        F.least(
+            F.lit(1.0),
+            tail.cast("double")
+            * F.when(2 * F.col("pos") == F.col("n"), 1).otherwise(2)
+            / F.pow(F.lit(2.0), F.col("n").cast("double")),
+        ),
+        6,
+    )
+    return p.select(
+        F.col("pos").alias("n_positive"),
+        F.col("n").alias("n_nonzero"),
+        tail.alias("tail_num"),
+        p_two.alias("p_two_sided"),
+    )
