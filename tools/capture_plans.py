@@ -167,6 +167,26 @@ FLAGSHIPS = [
         "rescaled vectors — integer arithmetic end-to-end, so the plan "
         "carries no float-summation ordering hazard across engines.",
     ),
+    (
+        "er_jaro_winkler_pairs",
+        "String-distance ER join (r10s2): candidate pairs come from a "
+        "first-word-block equi-join (SortMergeJoin on the block key, "
+        "capped at 256 members by a row_number window), the O(pairs) "
+        "mass gate is the JVM-side codegen levenshtein <= 3 filter, and "
+        "only the gate's few-per-mille survivors reach the Arrow-batched "
+        "Python JW scorer — the UDF never sees the candidate fire-hose. "
+        "At 100 TB pair work is blocks x cap^2 with the vocabulary "
+        "growing Heaps-sublinearly (SCALE_PROBE_r10c pins the cap "
+        "engaging at x16).",
+    ),
+    (
+        "geo_geohash_encode",
+        "Geohash bucketing (r10s2): the 25-bit interleave is ~75 "
+        "constant-folded integer terms inside ONE WholeStageCodegen "
+        "projection over the union scan — a map-only stage ending in a "
+        "partial-count hash aggregate; the only exchange hashes the "
+        "gh4 prefix. Scan-linear to x64 in the probe.",
+    ),
 ]
 
 
