@@ -706,3 +706,91 @@ def ml_sign_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         tail.alias("tail_num"),
         p_two.alias("p_two_sided"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+_ORACLE_K_ANON = """
+WITH qi AS (
+  -- quasi-identifier tuple: (event type, day-of-week, value decile band);
+  -- sensitive attribute: user_id
+  SELECT event_type AS et,
+         -- portable day-of-week: days since Monday 1970-01-05 mod 7
+         -- (dayofweek() numbers Sunday differently across engines)
+         CAST((CAST(ts AS DATE) - DATE '1970-01-05') % 7 AS BIGINT) AS dow,
+         CAST(floor(round(value * 100) / 10000.0) AS BIGINT) AS band,
+         user_id
+  FROM events WHERE value IS NOT NULL
+),
+grp AS (
+  SELECT et, dow, band,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+  FROM qi GROUP BY et, dow, band
+)
+SELECT et AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MIN(l) AS BIGINT) AS l_min,
+       CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_k5,
+       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+         AS n_rows_suppressed,
+       CAST((SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000)
+            // SUM(k) AS BIGINT) AS suppressed_ppm
+FROM grp GROUP BY et
+"""
+
+
+@register(
+    "dq_k_anonymity_profile",
+    oracle=_ORACLE_K_ANON,
+    tags=("dq", "privacy"),
+    doc=(
+        "k-anonymity / l-diversity audit of the release-shaped "
+        "quasi-identifier tuple (event type, day-of-week, value band) "
+        "with user_id as the sensitive attribute: per-type group counts, "
+        "the minimum equivalence-class size k_min, the minimum distinct-"
+        "sensitive count l_min, and the exact ppm of rows a k>=5 "
+        "suppression policy would drop (integer floor division — the "
+        "CAST(double AS BIGINT) rounding split never crosses the "
+        "boundary).  The privacy gate a training-data release runs "
+        "before export; one grouped aggregate, map-side combinable "
+        "except the COUNT DISTINCT."
+    ),
+)
+def dq_k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("et"),
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-05")) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.floor(F.round(F.col("value") * 100) / 10000.0)
+        .cast("bigint")
+        .alias("band"),
+        "user_id",
+    )
+    grp = qi.groupBy("et", "dow", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.countDistinct("user_id").cast("bigint").alias("l"),
+    )
+    return grp.groupBy(F.col("et").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.min("l").cast("bigint").alias("l_min"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_groups_below_k5"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_suppressed"),
+        F.expr(
+            "(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000) div sum(k)"
+        )
+        .cast("bigint")
+        .alias("suppressed_ppm"),
+    )

@@ -484,7 +484,7 @@ _BATTERY4 = [
     "warehouse_as_was_as_is", "ml_distance_correlation",
     "agg_lorenz_curve_deciles", "sample_pps_systematic",
     "ml_regression_diagnostics", "ml_logrank_test",
-    "ml_cmh_chi2", "ml_sign_test_exact",
+    "ml_cmh_chi2", "ml_sign_test_exact", "dq_k_anonymity_profile",
 ]
 
 
