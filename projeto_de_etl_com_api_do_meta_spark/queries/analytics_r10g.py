@@ -794,3 +794,320 @@ def dq_k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("suppressed_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Atkinson inequality index (epsilon = 2: fully rational form)
+# ---------------------------------------------------------------------------
+
+_ORACLE_ATKINSON = """
+WITH x AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+  WHERE o_totalprice > 0
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         -- per-row reciprocal e12-fixed BEFORE the sum (order-free)
+         CAST(SUM(CAST(round(1000000000000.0 / v) AS BIGINT)) AS BIGINT)
+           AS rsum_e12
+  FROM x
+)
+SELECT n, s, rsum_e12,
+       round(CASE WHEN n = 0 OR s = 0 OR rsum_e12 = 0 THEN 0.0
+                  ELSE 1.0 - (CAST(n AS DOUBLE) * n * 1000000000000.0
+                              / rsum_e12) / (CAST(s AS DOUBLE) / n) / n END,
+             6) AS atkinson_eps2
+FROM m
+"""
+
+
+@register(
+    "agg_atkinson_inequality",
+    oracle=_ORACLE_ATKINSON,
+    tags=("agg", "analytics"),
+    doc=(
+        "Atkinson inequality index at epsilon=2 — the one epsilon where "
+        "the index is fully RATIONAL: A_2 = 1 - harmonic_mean / "
+        "arithmetic_mean, with each reciprocal e12-FIXED before the "
+        "order-free integer sum.  The welfare-theoretic member of the "
+        "inequality suite (Gini/Palma/Hoover/HHI/Lorenz), more sensitive "
+        "to the bottom of the distribution than any of them.  One "
+        "map-side-combinable aggregate."
+    ),
+)
+def agg_atkinson_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.where(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    r_e12 = F.round(1000000000000.0 / F.col("v")).cast("bigint")
+    m = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(r_e12).cast("bigint").alias("rsum_e12"),
+    )
+    atkinson = F.when(
+        (F.col("n") == 0) | (F.col("s") == 0) | (F.col("rsum_e12") == 0),
+        F.lit(0.0),
+    ).otherwise(
+        1.0
+        - (
+            F.col("n").cast("double")
+            * F.col("n")
+            * 1000000000000.0
+            / F.col("rsum_e12")
+        )
+        / (F.col("s").cast("double") / F.col("n"))
+        / F.col("n")
+    )
+    return m.select(
+        "n", "s", "rsum_e12", F.round(atkinson, 6).alias("atkinson_eps2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mood's rank-based scale (dispersion) test
+# ---------------------------------------------------------------------------
+
+_ORACLE_MOOD_SCALE = """
+WITH x AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS s,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+),
+d AS (
+  SELECT v, CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM x GROUP BY v
+),
+cum AS (
+  SELECT v, c1, c,
+         SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS below,
+         SUM(c) OVER () AS nn
+  FROM d
+),
+blocks AS (
+  -- exact per-block sum of (2r - (N+1))^2 over the tie block's rank
+  -- range [below+1, below+c], via the closed forms for sum r and
+  -- sum r^2 (all BIGINT); each sample-1 member carries the block
+  -- AVERAGE, e6-fixed before the cross-block sum
+  SELECT c1, c, nn,
+         4 * ((below + c) * (below + c + 1) * (2 * (below + c) + 1) // 6
+              - below * (below + 1) * (2 * below + 1) // 6)
+         - 4 * (nn + 1)
+             * ((below + 1 + below + c) * c // 2)
+         + c * (nn + 1) * (nn + 1) AS block_sq_sum
+  FROM cum
+),
+terms AS (
+  -- block averages sit at ~1e8-1e11 magnitude, so unit (e0) rounding
+  -- is lossless in the 6th decimal and keeps the cross-block BIGINT
+  -- sum far from overflow at any sf
+  SELECT CAST(round(CAST(c1 AS DOUBLE) * block_sq_sum / c)
+              AS BIGINT) AS t_i,
+         c1, nn
+  FROM blocks
+)
+SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+       ANY_VALUE(nn) AS n_total,
+       CAST(SUM(t_i) AS BIGINT) AS mood4_sum,
+       round(CAST(SUM(t_i) AS DOUBLE) / 4.0, 6) AS mood_stat
+FROM terms
+"""
+
+
+@register(
+    "ml_mood_scale_test",
+    oracle=_ORACLE_MOOD_SCALE,
+    tags=("ml", "stats"),
+    doc=(
+        "Mood's rank-based scale (dispersion) test between the click and "
+        "view value distributions: M = sum over sample-1 of (r - "
+        "(N+1)/2)^2 with tie-averaged ranks handled EXACTLY — each tie "
+        "block's sum of (2r - (N+1))^2 comes from the integer closed "
+        "forms for sum r and sum r^2 over the block's rank range, the "
+        "per-member average is e6-fixed before the cross-block sum, and "
+        "the /4 descaling is the final float.  The rank-based sibling "
+        "of Brown-Forsythe (moment-based) for the same "
+        "are-the-spreads-equal question; spine-bounded."
+    ),
+)
+def ml_mood_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.where(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "view")
+    ).select(
+        F.when(F.col("event_type") == "click", 1).otherwise(2).alias("s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    d = x.groupBy("v").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = d.select(
+        "c1",
+        "c",
+        (F.sum("c").over(wc) - F.col("c")).alias("below"),
+        F.sum("c").over(Window.partitionBy(F.lit(1))).alias("nn"),
+    )
+    # integer closed form: 4*(sum r^2) - 4*(N+1)*(sum r) + c*(N+1)^2,
+    # with sum r^2 = (hi(hi+1)(2hi+1) - lo(lo+1)(2lo+1))/6 and
+    # sum r = (lo+1 + hi)*c/2 — both divisions exact (consecutive-integer
+    # products), kept in INTEGER floor division on both engines
+    block_sq_sum = (
+        4 * F.expr(
+            "((below + c) * (below + c + 1) * (2 * (below + c) + 1)) div 6"
+            " - (below * (below + 1) * (2 * below + 1)) div 6"
+        )
+        - 4 * (F.col("nn") + 1) * F.expr("((below + 1 + below + c) * c) div 2")
+        + F.col("c") * (F.col("nn") + 1) * (F.col("nn") + 1)
+    )
+    terms = cum.select(
+        "c1",
+        "nn",
+        F.round(
+            F.col("c1").cast("double") * block_sq_sum / F.col("c")
+        )
+        .cast("bigint")
+        .alias("t_i"),
+    )
+    return terms.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.first("nn").cast("bigint").alias("n_total"),
+        F.sum("t_i").cast("bigint").alias("mood4_sum"),
+        F.round(F.sum("t_i").cast("double") / 4.0, 6).alias("mood_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Siegel repeated-medians robust slope
+# ---------------------------------------------------------------------------
+
+_ORACLE_SIEGEL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+slopes AS (
+  SELECT a.day AS di,
+         CAST(round(CAST(b.y - a.y AS DOUBLE) * 1000000.0 / (b.x - a.x))
+              AS BIGINT) AS s_e6
+  FROM daily a JOIN daily b ON a.day <> b.day AND a.x <> b.x
+),
+inner_rk AS (
+  SELECT di, s_e6,
+         row_number() OVER (PARTITION BY di ORDER BY s_e6) AS rn,
+         COUNT(*) OVER (PARTITION BY di) AS n
+  FROM slopes
+),
+inner_med AS (  -- 2*median of each point's slope list (e6 scale)
+  SELECT di,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN s_e6 ELSE 0 END)
+              + SUM(CASE WHEN rn = (n + 2) // 2 THEN s_e6 ELSE 0 END)
+              AS BIGINT) AS m2_e6
+  FROM inner_rk GROUP BY di
+),
+outer_rk AS (
+  SELECT m2_e6, row_number() OVER (ORDER BY m2_e6, di) AS rn,
+         COUNT(*) OVER () AS n
+  FROM inner_med
+)
+SELECT ANY_VALUE(n) AS n_points,
+       CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN m2_e6 ELSE 0 END)
+            + SUM(CASE WHEN rn = (n + 2) // 2 THEN m2_e6 ELSE 0 END)
+            AS BIGINT) AS m4_e6,
+       round(CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN m2_e6 ELSE 0 END)
+                  + SUM(CASE WHEN rn = (n + 2) // 2 THEN m2_e6 ELSE 0 END)
+                  AS DOUBLE) / 4000000.0, 6) AS siegel_slope
+FROM outer_rk
+"""
+
+
+@register(
+    "ml_siegel_repeated_medians",
+    oracle=_ORACLE_SIEGEL,
+    tags=("ml", "stats"),
+    doc=(
+        "Siegel repeated-medians slope between the click and view daily "
+        "series: each point's median pairwise slope (e6-fixed integers, "
+        "two-middle order-statistic selection), then the median of those "
+        "medians — 50% breakdown where Theil-Sen holds only 29%, the "
+        "most outlier-robust line the repo fits.  Entirely INTEGER once "
+        "slopes are fixed (nested 2x/4x median scales); both median "
+        "selections are spine-bounded windows (n days, n^2 pair slopes "
+        "at ~30 days regardless of event volume)."
+    ),
+)
+def ml_siegel_repeated_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_query_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.day") != F.col("b.day")) & (F.col("a.x") != F.col("b.x")),
+        )
+        .select(
+            F.col("a.day").alias("di"),
+            F.round(
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                * 1000000.0
+                / (F.col("b.x") - F.col("a.x"))
+            )
+            .cast("bigint")
+            .alias("s_e6"),
+        )
+    )
+    inner_rk = slopes.select(
+        "di",
+        "s_e6",
+        F.row_number()
+        .over(Window.partitionBy("di").orderBy("s_e6"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("di")).alias("n"),
+    )
+    inner_med = inner_rk.groupBy("di").agg(
+        (
+            F.sum(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("s_e6")).otherwise(0)
+            )
+            + F.sum(
+                F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("s_e6")).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("m2_e6")
+    )
+    outer_rk = inner_med.select(
+        "m2_e6",
+        F.row_number().over(Window.orderBy("m2_e6", "di")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    m4 = (
+        F.sum(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("m2_e6")).otherwise(0)
+        )
+        + F.sum(
+            F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("m2_e6")).otherwise(0)
+        )
+    ).cast("bigint")
+    return outer_rk.agg(
+        F.first("n").cast("bigint").alias("n_points"),
+        m4.alias("m4_e6"),
+        F.round(m4.cast("double") / 4000000.0, 6).alias("siegel_slope"),
+    )

@@ -180,7 +180,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_control_chart_xbar_r",
     "embed_cluster_medoid",
     "corpus_mtld_diversity",
-    # ---- r10 session-2 additions (44 ops through dq_k_anonymity_profile, all
+    # ---- r10 session-2 additions (47 ops through ml_siegel_repeated_medians, all
     # local-exact at sf0.01 AND sf0.1 and virgin-swept): they land AFTER
     # the 50-name r10 window above, so they are the deliberate r11
     # carry-overs, pinned in module-batch order. ----
@@ -228,6 +228,9 @@ _PRIORITY: tuple[str, ...] = (
     "ml_cmh_chi2",
     "ml_sign_test_exact",
     "dq_k_anonymity_profile",
+    "agg_atkinson_inequality",
+    "ml_mood_scale_test",
+    "ml_siegel_repeated_medians",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",

@@ -485,6 +485,8 @@ _BATTERY4 = [
     "agg_lorenz_curve_deciles", "sample_pps_systematic",
     "ml_regression_diagnostics", "ml_logrank_test",
     "ml_cmh_chi2", "ml_sign_test_exact", "dq_k_anonymity_profile",
+    "agg_atkinson_inequality", "ml_mood_scale_test",
+    "ml_siegel_repeated_medians",
 ]
 
 
