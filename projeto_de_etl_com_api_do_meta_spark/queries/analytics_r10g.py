@@ -910,7 +910,7 @@ terms AS (
   FROM blocks
 )
 SELECT CAST(SUM(c1) AS BIGINT) AS n1,
-       ANY_VALUE(nn) AS n_total,
+       CAST(ANY_VALUE(nn) AS BIGINT) AS n_total,
        CAST(SUM(t_i) AS BIGINT) AS mood4_sum,
        round(CAST(SUM(t_i) AS DOUBLE) / 4.0, 6) AS mood_stat
 FROM terms
