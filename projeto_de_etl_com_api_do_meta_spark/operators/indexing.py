@@ -291,6 +291,29 @@ def grouped_prefix_sums(
     return parts.mapInPandas(assign, out_schema)
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running total of ``value_col`` in ``order_cols`` order —
+    the scalable replacement for ``SUM(v) OVER (ORDER BY ...)``: a
+    constant-group projection onto :func:`grouped_prefix_sums`, i.e. the
+    same two-pass shape (range repartition on the order key; pass 1
+    collects ``nparts`` per-partition value sums to the driver; pass 2
+    adds local cumulative sums on the prefix-summed offsets).  Rows never
+    funnel through one partition.  ``order_cols`` tuples must be unique;
+    ``value_col`` must be integral (exact long sums)."""
+    marked = df.withColumn("_g", F.lit(1))
+    out = grouped_prefix_sums(
+        marked, "_g", order_cols, value_col, out_col, inclusive, num_partitions
+    )
+    return out.drop("_g")
+
+
 def compact_to_target_files(
     df: DataFrame, path: str, target_mb: int = 128, row_bytes_estimate: int = 100
 ) -> int:

@@ -62,37 +62,49 @@ FROM deciles
         "decile row is the exact integer rank (d*n)//10, and both curve "
         "coordinates are exact ppm INTEGER divisions of BIGINT "
         "cumulative sums — the full inequality CURVE whose area the "
-        "repo's Gini summarizes and whose tails Palma/Pareto read.  One "
-        "global-order window (rank-bounded output: exactly 10 rows)."
+        "repo's Gini summarizes and whose tails Palma/Pareto read.  "
+        "Engine side runs on the distinct-cent VALUE SPINE (cumulative "
+        "count/value sums over groupBy(v); the decile rank is located "
+        "inside its homogeneous v-block, where the tiebreak order is "
+        "value-free) — no raw-row global sort; output exactly 10 rows."
     ),
 )
 def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     orders = load_table(spark, sf_dir, "orders")
     x = orders.select(
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
-        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
     )
-    w = Window.orderBy("v", "o_orderkey")
-    o = x.select(
+    d = x.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wg = Window.partitionBy(F.lit(1))
+    o = d.select(
         "v",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
-        F.sum("v")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum_v"),
-        F.sum("v").over(Window.partitionBy(F.lit(1))).alias("tot_v"),
+        "c",
+        F.sum("c").over(wc).alias("cum_n"),
+        F.sum(F.col("v") * F.col("c")).over(wc).alias("cum_v"),
+        F.sum("c").over(wg).alias("n"),
+        F.sum(F.col("v") * F.col("c")).over(wg).alias("tot_v"),
     )
-    d = spark.range(1, 11).select(F.col("id").cast("bigint").alias("decile"))
-    deciles = F.broadcast(d).join(
-        o, F.col("rn") == F.expr("(decile * n) div 10")
+    dd = spark.range(1, 11).select(F.col("id").cast("bigint").alias("decile"))
+    r = F.expr("(decile * n) div 10")
+    deciles = F.broadcast(dd).join(
+        o, (F.col("cum_n") - F.col("c") < r) & (r <= F.col("cum_n"))
     )
+    # exact cumulative value at rank r: all rows of the straddling block
+    # share v, so subtract the block rows past r — identical to the
+    # oracle's raw-row prefix sum at rn = r regardless of tiebreak.
     return deciles.select(
         "decile",
         F.expr("(((decile * n) div 10) * 1000000) div n")
         .cast("bigint")
         .alias("cum_pop_ppm"),
-        F.expr("(cum_v * 1000000) div tot_v")
+        F.expr(
+            "((cum_v - v * (cum_n - (decile * n) div 10)) * 1000000)"
+            " div tot_v"
+        )
         .cast("bigint")
         .alias("cum_value_ppm"),
     )
@@ -148,11 +160,17 @@ FROM sel WHERE n_hits > 0
         "((cum-1)m)//tot minus the previous boundary, so no float ever "
         "selects (big docs can be drawn multiple times, n_hits carries "
         "the multiplicity).  The classic survey/importance design where "
-        "uniform sampling wastes budget on tiny units.  One global-order "
-        "window; output bounded by the sample count."
+        "uniform sampling wastes budget on tiny units.  The cumulative "
+        "size line is a TWO-PHASE PREFIX SUM (range repartition on the "
+        "md5 order key, per-partition subtotals to the driver, local "
+        "cumsums on the prefix-summed offsets — the ids_global_dense "
+        "machinery), so raw rows never funnel through one partition; "
+        "output bounded by the sample count."
     ),
 )
 def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import global_prefix_sum
+
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
     x = docs.where(F.col("n_chars") > 0).select(
@@ -160,15 +178,12 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
     )
-    w = Window.orderBy("h", "doc_id")
-    o = x.select(
-        "doc_id",
-        "n_chars",
-        F.sum("n_chars")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
-        F.sum("n_chars").over(Window.partitionBy(F.lit(1))).alias("tot"),
-    )
+    # corpus total as a driver-side literal (one map-side-combinable
+    # scalar aggregate) — no crossJoin, no window.
+    tot = int(x.agg(F.sum("n_chars")).collect()[0][0] or 0)
+    o = global_prefix_sum(
+        x, ["h", "doc_id"], "n_chars", out_col="cum", inclusive=True
+    ).select("doc_id", "n_chars", "cum", F.lit(tot).cast("bigint").alias("tot"))
     n_hits = F.expr(
         f"((cum - 1) * {_PPS_SAMPLES}) div tot"
     ) - F.when(F.col("cum") - F.col("n_chars") == 0, F.lit(-1)).otherwise(
@@ -630,7 +645,7 @@ SELECT pos AS n_positive, n AS n_nonzero,
        round(LEAST(1.0,
              CAST(st[2] + CASE WHEN n >= GREATEST(pos, n - pos)
                                THEN st[1] ELSE 0 END AS DOUBLE)
-             * (CASE WHEN 2 * pos = n THEN 1 ELSE 2 END)
+             * 2.0
              / power(2.0, CAST(n AS DOUBLE))), 6) AS p_two_sided
 FROM p
 """
@@ -649,7 +664,10 @@ FROM p
         "accumulates in the second cell, and p = 2*tail/2^n (capped at "
         "1, halved when the split is exactly even).  The only test in "
         "the repo whose P-VALUE itself is cross-engine exact; spine-"
-        "bounded (n <= days, C(n,k) < 2^n fits BIGINT for n <= 62)."
+        "bounded (n <= days; a runtime assert_true raises LOUDLY past "
+        "n = 62, where the exact C(n,k) fold would wrap BIGINT — DuckDB "
+        "raises there by itself).  Even splits render the conventional "
+        "capped p = 1.0 (scipy binomtest convention)."
     ),
 )
 def ml_sign_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,7 +701,17 @@ def ml_sign_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(acc, 2) + CASE WHEN k >= GREATEST(pos, n - pos) "
         "THEN element_at(acc, 1) ELSE CAST(0 AS BIGINT) END)) END"
     )
-    p = s.select("pos", "n", F.expr(fold).alias("st"))
+    # loud overflow guard: C(n,k) exceeds BIGINT past n = 62 and Spark's
+    # integer fold would silently wrap where DuckDB raises (ADVICE r10) —
+    # assert_true yields NULL on pass, errors the task on violation
+    guarded = s.where(
+        F.expr(
+            "assert_true(n IS NULL OR n <= 62, 'ml_sign_test_exact: more "
+            "than 62 nonzero-diff days overflows the exact C(n,k) BIGINT "
+            "fold; use a normal-approximation twin beyond that') IS NULL"
+        )
+    )
+    p = guarded.select("pos", "n", F.expr(fold).alias("st"))
     tail = (
         F.expr("element_at(st, 2)")
         + F.when(
@@ -691,11 +719,14 @@ def ml_sign_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("element_at(st, 1)"),
         ).otherwise(0)
     ).cast("bigint")
+    # scipy two-sided convention: always 2*tail, LEAST caps the even-split
+    # central double-count at exactly 1.0 (ADVICE r10 — the factor-1 arm
+    # emitted ~0.5+central instead of the conventional 1.0)
     p_two = F.round(
         F.least(
             F.lit(1.0),
             tail.cast("double")
-            * F.when(2 * F.col("pos") == F.col("n"), 1).otherwise(2)
+            * 2.0
             / F.pow(F.lit(2.0), F.col("n").cast("double")),
         ),
         6,

@@ -97,7 +97,11 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 2)
         .select("u", "v")
-        .persist()
+        # eager localCheckpoint instead of persist: the edge set feeds four
+        # downstream branches, and a bare persist leaked pinned blocks
+        # across full-registry sweeps (ADVICE r10) — the graph_ktruss_peel
+        # idiom materializes once and lets GC reap the blocks
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("node"))

@@ -125,7 +125,6 @@ def _capped_bigram_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct lowercase word-bigram strings blocked on their first word,
     membership capped at _BLOCK_CAP by row_number over the bigram order."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
     bigrams = (
         docs.select(
             F.explode(
@@ -139,7 +138,6 @@ def _capped_bigram_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bg").rlike("^[a-z]+ [a-z]+$"))
         .distinct()
     )
-    del ws
     blk = bigrams.select(
         "bg", F.split("bg", " ").getItem(0).alias("blk")
     ).withColumn(

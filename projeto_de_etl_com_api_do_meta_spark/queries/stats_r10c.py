@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..session import pin_query_session_conf
+from ._shared import grand_median2_spine
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -229,8 +230,10 @@ FROM c, gl
         "integer 2*median of the cents fixed point, each group's "
         "above/not-above split is an exact integer compare (2x > m2), "
         "and the per-group chi-square contribution is the single final "
-        "float from those BIGINTs.  One global window + one grouped "
-        "aggregate; degenerate all-above/all-below renders 0."
+        "float from those BIGINTs.  The median comes off the "
+        "distinct-cent spine (cumulative counts locate the middle order "
+        "statistics — no raw-row global sort) + one grouped aggregate; "
+        "degenerate all-above/all-below renders 0."
     ),
 )
 def ml_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,23 +243,9 @@ def ml_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("g"),
         F.round(F.col("value") * 100).cast("bigint").alias("x"),
     )
-    w = Window.orderBy("x")
-    o = x.select(
-        "g",
-        "x",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy(F.lit(1))
-        ).alias("n"),
-    )
-    m = o.agg(
-        (
-            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("x")).otherwise(0))
-            + F.sum(F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("x")).otherwise(0))
-        )
-        .cast("bigint")
-        .alias("m2")
-    )
+    # 2*grand-median from the distinct-cent spine — never a raw-row
+    # global sort (plan-audit: the ml_auc_roc_exact contract).
+    m = grand_median2_spine(x.select("x"), "x", "m2")
     c = (
         x.join(F.broadcast(m), F.lit(True), "left")
         .groupBy("g")

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..session import pin_query_session_conf
+from ._shared import grand_median2_spine
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -664,7 +665,8 @@ FROM cm
         "Confusion-matrix effect battery (MCC, F1, balanced accuracy, "
         "Youden informedness) for the value-predicts-purchase classifier "
         "at the EXACT grand-median threshold: the cut is the integer "
-        "2*median order statistic, every cell of the confusion matrix is "
+        "2*median order statistic located on the distinct-cent spine "
+        "(no raw-row global sort), every cell of the confusion matrix is "
         "an exact BIGINT (2*score > med2 integer compares), and each "
         "metric is one final float expression — MCC's four marginal "
         "products run in double because their product overflows BIGINT "
@@ -680,24 +682,9 @@ def ml_mcc_confusion_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
         F.round(F.col("value") * 100).cast("bigint").alias("score"),
     )
-    o = x.select(
-        "label",
-        "score",
-        F.row_number().over(Window.orderBy("score")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
-    )
-    m = o.agg(
-        (
-            F.sum(
-                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("score")).otherwise(0)
-            )
-            + F.sum(
-                F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("score")).otherwise(0)
-            )
-        )
-        .cast("bigint")
-        .alias("med2")
-    )
+    # 2*grand-median off the distinct-cent spine — never a raw-row global
+    # sort (plan-audit: the ml_auc_roc_exact contract).
+    m = grand_median2_spine(x.select("score"), "score", "med2")
     pred_pos = 2 * F.col("score") > F.col("med2")
     cm = x.join(F.broadcast(m), F.lit(True), "left").agg(
         F.sum(F.when((F.col("label") == 1) & pred_pos, 1).otherwise(0))

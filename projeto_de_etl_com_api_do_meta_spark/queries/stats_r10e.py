@@ -373,10 +373,15 @@ def _packbits_len_sql() -> str:
     (maximal groups of consecutive runs<3) cost len + ceil(len/128)."""
     return """
 WITH chars AS (
-  SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 1) AS ch
+  -- byte i of the UTF-8 encoding as its 2-char hex slice: the encoder is
+  -- a BYTE codec, and substr(text, i) would index CHARACTERS over a
+  -- byte-length range (ADVICE r10: phantom ''-runs on non-ASCII docs);
+  -- hex(encode()) is pure ASCII, so char indexing == byte indexing.
+  SELECT doc_id, i,
+         substr(hex(encode(text)), CAST(2 * i - 1 AS INTEGER), 2) AS ch
   FROM documents,
        LATERAL (SELECT unnest(generate_series(
-                  1, CAST(strlen(text) AS BIGINT))) AS i)
+                  1, CAST(octet_length(encode(text)) AS BIGINT))) AS i)
 ),
 marks AS (
   SELECT doc_id, i, ch,

@@ -620,15 +620,19 @@ WITH src AS (
 ),
 changes AS (
   SELECT * FROM (
-    SELECT user_id, ts, tier,
+    SELECT user_id, ts, event_id, tier,
            lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS prev
     FROM src)
   WHERE prev IS NULL OR tier <> prev
 ),
 versions AS (
+  -- event_id tiebreak matches the change-detection lag: two same-ts tier
+  -- changes for one user must close in the same order in both engines
+  -- (ADVICE r10)
   SELECT user_id, ts AS valid_from, tier,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
   FROM changes
 ),
 clicks AS (
@@ -677,7 +681,6 @@ def warehouse_as_was_as_is(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wv = Window.partitionBy("user_id").orderBy("ts")
     src = ev.where(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     ).select(
@@ -691,17 +694,16 @@ def warehouse_as_was_as_is(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = (
         src.withColumn("prev", F.lag("tier").over(w))
         .where(F.col("prev").isNull() | (F.col("tier") != F.col("prev")))
-        .drop("prev", "event_id")
+        .drop("prev")
     )
+    # same (ts, event_id) tiebreak as the change-detection lag, so two
+    # same-timestamp tier changes close deterministically (ADVICE r10)
     versions = changes.select(
         F.col("user_id").alias("v_user_id"),
         F.col("ts").alias("valid_from"),
         "tier",
-        F.lead("ts").over(
-            Window.partitionBy("user_id").orderBy("ts")
-        ).alias("valid_to"),
+        F.lead("ts").over(w).alias("valid_to"),
     )
-    del wv
     clicks = ev.where(
         (F.col("event_type") == "click") & F.col("value").isNotNull()
     ).select(

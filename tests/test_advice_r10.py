@@ -127,15 +127,25 @@ def test_coverage_counts_block_fresh():
     stale twice; now regeneration is asserted in CI)."""
     import sys as _sys
 
+    import re as _re
+
     _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from gen_operators_md import _CC_BEGIN, _CC_END, _coverage_counts
 
-    total, n_oracle, n_green, latest = _coverage_counts()
     text = open(
         os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     ).read()
     start = text.index(_CC_BEGIN)
     block = text[start : text.index(_CC_END)]
+    # Compare against artifacts up to the round STAMPED at generation time:
+    # the driver writes CORRECTNESS_r{N}.json AFTER the builder's final
+    # commit, so an unbounded count would stale the committed block in a
+    # race the builder cannot win (VERDICT r10 item 4).
+    m = _re.search(r"cumulative through r(\d+)", block)
+    assert m, "generated block lost its round stamp"
+    stamped = int(m.group(1))
+    total, n_oracle, n_green, latest = _coverage_counts(max_round=stamped)
+    assert latest == stamped
     expected = (
         f"**{total} registry queries, {n_oracle} oracle-backed, "
         f"{n_green} unique driver-green"
@@ -143,7 +153,6 @@ def test_coverage_counts_block_fresh():
     assert expected in block, (
         "stale COVERAGE.md counts — run python tools/gen_operators_md.py"
     )
-    assert f"r{latest:02d}" in block
 
 
 def test_rows_only_residue_documented():

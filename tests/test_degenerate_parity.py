@@ -224,6 +224,9 @@ _BATTERY2 = [
     "events_sessionize_30m",
     "warehouse_semi_additive_balance",  # negative flows
     "dq_iqr_outlier_profile",           # negative values
+    "io_packbits_roundtrip",  # BYTE-codec oracle vs multi-byte UTF-8 runs
+    # (ADVICE r10: substr-over-strlen indexed chars over a byte range)
+    "corpus_ascii85_roundtrip",  # 4->5 byte-group armor lengths on CJK/emoji
 ]
 
 

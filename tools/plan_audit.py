@@ -240,6 +240,40 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("corpus_vocab_coverage", "CARTESIAN"): "3-row candidate-vocab-size spine broadcast (theta join on rk <= size)",
     ("sample_topk_per_stratum", "GLOBAL_WINDOW"): "partitioned by lang stratum",
     ("sort_limit_topn", "GLOBAL_WINDOW"): "global top-N by contract (TakeOrdered, not full sort)",
+    # ---- round 10 session-2 stats/warehouse batch (adjudicated r11):
+    # every CARTESIAN is a 1-row scalar-aggregate broadcast, a bounded
+    # dimension/spine grid, or a calendar-bounded daily pair join; every
+    # GLOBAL_WINDOW runs over a distinct-value / distinct-duration /
+    # day-pair spine, never raw fact rows ----
+    ("ml_brown_forsythe", "CARTESIAN"): "1-row global (n_tot, k, sum_r, sum_q) scalar broadcast onto the k-row group-moment table",
+    ("ml_mood_median_test", "CARTESIAN"): "1-row 2*grand-median scalar broadcast onto the fact table for the above/below split + the 1-row (n_tot, a_tot) attach onto k groups",
+    ("ml_mood_median_test", "GLOBAL_WINDOW"): "cumulative counts over the DISTINCT-CENT-VALUE spine locating the middle order statistics (the ml_auc_roc_exact contract)",
+    ("ml_jonckheere_trend", "CARTESIAN"): "k x |buckets| dominance grid build (broadcast distinct-value spine onto k groups; shared _dominance_tables) + 1-row totals scalar attach",
+    ("ml_cliffs_delta", "CARTESIAN"): "k x |buckets| dominance grid build (shared _dominance_tables spine)",
+    ("ml_krippendorff_alpha", "CARTESIAN"): "1-row pooled category-square scalar attached to the 1-row observed-disagreement aggregate",
+    ("agg_ams_f2_sketch", "CARTESIAN"): "1-row median-of-means sketch readout attached to the 1-row exact-F2 aggregate",
+    ("warehouse_bridge_allocation", "CARTESIAN"): "two 1-row scalar attaches (orders grand total + allocation total) carrying the rounding-residual audit column",
+    ("ml_anderson_darling_2samp", "CARTESIAN"): "1-row (n1, n2, N) totals scalar broadcast onto the distinct-value spine + two 1-row summary attaches",
+    ("ml_anderson_darling_2samp", "GLOBAL_WINDOW"): "cumulative M_j/B_j counts over the pooled DISTINCT-VALUE spine (the ml_auc_roc_exact contract)",
+    ("retrieval_err_eval", "CARTESIAN"): "bounded 5-query vector broadcast (the ml_eval_ndcg contract)",
+    ("ml_ljung_box", "CARTESIAN"): "7-row lag spine broadcast onto the calendar-bounded daily residual table (the events_autocorrelation_daily contract)",
+    ("ml_kendall_w", "CARTESIAN"): "1-row rater-count scalar broadcast onto the daily row-sum table + two 1-row attaches in the summary row",
+    ("warehouse_factless_coverage", "CARTESIAN"): "dimension grid build: |months| spine x broadcast 25-row nation dim — dimension-sized regardless of fact volume",
+    ("ml_tukey_hsd", "CARTESIAN"): "k-row group-moment self pair join (k(k-1)/2 pairs, bounded by |event types|) + 1-row (n_tot, k, ssw) scalar attach",
+    ("ml_passing_bablok", "CARTESIAN"): "calendar-bounded daily-spine pair join (~435 slope pairs at 30 days; the ml_theil_sen_daily contract)",
+    ("ml_passing_bablok", "GLOBAL_WINDOW"): "median selection over the day-pair slope table (O(days^2) rows, never data-scale)",
+    ("ml_distribution_distances", "CARTESIAN"): "1-row (n1, n2) totals scalar broadcast onto the 50-unit-bucket histogram",
+    ("ml_distance_correlation", "CARTESIAN"): "30 x 30 daily-spine distance grid (spine-bounded at any event volume) + row/col-mean and grand-mean broadcasts",
+    ("ml_regression_diagnostics", "CARTESIAN"): "1-row OLS moment scalar broadcast onto the calendar-bounded daily table + 1-row SSE attach",
+    ("ml_logrank_test", "CARTESIAN"): "1-row cohort-totals scalar broadcast onto the distinct-duration table",
+    ("ml_logrank_test", "GLOBAL_WINDOW"): "at-risk cumulative windows over the DISTINCT-DURATION spine (calendar-bounded; the events_survival_kaplan_meier contract)",
+    ("ml_mood_scale_test", "GLOBAL_WINDOW"): "tie-block cumulative counts over the DISTINCT-CENT-VALUE spine (the ml_auc_roc_exact contract)",
+    ("ml_siegel_repeated_medians", "CARTESIAN"): "calendar-bounded daily-spine pair join (O(days^2) slopes; the ml_theil_sen_daily contract)",
+    ("ml_siegel_repeated_medians", "GLOBAL_WINDOW"): "outer median selection over the <=|days|-row inner-median table",
+    ("ml_mcc_confusion_battery", "CARTESIAN"): "1-row 2*grand-median scalar broadcast onto the fact table for the threshold split",
+    ("ml_mcc_confusion_battery", "GLOBAL_WINDOW"): "cumulative counts over the DISTINCT-CENT-VALUE spine locating the middle order statistics (the ml_auc_roc_exact contract)",
+    ("agg_lorenz_curve_deciles", "CARTESIAN"): "10-row decile-target spine broadcast theta-join locating each rank's straddling block on the distinct-cent-value cumulative table",
+    ("agg_lorenz_curve_deciles", "GLOBAL_WINDOW"): "cumulative count/value sums over the DISTINCT-CENT-VALUE spine (the ml_auc_roc_exact contract)",
 }
 
 
