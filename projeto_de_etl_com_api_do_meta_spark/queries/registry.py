@@ -231,6 +231,22 @@ _PRIORITY: tuple[str, ...] = (
     "agg_atkinson_inequality",
     "ml_mood_scale_test",
     "ml_siegel_repeated_medians",
+    # ---- r11 additions (12 ops, all local-exact at sf0.01): pinned AFTER
+    # the 47 session-2 carry-overs above per the r10-verdict window rule —
+    # the carry-overs fill ~94% of the ~50-slot r11 window, so these are
+    # the deliberate r12 carry-overs unless slots free up. ----
+    "ml_goodman_kruskal_gamma",
+    "ml_durbin_watson",
+    "ml_chow_test",
+    "ml_cramer_von_mises",
+    "ml_hurst_rs",
+    "events_permutation_entropy",
+    "ml_mahalanobis_outliers",
+    "retrieval_map_eval",
+    "retrieval_lm_dirichlet",
+    "corpus_yule_k_richness",
+    "warehouse_data_vault_build",
+    "io_bitpack_roundtrip",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -586,6 +602,7 @@ def _load_all() -> None:
         analytics_r10c,
         analytics_r10d,
         analytics_r10g,
+        analytics_r11,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,
@@ -626,6 +643,7 @@ def _load_all() -> None:
         stats_r10d,
         stats_r10e,
         stats_r10f,
+        stats_r11,
         text_cleaning,
         timeseries_r10,
         tpch_extra,

@@ -227,6 +227,8 @@ _BATTERY2 = [
     "io_packbits_roundtrip",  # BYTE-codec oracle vs multi-byte UTF-8 runs
     # (ADVICE r10: substr-over-strlen indexed chars over a byte range)
     "corpus_ascii85_roundtrip",  # 4->5 byte-group armor lengths on CJK/emoji
+    "corpus_yule_k_richness",  # r11: spectrum over unicode tokens
+    "io_bitpack_roundtrip",  # r11: CHAR word lengths on CJK/emoji text
 ]
 
 
@@ -490,6 +492,13 @@ _BATTERY4 = [
     "ml_cmh_chi2", "ml_sign_test_exact", "dq_k_anonymity_profile",
     "agg_atkinson_inequality", "ml_mood_scale_test",
     "ml_siegel_repeated_medians",
+    # r11: ordinal association, regression/GOF/long-memory/complexity,
+    # retrieval eval+scoring, richness, vault, bit-packing
+    "ml_goodman_kruskal_gamma", "ml_durbin_watson", "ml_chow_test",
+    "ml_cramer_von_mises", "ml_hurst_rs", "events_permutation_entropy",
+    "ml_mahalanobis_outliers", "retrieval_map_eval",
+    "retrieval_lm_dirichlet", "corpus_yule_k_richness",
+    "warehouse_data_vault_build", "io_bitpack_roundtrip",
 ]
 
 

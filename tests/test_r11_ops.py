@@ -1,0 +1,411 @@
+"""Unit tests for the round-11 operators (ordinal association, regression
+diagnostics, GOF, long-memory, complexity, retrieval eval/scoring, lexical
+richness, data vault, bit-packing codec).
+
+Strategy (SURVEY §5): semantics pinned by independent brute-force
+recomputation in pure Python/NumPy on the sf0.001 fixture (the DuckDB
+oracle differ is the cross-engine gate; these tests protect against the
+two engines agreeing on the WRONG formula)."""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _events(spark, sf_dir):
+    from projeto_de_etl_com_api_do_meta_spark.io import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+class TestBitpackCodec:
+    def test_golden(self):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11 import (
+            bitpack_decode,
+            bitpack_encode,
+        )
+
+        assert bitpack_encode([]) == b"\x00\x00\x00\x00"
+        assert bitpack_decode(bitpack_encode([])) == []
+        # one 6-bit value fits the first payload byte
+        assert bitpack_encode([5]) == b"\x01\x00\x00\x00\x05"
+        # length formula: 4 + ceil(6n/8)
+        for n in range(0, 40):
+            buf = bitpack_encode(list(range(n)))
+            assert len(buf) == 4 + (6 * n + 7) // 8
+
+    def test_roundtrip_randomized(self):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11 import (
+            bitpack_decode,
+            bitpack_encode,
+        )
+
+        rng = random.Random(41)
+        for _ in range(300):
+            vals = [rng.randint(0, 63) for _ in range(rng.randint(0, 50))]
+            assert bitpack_decode(bitpack_encode(vals)) == vals
+
+    def test_clamps_out_of_range(self):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11 import (
+            bitpack_decode,
+            bitpack_encode,
+        )
+
+        assert bitpack_decode(bitpack_encode([64, 100, -3])) == [63, 63, 0]
+
+
+class TestBruteForceParity:
+    """Collected-fixture brute force: recompute each statistic from the
+    raw rows in pure Python and compare to the operator's output."""
+
+    @pytest.fixture(scope="class")
+    def daily(self, spark):
+        rows = (
+            _events(spark, SF_DIR)
+            .selectExpr(
+                "CAST(ts AS DATE) AS day",
+                "CAST(event_type = 'click' AS INT) AS is_click",
+                "CAST(event_type = 'view' AS INT) AS is_view",
+            )
+            .groupBy("day")
+            .agg({"is_click": "sum", "is_view": "sum"})
+            .collect()
+        )
+        out = sorted((r[0], int(r[2]), int(r[1])) for r in rows)
+        # columns arrive as (day, sum(is_click), sum(is_view)) — map by name
+        rows2 = []
+        for r in sorted(rows, key=lambda r: r["day"]):
+            rows2.append(
+                (r["day"], int(r["sum(is_click)"]), int(r["sum(is_view)"]))
+            )
+        del out
+        return rows2
+
+    def test_durbin_watson_formula(self, spark, daily):
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r11 import (
+            ml_durbin_watson,
+        )
+
+        xs = [x for _, x, _ in daily]
+        ys = [y for _, _, y in daily]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        resid = [
+            round(
+                (
+                    y
+                    - (
+                        sy / n
+                        + (n * sxy - sx * sy) / (n * sxx - sx * sx) * (x - sx / n)
+                    )
+                )
+                * 1e6
+            )
+            for x, y in zip(xs, ys)
+        ]
+        num = sum(
+            ((a - b) * (a - b)) // 1000000 for a, b in zip(resid[1:], resid[:-1])
+        )
+        den = sum((e * e) // 1000000 for e in resid)
+        want = round(num / den, 6)
+        got = ml_durbin_watson(spark, SF_DIR).collect()[0]
+        assert got["n_days"] == n
+        assert got["dw_stat"] == pytest.approx(want, abs=1e-9)
+        # residual independence scale: DW lives in [0, 4]
+        assert 0.0 <= got["dw_stat"] <= 4.0
+
+    def test_permutation_entropy_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r11 import (
+            events_permutation_entropy,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .selectExpr("event_type AS g", "CAST(ts AS DATE) AS day")
+            .groupBy("g", "day")
+            .count()
+            .collect()
+        )
+        series: dict = {}
+        for r in rows:
+            series.setdefault(r["g"], []).append((r["day"], int(r["count"])))
+        got = {
+            r["event_type"]: r
+            for r in events_permutation_entropy(spark, SF_DIR).collect()
+        }
+        for g, pts in series.items():
+            xs = [x for _, x in sorted(pts)]
+            pats: dict = {}
+            for i in range(2, len(xs)):
+                x0, x1, x2 = xs[i - 2], xs[i - 1], xs[i]
+                code = 4 * (x0 <= x1) + 2 * (x0 <= x2) + (x1 <= x2)
+                pats[code] = pats.get(code, 0) + 1
+            ntot = sum(pats.values())
+            h_e9 = sum(
+                round(-1e9 * (c / ntot) * math.log(c / ntot))
+                for c in pats.values()
+            )
+            want = round(h_e9 / 1e9 / math.log(6.0), 6)
+            assert got[g]["n_windows"] == ntot
+            assert got[g]["n_patterns"] == len(pats)
+            assert got[g]["perm_entropy"] == pytest.approx(want, abs=1e-9)
+
+    def test_gamma_brute_force_pairs(self, spark):
+        """Concordant/discordant counts from the spine must equal the
+        O(n^2)-style count over the (group, bucket, count) histogram."""
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r11 import (
+            ml_goodman_kruskal_gamma,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .where("value IS NOT NULL")
+            .selectExpr("event_type AS g", "CAST(round(value) AS BIGINT) AS v")
+            .groupBy("g", "v")
+            .count()
+            .collect()
+        )
+        hist = [(r["g"], int(r["v"]), int(r["count"])) for r in rows]
+        c = d = t = 0
+        for ga, va, ca in hist:
+            for gb, vb, cb in hist:
+                if ga >= gb:
+                    continue
+                if va < vb:
+                    c += ca * cb
+                elif va > vb:
+                    d += ca * cb
+                else:
+                    t += ca * cb
+        got = ml_goodman_kruskal_gamma(spark, SF_DIR).collect()[0]
+        assert (got["c_pairs"], got["d_pairs"], got["ty_pairs"]) == (c, d, t)
+        if c + d:
+            assert got["gamma"] == pytest.approx(round((c - d) / (c + d), 6))
+
+    def test_hurst_rs_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r11 import (
+            ml_hurst_rs,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .selectExpr("CAST(ts AS DATE) AS day")
+            .groupBy("day")
+            .count()
+            .collect()
+        )
+        xs = [int(r["count"]) for r in sorted(rows, key=lambda r: r["day"])]
+        got = {r["w"]: r for r in ml_hurst_rs(spark, SF_DIR).collect()}
+        for w in (2, 4, 8, 16):
+            total = 0
+            blocks = 0
+            for b0 in range(0, len(xs) - w + 1, w):
+                blk = xs[b0 : b0 + w]
+                s1 = sum(blk)
+                cum = 0
+                devs = []
+                for k, x in enumerate(blk, 1):
+                    cum += x
+                    devs.append(w * cum - k * s1)
+                r_int = max(devs) - min(devs)
+                var_int = sum((w * x - s1) ** 2 for x in blk)
+                if var_int > 0:
+                    total += round(1e6 * r_int * math.sqrt(w / var_int))
+                    blocks += 1
+            if blocks:
+                assert got[w]["n_blocks"] == blocks
+                assert got[w]["sum_rs_e6"] == total
+        # hurst of a real series lands in a sane band
+        h = next(iter(got.values()))["hurst"]
+        assert -0.5 <= h <= 1.5
+
+    def test_map_eval_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11 import (
+            retrieval_map_eval,
+        )
+        from projeto_de_etl_com_api_do_meta_spark.queries.retrieval_extra import (
+            _EVAL_K,
+            _EVAL_QUERIES,
+        )
+        from projeto_de_etl_com_api_do_meta_spark.io import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings").collect()
+        vecs = {r["vec_id"]: (r["label"], list(r["embedding"])) for r in emb}
+        got = {r["query_id"]: r for r in retrieval_map_eval(spark, SF_DIR).collect()}
+        for qid in range(_EVAL_QUERIES):
+            qlabel, qv = vecs[qid]
+            qv = [float(x) for x in qv]
+            scored = []
+            for did, (dlabel, dv) in vecs.items():
+                if did == qid:
+                    continue
+                dv = [float(x) for x in dv]
+                dot = sum(a * b for a, b in zip(qv, dv))
+                cos = round(
+                    dot
+                    / (
+                        math.sqrt(sum(a * a for a in qv))
+                        * math.sqrt(sum(a * a for a in dv))
+                    ),
+                    6,
+                )
+                scored.append((-cos, did, dlabel))
+            scored.sort()
+            topk = scored[:_EVAL_K]
+            cum = 0
+            ap_e9 = 0
+            n_rel = 0
+            for r, (_, _, dlabel) in enumerate(topk, 1):
+                if dlabel == qlabel:
+                    cum += 1
+                    n_rel += 1
+                    ap_e9 += (1000000000 * cum) // r
+            r_total = sum(
+                1 for did, (dl, _) in vecs.items() if dl == qlabel and did != qid
+            )
+            want_ap = (
+                0.0
+                if r_total == 0
+                else round(ap_e9 / 1e9 / min(_EVAL_K, r_total), 6)
+            )
+            assert got[qid]["n_rel_topk"] == n_rel
+            assert got[qid]["n_rel_total"] == r_total
+            assert got[qid]["ap_e9"] == ap_e9
+            assert got[qid]["avg_precision"] == pytest.approx(want_ap, abs=1e-9)
+
+    def test_yule_k_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.io import load_table
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11 import (
+            corpus_yule_k_richness,
+        )
+        import re
+
+        docs = load_table(spark, SF_DIR, "documents").collect()
+        tf: dict = {}
+        for r in docs:
+            for w in re.split(r"\s+", r["text"].strip().lower()):
+                tf.setdefault(r["source"], {})
+                tf[r["source"]][w] = tf[r["source"]].get(w, 0) + 1
+        got = {
+            r["source"]: r for r in corpus_yule_k_richness(spark, SF_DIR).collect()
+        }
+        for src, counts in tf.items():
+            n = sum(counts.values())
+            sm2 = sum(m * m for m in counts.values())
+            v = len(counts)
+            v1 = sum(1 for m in counts.values() if m == 1)
+            assert got[src]["n_tokens"] == n
+            assert got[src]["n_types"] == v
+            assert got[src]["v1_hapax"] == v1
+            assert got[src]["sm2"] == sm2
+            assert got[src]["yule_k"] == pytest.approx(
+                round(1e4 * (sm2 - n) / (n * n), 6), abs=1e-9
+            )
+
+    def test_mahalanobis_outlier_flag(self, spark, daily):
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r11 import (
+            ml_mahalanobis_outliers,
+        )
+
+        got = ml_mahalanobis_outliers(spark, SF_DIR).collect()
+        assert len(got) == len(daily)
+        for r in got:
+            assert r["is_outlier"] == (1 if r["d2_e6"] > 5991465 else 0)
+        # mean d^2 over days ~ 2 for a 2-dim standardized cloud
+        mean_d2 = sum(r["d2_e6"] for r in got) / len(got) / 1e6
+        assert 0.5 <= mean_d2 <= 4.0
+
+    def test_chow_f_nonnegative_and_segments_cover(self, spark, daily):
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r11 import (
+            ml_chow_test,
+        )
+
+        got = ml_chow_test(spark, SF_DIR).collect()[0]
+        assert got["n1"] + got["n2"] == len(daily)
+        assert got["n1"] > 0 and got["n2"] > 0
+        # pooled SSE >= sum of segment SSEs (n-scaled comparison), so F >= 0
+        assert got["chow_f"] >= 0.0
+
+    def test_cvm_matches_ks_family_domain(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.stats_r11 import (
+            ml_cramer_von_mises,
+        )
+
+        got = ml_cramer_von_mises(spark, SF_DIR).collect()[0]
+        # brute force from the raw values
+        rows = (
+            _events(spark, SF_DIR)
+            .where("value IS NOT NULL AND event_type IN ('click', 'view')")
+            .selectExpr(
+                "CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS s",
+                "CAST(round(value * 100) AS BIGINT) AS v",
+            )
+            .collect()
+        )
+        from collections import Counter
+
+        c1 = Counter(r["v"] for r in rows if r["s"] == 1)
+        c2 = Counter(r["v"] for r in rows if r["s"] == 2)
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        vs = sorted(set(c1) | set(c2))
+        m1 = m2 = 0
+        tsum = 0
+        for v in vs:
+            m1 += c1.get(v, 0)
+            m2 += c2.get(v, 0)
+            gap = m1 / n1 - m2 / n2
+            tsum += round(1e9 * (c1.get(v, 0) + c2.get(v, 0)) * gap * gap)
+        want_t = round(n1 * n2 / ((n1 + n2) ** 2) * tsum / 1e9, 6)
+        assert got["n1"] == n1 and got["n2"] == n2
+        assert got["cvm_e9"] == tsum
+        assert got["cvm_t"] == pytest.approx(want_t, abs=1e-9)
+
+
+class TestDataVault:
+    def test_hash_keys_and_counts(self, spark):
+        import hashlib
+
+        from projeto_de_etl_com_api_do_meta_spark.io import load_table
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11 import (
+            warehouse_data_vault_build,
+        )
+
+        got = {
+            r["entity"]: r
+            for r in warehouse_data_vault_build(spark, SF_DIR).collect()
+        }
+        orders = load_table(spark, SF_DIR, "orders").collect()
+        cust = load_table(spark, SF_DIR, "customer").collect()
+        assert got["hub_customer"]["n_rows"] == len(cust)
+        assert got["hub_order"]["n_rows"] == len(orders)
+        # hub keys are unique (business keys are)
+        assert got["hub_customer"]["n_distinct_hk"] == len(cust)
+        assert got["hub_order"]["n_distinct_hk"] == len(orders)
+        # spot-check one link hash against hashlib
+        r0 = orders[0]
+        hk = hashlib.md5(
+            f"{r0['o_custkey']}|{r0['o_orderkey']}".encode()
+        ).hexdigest()
+        mn = got["link_customer_order"]["min_hk"]
+        mx = got["link_customer_order"]["max_hk"]
+        assert mn <= hk <= mx
+
+    def test_lm_dirichlet_prefers_term_density(self, spark):
+        """A doc that matches more query terms with shorter length must
+        outrank a long doc with one match — sanity on the decomposition."""
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11 import (
+            retrieval_lm_dirichlet,
+        )
+
+        rows = retrieval_lm_dirichlet(spark, SF_DIR).collect()
+        assert 1 <= len(rows) <= 10
+        scores = [r["lmd_micro"] for r in rows]
+        assert scores == sorted(scores, reverse=True)

@@ -274,6 +274,20 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ml_mcc_confusion_battery", "GLOBAL_WINDOW"): "cumulative counts over the DISTINCT-CENT-VALUE spine locating the middle order statistics (the ml_auc_roc_exact contract)",
     ("agg_lorenz_curve_deciles", "CARTESIAN"): "10-row decile-target spine broadcast theta-join locating each rank's straddling block on the distinct-cent-value cumulative table",
     ("agg_lorenz_curve_deciles", "GLOBAL_WINDOW"): "cumulative count/value sums over the DISTINCT-CENT-VALUE spine (the ml_auc_roc_exact contract)",
+    # ---- r11 batch (adjudicated at registration): scalar-aggregate
+    # broadcasts, the shared dominance grid, the 4-row Hurst window spine,
+    # and spine/daily windows — never raw-row funnels ----
+    ("ml_goodman_kruskal_gamma", "CARTESIAN"): "k x |buckets| dominance grid build (shared _dominance_tables) + three 1-row totals scalar attaches",
+    ("ml_durbin_watson", "CARTESIAN"): "1-row OLS moment scalar broadcast onto the calendar-bounded daily table",
+    ("ml_durbin_watson", "GLOBAL_WINDOW"): "lag over the calendar-bounded daily residual spine",
+    ("ml_chow_test", "CARTESIAN"): "1-row midpoint-cut scalar broadcast onto days + 1-row pooled-SSE attach onto the 2-segment row",
+    ("ml_cramer_von_mises", "CARTESIAN"): "1-row (n1, n2) totals scalar broadcast onto the distinct-value spine + 1-row sum attach",
+    ("ml_cramer_von_mises", "GLOBAL_WINDOW"): "cumulative ECDF counts over the DISTINCT-CENT-VALUE spine (the ml_auc_roc_exact contract)",
+    ("ml_hurst_rs", "CARTESIAN"): "4-row window-size spine broadcast onto the calendar-bounded daily table + 1-row log-log fit attach",
+    ("ml_hurst_rs", "GLOBAL_WINDOW"): "day indexing over the calendar-bounded daily spine (block windows themselves are PARTITIONED by (w, block))",
+    ("ml_mahalanobis_outliers", "CARTESIAN"): "1-row moment scalar broadcast onto the calendar-bounded daily table",
+    ("retrieval_map_eval", "CARTESIAN"): "bounded 5-query vector broadcast (the ml_eval_ndcg contract)",
+    ("retrieval_lm_dirichlet", "CARTESIAN"): "1-row collection-total scalar broadcast onto the term-filtered postings (the corpus_bm25_search contract)",
 }
 
 
