@@ -247,6 +247,12 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_yule_k_richness",
     "warehouse_data_vault_build",
     "io_bitpack_roundtrip",
+    "ml_theil_u_uncertainty",
+    "ml_bartlett_test",
+    "agg_theil_index",
+    "ml_cohen_kappa_weighted",
+    "ml_jarque_bera",
+    "graph_adamic_adar",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -603,6 +609,7 @@ def _load_all() -> None:
         analytics_r10d,
         analytics_r10g,
         analytics_r11,
+        analytics_r11b,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

@@ -499,6 +499,8 @@ _BATTERY4 = [
     "ml_mahalanobis_outliers", "retrieval_map_eval",
     "retrieval_lm_dirichlet", "corpus_yule_k_richness",
     "warehouse_data_vault_build", "io_bitpack_roundtrip",
+    "ml_theil_u_uncertainty", "ml_bartlett_test", "agg_theil_index",
+    "ml_cohen_kappa_weighted", "ml_jarque_bera", "graph_adamic_adar",
 ]
 
 

@@ -409,3 +409,176 @@ class TestDataVault:
         assert 1 <= len(rows) <= 10
         scores = [r["lmd_micro"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+class TestBatch2BruteForce:
+    def test_theil_u_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.io import load_table
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11b import (
+            ml_theil_u_uncertainty,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents").collect()
+        from collections import Counter
+
+        nxy = Counter((r["lang"], r["source"]) for r in docs)
+        nx = Counter(r["lang"] for r in docs)
+        ny = Counter(r["source"] for r in docs)
+        n = len(docs)
+        hx = sum(round(-1e9 * (c / n) * math.log(c / n)) for c in nx.values())
+        hy = sum(round(-1e9 * (c / n) * math.log(c / n)) for c in ny.values())
+        mi = sum(
+            round(1e9 * (c / n) * math.log(c * n / (nx[x] * ny[y])))
+            for (x, y), c in nxy.items()
+        )
+        got = ml_theil_u_uncertainty(spark, SF_DIR).collect()[0]
+        assert got["n_docs"] == n
+        assert got["hx_e9"] == hx
+        assert got["hy_e9"] == hy
+        assert got["mi_e9"] == mi
+        assert got["u_lang_given_source"] == pytest.approx(
+            round(mi / hx, 6), abs=1e-9
+        )
+        # U lives in [0, 1] (up to the e9 fixing)
+        assert -1e-6 <= got["u_lang_given_source"] <= 1 + 1e-6
+
+    def test_theil_index_decomposition_domain(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11b import (
+            agg_theil_index,
+        )
+
+        got = agg_theil_index(spark, SF_DIR).collect()[0]
+        # Theil T and L are nonnegative for any distribution
+        assert got["theil_t"] >= 0.0
+        assert got["theil_l"] >= 0.0
+        # and bounded by ln(n)
+        assert got["theil_t"] <= math.log(got["n"])
+
+    def test_bartlett_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11b import (
+            ml_bartlett_test,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .where("value IS NOT NULL")
+            .selectExpr(
+                "event_type AS g", "CAST(round(value * 100) AS BIGINT) AS v"
+            )
+            .collect()
+        )
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(r["g"], []).append(int(r["v"]))
+        terms = []
+        for vs in groups.values():
+            ni, s, q = len(vs), sum(vs), sum(v * v for v in vs)
+            if ni < 2:
+                continue
+            ss_i = round((ni * q - s * s) / ni)
+            lnterm = round(1e9 * (ni - 1) * math.log((ni * q - s * s) / ni / (ni - 1)))
+            inv = round(1e12 / (ni - 1))
+            terms.append((ni, ss_i, lnterm, inv))
+        k = len(terms)
+        n_tot = sum(t[0] for t in terms)
+        ss_w = sum(t[1] for t in terms)
+        sum_ln = sum(t[2] for t in terms)
+        sum_inv = sum(t[3] for t in terms)
+        want = round(
+            (
+                (n_tot - k) * math.log(ss_w / (n_tot - k))
+                - sum_ln / 1e9
+            )
+            / (1.0 + (sum_inv / 1e12 - 1.0 / (n_tot - k)) / (3.0 * (k - 1))),
+            6,
+        )
+        got = ml_bartlett_test(spark, SF_DIR).collect()[0]
+        assert got["k"] == k and got["n_tot"] == n_tot
+        assert got["ss_w"] == ss_w
+        assert got["bartlett_t"] == pytest.approx(want, abs=1e-9)
+        assert got["bartlett_t"] >= 0.0
+
+    def test_weighted_kappa_identity_rater_is_one(self, spark, tmp_path):
+        """If both raters see the same value (zero noise shift would need a
+        fixture), at least pin: kappa_w of the real op stays in [-1, 1] and
+        num/den are consistent with the returned kappa."""
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11b import (
+            ml_cohen_kappa_weighted,
+        )
+
+        got = ml_cohen_kappa_weighted(spark, SF_DIR).collect()[0]
+        assert -1.0 <= got["kappa_w"] <= 1.0
+        want = round(1.0 - got["num"] * got["n"] / got["den"], 6)
+        assert got["kappa_w"] == pytest.approx(want, abs=1e-9)
+
+    def test_jarque_bera_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11b import (
+            ml_jarque_bera,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .where("value IS NOT NULL")
+            .selectExpr("CAST(round(value) AS BIGINT) AS v")
+            .collect()
+        )
+        vs = [int(r["v"]) for r in rows]
+        n = len(vs)
+        s1 = sum(vs)
+        s2 = sum(v * v for v in vs)
+        s3 = sum(v**3 for v in vs)
+        s4 = sum(v**4 for v in vs)
+        got = ml_jarque_bera(spark, SF_DIR).collect()[0]
+        assert (got["n"], got["s1"], got["s2"], got["s3"], got["s4"]) == (
+            n,
+            s1,
+            s2,
+            s3,
+            s4,
+        )
+        var = (n * s2 - s1 * s1) / n / n
+        g1 = (n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1**3) / n**3 / var**1.5
+        assert got["skewness"] == pytest.approx(round(g1, 6), abs=1e-6)
+        assert got["jb_stat"] >= 0.0
+
+    def test_adamic_adar_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.io import load_table
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11b import (
+            graph_adamic_adar,
+        )
+
+        orders = load_table(spark, SF_DIR, "orders").collect()
+        li = load_table(spark, SF_DIR, "lineitem").collect()
+        o2c = {r["o_orderkey"]: r["o_custkey"] for r in orders}
+        cp = {(o2c[r["l_orderkey"]], r["l_partkey"]) for r in li}
+        from collections import Counter, defaultdict
+
+        dp = Counter(p for _, p in cp)
+        by_part = defaultdict(list)
+        for c, p in cp:
+            by_part[p].append(c)
+        scores: dict = {}
+        commons: dict = {}
+        for p, custs in by_part.items():
+            if dp[p] < 2:
+                continue
+            w = round(1e9 / math.log(dp[p]))
+            custs = sorted(custs)
+            for i in range(len(custs)):
+                for j in range(i + 1, len(custs)):
+                    key = (custs[i], custs[j])
+                    scores[key] = scores.get(key, 0) + w
+                    commons[key] = commons.get(key, 0) + 1
+        want = sorted(
+            (
+                (-s, a, b, commons[(a, b)])
+                for (a, b), s in scores.items()
+                if commons[(a, b)] >= 3
+            ),
+        )[:50]
+        got = graph_adamic_adar(spark, SF_DIR).collect()
+        assert len(got) == len(want)
+        for r, (negs, a, b, cn) in zip(got, want):
+            assert (r["cust_a"], r["cust_b"]) == (a, b)
+            assert r["aa_e9"] == -negs
+            assert r["common_parts"] == cn

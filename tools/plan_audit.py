@@ -288,6 +288,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ml_mahalanobis_outliers", "CARTESIAN"): "1-row moment scalar broadcast onto the calendar-bounded daily table",
     ("retrieval_map_eval", "CARTESIAN"): "bounded 5-query vector broadcast (the ml_eval_ndcg contract)",
     ("retrieval_lm_dirichlet", "CARTESIAN"): "1-row collection-total scalar broadcast onto the term-filtered postings (the corpus_bm25_search contract)",
+    ("ml_theil_u_uncertainty", "CARTESIAN"): "1-row corpus-total scalar broadcast onto the |langs| x |sources| grid + three 1-row entropy attaches",
+    ("agg_theil_index", "CARTESIAN"): "1-row (n, s) totals scalar broadcast onto the distinct-cent value spine + 1-row term-sum attach",
+    ("ml_cohen_kappa_weighted", "CARTESIAN"): "5x5 rater-margin grid cross join (bounded by the category count) + two 1-row scalar attaches",
 }
 
 
