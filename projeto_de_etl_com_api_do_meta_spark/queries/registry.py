@@ -253,6 +253,10 @@ _PRIORITY: tuple[str, ...] = (
     "ml_cohen_kappa_weighted",
     "ml_jarque_bera",
     "graph_adamic_adar",
+    "ml_granger_causality",
+    "events_transfer_entropy",
+    "ml_partial_correlation",
+    "io_dod_timestamp_roundtrip",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -610,6 +614,7 @@ def _load_all() -> None:
         analytics_r10g,
         analytics_r11,
         analytics_r11b,
+        analytics_r11c,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

@@ -501,6 +501,8 @@ _BATTERY4 = [
     "warehouse_data_vault_build", "io_bitpack_roundtrip",
     "ml_theil_u_uncertainty", "ml_bartlett_test", "agg_theil_index",
     "ml_cohen_kappa_weighted", "ml_jarque_bera", "graph_adamic_adar",
+    "ml_granger_causality", "events_transfer_entropy",
+    "ml_partial_correlation", "io_dod_timestamp_roundtrip",
 ]
 
 

@@ -582,3 +582,238 @@ class TestBatch2BruteForce:
             assert (r["cust_a"], r["cust_b"]) == (a, b)
             assert r["aa_e9"] == -negs
             assert r["common_parts"] == cn
+
+
+class TestBatch3:
+    def test_dod_codec_golden(self):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11c import (
+            dod_decode,
+            dod_encode,
+        )
+
+        assert dod_encode([]) == b"\x00"
+        assert dod_decode(dod_encode([])) == []
+        # regular cadence: dods are all 0 -> one byte each
+        ts = [1000, 1060, 1120, 1180, 1240]
+        buf = dod_encode(ts)
+        # varint(5)=1, varint(1000)=2, zz(60)=120 -> 1 byte, 3 dod zeros
+        assert len(buf) == 1 + 2 + 1 + 3
+        assert dod_decode(buf) == ts
+
+    def test_dod_codec_randomized(self):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11c import (
+            dod_decode,
+            dod_encode,
+        )
+
+        rng = random.Random(53)
+        for _ in range(300):
+            n = rng.randint(0, 60)
+            # microsecond-epoch range (the query's grain after the sf0.1
+            # epoch()-rounding divergence was fixed)
+            ts = sorted(
+                rng.randint(1_500_000_000_000_000, 1_800_000_000_000_000)
+                for _ in range(n)
+            )
+            assert dod_decode(dod_encode(ts)) == ts
+
+    def test_dod_analytic_size_matches_encoder(self):
+        """The oracle's varint-size CASE must equal the real encoder's
+        output length on randomized sorted streams."""
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11c import (
+            _varint,
+            _zigzag,
+            dod_encode,
+        )
+
+        def vsize(u):
+            for k, lim in enumerate(
+                (
+                    128,
+                    16384,
+                    2097152,
+                    268435456,
+                    34359738368,
+                    4398046511104,
+                    562949953421312,
+                    72057594037927936,
+                ),
+                1,
+            ):
+                if u < lim:
+                    return k
+            return 9
+
+        rng = random.Random(59)
+        for _ in range(100):
+            n = rng.randint(1, 40)
+            ts = sorted(
+                rng.randint(1_500_000_000_000_000, 1_800_000_000_000_000)
+                for _ in range(n)
+            )
+            want = vsize(n) + vsize(ts[0])
+            if n >= 2:
+                want += vsize(_zigzag(ts[1] - ts[0]))
+            for i in range(2, n):
+                dod = (ts[i] - ts[i - 1]) - (ts[i - 1] - ts[i - 2])
+                want += vsize(_zigzag(dod))
+            assert len(dod_encode(ts)) == want, ts
+            # and the python vsize agrees with the actual varint length
+            assert all(
+                vsize(u) == len(_varint(u)) for u in (0, 127, 128, 300, 2**20)
+            )
+
+    def test_granger_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11c import (
+            ml_granger_causality,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .selectExpr(
+                "CAST(ts AS DATE) AS day",
+                "CAST(event_type = 'click' AS INT) AS c",
+                "CAST(event_type = 'view' AS INT) AS v",
+            )
+            .groupBy("day")
+            .agg({"c": "sum", "v": "sum"})
+            .collect()
+        )
+        srt = sorted(rows, key=lambda r: r["day"])
+        xs = [int(r["sum(c)"]) for r in srt]
+        ys = [int(r["sum(v)"]) for r in srt]
+
+        def sse_pair(d, r1, r2):
+            n = len(d)
+            sd, s1, s2 = sum(d), sum(r1), sum(r2)
+            sdd = sum(a * a for a in d)
+            s11 = sum(a * a for a in r1)
+            s22 = sum(a * a for a in r2)
+            s12 = sum(a * b for a, b in zip(r1, r2))
+            s1d = sum(a * b for a, b in zip(r1, d))
+            s2d = sum(a * b for a, b in zip(r2, d))
+            sse_r = round(
+                1e6
+                * (
+                    (n * sdd - sd * sd)
+                    - (n * s1d - s1 * sd) ** 2 / (n * s11 - s1 * s1)
+                )
+                / n
+                / n
+            )
+            det = (n * s11 - s1 * s1) * (n * s22 - s2 * s2) - (
+                n * s12 - s1 * s2
+            ) ** 2
+            expl = (
+                (n * s22 - s2 * s2) * (n * s1d - s1 * sd) ** 2
+                - 2.0 * (n * s12 - s1 * s2) * (n * s1d - s1 * sd) * (n * s2d - s2 * sd)
+                + (n * s11 - s1 * s1) * (n * s2d - s2 * sd) ** 2
+            ) / det
+            sse_u = round(1e6 * ((n * sdd - sd * sd) - expl) / n / n)
+            return n, sse_r, sse_u
+
+        got = {r["direction"]: r for r in ml_granger_causality(spark, SF_DIR).collect()}
+        # x->y: dependent y_t, r1 = y_{t-1}, r2 = x_{t-1}
+        n, sr, su = sse_pair(ys[1:], ys[:-1], xs[:-1])
+        assert got["x->y"]["n_pairs"] == n
+        assert got["x->y"]["sse_r_e6"] == sr
+        assert got["x->y"]["sse_u_e6"] == su
+        want_f = round((sr - su) / (su / (n - 3)), 6)
+        assert got["x->y"]["granger_f"] == pytest.approx(want_f, abs=1e-9)
+        # unrestricted model can never fit worse
+        for r in got.values():
+            assert r["sse_u_e6"] <= r["sse_r_e6"] + 1  # +1 for e6 rounding
+            assert r["granger_f"] >= 0.0
+
+    def test_transfer_entropy_brute(self, spark):
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11c import (
+            events_transfer_entropy,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .selectExpr(
+                "CAST(ts AS DATE) AS day",
+                "CAST(event_type = 'click' AS INT) AS c",
+                "CAST(event_type = 'view' AS INT) AS v",
+            )
+            .groupBy("day")
+            .agg({"c": "sum", "v": "sum"})
+            .collect()
+        )
+        srt = sorted(rows, key=lambda r: r["day"])
+        xs = [int(r["sum(c)"]) for r in srt]
+        ys = [int(r["sum(v)"]) for r in srt]
+        sx = [1 if xs[i] > xs[i - 1] else 0 for i in range(1, len(xs))]
+        sy = [1 if ys[i] > ys[i - 1] else 0 for i in range(1, len(ys))]
+
+        def te(target, other):
+            joint = Counter(
+                (target[i], target[i - 1], other[i - 1])
+                for i in range(1, len(target))
+            )
+            n = sum(joint.values())
+            c_t1o1 = Counter()
+            c_tt1 = Counter()
+            c_t1 = Counter()
+            for (t, t1, o1), c in joint.items():
+                c_t1o1[(t1, o1)] += c
+                c_tt1[(t, t1)] += c
+                c_t1[t1] += c
+            s = sum(
+                round(
+                    1e9
+                    * (c / n)
+                    * math.log(c * c_t1[t1] / (c_t1o1[(t1, o1)] * c_tt1[(t, t1)]))
+                )
+                for (t, t1, o1), c in joint.items()
+            )
+            return n, s
+
+        got = {
+            r["direction"]: r for r in events_transfer_entropy(spark, SF_DIR).collect()
+        }
+        n, s = te(sy, sx)
+        assert got["x->y"]["n_transitions"] == n
+        assert got["x->y"]["te_sum_e9"] == s
+        assert got["x->y"]["transfer_entropy"] == pytest.approx(
+            round(s / 1e9, 6), abs=1e-9
+        )
+
+    def test_partial_correlation_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11c import (
+            ml_partial_correlation,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .selectExpr(
+                "CAST(ts AS DATE) AS day",
+                "CAST(event_type = 'click' AS INT) AS c",
+                "CAST(event_type = 'view' AS INT) AS v",
+                "CAST(event_type = 'purchase' AS INT) AS p",
+            )
+            .groupBy("day")
+            .agg({"c": "sum", "v": "sum", "p": "sum"})
+            .collect()
+        )
+        xs = [int(r["sum(c)"]) for r in rows]
+        ys = [int(r["sum(v)"]) for r in rows]
+        zs = [int(r["sum(p)"]) for r in rows]
+        n = len(xs)
+
+        def cm(a, b):
+            return n * sum(p * q for p, q in zip(a, b)) - sum(a) * sum(b)
+
+        got = ml_partial_correlation(spark, SF_DIR).collect()[0]
+        r_xy = cm(xs, ys) / math.sqrt(cm(xs, xs) * cm(ys, ys))
+        assert got["r_xy"] == pytest.approx(round(r_xy, 6), abs=1e-6)
+        num = cm(xs, ys) * cm(zs, zs) - cm(xs, zs) * cm(ys, zs)
+        den = math.sqrt(
+            (cm(xs, xs) * cm(zs, zs) - cm(xs, zs) ** 2)
+            * (cm(ys, ys) * cm(zs, zs) - cm(ys, zs) ** 2)
+        )
+        assert got["partial_r_xy_z"] == pytest.approx(round(num / den, 6), abs=1e-6)
+        assert -1.0 <= got["partial_r_xy_z"] <= 1.0

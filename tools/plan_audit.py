@@ -291,6 +291,8 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ml_theil_u_uncertainty", "CARTESIAN"): "1-row corpus-total scalar broadcast onto the |langs| x |sources| grid + three 1-row entropy attaches",
     ("agg_theil_index", "CARTESIAN"): "1-row (n, s) totals scalar broadcast onto the distinct-cent value spine + 1-row term-sum attach",
     ("ml_cohen_kappa_weighted", "CARTESIAN"): "5x5 rater-margin grid cross join (bounded by the category count) + two 1-row scalar attaches",
+    ("ml_granger_causality", "GLOBAL_WINDOW"): "lag over the calendar-bounded daily spine",
+    ("events_transfer_entropy", "GLOBAL_WINDOW"): "two chained lags over the calendar-bounded daily up/down state spine",
 }
 
 
