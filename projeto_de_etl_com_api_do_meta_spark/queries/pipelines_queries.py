@@ -1089,10 +1089,14 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: total_value_cents is the sum of PER-EVENT integer cents (round(v*100)
+#: per event), matching the stateful kernel's accumulator — per-event
+#: quantization is the only contract that is micro-batch-partition
+#: independent once values carry full double precision (r11 sf0.01 refresh).
 _ORACLE_STATEFUL = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS total_value_cents,
        MAX(ts) AS last_ts
 FROM events

@@ -257,6 +257,12 @@ _PRIORITY: tuple[str, ...] = (
     "events_transfer_entropy",
     "ml_partial_correlation",
     "io_dod_timestamp_roundtrip",
+    "events_markov_stationary",
+    "retrieval_prf_expansion",
+    "events_shapley_attribution",
+    "ml_cuped_adjustment",
+    "ml_qini_uplift",
+    "ml_empirical_bayes_ctr",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -615,6 +621,8 @@ def _load_all() -> None:
         analytics_r11,
         analytics_r11b,
         analytics_r11c,
+        analytics_r11d,
+        analytics_r11e,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

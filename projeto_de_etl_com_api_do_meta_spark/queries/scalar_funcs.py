@@ -233,14 +233,23 @@ def fn_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- R6: map family (MapType — SURVEY §1.3 supported-type floor) --------------
 
+#: Computed from the actual JSON keys (NOT hardcoded to a single 'k' key):
+#: the r11 sf0.01 events refresh ships props = '{}', where the old
+#: constant-folded oracle (1 AS n_keys, 'k' AS first_key, ...) diverged
+#: from the real map semantics the Spark side computes.
 _ORACLE_MAP = """
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
-       1 AS n_keys,
-       'k' AS first_key,
-       TRUE AS has_k,
-       2 AS n_after_concat,
-       concat('k=', CAST(json_extract(props, '$.k') AS INTEGER)) AS kv_pair
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+       CASE WHEN len(json_keys(props)) = 0 THEN NULL
+            ELSE list_sort(json_keys(props))[1] END AS first_key,
+       list_contains(json_keys(props), 'k') AS has_k,
+       CAST(len(json_keys(props)) + 1 AS INTEGER) AS n_after_concat,
+       CASE WHEN len(json_keys(props)) = 0 THEN NULL
+            ELSE concat(json_keys(props)[1], '=',
+                 CAST(CAST(json_extract(props,
+                      '$."' || json_keys(props)[1] || '"') AS INTEGER)
+                      AS VARCHAR)) END AS kv_pair
 FROM events
 """
 

@@ -305,10 +305,19 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
     state_schema = "n long, cents long, last_us long"
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         n, cents, last_us = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(round(pdf["value"].astype("float64").sum() * 100))
+            # Per-EVENT integer cents (floor(x*100 + 0.5) == SQL round for
+            # the positive values here), so the accumulated total is
+            # independent of micro-batch partitioning.  Rounding the batch
+            # SUM instead drifts by up to half a cent per batch — exposed
+            # by the r11 sf0.01 refresh whose values carry full double
+            # precision rather than 2dp.
+            v = pdf["value"].astype("float64").to_numpy()
+            cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
             mx = pdf["ts"].max()
             last_us = max(last_us, int(mx.value // 1000))
         state.update((n, cents, last_us))

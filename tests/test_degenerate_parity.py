@@ -503,6 +503,9 @@ _BATTERY4 = [
     "ml_cohen_kappa_weighted", "ml_jarque_bera", "graph_adamic_adar",
     "ml_granger_causality", "events_transfer_entropy",
     "ml_partial_correlation", "io_dod_timestamp_roundtrip",
+    "events_markov_stationary", "retrieval_prf_expansion",
+    "events_shapley_attribution", "ml_cuped_adjustment",
+    "ml_qini_uplift", "ml_empirical_bayes_ctr",
 ]
 
 

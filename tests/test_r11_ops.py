@@ -817,3 +817,213 @@ class TestBatch3:
         )
         assert got["partial_r_xy_z"] == pytest.approx(round(num / den, 6), abs=1e-6)
         assert -1.0 <= got["partial_r_xy_z"] <= 1.0
+
+
+class TestBatch4:
+    def test_markov_stationary_brute(self, spark):
+        """The 16-iteration integer fold must match a pure-Python replay of
+        the same integer arithmetic, and the result must sum to ~1."""
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11d import (
+            _MK_STATES,
+            events_markov_stationary,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .selectExpr("user_id", "ts", "event_id", "event_type")
+            .collect()
+        )
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+        trans = Counter()
+        for seq in by_user.values():
+            seq.sort()
+            for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+                trans[(a, b)] += 1
+        idx = {s: i for i, s in enumerate(_MK_STATES)}
+        c = [[0] * 5 for _ in range(5)]
+        for (a, b), n in trans.items():
+            c[idx[a]][idx[b]] += n
+        p = [
+            [((c[i][j] + 1) * 10**12) // (sum(c[i]) + 5) for j in range(5)]
+            for i in range(5)
+        ]
+        v = [200000] * 5
+        for _ in range(16):
+            v = [
+                sum(v[i] * p[i][j] for i in range(5)) // 10**12
+                for j in range(5)
+            ]
+        got = {
+            r["state"]: r for r in events_markov_stationary(spark, SF_DIR).collect()
+        }
+        for j, s in enumerate(_MK_STATES):
+            assert got[s]["stationary_e6"] == v[j], s
+            assert got[s]["n_transitions_out"] == sum(c[j])
+        total = sum(r["stationary_e6"] for r in got.values())
+        assert abs(total - 1_000_000) <= 16 * 5  # floor loss per iteration
+
+    def test_prf_excludes_query_terms_and_ranks(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11d import (
+            _PRF_TERMS,
+            retrieval_prf_expansion,
+        )
+
+        rows = retrieval_prf_expansion(spark, SF_DIR).collect()
+        assert 1 <= len(rows) <= 10
+        for r in rows:
+            assert r["term"] not in _PRF_TERMS
+            assert len(r["term"]) >= 3
+            assert r["n_feedback_docs"] >= 1
+        scores = [r["score_micro"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+class TestBatch5:
+    def test_shapley_brute(self, spark):
+        """Exact Shapley values must match a pure-Python coalition replay,
+        and efficiency must hold: sum(phi_e24) == 24*(v(full) - v(empty))."""
+        from math import factorial
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11e import (
+            _SH_CHANNELS,
+            events_shapley_attribution,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .selectExpr("user_id", "ts", "event_id", "event_type")
+            .collect()
+        )
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+        bit = dict(_SH_CHANNELS)
+        masks: list[int] = []
+        for seq in by_user.values():
+            seq.sort()
+            types = [t for _, _, t in seq]
+            if "purchase" not in types:
+                continue
+            p = types.index("purchase")
+            masks.append(sum({bit[t] for t in types[:p]}))
+        v = [sum(1 for m in masks if (m & s) == m) for s in range(16)]
+        got = {
+            r["channel"]: r
+            for r in events_shapley_attribution(spark, SF_DIR).collect()
+        }
+        assert set(got) == {ch for ch, _ in _SH_CHANNELS}
+        total = 0
+        for ch, b in _SH_CHANNELS:
+            phi24 = sum(
+                factorial(bin(s).count("1"))
+                * factorial(3 - bin(s).count("1"))
+                * (v[s | b] - v[s])
+                for s in range(16)
+                if not s & b
+            )
+            assert got[ch]["shapley_e24"] == phi24, ch
+            total += phi24
+        assert total == 24 * (v[15] - v[0])
+
+    def test_cuped_brute(self, spark):
+        import numpy as np
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11e import (
+            ml_cuped_adjustment,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .selectExpr("user_id", "event_type", "value")
+            .collect()
+        )
+        agg: dict = {}
+        for r in rows:
+            x, y = agg.setdefault(r["user_id"], [0, 0])
+            if r["event_type"] in ("view", "click"):
+                agg[r["user_id"]][0] += 1
+            elif r["event_type"] == "purchase":
+                agg[r["user_id"]][1] += int(
+                    np.floor(r["value"] * 100.0 + 0.5)
+                )
+        uid = sorted(agg)
+        xs = np.array([agg[u][0] for u in uid], dtype=float)
+        ys = np.array([agg[u][1] for u in uid], dtype=float)
+        va = np.array([u % 2 == 0 for u in uid])
+        n = len(uid)
+        cov = n * (xs * ys).sum() - xs.sum() * ys.sum()
+        varx = n * (xs * xs).sum() - xs.sum() ** 2
+        theta = 0.0 if varx <= 0 else cov / varx
+        got = ml_cuped_adjustment(spark, SF_DIR).collect()[0]
+        assert got["n_a"] == int(va.sum())
+        assert got["n_b"] == n - int(va.sum())
+        diff_raw = ys[va].mean() - ys[~va].mean()
+        assert got["diff_raw_cents"] == pytest.approx(diff_raw, abs=1e-4)
+        assert got["theta"] == pytest.approx(theta, abs=1e-6)
+        diff_cuped = diff_raw - theta * (xs[va].mean() - xs[~va].mean())
+        assert got["diff_cuped_cents"] == pytest.approx(diff_cuped, abs=1e-4)
+        assert 0.0 <= got["rho2"] <= 1.0
+
+    def test_qini_monotone_and_totals(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11e import (
+            ml_qini_uplift,
+        )
+
+        rows = ml_qini_uplift(spark, SF_DIR).collect()
+        assert rows, "qini curve must be non-empty"
+        cuts = [r["n_clicks_cut"] for r in rows]
+        assert cuts == sorted(cuts, reverse=True)
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["cn_t"] >= prev["cn_t"]
+            assert cur["cconv_t"] >= prev["cconv_t"]
+        last = rows[-1]
+        # the last cut covers the whole population
+        assert last["cn_t"] + last["cn_c"] > 0
+        # qini at full coverage: 1e6*conv_t - floor(1e6*conv_c*n_t/n_c)
+        if last["cn_c"]:
+            expect = 1_000_000 * last["cconv_t"] - (
+                1_000_000 * last["cconv_c"] * last["cn_t"]
+            ) // last["cn_c"]
+            assert last["qini_micro"] == expect
+
+    def test_eb_shrinkage_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11e import (
+            _EB_N_CAMPAIGNS,
+            ml_empirical_bayes_ctr,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .selectExpr("user_id", "event_type")
+            .collect()
+        )
+        n: dict = {}
+        x: dict = {}
+        for r in rows:
+            c = r["user_id"] % _EB_N_CAMPAIGNS
+            n[c] = n.get(c, 0) + 1
+            if r["event_type"] == "purchase":
+                x[c] = x.get(c, 0) + 1
+        p = {c: (1_000_000 * x.get(c, 0)) // n[c] for c in n}
+        k = len(n)
+        m = sum(p.values()) // k
+        v = sum((pi - m) ** 2 for pi in p.values()) // k
+        kk = 0 if v == 0 else max((m * (1_000_000 - m)) // v - 1, 0)
+        got = {r["campaign"]: r for r in ml_empirical_bayes_ctr(spark, SF_DIR).collect()}
+        assert set(got) == set(n)
+        for c in n:
+            assert got[c]["raw_rate_e6"] == p[c], c
+            expect = (1_000_000 * x.get(c, 0) + m * kk) // (n[c] + kk)
+            assert got[c]["shrunk_rate_e6"] == expect, c
+            assert got[c]["prior_strength"] == kk
+            # shrinkage pulls toward the prior mean
+            lo, hi = min(p[c], m), max(p[c], m)
+            assert lo - 1 <= got[c]["shrunk_rate_e6"] <= hi + 1

@@ -293,6 +293,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ml_cohen_kappa_weighted", "CARTESIAN"): "5x5 rater-margin grid cross join (bounded by the category count) + two 1-row scalar attaches",
     ("ml_granger_causality", "GLOBAL_WINDOW"): "lag over the calendar-bounded daily spine",
     ("events_transfer_entropy", "GLOBAL_WINDOW"): "two chained lags over the calendar-bounded daily up/down state spine",
+    ("retrieval_prf_expansion", "CARTESIAN"): "corpus-stats scalar broadcast (1 row; N, avgdl) onto query-term postings and the feedback-term table (the corpus_bm25_search contract)",
+    ("events_shapley_attribution", "CARTESIAN"): "coalition algebra on the 2^4 = 16-row literal subset spine: the mask-containment and S+i joins are non-equi by construction and bounded by the channel count, never by data",
+    ("ml_qini_uplift", "GLOBAL_WINDOW"): "cumulative window over the DISTINCT per-user click-count value spine (bounded by max clicks per user), not over users — the quantize-then-spine contract (ml_auc_roc_exact)",
+    ("ml_empirical_bayes_ctr", "CARTESIAN"): "two scalar attaches: the 1-row prior (k, m, v) broadcast onto the 25-row campaign spine, and the g1-left-join-r moment pass over the same spine",
 }
 
 
