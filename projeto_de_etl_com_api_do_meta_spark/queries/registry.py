@@ -263,6 +263,10 @@ _PRIORITY: tuple[str, ...] = (
     "ml_cuped_adjustment",
     "ml_qini_uplift",
     "ml_empirical_bayes_ctr",
+    "graph_hits_hubs",
+    "ml_pacf_durbin_levinson",
+    "events_hidden_periodicity",
+    "agg_count_min_sketch",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -623,6 +627,7 @@ def _load_all() -> None:
         analytics_r11c,
         analytics_r11d,
         analytics_r11e,
+        analytics_r11f,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

@@ -506,6 +506,8 @@ _BATTERY4 = [
     "events_markov_stationary", "retrieval_prf_expansion",
     "events_shapley_attribution", "ml_cuped_adjustment",
     "ml_qini_uplift", "ml_empirical_bayes_ctr",
+    "graph_hits_hubs", "ml_pacf_durbin_levinson",
+    "events_hidden_periodicity", "agg_count_min_sketch",
 ]
 
 

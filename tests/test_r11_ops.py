@@ -1027,3 +1027,144 @@ class TestBatch5:
             # shrinkage pulls toward the prior mean
             lo, hi = min(p[c], m), max(p[c], m)
             assert lo - 1 <= got[c]["shrunk_rate_e6"] <= hi + 1
+
+
+class TestBatch6:
+    def test_hits_brute(self, spark):
+        """Integer HITS replay: 4 rounds of sum + floor-normalize to 1e9."""
+        from projeto_de_etl_com_api_do_meta_spark.io import load_table
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11f import (
+            _HITS_ROUNDS,
+            _HITS_TOPK,
+            graph_hits_hubs,
+        )
+
+        orders = {
+            r["o_orderkey"]: r["o_custkey"]
+            for r in load_table(spark, SF_DIR, "orders")
+            .select("o_orderkey", "o_custkey")
+            .collect()
+        }
+        edges = set()
+        for r in (
+            load_table(spark, SF_DIR, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .collect()
+        ):
+            if r["l_orderkey"] in orders:
+                edges.add((orders[r["l_orderkey"]], r["l_partkey"]))
+        h = {c: 1 for c, _ in edges}
+        a = {}
+        for _ in range(_HITS_ROUNDS):
+            a = {}
+            for c, p in edges:
+                a[p] = a.get(p, 0) + h.get(c, 0)
+            asum = sum(a.values())
+            a = {p: (10**9 * v) // asum for p, v in a.items()}
+            h = {}
+            for c, p in edges:
+                h[c] = h.get(c, 0) + a.get(p, 0)
+            hsum = sum(h.values())
+            h = {c: (10**9 * v) // hsum for c, v in h.items()}
+        exp_a = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:_HITS_TOPK]
+        exp_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:_HITS_TOPK]
+        got = graph_hits_hubs(spark, SF_DIR).collect()
+        got_a = [(r["node_key"], r["score_e9"]) for r in got if r["role"] == "authority"]
+        got_h = [(r["node_key"], r["score_e9"]) for r in got if r["role"] == "hub"]
+        assert got_a == exp_a
+        assert got_h == exp_h
+
+    def test_pacf_brute(self, spark):
+        """DL recursion replay from the exact integer ACF path."""
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11f import (
+            _PACF_MAX_LAG,
+            ml_pacf_durbin_levinson,
+        )
+
+        days = Counter(
+            r["d"]
+            for r in _events(spark, SF_DIR).selectExpr("CAST(ts AS DATE) AS d").collect()
+        )
+        xs = [days[d] for d in sorted(days)]
+        n, s = len(xs), sum(xs)
+        cent = [n * x - s for x in xs]
+        d2 = sum(r * r for r in cent)
+        rho = {}
+        for k in range(1, _PACF_MAX_LAG + 1):
+            num = sum(cent[t] * cent[t + k] for t in range(n - k)) if n > k else 0
+            r_e9 = 0 if d2 == 0 else int(round(num * 1e9 / d2))
+            rho[k] = r_e9 / 1e9
+        f = {(1, 1): rho[1]}
+        for k in range(2, _PACF_MAX_LAG + 1):
+            num = rho[k] - sum(f[(k - 1, j)] * rho[k - j] for j in range(1, k))
+            den = 1.0 - sum(f[(k - 1, j)] * rho[j] for j in range(1, k))
+            f[(k, k)] = 0.0 if den == 0.0 else num / den
+            if k < _PACF_MAX_LAG:
+                for j in range(1, k):
+                    f[(k, j)] = f[(k - 1, j)] - f[(k, k)] * f[(k - 1, k - j)]
+        import math
+
+        got = {r["lag"]: r for r in ml_pacf_durbin_levinson(spark, SF_DIR).collect()}
+        for k in range(1, _PACF_MAX_LAG + 1):
+            exp = int(math.floor(f[(k, k)] * 1e6 + 0.5))
+            assert got[k]["pacf_e6"] == exp, k
+            assert got[k]["n_days"] == n
+
+    def test_periodicity_brute(self, spark):
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11f import (
+            events_hidden_periodicity,
+        )
+
+        days = Counter(
+            r["d"]
+            for r in _events(spark, SF_DIR).selectExpr("CAST(ts AS DATE) AS d").collect()
+        )
+        xs = [days[d] for d in sorted(days)]
+        n, s, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        got = {r["period"]: r for r in events_hidden_periodicity(spark, SF_DIR).collect()}
+        assert set(got) == set(range(2, 11))
+        for p in range(2, 11):
+            sr: dict = {}
+            nr: dict = {}
+            for t, x in enumerate(xs):
+                sr[t % p] = sr.get(t % p, 0) + x
+                nr[t % p] = nr.get(t % p, 0) + 1
+            fold = sum((1_000_000 * sr[r] * sr[r]) // nr[r] for r in sr)
+            ssb = fold - (1_000_000 * s * s) // n
+            sst = 1_000_000 * sxx - (1_000_000 * s * s) // n
+            assert got[p]["ssb_e6"] == ssb, p
+            assert got[p]["sst_e6"] == sst, p
+            assert 0 <= got[p]["strength"] <= 1.0 or sst == 0
+
+    def test_cms_brute(self, spark):
+        import hashlib
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11f import (
+            _CMS_D,
+            _CMS_W,
+            agg_count_min_sketch,
+        )
+
+        uids = [r["user_id"] for r in _events(spark, SF_DIR).select("user_id").collect()]
+        true = Counter(uids)
+
+        def bucket(j, uid):
+            return int(hashlib.md5(f"{j}:{uid}".encode()).hexdigest()[:8], 16) % _CMS_W
+
+        cells: Counter = Counter()
+        for uid, cnt in true.items():
+            for j in range(_CMS_D):
+                cells[(j, bucket(j, uid))] += cnt
+        got = agg_count_min_sketch(spark, SF_DIR).collect()
+        assert len(got) == 10
+        for r in got:
+            uid = r["user_id"]
+            est = min(cells[(j, bucket(j, uid))] for j in range(_CMS_D))
+            assert r["true_n"] == true[uid]
+            assert r["cms_est"] == est
+            assert r["overestimate"] == est - true[uid] >= 0

@@ -297,6 +297,12 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("events_shapley_attribution", "CARTESIAN"): "coalition algebra on the 2^4 = 16-row literal subset spine: the mask-containment and S+i joins are non-equi by construction and bounded by the channel count, never by data",
     ("ml_qini_uplift", "GLOBAL_WINDOW"): "cumulative window over the DISTINCT per-user click-count value spine (bounded by max clicks per user), not over users — the quantize-then-spine contract (ml_auc_roc_exact)",
     ("ml_empirical_bayes_ctr", "CARTESIAN"): "two scalar attaches: the 1-row prior (k, m, v) broadcast onto the 25-row campaign spine, and the g1-left-join-r moment pass over the same spine",
+    ("graph_hits_hubs", "CARTESIAN"): "per-round L1-normalization scalar (1-row SUM) broadcast onto the score vector — the graph_pagerank_purchases iterate shape with a normalize step",
+    ("ml_pacf_durbin_levinson", "CARTESIAN"): "calendar-day spine work: 1-row moment/denominator scalars attached to the <=31-row daily series and the 5-row lag spine",
+    ("ml_pacf_durbin_levinson", "GLOBAL_WINDOW"): "row_number over the calendar-bounded daily spine (<=31 rows after the daily pre-aggregate)",
+    ("events_hidden_periodicity", "CARTESIAN"): "1-row total-moment scalar and the 9-row period spine attached to the calendar-bounded daily series",
+    ("events_hidden_periodicity", "GLOBAL_WINDOW"): "row_number over the calendar-bounded daily spine (<=31 rows after the daily pre-aggregate)",
+    ("agg_count_min_sketch", "CARTESIAN"): "the d=4 literal hash-row spine fanned onto the event stream (map-combinable) and the 10-probe x 4-row probe spine",
 }
 
 
