@@ -267,6 +267,8 @@ _PRIORITY: tuple[str, ...] = (
     "ml_pacf_durbin_levinson",
     "events_hidden_periodicity",
     "agg_count_min_sketch",
+    "dedup_cdc_chunking",
+    "io_roaring_bitmap_stats",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -628,6 +630,7 @@ def _load_all() -> None:
         analytics_r11d,
         analytics_r11e,
         analytics_r11f,
+        analytics_r11g,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

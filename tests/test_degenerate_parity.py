@@ -508,6 +508,7 @@ _BATTERY4 = [
     "ml_qini_uplift", "ml_empirical_bayes_ctr",
     "graph_hits_hubs", "ml_pacf_durbin_levinson",
     "events_hidden_periodicity", "agg_count_min_sketch",
+    "dedup_cdc_chunking", "io_roaring_bitmap_stats",
 ]
 
 

@@ -1168,3 +1168,150 @@ class TestBatch6:
             assert r["true_n"] == true[uid]
             assert r["cms_est"] == est
             assert r["overestimate"] == est - true[uid] >= 0
+
+
+class TestBatch7:
+    def test_cdc_brute(self, spark):
+        """Pure-Python CDC replay: same charset symbols, same polynomial."""
+        import hashlib
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.io import load_table
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11g import (
+            _CDC_B,
+            _CDC_CHARSET,
+            _CDC_M,
+            _CDC_MASK,
+            _CDC_W,
+            dedup_cdc_chunking,
+        )
+
+        docs = [
+            (r["doc_id"], r["text"].lower())
+            for r in load_table(spark, SF_DIR, "documents")
+            .select("doc_id", "text")
+            .collect()
+        ]
+        chunk_counts: Counter = Counter()
+        chunk_docs: dict = {}
+        chunk_len: dict = {}
+        total = 0
+        for doc_id, text in docs:
+            syms = [
+                _CDC_CHARSET.find(ch) + 1 for ch in text
+            ]  # instr: 1-based, 0 if absent
+            bps = set()
+            for i in range(_CDC_W, len(text) + 1):
+                h = (
+                    sum(
+                        syms[i - _CDC_W + j - 1] * _CDC_B ** (_CDC_W - j)
+                        for j in range(1, _CDC_W + 1)
+                    )
+                    % _CDC_M
+                )
+                if h % _CDC_MASK == 0:
+                    bps.add(i)
+            bps.add(len(text))
+            bs = [0] + sorted(bps)
+            for k in range(len(bs) - 1):
+                c = text[bs[k]: bs[k + 1]]
+                if not c:
+                    continue
+                key = hashlib.md5(c.encode()).hexdigest()
+                chunk_counts[key] += 1
+                chunk_docs.setdefault(key, set()).add(doc_id)
+                chunk_len[key] = len(c)
+                total += 1
+        got = dedup_cdc_chunking(spark, SF_DIR).collect()[0]
+        assert got["total_chunks"] == total
+        assert got["distinct_chunks"] == len(chunk_counts)
+        assert got["dup_chunks"] == total - len(chunk_counts)
+        assert got["total_bytes"] == sum(
+            chunk_len[k] * c for k, c in chunk_counts.items()
+        )
+        assert got["dedup_saved_bytes"] == sum(
+            chunk_len[k] * (c - 1) for k, c in chunk_counts.items()
+        )
+        assert got["cross_doc_chunks"] == sum(
+            1 for k in chunk_counts if len(chunk_docs[k]) > 1
+        )
+
+    def test_cdc_shift_invariance(self):
+        """The CDC property fixed windows lack: a shared passage chunks
+        identically after an arbitrary-length prefix shift."""
+        import hashlib
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11g import (
+            _CDC_B,
+            _CDC_CHARSET,
+            _CDC_M,
+            _CDC_MASK,
+            _CDC_W,
+        )
+
+        def chunks(text):
+            syms = [_CDC_CHARSET.find(ch) + 1 for ch in text]
+            bps = {len(text)}
+            for i in range(_CDC_W, len(text) + 1):
+                h = (
+                    sum(
+                        syms[i - _CDC_W + j - 1] * _CDC_B ** (_CDC_W - j)
+                        for j in range(1, _CDC_W + 1)
+                    )
+                    % _CDC_M
+                )
+                if h % _CDC_MASK == 0:
+                    bps.add(i)
+            bs = [0] + sorted(bps)
+            return [
+                hashlib.md5(text[a:b].encode()).hexdigest()
+                for a, b in zip(bs, bs[1:])
+                if b > a
+            ]
+
+        shared = "the quick brown fox jumps over the lazy dog " * 8
+        c1 = chunks("prefix one " + shared)
+        c2 = chunks("a totally different and much longer prefix two " + shared)
+        # interior chunks of the shared passage align despite the shift
+        assert set(c1) & set(c2), "shifted shared passage must share chunks"
+
+    def test_roaring_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11g import (
+            _RB_ARRAY_MAX,
+            _RB_CHUNK,
+            io_roaring_bitmap_stats,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .select("event_type", "event_id")
+            .distinct()
+            .collect()
+        )
+        per: dict = {}
+        for r in rows:
+            per.setdefault((r["event_type"], r["event_id"] // _RB_CHUNK), []).append(
+                r["event_id"]
+            )
+        got = {
+            (r["event_type"], r["chunk"]): r
+            for r in io_roaring_bitmap_stats(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(per)
+        for key, ids in per.items():
+            ids.sort()
+            runs = sum(
+                1 for i, v in enumerate(ids) if i == 0 or ids[i - 1] != v - 1
+            )
+            n = len(ids)
+            r = got[key]
+            assert r["n"] == n and r["runs"] == runs
+            if 4 * runs + 2 <= min(2 * n, 8192):
+                assert r["container"] == "run"
+                assert r["container_bytes"] == 4 * runs + 2
+            elif n <= _RB_ARRAY_MAX:
+                assert r["container"] == "array"
+                assert r["container_bytes"] == 2 * n
+            else:
+                assert r["container"] == "bitmap"
+                assert r["container_bytes"] == 8192
