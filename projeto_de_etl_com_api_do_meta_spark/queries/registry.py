@@ -269,6 +269,10 @@ _PRIORITY: tuple[str, ...] = (
     "agg_count_min_sketch",
     "dedup_cdc_chunking",
     "io_roaring_bitmap_stats",
+    "agg_hyperloglog_exact",
+    "events_recurrence_quantification",
+    "io_bwt_transform",
+    "events_markov_entropy_rate",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -631,6 +635,7 @@ def _load_all() -> None:
         analytics_r11e,
         analytics_r11f,
         analytics_r11g,
+        analytics_r11h,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

@@ -509,6 +509,8 @@ _BATTERY4 = [
     "graph_hits_hubs", "ml_pacf_durbin_levinson",
     "events_hidden_periodicity", "agg_count_min_sketch",
     "dedup_cdc_chunking", "io_roaring_bitmap_stats",
+    "agg_hyperloglog_exact", "events_recurrence_quantification",
+    "io_bwt_transform", "events_markov_entropy_rate",
 ]
 
 

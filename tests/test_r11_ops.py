@@ -1315,3 +1315,154 @@ class TestBatch7:
             else:
                 assert r["container"] == "bitmap"
                 assert r["container_bytes"] == 8192
+
+
+class TestBatch8:
+    def test_hll_brute(self, spark):
+        import hashlib
+        import math
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11h import (
+            _HLL_ALPHA,
+            _HLL_M,
+            agg_hyperloglog_exact,
+        )
+
+        uids = {r["user_id"] for r in _events(spark, SF_DIR).select("user_id").collect()}
+        regs = [0] * _HLL_M
+        for uid in uids:
+            h = int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16)
+            b, w = h % _HLL_M, h // _HLL_M
+            rho = 27 if w == 0 else 27 - w.bit_length()
+            regs[b] = max(regs[b], rho)
+        z_num = sum(2 ** (32 - m) for m in regs)
+        e = _HLL_ALPHA * _HLL_M * _HLL_M * 4294967296.0 / z_num
+        v = regs.count(0)
+        if e <= 2.5 * _HLL_M and v > 0:
+            e = _HLL_M * math.log(_HLL_M / v)
+        got = agg_hyperloglog_exact(spark, SF_DIR).collect()[0]
+        assert got["z_num"] == z_num
+        assert got["v_zero"] == v
+        assert got["true_distinct"] == len(uids)
+        assert got["estimate_e4"] == int(math.floor(e * 1e4 + 0.5))
+        # a 64-register HLL should land within ~26% (2 sigma) of truth
+        assert abs(e - len(uids)) / len(uids) < 0.4
+
+    def test_rqa_brute(self, spark):
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11h import (
+            events_recurrence_quantification,
+        )
+
+        days = Counter(
+            r["d"] for r in _events(spark, SF_DIR).selectExpr("CAST(ts AS DATE) AS d").collect()
+        )
+        xs = [days[d] for d in sorted(days)]
+        n = len(xs)
+        e = (max(xs) - min(xs)) // 10
+        rec = {
+            (i, j)
+            for i in range(n)
+            for j in range(i + 1, n)
+            if abs(xs[i] - xs[j]) <= e
+        }
+        in_lines = sum(
+            1
+            for (i, j) in rec
+            if (i - 1, j - 1) in rec or (i + 1, j + 1) in rec
+        )
+        got = events_recurrence_quantification(spark, SF_DIR).collect()[0]
+        assert got["n_days"] == n
+        assert got["eps"] == e
+        assert got["n_recurrent"] == len(rec)
+        assert got["n_in_lines"] == in_lines
+        import math
+        assert got["rr_e6"] == int(
+            math.floor(2e6 * len(rec) / (n * (n - 1)) + 0.5)
+        )
+
+    def test_bwt_brute(self, spark):
+        import hashlib
+
+        from projeto_de_etl_com_api_do_meta_spark.io import load_table
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11h import (
+            _BWT_DOC_CAP,
+            io_bwt_transform,
+        )
+
+        docs = {
+            r["doc_id"]: r["text"].lower()
+            for r in load_table(spark, SF_DIR, "documents")
+            .where(f"doc_id < {_BWT_DOC_CAP}")
+            .select("doc_id", "text")
+            .collect()
+        }
+        got = {r["doc_id"]: r for r in io_bwt_transform(spark, SF_DIR).collect()}
+        assert set(got) == set(docs)
+
+        def runs(s):
+            return 0 if not s else 1 + sum(
+                1 for a, b in zip(s, s[1:]) if a != b
+            )
+
+        for doc_id, text in docs.items():
+            rots = sorted(text[i:] + text[:i] for i in range(len(text)))
+            bwt = "".join(r[-1] for r in rots) if text else ""
+            r = got[doc_id]
+            assert r["bwt_md5"] == hashlib.md5(bwt.encode()).hexdigest()
+            assert r["runs_before"] == runs(text)
+            assert r["runs_after"] == runs(bwt)
+            # BWT clusters runs: never (much) worse on these word corpora
+            assert r["runs_after"] <= r["runs_before"] + 2
+
+    def test_entropy_rate_brute(self, spark):
+        import math
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11d import (
+            _MK_STATES,
+        )
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11h import (
+            events_markov_entropy_rate,
+        )
+
+        rows = (
+            _events(spark, SF_DIR)
+            .selectExpr("user_id", "ts", "event_id", "event_type")
+            .collect()
+        )
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+        trans = Counter()
+        for seq in by_user.values():
+            seq.sort()
+            for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+                trans[(a, b)] += 1
+        idx = {s: i for i, s in enumerate(_MK_STATES)}
+        c = [[0] * 5 for _ in range(5)]
+        for (a, b), k in trans.items():
+            c[idx[a]][idx[b]] += k
+        p = [
+            [((c[i][j] + 1) * 10**12) // (sum(c[i]) + 5) for j in range(5)]
+            for i in range(5)
+        ]
+        v = [200000] * 5
+        for _ in range(16):
+            v = [
+                sum(v[i] * p[i][j] for i in range(5)) // 10**12
+                for j in range(5)
+            ]
+        h = 0.0
+        for i in range(5):
+            for j in range(5):
+                pij = p[i][j] / 1e12
+                pi = v[i] / 1e6
+                h += pi * pij * math.log(pij)
+        got = events_markov_entropy_rate(spark, SF_DIR).collect()[0]
+        assert got["n_transitions"] == sum(trans.values())
+        assert got["entropy_rate_nats_e6"] == int(math.floor(-h * 1e6 + 0.5))
+        assert 0 < got["entropy_rate_nats_e6"] <= int(math.log(5) * 1e6) + 1

@@ -303,6 +303,8 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("events_hidden_periodicity", "CARTESIAN"): "1-row total-moment scalar and the 9-row period spine attached to the calendar-bounded daily series",
     ("events_hidden_periodicity", "GLOBAL_WINDOW"): "row_number over the calendar-bounded daily spine (<=31 rows after the daily pre-aggregate)",
     ("agg_count_min_sketch", "CARTESIAN"): "the d=4 literal hash-row spine fanned onto the event stream (map-combinable) and the 10-probe x 4-row probe spine",
+    ("agg_hyperloglog_exact", "CARTESIAN"): "1-row true-distinct scalar attached to the 1-row 64-register readout",
+    ("events_recurrence_quantification", "CARTESIAN"): "1-row eps/n scalar broadcast onto the calendar-bounded day-pair spine (<=31x31)",
 }
 
 
