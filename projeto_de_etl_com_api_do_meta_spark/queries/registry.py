@@ -273,6 +273,10 @@ _PRIORITY: tuple[str, ...] = (
     "events_recurrence_quantification",
     "io_bwt_transform",
     "events_markov_entropy_rate",
+    "ml_xicor_correlation",
+    "ml_tail_dependence",
+    "events_allan_variance",
+    "ml_survival_cindex",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -636,6 +640,7 @@ def _load_all() -> None:
         analytics_r11f,
         analytics_r11g,
         analytics_r11h,
+        analytics_r11i,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

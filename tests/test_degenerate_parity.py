@@ -511,6 +511,8 @@ _BATTERY4 = [
     "dedup_cdc_chunking", "io_roaring_bitmap_stats",
     "agg_hyperloglog_exact", "events_recurrence_quantification",
     "io_bwt_transform", "events_markov_entropy_rate",
+    "ml_xicor_correlation", "ml_tail_dependence",
+    "events_allan_variance", "ml_survival_cindex",
 ]
 
 

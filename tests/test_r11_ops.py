@@ -1466,3 +1466,159 @@ class TestBatch8:
         assert got["n_transitions"] == sum(trans.values())
         assert got["entropy_rate_nats_e6"] == int(math.floor(-h * 1e6 + 0.5))
         assert 0 < got["entropy_rate_nats_e6"] <= int(math.log(5) * 1e6) + 1
+
+
+class TestBatch9:
+    def _daily(self, spark):
+        from collections import Counter
+
+        cx, cy = Counter(), Counter()
+        for r in _events(spark, SF_DIR).selectExpr(
+            "CAST(ts AS DATE) AS d", "event_type"
+        ).collect():
+            if r["event_type"] == "click":
+                cx[r["d"]] += 1
+            elif r["event_type"] == "purchase":
+                cy[r["d"]] += 1
+        days = sorted(set(cx) | set(cy) | {
+            r["d"] for r in _events(spark, SF_DIR).selectExpr("CAST(ts AS DATE) AS d").distinct().collect()
+        })
+        return days, [cx[d] for d in days], [cy[d] for d in days]
+
+    def test_xicor_brute(self, spark):
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11i import (
+            ml_xicor_correlation,
+        )
+
+        days, xs, ys = self._daily(spark)
+        n = len(days)
+
+        def xi(x, y):
+            order = sorted(range(n), key=lambda i: (x[i], days[i]))
+            r = [sum(1 for j in range(n) if y[j] <= y[i]) for i in range(n)]
+            el = [sum(1 for j in range(n) if y[j] >= y[i]) for i in range(n)]
+            num = n * sum(
+                abs(r[order[k + 1]] - r[order[k]]) for k in range(n - 1)
+            )
+            den = 2 * sum(l * (n - l) for l in el)
+            return 0 if den == 0 else 1_000_000 - (1_000_000 * num) // den
+
+        got = {r["direction"]: r for r in ml_xicor_correlation(spark, SF_DIR).collect()}
+        assert got["clicks_to_purchases"]["xi_e6"] == xi(xs, ys)
+        assert got["purchases_to_clicks"]["xi_e6"] == xi(ys, xs)
+        assert got["clicks_to_purchases"]["n_days"] == n
+
+    def test_tail_dependence_brute(self, spark):
+        import numpy as np
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11i import (
+            ml_tail_dependence,
+        )
+
+        agg: dict = {}
+        for r in _events(spark, SF_DIR).selectExpr(
+            "user_id", "event_type", "value"
+        ).collect():
+            x, y = agg.setdefault(r["user_id"], [0, 0])
+            if r["event_type"] in ("view", "click"):
+                agg[r["user_id"]][0] += 1
+            elif r["event_type"] == "purchase":
+                agg[r["user_id"]][1] += int(np.floor(r["value"] * 100 + 0.5))
+        xs = sorted(v[0] for v in agg.values())
+        ys = sorted(v[1] // 100 for v in agg.values())
+        n = len(xs)
+
+        def order_stat(vals, k):
+            return vals[k - 1]  # k-th smallest, 1-based
+
+        k_hi = (9 * n + 9) // 10
+        k_lo = (n + 9) // 10
+        tx_hi, ty_hi = order_stat(xs, k_hi), order_stat(ys, k_hi)
+        tx_lo, ty_lo = order_stat(xs, k_lo), order_stat(ys, k_lo)
+        got = ml_tail_dependence(spark, SF_DIR).collect()[0]
+        assert (got["tx_hi"], got["ty_hi"]) == (tx_hi, ty_hi)
+        assert (got["tx_lo"], got["ty_lo"]) == (tx_lo, ty_lo)
+        nx = sum(1 for v in agg.values() if v[0] > tx_hi)
+        nj = sum(1 for v in agg.values() if v[0] > tx_hi and v[1] // 100 > ty_hi)
+        assert got["nx_hi"] == nx and got["nj_hi"] == nj
+        if nx:
+            assert got["lambda_upper_e6"] == (1_000_000 * nj) // nx
+
+    def test_allan_brute(self, spark):
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11i import (
+            _AV_TAUS,
+            events_allan_variance,
+        )
+
+        days = Counter(
+            r["d"] for r in _events(spark, SF_DIR).selectExpr("CAST(ts AS DATE) AS d").collect()
+        )
+        xs = [days[d] for d in sorted(days)]
+        got = {r["tau"]: r for r in events_allan_variance(spark, SF_DIR).collect()}
+        assert set(got) == set(_AV_TAUS)
+        for tau in _AV_TAUS:
+            m = [
+                (1_000_000 * sum(xs[b * tau:(b + 1) * tau])) // tau
+                for b in range(len(xs) // tau)
+            ]
+            diffs = [m[k + 1] - m[k] for k in range(len(m) - 1)]
+            avar = 0 if not diffs else sum(d * d for d in diffs) // (2 * len(diffs))
+            assert got[tau]["m_blocks"] == len(m), tau
+            assert got[tau]["avar_e12"] == avar, tau
+
+    def test_cindex_brute(self, spark):
+        import datetime as dt
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11i import (
+            ml_survival_cindex,
+        )
+
+        rows = _events(spark, SF_DIR).selectExpr(
+            "user_id", "ts", "event_type"
+        ).collect()
+        signup: dict = {}
+        for r in rows:
+            if r["event_type"] == "signup":
+                if r["user_id"] not in signup or r["ts"] < signup[r["user_id"]]:
+                    signup[r["user_id"]] = r["ts"]
+        max_d = max(r["ts"] for r in rows).date()
+        purch: dict = {}
+        for r in rows:
+            u = r["user_id"]
+            if (
+                r["event_type"] == "purchase"
+                and u in signup
+                and r["ts"] >= signup[u]
+            ):
+                if u not in purch or r["ts"] < purch[u]:
+                    purch[u] = r["ts"]
+        score: dict = {}
+        for r in rows:
+            if r["event_type"] in ("view", "click"):
+                score[r["user_id"]] = score.get(r["user_id"], 0) + 1
+        subj = []
+        for u, sts in signup.items():
+            if u in purch:
+                subj.append(((purch[u].date() - sts.date()).days, 1, score.get(u, 0)))
+            else:
+                subj.append(((max_d - sts.date()).days, 0, score.get(u, 0)))
+        comp = conc = ties = 0
+        for (ti, evi, si) in subj:
+            if evi != 1:
+                continue
+            for (tj, _, sj) in subj:
+                if tj > ti:
+                    comp += 1
+                    if si > sj:
+                        conc += 1
+                    elif si == sj:
+                        ties += 1
+        got = ml_survival_cindex(spark, SF_DIR).collect()[0]
+        assert got["n_subjects"] == len(subj)
+        assert got["comparable"] == comp
+        assert got["concordant"] == conc
+        assert got["tied_score"] == ties
+        if comp:
+            assert got["cindex_e6"] == (1_000_000 * (2 * conc + ties)) // (2 * comp)

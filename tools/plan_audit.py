@@ -305,6 +305,12 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("agg_count_min_sketch", "CARTESIAN"): "the d=4 literal hash-row spine fanned onto the event stream (map-combinable) and the 10-probe x 4-row probe spine",
     ("agg_hyperloglog_exact", "CARTESIAN"): "1-row true-distinct scalar attached to the 1-row 64-register readout",
     ("events_recurrence_quantification", "CARTESIAN"): "1-row eps/n scalar broadcast onto the calendar-bounded day-pair spine (<=31x31)",
+    ("ml_xicor_correlation", "GLOBAL_WINDOW"): "rank/lag windows over the calendar-bounded daily spine (<=31 rows after the daily pre-aggregate)",
+    ("ml_tail_dependence", "CARTESIAN"): "1-row threshold/n scalars broadcast onto the user-grain aggregate for the four conditional counts",
+    ("ml_tail_dependence", "GLOBAL_WINDOW"): "cumulative counts over the distinct-VALUE spines (engagement counts + whole-currency revenue buckets) — the quantize-then-spine order-statistic idiom (ml_auc_roc_exact)",
+    ("events_allan_variance", "CARTESIAN"): "the 5-row tau literal spine fanned onto the calendar-bounded daily series",
+    ("events_allan_variance", "GLOBAL_WINDOW"): "row_number over the calendar-bounded daily spine; block lags are PARTITIONED by tau",
+    ("ml_survival_cindex", "CARTESIAN"): "cell-grid pair join: (day-grain time x event x score-count) cells multiply counts — bounded by calendar x score cardinality, never by user volume; plus the 1-row max-date scalar",
 }
 
 
