@@ -277,6 +277,8 @@ _PRIORITY: tuple[str, ...] = (
     "ml_tail_dependence",
     "events_allan_variance",
     "ml_survival_cindex",
+    "events_sax_symbolic",
+    "events_matrix_profile",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -641,6 +643,7 @@ def _load_all() -> None:
         analytics_r11g,
         analytics_r11h,
         analytics_r11i,
+        analytics_r11j,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

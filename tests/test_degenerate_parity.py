@@ -513,6 +513,7 @@ _BATTERY4 = [
     "io_bwt_transform", "events_markov_entropy_rate",
     "ml_xicor_correlation", "ml_tail_dependence",
     "events_allan_variance", "ml_survival_cindex",
+    "events_sax_symbolic", "events_matrix_profile",
 ]
 
 

@@ -1622,3 +1622,83 @@ class TestBatch9:
         assert got["tied_score"] == ties
         if comp:
             assert got["cindex_e6"] == (1_000_000 * (2 * conc + ties)) // (2 * comp)
+
+
+class TestBatch10:
+    def test_sax_brute(self, spark):
+        import math
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11j import (
+            _SAX_BREAKS,
+            _SAX_SEGMENTS,
+            events_sax_symbolic,
+        )
+
+        per: dict = {}
+        for r in _events(spark, SF_DIR).selectExpr(
+            "event_type", "CAST(ts AS DATE) AS d"
+        ).collect():
+            per.setdefault(r["event_type"], Counter())[r["d"]] += 1
+        got = {r["event_type"]: r for r in events_sax_symbolic(spark, SF_DIR).collect()}
+        assert set(got) == set(per)
+        for g, days in per.items():
+            xs = [days[d] for d in sorted(days)]
+            n, s = len(xs), sum(xs)
+            sxx = sum(x * x for x in xs)
+            segs: dict = {}
+            for t, x in enumerate(xs):
+                k = (t * _SAX_SEGMENTS) // n
+                a, b = segs.get(k, (0, 0))
+                segs[k] = (a + x, b + 1)
+            word = ""
+            for k in sorted(segs):
+                ssum, scnt = segs[k]
+                paa = ((1_000_000 * ssum) // scnt) / 1e6
+                var = (n * sxx - s * s) / (n * n)
+                z = 0.0 if n * sxx - s * s <= 0 else (paa - s / n) / math.sqrt(var)
+                word += (
+                    "a" if z < _SAX_BREAKS[0]
+                    else "b" if z < _SAX_BREAKS[1]
+                    else "c" if z < _SAX_BREAKS[2]
+                    else "d"
+                )
+            assert got[g]["sax_word"] == word, g
+            assert got[g]["n_days"] == n
+
+    def test_matrix_profile_brute(self, spark):
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11j import (
+            _MP_EXCL,
+            _MP_M,
+            events_matrix_profile,
+        )
+
+        days = Counter(
+            r["d"] for r in _events(spark, SF_DIR).selectExpr("CAST(ts AS DATE) AS d").collect()
+        )
+        xs = [days[d] for d in sorted(days)]
+        n = len(xs)
+        nwin = n - _MP_M + 1
+        got = {r["window_start"]: r for r in events_matrix_profile(spark, SF_DIR).collect()}
+        assert set(got) == set(range(1, nwin + 1))
+        profile = {}
+        for i in range(1, nwin + 1):
+            best = None
+            for j in range(1, nwin + 1):
+                if abs(j - i) <= _MP_EXCL:
+                    continue
+                d = sum(
+                    (xs[i - 1 + k] - xs[j - 1 + k]) ** 2 for k in range(_MP_M)
+                )
+                if best is None or d < best[0] or (d == best[0] and j < best[1]):
+                    best = (d, j)
+            profile[i] = best
+            assert got[i]["nn_sq_dist"] == best[0], i
+            assert got[i]["nn_start"] == best[1], i
+        gmin = min(v[0] for v in profile.values())
+        gmax = max(v[0] for v in profile.values())
+        for i in profile:
+            assert got[i]["is_motif"] == (1 if profile[i][0] == gmin else 0)
+            assert got[i]["is_discord"] == (1 if profile[i][0] == gmax else 0)
