@@ -279,6 +279,7 @@ _PRIORITY: tuple[str, ...] = (
     "ml_survival_cindex",
     "events_sax_symbolic",
     "events_matrix_profile",
+    "ml_platt_scaling",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -644,6 +645,7 @@ def _load_all() -> None:
         analytics_r11h,
         analytics_r11i,
         analytics_r11j,
+        analytics_r11k,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

@@ -1702,3 +1702,68 @@ class TestBatch10:
         for i in profile:
             assert got[i]["is_motif"] == (1 if profile[i][0] == gmin else 0)
             assert got[i]["is_discord"] == (1 if profile[i][0] == gmax else 0)
+
+
+class TestBatch11:
+    def test_platt_newton_brute(self, spark):
+        """Replay the 8 Newton iterations in pure Python from the exact
+        per-score cells; the fitted curve must also genuinely calibrate
+        (monotone in score when the data are monotone)."""
+        import math
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11k import (
+            _PL_ITERS,
+            _PL_PROBES,
+            ml_platt_scaling,
+        )
+
+        agg: dict = {}
+        for r in _events(spark, SF_DIR).selectExpr(
+            "user_id", "event_type"
+        ).collect():
+            s, y = agg.setdefault(r["user_id"], [0, 0])
+            if r["event_type"] in ("view", "click"):
+                agg[r["user_id"]][0] += 1
+            elif r["event_type"] == "purchase":
+                agg[r["user_id"]][1] = 1
+        cells: dict = {}
+        for s, y in agg.values():
+            pos, neg = cells.get(s, (0, 0))
+            cells[s] = (pos + y, neg + (1 - y))
+        cl = sorted((float(s), float(p), float(n)) for s, (p, n) in cells.items())
+        n_pos = sum(p for _, p, _ in cl)
+        n_neg = sum(n for _, _, n in cl)
+        a, b = 0.0, math.log((n_neg + 1.0) / (n_pos + 1.0))
+        for _ in range(_PL_ITERS):
+            g1 = g2 = h11 = h12 = h22 = 0.0
+            for s, pos, neg in cl:
+                p = 1.0 / (1.0 + math.exp(-(a * s + b)))
+                w = (pos + neg) * p * (1.0 - p)
+                r_ = (pos + neg) * p - pos
+                g1 += r_ * s
+                g2 += r_
+                h11 += w * s * s
+                h12 += w * s
+                h22 += w
+            det = h11 * h22 - h12 * h12
+            if det != 0.0:
+                a, b = a - (g1 * h22 - g2 * h12) / det, b - (
+                    g2 * h11 - g1 * h12
+                ) / det
+        got = ml_platt_scaling(spark, SF_DIR).collect()[0]
+        assert got["n_pos"] == int(n_pos) and got["n_neg"] == int(n_neg)
+        assert got["a_e6"] == int(math.floor(a * 1e6 + 0.5))
+        assert got["b_e6"] == int(math.floor(b * 1e6 + 0.5))
+        for s in _PL_PROBES:
+            exp = int(
+                math.floor(1e6 / (1.0 + math.exp(-(a * s + b))) + 0.5)
+            )
+            assert got[f"p_cal_s{s}_e6"] == exp
+        # Newton must have converged to a stationary point: one more
+        # gradient evaluation is ~zero relative to the Hessian scale
+        g1 = g2 = 0.0
+        for s, pos, neg in cl:
+            p = 1.0 / (1.0 + math.exp(-(a * s + b)))
+            g1 += ((pos + neg) * p - pos) * s
+            g2 += (pos + neg) * p - pos
+        assert abs(g2) < 1e-6 * max(1.0, n_pos + n_neg)
