@@ -231,10 +231,12 @@ _PRIORITY: tuple[str, ...] = (
     "agg_atkinson_inequality",
     "ml_mood_scale_test",
     "ml_siegel_repeated_medians",
-    # ---- r11 additions (12 ops, all local-exact at sf0.01): pinned AFTER
-    # the 47 session-2 carry-overs above per the r10-verdict window rule —
-    # the carry-overs fill ~94% of the ~50-slot r11 window, so these are
-    # the deliberate r12 carry-overs unless slots free up. ----
+    # ---- r11 additions (46 ops through ml_bradley_terry, all local-exact
+    # at sf0.01 AND sf0.1 and zero-row-battery green): pinned AFTER the 47
+    # session-2 carry-overs above per the r10-verdict window rule — the
+    # carry-overs fill ~94% of the ~50-slot r11 window, so these are the
+    # deliberate r12 carry-overs, in module-batch order, unless slots free
+    # up. ----
     "ml_goodman_kruskal_gamma",
     "ml_durbin_watson",
     "ml_chow_test",
@@ -280,6 +282,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_sax_symbolic",
     "events_matrix_profile",
     "ml_platt_scaling",
+    "ml_bradley_terry",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -646,6 +649,7 @@ def _load_all() -> None:
         analytics_r11i,
         analytics_r11j,
         analytics_r11k,
+        analytics_r11l,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

@@ -1767,3 +1767,54 @@ class TestBatch11:
             g1 += ((pos + neg) * p - pos) * s
             g2 += (pos + neg) * p - pos
         assert abs(g2) < 1e-6 * max(1.0, n_pos + n_neg)
+
+
+class TestBatch12:
+    def test_bradley_terry_brute(self, spark):
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11d import (
+            _MK_STATES,
+        )
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11l import (
+            _BT_ITERS,
+            _BT_K,
+            ml_bradley_terry,
+        )
+
+        daily: dict = {}
+        for r in _events(spark, SF_DIR).selectExpr(
+            "CAST(ts AS DATE) AS d", "event_type"
+        ).collect():
+            daily.setdefault(r["d"], Counter())[r["event_type"]] += 1
+        w = [[0] * _BT_K for _ in range(_BT_K)]
+        for cnts in daily.values():
+            for a in range(_BT_K):
+                for b in range(_BT_K):
+                    if a != b and cnts[_MK_STATES[a]] > cnts[_MK_STATES[b]]:
+                        w[a][b] += 1
+        pi = [1.0 / _BT_K] * _BT_K
+        for _ in range(_BT_ITERS):
+            raw = []
+            for i in range(_BT_K):
+                wi = sum(w[i][j] for j in range(_BT_K) if j != i)
+                den = sum(
+                    0.0
+                    if pi[i] + pi[j] == 0.0
+                    else (w[i][j] + w[j][i]) / (pi[i] + pi[j])
+                    for j in range(_BT_K)
+                    if j != i
+                )
+                raw.append(pi[i] if den == 0.0 else wi / den)
+            tot = sum(raw)
+            pi = raw if tot == 0.0 else [r_ / tot for r_ in raw]
+        import math
+
+        got = {r["event_type"]: r for r in ml_bradley_terry(spark, SF_DIR).collect()}
+        assert set(got) == set(_MK_STATES)
+        for i, s in enumerate(_MK_STATES):
+            assert got[s]["wins"] == sum(w[i][j] for j in range(_BT_K) if j != i)
+            assert got[s]["strength_e6"] == int(math.floor(pi[i] * 1e6 + 0.5)), s
+        # strengths are a probability vector
+        total = sum(r["strength_e6"] for r in got.values())
+        assert abs(total - 1_000_000) <= _BT_K
