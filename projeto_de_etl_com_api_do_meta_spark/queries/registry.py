@@ -231,7 +231,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_atkinson_inequality",
     "ml_mood_scale_test",
     "ml_siegel_repeated_medians",
-    # ---- r11 additions (46 ops through ml_bradley_terry, all local-exact
+    # ---- r11 additions (47 ops through corpus_good_turing, all local-exact
     # at sf0.01 AND sf0.1 and zero-row-battery green): pinned AFTER the 47
     # session-2 carry-overs above per the r10-verdict window rule — the
     # carry-overs fill ~94% of the ~50-slot r11 window, so these are the
@@ -283,6 +283,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_matrix_profile",
     "ml_platt_scaling",
     "ml_bradley_terry",
+    "corpus_good_turing",
     # ---- r6 head: this round's new oracle-backed operators (the 37 still-
     # unverified r5 names below plus these 11 fill the ~50-slot window). ----
     "lakehouse_merge_upsert",
@@ -650,6 +651,7 @@ def _load_all() -> None:
         analytics_r11j,
         analytics_r11k,
         analytics_r11l,
+        analytics_r11m,
         corpus_miner_queries,
         dedup_crossengine,
         documents_queries,

@@ -514,7 +514,7 @@ _BATTERY4 = [
     "ml_xicor_correlation", "ml_tail_dependence",
     "events_allan_variance", "ml_survival_cindex",
     "events_sax_symbolic", "events_matrix_profile",
-    "ml_platt_scaling", "ml_bradley_terry",
+    "ml_platt_scaling", "ml_bradley_terry", "corpus_good_turing",
 ]
 
 

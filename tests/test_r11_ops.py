@@ -1818,3 +1818,39 @@ class TestBatch12:
         # strengths are a probability vector
         total = sum(r["strength_e6"] for r in got.values())
         assert abs(total - 1_000_000) <= _BT_K
+
+
+class TestBatch13:
+    def test_good_turing_brute(self, spark):
+        from collections import Counter
+
+        from projeto_de_etl_com_api_do_meta_spark.io import load_table
+        from projeto_de_etl_com_api_do_meta_spark.queries.analytics_r11m import (
+            _GT_MAX_R,
+            corpus_good_turing,
+        )
+
+        tc: Counter = Counter()
+        for r in load_table(spark, SF_DIR, "documents").select("text").collect():
+            t = r["text"].strip().lower()
+            if t:
+                tc.update(t.split())
+        nr: Counter = Counter(tc.values())
+        n_tokens = sum(r_ * c for r_, c in nr.items())
+        vocab = sum(nr.values())
+        got = {r["r"]: r for r in corpus_good_turing(spark, SF_DIR).collect()}
+        expect_rs = sorted(nr)[:_GT_MAX_R]
+        assert sorted(got) == expect_rs
+        for r_ in expect_rs:
+            row = got[r_]
+            assert row["n_r"] == nr[r_]
+            exp_star = (
+                0
+                if (r_ + 1) not in nr
+                else ((r_ + 1) * 1_000_000 * nr[r_ + 1]) // nr[r_]
+            )
+            assert row["r_star_e6"] == exp_star, r_
+            assert row["n_tokens"] == n_tokens and row["vocab"] == vocab
+            assert row["p_unseen_e6"] == (
+                0 if n_tokens == 0 else (1_000_000 * nr.get(1, 0)) // n_tokens
+            )

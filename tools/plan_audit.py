@@ -313,6 +313,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("ml_survival_cindex", "CARTESIAN"): "cell-grid pair join: (day-grain time x event x score-count) cells multiply counts — bounded by calendar x score cardinality, never by user volume; plus the 1-row max-date scalar",
     ("events_matrix_profile", "CARTESIAN"): "window-pair spine over the calendar-bounded daily series (<=26x26 non-equi pairs) plus 1-row min/max scalar attaches",
     ("events_matrix_profile", "GLOBAL_WINDOW"): "row_number over the calendar-bounded daily spine (<=31 rows after the daily pre-aggregate)",
+    ("corpus_good_turing", "CARTESIAN"): "two 1-row scalar attaches (token totals + the N_1 row) onto the bounded frequency-of-frequencies spine",
 }
 
 
