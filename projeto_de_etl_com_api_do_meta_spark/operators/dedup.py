@@ -101,7 +101,18 @@ def jaccard_pairs(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
-    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # explode the shingle EXPRESSION, not the aliased column: on a plain
+    # attribute, InferFiltersFromGenerate adds `size(shingles) > 0`, and
+    # predicate pushdown substitutes the full shingle expression below
+    # spread()'s Exchange — the whole corpus gets shingled a second time
+    # on the ONE pre-repartition input partition (measured 10x on the
+    # posting materialization, r11 optimization round).  The rule skips
+    # expensive generator inputs (SPARK-36715), so the inline form keeps
+    # the Generate above the exchange with no inferred filter.
+    posting = spread(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(
@@ -157,7 +168,18 @@ def containment_pairs(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
-    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # explode the shingle EXPRESSION, not the aliased column: on a plain
+    # attribute, InferFiltersFromGenerate adds `size(shingles) > 0`, and
+    # predicate pushdown substitutes the full shingle expression below
+    # spread()'s Exchange — the whole corpus gets shingled a second time
+    # on the ONE pre-repartition input partition (measured 10x on the
+    # posting materialization, r11 optimization round).  The rule skips
+    # expensive generator inputs (SPARK-36715), so the inline form keeps
+    # the Generate above the exchange with no inferred filter.
+    posting = spread(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(
@@ -768,10 +790,16 @@ def jaccard_pairs_capped(
     expansion.  Returns (doc_a, doc_b, n_inter, size_a, size_b, jaccard)
     with jaccard >= threshold over the capped sets.
     """
-    sh = spread(df, id_col).select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
+    # explode the shingle EXPRESSION, not an aliased column: the aliased
+    # form lets InferFiltersFromGenerate push a `size(<full shingle
+    # expr>) > 0` filter below spread()'s Exchange, re-shingling the whole
+    # corpus on the ONE pre-repartition input partition (measured 10x on
+    # the posting materialization, r11 optimization round; the rule skips
+    # expensive generator inputs, SPARK-36715).
+    posting = spread(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
-    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     dfc = posting.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")  # postings are distinct per doc
     )

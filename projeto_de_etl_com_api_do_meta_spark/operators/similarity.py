@@ -70,7 +70,17 @@ def unit_vectors(
     # _nrm would be collapsed into the projection and recompute the
     # 64-element norm fold twice per row (measured: dedup_embedding_cosine
     # 1.6 -> 3.1 s before this form).
-    tmp = df.where(F.exists(F.col(vec_col), lambda x: x != 0)).select(
+    # spread first: the norm fold + per-component divide are interpreted-HOF
+    # CPU (no codegen for higher-order functions); without the repartition
+    # every single-file fixture corpus normalizes on ONE input partition,
+    # and every downstream pair comparison inherits that parallelism (r11
+    # optimization round).  Results are partitioning-invariant.  The tiny
+    # broadcast query sides pay one negligible extra shuffle.
+    from .dedup import spread
+
+    tmp = spread(df, id_col).where(
+        F.exists(F.col(vec_col), lambda x: x != 0)
+    ).select(
         F.col(id_col).alias(id_alias),
         *[c.alias(n) for n, c in extra.items()],
         F.col(vec_col).alias("_raw"),

@@ -113,9 +113,14 @@ ORDER BY word
     ),
 )
 def corpus_cooc_svd_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import spread
+
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.split("text", " ").alias("ws"))
+    # spread: the per-row bigram explode is CPU-bound; without it the whole
+    # corpus tokenizes on the single fixture input partition (r11
+    # optimization round — same rationale as the shingle posting joins).
+    toks = spread(docs, "doc_id").select(F.split("text", " ").alias("ws"))
     big = (
         toks.select(
             F.explode(
@@ -132,9 +137,24 @@ def corpus_cooc_svd_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .where(F.col("w1").rlike("^[a-z]+$") & F.col("w2").rlike("^[a-z]+$"))
     )
-    sym = big.unionAll(big.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
-    cooc = sym.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c12")
+    # Symmetrize AFTER the first aggregate: counting directed bigrams first
+    # collapses the corpus-scale stream to vocab² rows, so the swapped
+    # union + re-aggregate touch only vocabulary-bounded data (before, the
+    # union doubled the corpus-scale shuffle and the bigram pass ran twice).
+    # sum(c) over {(w1,w2,c), (w2,w1,c)} == count over the row-level union.
+    dir_cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cooc = (
+        dir_cnt.unionAll(
+            dir_cnt.select(
+                F.col("w2").alias("w1"), F.col("w1").alias("w2"), F.col("c")
+            )
+        )
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").cast("bigint").alias("c12"))
+        # persist: marg, tot and m all re-derive from cooc; caching the
+        # vocab²-bounded table keeps the corpus-scale bigram pass at ONE
+        # execution instead of four (r11 optimization round).
+        .persist()
     )
     marg = cooc.groupBy(F.col("w1").alias("w")).agg(
         F.sum("c12").cast("bigint").alias("c")

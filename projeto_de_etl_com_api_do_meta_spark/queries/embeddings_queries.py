@@ -502,8 +502,13 @@ def embed_ann_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     # unit_vectors() projects to (id, uv) only; bucket must ride along, so
-    # inline the same normalize-once pattern here.
-    tmp = emb.select(
+    # inline the same normalize-once pattern here.  spread: the bucket
+    # projection is interpreted-HOF CPU (m x d fixed-point folds per row);
+    # without it the whole corpus evaluates on the single fixture input
+    # partition (r11 optimization round).
+    from ..operators.dedup import spread
+
+    tmp = spread(emb, "vec_id").select(
         "vec_id",
         F.col("embedding").alias("_raw"),
         norm(F.col("embedding")).alias("_nrm"),
@@ -609,7 +614,14 @@ def embed_ann_srp_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     d = len(emb.select("embedding").first()[0])
-    proj = emb.select("vec_id", _yfp_col("srp", d, _SRP_MD5_M).alias("s"))
+    # spread: the m x d fixed-point projection and the per-pair integer
+    # dots below are interpreted-HOF CPU; without it they evaluate on the
+    # single fixture input partition (r11 optimization round).
+    from ..operators.dedup import spread
+
+    proj = spread(emb, "vec_id").select(
+        "vec_id", _yfp_col("srp", d, _SRP_MD5_M).alias("s")
+    )
     q = F.broadcast(
         proj.where(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), F.col("s").alias("qs")
@@ -808,8 +820,13 @@ def _ivf_md5_scores(emb: DataFrame) -> DataFrame:
     # Lloyd update: exact integer floor-mean per (list, component).
     # (s - pmod(s, n)) is divisible by n, so the double division is exact
     # (|result| << 2^53) — same construction as the oracle's % arithmetic.
-    comp = x.join(a1, "vec_id").select(
-        "list_id", F.posexplode("xf").alias("i", "v")
+    # posexplode the fixed-point EXPRESSION, not the aliased xf column: on
+    # a plain attribute InferFiltersFromGenerate adds size(xf) > 0 and
+    # pushdown substitutes the full transform below the join onto the scan,
+    # evaluating it twice per row (r11 optimization round; the rule skips
+    # expensive generator inputs, SPARK-36715).
+    comp = emb.join(a1, "vec_id").select(
+        "list_id", F.posexplode(xfp).alias("i", "v")
     )
     grp = comp.groupBy("list_id", "i").agg(
         F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")

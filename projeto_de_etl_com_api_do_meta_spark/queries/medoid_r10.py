@@ -100,8 +100,23 @@ def embed_cluster_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, v: a + v,
         ),
     )
+    # posexplode the quantize EXPRESSION, not the aliased qv column: on a
+    # plain attribute InferFiltersFromGenerate adds size(qv) > 0 and
+    # pushdown substitutes the full transform onto the scan, evaluating it
+    # twice per row (r11 optimization round; the rule skips expensive
+    # generator inputs, SPARK-36715).
     comps = (
-        pts.select("label", F.posexplode("qv").alias("pos", "v"))
+        emb.select(
+            "label",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 1000, 0).cast(
+                        "bigint"
+                    ),
+                )
+            ).alias("pos", "v"),
+        )
         .groupBy("label", "pos")
         .agg(F.sum("v").cast("bigint").alias("s"))
     )
