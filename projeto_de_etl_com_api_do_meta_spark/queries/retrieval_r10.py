@@ -256,9 +256,15 @@ ORDER BY doc_a, doc_b
     ),
 )
 def dedup_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import spread
+
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
-    ws = docs.select("doc_id", F.split("text", " ").alias("w")).where(
+    # spread: the trigram explode is per-row CPU; without the repartition it
+    # runs on the single fixture input partition (r11 optimization round).
+    ws = spread(docs, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).where(
         F.size("w") >= 3  # sequence(1, 0) is DESCENDING in Spark — guard
     )
     big = ws.select(
@@ -271,9 +277,13 @@ def dedup_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # localCheckpoint: norms, the df cap and BOTH posting sides re-derive
+    # from tf; materializing it keeps the corpus-scale trigram pass at ONE
+    # execution instead of four (r11 optimization round).  localCheckpoint
+    # (not persist) so blocks release when the plan is GC'd.
     tf = big.groupBy("doc_id", "g").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
+    ).localCheckpoint(eager=True)
     norms = tf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
     )

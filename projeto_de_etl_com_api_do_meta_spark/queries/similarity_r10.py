@@ -124,9 +124,15 @@ def damerau_levenshtein(a: str, b: str) -> int:
 def _capped_bigram_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct lowercase word-bigram strings blocked on their first word,
     membership capped at _BLOCK_CAP by row_number over the bigram order."""
+    from ..operators.dedup import spread
+
     docs = load_table(spark, sf_dir, "documents")
+    # spread: the bigram explode is per-row CPU (three split() calls per
+    # row inside the transform); without the repartition the whole corpus
+    # evaluates on the single fixture input partition (r11 optimization
+    # round).
     bigrams = (
-        docs.select(
+        spread(docs, "doc_id").select(
             F.explode(
                 F.expr(
                     "transform(slice(split(text, ' '), 1, "
