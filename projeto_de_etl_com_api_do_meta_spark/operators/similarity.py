@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.lit_fast import sql_array, sql_matrix
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two float arrays (deterministic order)."""
@@ -431,12 +433,10 @@ def ivf_index(
             [by_cluster[c].get(p, 0.0) for p in range(dim)]
             for c in sorted(by_cluster)
         ]
-        cents_lit = F.array(
-            *[
-                F.array(*[F.lit(x) for x in cv])
-                for cv in cent_vecs
-            ]
-        )
+        # one-parse literal matrix: per-element F.lit costs 2-4 Py4J
+        # round-trips, paid once per Lloyd round (r11 optimization;
+        # functions/lit_fast.py) — repr round-trips bit-identically.
+        cents_lit = sql_matrix(cent_vecs, "DOUBLE")
         # argmax dot over the literal centroids; array_position returns the
         # FIRST index equal to the max, i.e. ties break to the lowest
         # cluster id — same contract as an (dot DESC, cluster ASC) sort.
@@ -501,14 +501,23 @@ def ivf_topk(
     # a fresh session (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on cv#...);
     # regression-pinned by tests/test_virgin_session.py.
     cent_rows = sorted(cents.collect(), key=lambda r: r["cluster"])
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cluster"])).alias("cluster"),
-                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+    # one-parse literal struct array (r11 optimization; see
+    # functions/lit_fast.py — per-element F.lit is 2-4 Py4J round-trips,
+    # and this runs once per query build over nlist x dim values).
+    from ..functions.lit_fast import _scalar_sql
+
+    cents_lit = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('cluster', {c}, 'cvec', array({v}))".format(
+                c=int(r["cluster"]),
+                v=",".join(
+                    _scalar_sql(float(x), "DOUBLE") for x in r["cvec"]
+                ),
             )
             for r in cent_rows
-        ]
+        )
+        + ")"
     )
     ranked = F.transform(
         cents_lit,
@@ -682,9 +691,8 @@ def ann_srp_topk(
     candidate cut); anisotropic real embedding corpora separate far
     better at small m. Pinned by the recall test."""
     d = len(corpus.select(vec_col).first()[0])
-    rmat = F.array(
-        *[F.array(*[F.lit(float(s)) for s in row]) for row in srp_signs(d, m)]
-    )
+    # one-parse literal matrix (r11 optimization; functions/lit_fast.py)
+    rmat = sql_matrix(srp_signs(d, m), "DOUBLE")
 
     def project(vec: Column) -> Column:
         return F.transform(
@@ -1164,7 +1172,8 @@ def kcenter_greedy(
     center_vec = first["v"]
 
     def dist_to(vec: list[float]):
-        lit = F.array(*[F.lit(float(x)) for x in vec])
+        # one-parse literal vector (r11 optimization; functions/lit_fast.py)
+        lit = sql_array([float(x) for x in vec], "DOUBLE")
         return F.sqrt(
             F.aggregate(
                 F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b)),

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.lit_fast import sql_matrix
 from ..io import load_table
 from ..operators.similarity import (
     brute_force_topk,
@@ -320,9 +321,8 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for j in range(_SRP_M)
     ]
-    rmat = F.array(
-        *[F.array(*[F.lit(s).cast("long") for s in row]) for row in sign]
-    )
+    # one-parse literal matrix: see functions/lit_fast.py (r11 optimization)
+    rmat = sql_matrix(sign, "BIGINT")
     xfp = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * F.lit(_FP)).cast("long"),
@@ -397,13 +397,10 @@ def _md5_sign_rows(tag: str, d: int, m: int) -> list[list[int]]:
 
 def _yfp_col(tag: str, d: int, m: int):
     """array<long> of m fixed-point signed projections of `embedding` —
-    pure codegen zip_with/aggregate over a literal matrix (no UDF/shuffle)."""
-    rmat = F.array(
-        *[
-            F.array(*[F.lit(s).cast("long") for s in row])
-            for row in _md5_sign_rows(tag, d, m)
-        ]
-    )
+    pure codegen zip_with/aggregate over a literal matrix (no UDF/shuffle).
+    The matrix renders as ONE sql literal: per-element F.lit cost ~3 s of
+    driver time per query build at m x d = 16 x 64 (r11 optimization)."""
+    rmat = sql_matrix(_md5_sign_rows(tag, d, m), "BIGINT")
     xfp = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * F.lit(_FP20)).cast("long"),

@@ -1182,7 +1182,10 @@ def logreg_gd_train(
         w = [0.0] * dim
 
         def margin(weights: list[float]):
-            lit = F.array(*[F.lit(float(x)) for x in weights])
+            # one-parse literal vector (r11 optimization; lit_fast.py)
+            from ..functions.lit_fast import sql_array
+
+            lit = sql_array([float(x) for x in weights], "DOUBLE")
             return F.aggregate(
                 F.zip_with(F.col("v"), lit, lambda a, b: a * b),
                 F.lit(0.0),
