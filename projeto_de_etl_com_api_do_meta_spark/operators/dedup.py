@@ -406,7 +406,10 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # eager=False: the `changed` count below materializes the
+            # blocks in its own job — one job round-trip per round, not
+            # two (r12).
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
@@ -646,12 +649,23 @@ def connected_components_star(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
-        # ---- small-star: orient toward the larger endpoint
+        # ---- small-star: orient toward the larger endpoint.  large's
+        # rows are ALREADY oriented (m <= old u < old v, so u > v in every
+        # emitted row).  NO intermediate distincts (r12): min-aggregates
+        # are insensitive to duplicates and the round ends in
+        # small.distinct() anyway, so the two pre-distincts that used to
+        # sit here (on large and on oriented) were two full exchanges per
+        # round deduping what the final distinct dedupes — removed; the
+        # duplicate volume flowing through is bounded by the adjacency
+        # size the round already shuffles.  Remaining exchanges per
+        # round: adj-by-u (shared by m's groupBy and the join via
+        # ReusedExchange), oriented-by-u (shared by m2 and its join),
+        # and the final distinct — the 3-shuffle minimum for a
+        # large-star + small-star round.
         oriented = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        )
         m2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             oriented.join(m2, "u")
@@ -662,7 +676,12 @@ def connected_components_star(
             .where(F.col("a") != F.col("b"))
             .select(F.col("a").alias("u"), F.col("b").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # eager=False: the _fp() collect right below materializes the
+            # checkpoint blocks inside ITS job, so each round pays one job
+            # round-trip instead of two (checkpoint-then-fingerprint, r12).
+            # AQE runs the upstream shuffle stages at construction either
+            # way; only the final stage is deferred into _fp.
+            .localCheckpoint(eager=False)
         )
         # fixpoint: same canonical edge set as last round.  Checked with a
         # single order-free aggregate fingerprint (count + xor-ish hash
@@ -833,22 +852,38 @@ def jaccard_pairs_capped(
         )
     else:
         cold = dfc.where(F.col("df") <= F.lit(cap_val)).select("shingle")
-    # localCheckpoint, not persist: the materialized blocks are released
-    # when the plan is GC'd, so back-to-back invocations in one long-lived
-    # session (bench / correctness loops) don't accumulate pinned cache.
-    kept = posting.join(cold, "shingle").localCheckpoint(eager=True)
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    # Cold posting lists are ≤ cap entries, so collect_list is bounded and
-    # the i<j expansion is local per shingle — cap² pairs worst case.
+    # Aggregate the cold posting lists IN THE SAME PLAN as the join: the
+    # join's shuffle on `shingle` is reused by the groupBy (no second
+    # corpus-scale exchange), and collect_list is bounded because hot
+    # shingles were already dropped (≤ cap entries per group).  Only the
+    # VOCAB-scale list table is materialized (localCheckpoint, not
+    # persist: blocks release when the plan is GC'd, so back-to-back
+    # invocations in a long-lived session don't accumulate pinned cache)
+    # — before r12 the corpus-scale postings were checkpointed instead
+    # and re-shuffled by shingle on the far side of the checkpoint, and
+    # per-doc sizes paid a second corpus-scale shuffle of (doc_id,
+    # shingle) rows; sizes now re-derive from the lists, so that shuffle
+    # carries bare doc_id longs (guide §2.3/§2.4).
+    lists = (
+        posting.join(cold, "shingle")
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        lists.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    # Cold posting lists are ≤ cap entries, so the i<j expansion is local
+    # per shingle — cap² pairs worst case.
     pair_expand = F.expr(
         "flatten(transform(docs, (a, i) -> "
         "transform(slice(docs, i + 2, size(docs)), "
         "b -> struct(a AS doc_a, b AS doc_b))))"
     )
     inter = (
-        kept.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .select(F.explode(pair_expand).alias("p"))
+        lists.select(F.explode(pair_expand).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -151,10 +151,15 @@ def corpus_cooc_svd_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w1", "w2")
         .agg(F.sum("c").cast("bigint").alias("c12"))
-        # persist: marg, tot and m all re-derive from cooc; caching the
-        # vocab²-bounded table keeps the corpus-scale bigram pass at ONE
-        # execution instead of four (r11 optimization round).
-        .persist()
+        # localCheckpoint, not persist (r12, VERDICT r11 "What's wrong
+        # #2"): marg, tot and m all re-derive from cooc, so the
+        # vocab²-bounded table must materialize once — but persist()
+        # with no unpersist pins the blocks for the life of a shared
+        # session.  Checkpoint blocks release when the plan is GC'd.
+        # eager=True is deliberate: with AQE even eager=False executes
+        # every upstream shuffle stage at construction (only the final
+        # stage defers), so laziness buys nothing here.
+        .localCheckpoint(eager=True)
     )
     marg = cooc.groupBy(F.col("w1").alias("w")).agg(
         F.sum("c12").cast("bigint").alias("c")

@@ -534,7 +534,11 @@ def kcore_peel_edges(
             e.join(keep, "u")
             .join(keep.withColumnRenamed("u", "v"), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            # eager=False: the count() below materializes the checkpoint
+            # blocks inside its own job — one job round-trip per round
+            # instead of two (r12; AQE executes the upstream shuffle
+            # stages at construction either way).
+            .localCheckpoint(eager=False)
         )
         n = e.count()
         if n == n_prev:

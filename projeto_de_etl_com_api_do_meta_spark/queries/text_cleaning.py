@@ -689,10 +689,16 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
-    # Persisted: consumed twice (bloom build + exact verify); it is the
+    # Materialized once (localCheckpoint: consumed twice — bloom build +
+    # exact verify — and bloom_build collects at construction anyway, so
+    # the eager checkpoint adds no job; unlike persist the blocks release
+    # on GC instead of pinning shared-session storage, r12).  It is the
     # SMALL side — the big training gram stream is never materialized.
     eval_grams = (
-        grams.where(F.col("doc_id") % 20 == 0).select("g").distinct().persist()
+        grams.where(F.col("doc_id") % 20 == 0)
+        .select("g")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     bits = bloom_build(eval_grams, "g", m_bits, k)
     candidates = grams.where(F.col("doc_id") % 20 != 0).where(

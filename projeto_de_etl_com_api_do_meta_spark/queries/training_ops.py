@@ -1380,11 +1380,14 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     k3_ids = k2_ids.join(dup_ids, "doc_id", "left_anti").persist()
+    # no .distinct() on tr_sh: word_shingles is array_distinct per doc and
+    # doc_id is unique, so (doc_id, s) is ALREADY distinct — the explicit
+    # distinct was a full posting-stream shuffle deduping nothing (removed
+    # r12, guide §2.4); cont_ids' final distinct handles join fan-out.
     tr_sh = (
         spread(docs.join(k3_ids, "doc_id"), "doc_id")
         .where(F.size(tokens("text")) >= 3)
         .select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
-        .distinct()
     )
     ev_sh = (
         spread(docs.where(F.col("doc_id") % 20 == 0), "doc_id")
@@ -1823,11 +1826,12 @@ def pipeline_sft_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_toks").between(24, 512))
         .persist()
     )
+    # no .distinct(): (doc_id, s) is already unique (array_distinct per
+    # doc, unique doc_id) — see pipeline_training_funnel (r12).
     tr_sh = (
         spread(gated.select("doc_id", "text"), "doc_id")
         .where(F.size(tokens("text")) >= 8)
         .select("doc_id", F.explode(word_shingles("text", 8)).alias("s"))
-        .distinct()
     )
     ev_sh = (
         spread(docs.where(F.col("doc_id") % 20 == 0), "doc_id")

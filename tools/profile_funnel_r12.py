@@ -18,9 +18,7 @@ from projeto_de_etl_com_api_do_meta_spark.operators.dedup import (  # noqa: E402
     word_shingles,
 )
 from projeto_de_etl_com_api_do_meta_spark.operators.text import tokens  # noqa: E402
-from projeto_de_etl_com_api_do_meta_spark.queries._shared import (  # noqa: E402
-    load_table,
-)
+from projeto_de_etl_com_api_do_meta_spark.io import load_table  # noqa: E402
 from projeto_de_etl_com_api_do_meta_spark.queries.dedup_crossengine import (  # noqa: E402
     md5_lsh_pairs,
 )
