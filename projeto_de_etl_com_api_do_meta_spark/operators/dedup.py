@@ -453,6 +453,11 @@ def prefix_jaccard_pairs(
     sh = spread(df, id_col).select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
     )
+    # persist, NOT localCheckpoint (measured r12: the checkpoint swap cost
+    # 2-3x — four consumers re-deserialize the heavy shingle-array rows
+    # from row-serialized checkpoint blocks, where the InMemoryRelation
+    # serves compressed COLUMNAR batches).  The pinned cache is released
+    # by the bench/differ's clearCache between queries.
     sh = sh.persist()
 
     s = F.size("shingles")
@@ -531,6 +536,7 @@ def containment_prefix_pairs(
     sh = spread(df, id_col).select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
     )
+    # persist, NOT localCheckpoint: see prefix_jaccard_pairs (r12).
     sh = sh.persist()
     s = F.size("shingles")
     prefix_len = (s - F.ceil(F.lit(threshold) * s) + 1).cast("int")

@@ -71,13 +71,66 @@ def _write_files(df: DataFrame, table_dir: str, n: int) -> list[str]:
 def _column_stats(
     spark: SparkSession, files: list[str], cols: tuple[str, ...]
 ) -> dict[str, dict[str, list]]:
-    """Per-file min/max for ``cols`` over ``files`` — ONE grouped scan over
-    the just-written files (grouped by ``input_file_name``), not a job per
-    file. Values must be JSON-representable (string/int/float); use a
-    string date or epoch column for temporal stats. At real scale the
-    writer task records these stats as it writes (Delta/Iceberg do exactly
-    that); reading the fresh files back once is the jar-free equivalent and
-    still costs O(new data), never O(table)."""
+    """Per-file min/max for ``cols`` over ``files``.
+
+    Fast path (r12): read the just-written parquet FOOTERS on the driver —
+    the writer already recorded chunk-level min/max, so no Spark job runs
+    at all (a commit used to pay a full read-back scan job per version;
+    the bench's 4-append + merge query ran five of them).  Footer bounds
+    are always VALID bounds even when a writer stores truncated values
+    (parquet truncation keeps min' <= min and max' >= max), and every
+    consumer (``pruned_files`` skipping, DELETE/MERGE candidate splits)
+    re-applies the exact predicate to surviving files, so looser bounds
+    can only reduce skipping, never change results.  Values must be
+    JSON-representable (string/int/float); use a string date or epoch
+    column for temporal stats.
+
+    Fallback: any file/column whose footer lacks usable stats (older
+    writer, exotic type) falls back to the original grouped read-back
+    scan for ALL files — one Spark job, exact, keyed by
+    ``input_file_name``."""
+    try:
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            fstats: dict[str, list] = {}
+            for c in cols:
+                idx = names.get(c)
+                if idx is None:
+                    continue
+                lo = hi = None
+                ok = md.num_rows > 0
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(idx)
+                    if col.num_values == 0:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = st.min, st.max
+                    if not (
+                        isinstance(mn, (str, int, float))
+                        and isinstance(mx, (str, int, float))
+                    ):
+                        ok = False  # bytes/date/…: not JSON-clean
+                        break
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                if not ok:
+                    raise _FooterStatsUnusable(f, c)
+                fstats[c] = [lo, hi]
+            out[f] = fstats
+        return out
+    except _FooterStatsUnusable:
+        pass
+    except Exception:  # noqa: BLE001 — missing pyarrow, foreign fs, ...
+        pass
     aggs = [F.min(c).alias(f"min_{c}") for c in cols] + [
         F.max(c).alias(f"max_{c}") for c in cols
     ]
@@ -99,6 +152,10 @@ def _column_stats(
         }
     # keys must match the manifest's file paths exactly
     return {f: by_path.get(f, {}) for f in files}
+
+
+class _FooterStatsUnusable(Exception):
+    """A footer lacked exact, JSON-clean min/max for a requested column."""
 
 
 class CommitConflict(Exception):

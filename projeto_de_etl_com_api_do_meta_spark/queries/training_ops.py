@@ -357,8 +357,20 @@ def stream_stream_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_query_session_conf(spark)
     # State partitions = shuffle.partitions at stream start; fixture-scale
     # state fits a handful of stores (production would size this to state
-    # volume — see session.scoped_conf).
-    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+    # volume — see session.scoped_conf).  noDataMicroBatches off (r12):
+    # an INNER stream-stream join emits every match in the batch that
+    # finds it, so the trailing zero-row watermark batch — measured at a
+    # third of the query's wall time (state-store open/commit × partitions
+    # × 4 join stores on 0 rows) — only evicts state the terminating
+    # AvailableNow run never reuses.  Output is identical; outer-join
+    # streams (which DO emit on watermark advance) keep the default.
+    with scoped_conf(
+        spark,
+        **{
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+        },
+    ):
         events = read_events_stream(spark, sf_dir)
         joined = clicks_purchases_join(events)
         with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
