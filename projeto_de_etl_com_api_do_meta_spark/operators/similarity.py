@@ -80,6 +80,11 @@ def unit_vectors(
     # broadcast query sides pay one negligible extra shuffle.
     from .dedup import spread
 
+    # r12 clean A/B at 32 cores, isolated medians (VERDICT r11 item 7 —
+    # "is the unconditional spread paying for itself?"): WITH spread
+    # dedup_embedding_cosine 1.07s / embed_knn 0.67 / power_iteration 1.06
+    # / dedup_semantic_clustered 1.23; WITHOUT 1.66 / 1.10 / 1.19 / 1.43.
+    # The repartition pays on every path at both core counts; kept.
     tmp = spread(df, id_col).where(
         F.exists(F.col(vec_col), lambda x: x != 0)
     ).select(

@@ -1369,14 +1369,17 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count union below; persisting the (tiny, id-only) sets keeps the
     # expensive LSH/shingle lineages from re-executing per branch
     q_ids = (
-        gopher_metrics(docs).where(F.col("keep") == 1).select("doc_id").persist()
+        gopher_metrics(docs)
+        .where(F.col("keep") == 1)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     k1 = docs.join(q_ids, "doc_id")
     k2_ids = (
         k1.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     k2 = docs.join(k2_ids, "doc_id")
     # each stage re-shingles its own (shrinking) slice rather than sharing
@@ -1391,7 +1394,9 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    k3_ids = k2_ids.join(dup_ids, "doc_id", "left_anti").persist()
+    k3_ids = k2_ids.join(dup_ids, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     # no .distinct() on tr_sh: word_shingles is array_distinct per doc and
     # doc_id is unique, so (doc_id, s) is ALREADY distinct — the explicit
     # distinct was a full posting-stream shuffle deduping nothing (removed
@@ -1411,7 +1416,7 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     k4_ids = (
         k3_ids.where(F.col("doc_id") % 20 != 0)
         .join(cont_ids, "doc_id", "left_anti")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     bucket = (
         F.conv(
