@@ -42,6 +42,31 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
+def loop_shuffle_width(spark, n_rows: int, rows_per_partition: int = 1_000_000):
+    """Scoped, SCALE-ADAPTIVE shuffle width for iterative loops.
+
+    An iterative operator (CC, k-core) re-plans and re-launches the same
+    few shuffles every round, so the per-round fixed cost — shuffle-file
+    fan-out, AQE re-planning, task scheduling — is paid rounds× and is
+    pure overhead once the edge set is small.  Derive the loop's
+    ``spark.sql.shuffle.partitions`` from the MEASURED row count at loop
+    entry (never above the session's configured width, so a large run is
+    untouched): guide §2.2, fewer/larger partitions; AQE coalesces the
+    reduce side anyway but the initial width still drives map-side
+    shuffle-file count and per-round planning latency (measured r12,
+    interleaved A/B on the 284-edge CC-star fixture: ~5-10% of loop wall
+    — modest locally, and the map-side fan-out saving grows with rounds
+    × executors at cluster scale).
+    """
+    from ..session import scoped_conf
+
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    width = max(1, min(cur, n_rows // rows_per_partition + 1))
+    return scoped_conf(
+        spark, **{"spark.sql.shuffle.partitions": str(width)}
+    )
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -393,32 +418,36 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        # Min label among each node's neighbors (one shuffle on dst).
-        neighbor_min = (
-            edges.join(labels, edges.s == labels.node)
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+    # loop-scoped scale-adaptive shuffle width (see loop_shuffle_width).
+    with loop_shuffle_width(pairs.sparkSession, edges.count()):
+        for _ in range(max_iter):
+            # Min label among each node's neighbors (one shuffle on dst).
+            neighbor_min = (
+                edges.join(labels, edges.s == labels.node)
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.min("label").alias("nmin"))
             )
-            # eager=False: the `changed` count below materializes the
-            # blocks in its own job — one job round-trip per round, not
-            # two (r12).
-            .localCheckpoint(eager=False)
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nmin", "label")
+                    ).alias("label"),
+                )
+                # eager=False: the `changed` count below materializes the
+                # blocks in its own job — one job round-trip per round,
+                # not two (r12).
+                .localCheckpoint(eager=False)
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+                .where(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -643,85 +672,88 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
-        # ---- large-star: group the full adjacency by u
-        adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = adj.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
-        large = (
-            adj.join(m, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-        )
-        # ---- small-star: orient toward the larger endpoint.  large's
-        # rows are ALREADY oriented (m <= old u < old v, so u > v in every
-        # emitted row).  NO intermediate distincts (r12): min-aggregates
-        # are insensitive to duplicates and the round ends in
-        # small.distinct() anyway, so the two pre-distincts that used to
-        # sit here (on large and on oriented) were two full exchanges per
-        # round deduping what the final distinct dedupes — removed; the
-        # duplicate volume flowing through is bounded by the adjacency
-        # size the round already shuffles.  Remaining exchanges per
-        # round: adj-by-u (shared by m's groupBy and the join via
-        # ReusedExchange), oriented-by-u (shared by m2 and its join),
-        # and the final distinct — the 3-shuffle minimum for a
-        # large-star + small-star round.
-        oriented = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        m2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            oriented.join(m2, "u")
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .unionByName(
-                m2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    # loop-scoped scale-adaptive shuffle width (see loop_shuffle_width):
+    # e.count() is one tiny job over the just-checkpointed blocks.
+    with loop_shuffle_width(pairs.sparkSession, e.count()):
+        for _ in range(max_iter):
+            rounds += 1
+            # ---- large-star: group the full adjacency by u
+            adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            m = adj.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
             )
-            .where(F.col("a") != F.col("b"))
-            .select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .distinct()
-            # eager=False: the _fp() collect right below materializes the
-            # checkpoint blocks inside ITS job, so each round pays one job
-            # round-trip instead of two (checkpoint-then-fingerprint, r12).
-            # AQE runs the upstream shuffle stages at construction either
-            # way; only the final stage is deferred into _fp.
-            .localCheckpoint(eager=False)
-        )
-        # fixpoint: same canonical edge set as last round.  Checked with a
-        # single order-free aggregate fingerprint (count + xor-ish hash
-        # sum) instead of two exceptAll set differences — the check is
-        # per-round overhead, and at x16 corpus scale the exceptAll pair
-        # cost dominated the whole operator (SCALE_PROBE_r07).
-        def _fp(df: DataFrame):
-            # pmod into 31 bits keeps the sum ANSI-overflow-safe up to
-            # ~2^32 edges per fixpoint check (shard the check past that)
-            h = F.pmod(
-                F.xxhash64(F.greatest("u", "v"), F.least("u", "v")),
-                F.lit(2147483647),
+            large = (
+                adj.join(m, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
             )
-            return df.select(
-                F.count(F.lit(1)).alias("n"), F.sum(h).alias("h")
-            ).collect()[0]
-        if rounds == 1:
-            old_fp = _fp(e)
-        prev = e
-        new_fp = _fp(small)
-        e = small
-        if (new_fp["n"], new_fp["h"]) == (old_fp["n"], old_fp["h"]):
-            # The fingerprint is probabilistic — a collision between two
-            # DIFFERENT consecutive edge sets would end the loop early and
-            # silently mislabel.  Confirm the fixpoint EXACTLY once, paid
-            # only at apparent convergence (never per round): counts are
-            # already equal via the fingerprint, and both sets are
-            # distinct, so one-sided anti-join emptiness == set equality.
-            if (
-                small.join(prev, ["u", "v"], "left_anti").limit(1).count()
-                == 0
-            ):
-                break
-        old_fp = new_fp
+            # ---- small-star: orient toward the larger endpoint.  large's
+            # rows are ALREADY oriented (m <= old u < old v, so u > v in every
+            # emitted row).  NO intermediate distincts (r12): min-aggregates
+            # are insensitive to duplicates and the round ends in
+            # small.distinct() anyway, so the two pre-distincts that used to
+            # sit here (on large and on oriented) were two full exchanges per
+            # round deduping what the final distinct dedupes — removed; the
+            # duplicate volume flowing through is bounded by the adjacency
+            # size the round already shuffles.  Remaining exchanges per
+            # round: adj-by-u (shared by m's groupBy and the join via
+            # ReusedExchange), oriented-by-u (shared by m2 and its join),
+            # and the final distinct — the 3-shuffle minimum for a
+            # large-star + small-star round.
+            oriented = large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            m2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                oriented.join(m2, "u")
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .unionByName(
+                    m2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+                )
+                .where(F.col("a") != F.col("b"))
+                .select(F.col("a").alias("u"), F.col("b").alias("v"))
+                .distinct()
+                # eager=False: the _fp() collect right below materializes the
+                # checkpoint blocks inside ITS job, so each round pays one job
+                # round-trip instead of two (checkpoint-then-fingerprint, r12).
+                # AQE runs the upstream shuffle stages at construction either
+                # way; only the final stage is deferred into _fp.
+                .localCheckpoint(eager=False)
+            )
+            # fixpoint: same canonical edge set as last round.  Checked with a
+            # single order-free aggregate fingerprint (count + xor-ish hash
+            # sum) instead of two exceptAll set differences — the check is
+            # per-round overhead, and at x16 corpus scale the exceptAll pair
+            # cost dominated the whole operator (SCALE_PROBE_r07).
+            def _fp(df: DataFrame):
+                # pmod into 31 bits keeps the sum ANSI-overflow-safe up to
+                # ~2^32 edges per fixpoint check (shard the check past that)
+                h = F.pmod(
+                    F.xxhash64(F.greatest("u", "v"), F.least("u", "v")),
+                    F.lit(2147483647),
+                )
+                return df.select(
+                    F.count(F.lit(1)).alias("n"), F.sum(h).alias("h")
+                ).collect()[0]
+            if rounds == 1:
+                old_fp = _fp(e)
+            prev = e
+            new_fp = _fp(small)
+            e = small
+            if (new_fp["n"], new_fp["h"]) == (old_fp["n"], old_fp["h"]):
+                # The fingerprint is probabilistic — a collision between two
+                # DIFFERENT consecutive edge sets would end the loop early and
+                # silently mislabel.  Confirm the fixpoint EXACTLY once, paid
+                # only at apparent convergence (never per round): counts are
+                # already equal via the fingerprint, and both sets are
+                # distinct, so one-sided anti-join emptiness == set equality.
+                if (
+                    small.join(prev, ["u", "v"], "left_anti").limit(1).count()
+                    == 0
+                ):
+                    break
+            old_fp = new_fp
     # converged: e is a star forest pointing at component minima
     roots = e.select(
         F.greatest("u", "v").alias("node"), F.least("u", "v").alias("label")

@@ -523,28 +523,34 @@ def kcore_peel_edges(
     diverge, so fail loudly instead — the fix is raising the unroll
     depth, never trusting a stale one.  Pass None to disable (pure-Spark
     use with no SQL twin)."""
+    from ..operators.dedup import loop_shuffle_width
+
     e = e.localCheckpoint(eager=True)
     n_prev = e.count()
     peel_rounds = 0  # rounds that actually dropped something
-    for _ in range(64):  # safety bound far above any plausible peel depth
-        keep = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).where(
-            F.col("deg") >= k
-        ).select("u")
-        e = (
-            e.join(keep, "u")
-            .join(keep.withColumnRenamed("u", "v"), "v")
-            .select("u", "v")
-            # eager=False: the count() below materializes the checkpoint
-            # blocks inside its own job — one job round-trip per round
-            # instead of two (r12; AQE executes the upstream shuffle
-            # stages at construction either way).
-            .localCheckpoint(eager=False)
-        )
-        n = e.count()
-        if n == n_prev:
-            break
-        peel_rounds += 1
-        n_prev = n
+    # loop-scoped scale-adaptive shuffle width (dedup.loop_shuffle_width):
+    # peeling only shrinks the edge set, so the entry count bounds every
+    # round's volume.
+    with loop_shuffle_width(e.sparkSession, n_prev):
+        for _ in range(64):  # safety bound above any plausible peel depth
+            keep = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).where(
+                F.col("deg") >= k
+            ).select("u")
+            e = (
+                e.join(keep, "u")
+                .join(keep.withColumnRenamed("u", "v"), "v")
+                .select("u", "v")
+                # eager=False: the count() below materializes the
+                # checkpoint blocks inside its own job — one job
+                # round-trip per round instead of two (r12; AQE executes
+                # the upstream shuffle stages at construction either way).
+                .localCheckpoint(eager=False)
+            )
+            n = e.count()
+            if n == n_prev:
+                break
+            peel_rounds += 1
+            n_prev = n
     if oracle_unroll is not None and peel_rounds > oracle_unroll:
         raise RuntimeError(
             f"k-core peel converged in {peel_rounds} rounds but the DuckDB "

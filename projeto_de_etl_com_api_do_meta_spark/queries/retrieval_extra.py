@@ -1349,7 +1349,14 @@ def corpus_tfidf_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tok.groupBy("term").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
     )
-    nd = tok.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    # N docs straight off the (row-per-doc) source table, not a global
+    # countDistinct over the corpus-scale exploded token stream (r12):
+    # doc_id is unique per row, so distinct-count == count over the same
+    # non-empty filter, minus one full-stream distinct aggregate.
+    nd = (
+        docs.where(F.trim("text") != "")
+        .agg(F.count("doc_id").cast("bigint").alias("n"))
+    )
     w = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(nd))
