@@ -97,9 +97,12 @@ def md5_lsh_signatures(
     reuse an already-shingled stream — shingling dominates per-row cost,
     so callers that also need the exact side should shingle once."""
     if posting is None:
+        # no size(tokens)>=3 pre-filter (r12): word_shingles already
+        # yields an EMPTY array below 3 tokens and explode drops empty
+        # arrays, so the filter selected exactly the rows the explode
+        # keeps while paying a second whole-corpus tokenization per row.
         posting = (
             spread(docs, "doc_id")
-            .where(F.size(tokens("text")) >= 3)
             .select(
                 "doc_id", F.explode(word_shingles("text", 3)).alias("s")
             )

@@ -1358,7 +1358,6 @@ _FUNNEL_STAGES = (
 )
 def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import spread, word_shingles
-    from ..operators.text import tokens
     from .dedup_crossengine import md5_lsh_pairs
     from .text_cleaning import gopher_metrics
 
@@ -1401,14 +1400,15 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id is unique, so (doc_id, s) is ALREADY distinct — the explicit
     # distinct was a full posting-stream shuffle deduping nothing (removed
     # r12, guide §2.4); cont_ids' final distinct handles join fan-out.
+    # no size(tokens)>=3 pre-filter: explode of the (empty-below-3-tokens)
+    # shingle array keeps exactly the same rows without a second per-row
+    # tokenization (r12; same in ev_sh and the SFT funnel).
     tr_sh = (
         spread(docs.join(k3_ids, "doc_id"), "doc_id")
-        .where(F.size(tokens("text")) >= 3)
         .select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
     )
     ev_sh = (
         spread(docs.where(F.col("doc_id") % 20 == 0), "doc_id")
-        .where(F.size(tokens("text")) >= 3)
         .select(F.explode(word_shingles("text", 3)).alias("s"))
         .distinct()
     )
@@ -1821,7 +1821,6 @@ ORDER BY stage
 )
 def pipeline_sft_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import spread, word_shingles
-    from ..operators.text import tokens
 
     pin_query_session_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1847,12 +1846,10 @@ def pipeline_sft_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc, unique doc_id) — see pipeline_training_funnel (r12).
     tr_sh = (
         spread(gated.select("doc_id", "text"), "doc_id")
-        .where(F.size(tokens("text")) >= 8)
         .select("doc_id", F.explode(word_shingles("text", 8)).alias("s"))
     )
     ev_sh = (
         spread(docs.where(F.col("doc_id") % 20 == 0), "doc_id")
-        .where(F.size(tokens("text")) >= 8)
         .select(F.explode(word_shingles("text", 8)).alias("s"))
         .distinct()
     )
