@@ -82,6 +82,12 @@ def check(names: list[str] | None, sf_dir: str) -> int:
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            # release per-query persisted intermediates so a full-registry
+            # sweep doesn't accumulate 47 queries' pinned caches in one
+            # shared session (VERDICT r11 item 5); same hygiene as
+            # bench.py's between-query clearCache.
+            spark.catalog.clearCache()
         if spec.oracle is None:
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_rows_only += 1
